@@ -242,8 +242,10 @@ def test_user_class():
 # --- test/automated.mjs flavor: coercion kernel edge cases
 def test_coercion_kernel():
     assert schema({"v": Number}).conform({"v": "junk"}) == {"v": 0.0}  # NaN->default
+    # NaN falls back to the *alternative node's* create() — the inner
+    # Number node has no $default, so 0, not 9 (reference-verified).
     assert schema({"v": {"$type": Number, "$default": 9.0}}).conform({"v": "junk"}) == {
-        "v": 9.0
+        "v": 0.0
     }
     assert schema({"v": String}).conform({"v": {"k": 1.0}}) == {"v": '{"k":1}'}
     assert schema({"v": BigInt}).conform({"v": "42"}) == {"v": 42}
