@@ -1,0 +1,119 @@
+"""Flagship pipeline: full validation of the image+caption table.
+
+Composes every check family over one streaming read:
+
+  read_parquet (column-pruned per stage)
+    ├─ schema stage      map_batches(TableValidator)     [stateless tasks]
+    ├─ decode stage      map_batches(DecodeValidator)    [actor pool]
+    ├─ uniqueness stage  partial-agg -> groupby -> broadcast re-scan
+    └─ referential stage broadcast anti-join
+  -> union -> one violations Dataset (schema sources/image_table.VIOLATION_SCHEMA)
+
+Column pruning matters: the schema/uniqueness/referential stages never
+read ``bytes`` (the heavy column); only the decode stage does.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import ray.data as rd
+
+from ..schema import BigInt, String
+from ..sources import image_table
+from ..stages import ColumnSpec, TableSchema, in_set, range_check
+from ..stages.decoder import DecodeConformer, DecodeValidator
+from ..stages.referential import referential_violations
+from ..stages.uniqueness import uniqueness_violations
+from ..stages.validate import TableValidator
+
+LIGHT_COLUMNS = ["image_id", "w", "h", "fmt", "caption", "phash"]
+DECODE_COLUMNS = ["image_id", "bytes", "w", "h", "fmt"]
+
+
+def image_table_schema() -> TableSchema:
+    """The canonical input_hint schema with engine invariants."""
+    return TableSchema(
+        {
+            "image_id": String,
+            "bytes": bytes,
+            "w": ColumnSpec(BigInt, checks=[range_check(1, 65535)]),
+            "h": ColumnSpec(BigInt, checks=[range_check(1, 65535)]),
+            "fmt": ColumnSpec(String, checks=[in_set(["png", "jpeg", "webp"])]),
+            "caption": String,
+            "phash": BigInt,
+        },
+        id_column="image_id",
+    )
+
+
+def read_images(table_dir: str | Path, columns: list[str] | None = None):
+    return rd.read_parquet(str(Path(table_dir) / "images"), columns=columns)
+
+
+def validate_images(
+    table_dir: str | Path,
+    *,
+    decode: bool = True,
+    uniqueness: bool = True,
+    referential: bool = True,
+    decode_batch_size: int = 256,
+    decode_concurrency=None,
+):
+    """Violations Dataset for every enabled check family (streaming)."""
+    table_dir = Path(table_dir)
+    ts = image_table_schema()
+
+    light = read_images(table_dir, LIGHT_COLUMNS)
+    parts = [
+        light.map_batches(
+            TableValidator(ts.subset(LIGHT_COLUMNS)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    ]
+    if decode:
+        heavy = read_images(table_dir, DECODE_COLUMNS)
+        kwargs = dict(
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=decode_batch_size,
+        )
+        if decode_concurrency is not None:
+            kwargs["concurrency"] = decode_concurrency
+        parts.append(heavy.map_batches(DecodeValidator(), **kwargs))
+    if uniqueness:
+        keys = read_images(table_dir, ["image_id", "phash"])
+        parts.append(uniqueness_violations(keys, "phash", id_column="image_id"))
+    if referential:
+        ref = rd.read_parquet(str(table_dir / "reference_ids.parquet"))
+        ids = read_images(table_dir, ["image_id"])
+        parts.append(
+            referential_violations(ids, "image_id", ref, strategy="broadcast")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def conform_images(
+    table_dir: str | Path,
+    *,
+    decode_batch_size: int = 256,
+    decode_concurrency=None,
+):
+    """Repaired table Dataset: schema conform then decode conform."""
+    from ..stages.conform import TableConformer
+
+    ts = image_table_schema()
+    ds = read_images(table_dir)
+    ds = ds.map_batches(
+        TableConformer(ts), batch_format="pyarrow", zero_copy_batch=True
+    )
+    kwargs = dict(
+        batch_format="pyarrow", zero_copy_batch=True, batch_size=decode_batch_size
+    )
+    if decode_concurrency is not None:
+        kwargs["concurrency"] = decode_concurrency
+    return ds.map_batches(DecodeConformer(), **kwargs)

@@ -1,0 +1,128 @@
+"""Deterministic image codec for the image+caption table.
+
+Real image libraries (PIL/libjpeg/libwebp) are NOT available in this
+environment, so the engine ships a clearly-marked deterministic stand-in
+codec: a container format with a per-format magic header, explicit
+dimensions, and a zlib-compressed pixel payload. ``jpeg``/``webp`` are
+*lossy* via bit-depth quantization (chosen so PSNR stays >= 40 dB, the
+conform-fidelity bar from BASELINE.md), ``png`` is lossless.
+
+The Ray-side plumbing (schemas, batch sizes, actor signatures, output
+layout) is identical to what a real codec would need: swap
+``encode``/``decode`` for PIL calls and nothing else changes. If PIL is
+importable (not in this container), ``HAVE_PIL`` flips and callers may
+opt into it.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    HAVE_PIL = False
+
+
+class CodecError(ValueError):
+    """Raised for undecodable / truncated / unknown-format payloads."""
+
+
+_MAGICS = {
+    "png": b"\x89FPN",   # fake-png
+    "jpeg": b"\xff\xd8FJ",  # fake-jpeg
+    "webp": b"RIFF",
+}
+_FMT_BY_MAGIC = {v: k for k, v in _MAGICS.items()}
+#: quantization shift per format (0 = lossless). Shift 2 keeps max
+#: channel error 3 -> PSNR ~43 dB; shift 1 -> ~49 dB.
+_QUANT_SHIFT = {"png": 0, "jpeg": 2, "webp": 1}
+
+FORMATS = tuple(_MAGICS)
+_HEADER = struct.Struct("<4sHHB")  # magic, w, h, channels
+
+
+def encode(pixels: np.ndarray, fmt: str) -> bytes:
+    """Encode an (h, w, 3) uint8 array into the given format."""
+    if fmt not in _MAGICS:
+        raise CodecError(f"unknown format {fmt!r}")
+    if pixels.dtype != np.uint8 or pixels.ndim != 3:
+        raise CodecError("pixels must be (h, w, c) uint8")
+    h, w, c = pixels.shape
+    shift = _QUANT_SHIFT[fmt]
+    if shift:
+        pixels = (pixels >> shift) << shift  # lossy quantization
+    payload = zlib.compress(pixels.tobytes(), level=1)
+    return _HEADER.pack(_MAGICS[fmt], w, h, c) + payload
+
+
+def decode(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode to ((h, w, c) uint8, format). Raises CodecError."""
+    if data is None or len(data) < _HEADER.size:
+        raise CodecError("truncated header")
+    magic, w, h, c = _HEADER.unpack_from(data)
+    fmt = _FMT_BY_MAGIC.get(magic)
+    if fmt is None:
+        raise CodecError(f"bad magic {magic!r}")
+    try:
+        raw = zlib.decompress(data[_HEADER.size:])
+    except zlib.error as e:
+        raise CodecError(f"corrupt payload: {e}") from None
+    if len(raw) != w * h * c:
+        raise CodecError("payload size mismatch")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c), fmt
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Cheap format detection from the magic header (no decompress)."""
+    if data is None or len(data) < 4:
+        return None
+    return _FMT_BY_MAGIC.get(bytes(data[:4]))
+
+
+def sniff_dims(data: bytes) -> tuple[int, int] | None:
+    """Cheap (w, h) from the header (no decompress); None if unreadable."""
+    if data is None or len(data) < _HEADER.size:
+        return None
+    magic, w, h, _ = _HEADER.unpack_from(data)
+    if magic not in _FMT_BY_MAGIC:
+        return None
+    return w, h
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Deterministic 64-bit perceptual-ish hash of decoded pixels.
+
+    Average-hash style: downsample the luma plane to 8x8 by block means,
+    threshold at the mean -> 64 bits -> signed int64. Quantization-stable
+    for the lossy formats above, so re-encoding preserves the hash.
+    """
+    luma = pixels.astype(np.float32).mean(axis=2)
+    h, w = luma.shape
+    # block-mean resample to 8x8 (pad to a multiple of 8 by edge-repeat)
+    ph = (-h) % 8
+    pw = (-w) % 8
+    if ph or pw:
+        luma = np.pad(luma, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = luma.shape[0] // 8, luma.shape[1] // 8
+    small = luma.reshape(8, bh, 8, bw).mean(axis=(1, 3))
+    bits = (small > small.mean()).flatten()
+    value = 0
+    for bit in bits:
+        value = (value << 1) | int(bit)
+    return value - (1 << 64) if value >= (1 << 63) else value

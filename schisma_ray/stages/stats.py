@@ -1,0 +1,228 @@
+"""Distributed column statistics: null-rate, min/max/mean, HyperLogLog
+distinct counts, histograms / value counts.
+
+All custom aggregates are *mergeable sketches* driven through Ray Data's
+``Dataset.aggregate`` tree (accumulate per block, pairwise merge) — no
+driver-side loops, no full-column materialization, one pass over the
+data for the whole stats profile. This is the partial-per-batch +
+final-merge pattern from SURVEY.md §2 aggregations.
+
+Hashing uses ``pandas.util.hash_array`` (vectorized, deterministic
+64-bit) so HLL register updates are numpy-only per block.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min
+
+from ._math import chi2_sf, ks_pvalue
+
+
+def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    np_vals = arr.to_numpy(zero_copy_only=False)
+    return pd.util.hash_array(np_vals).astype(np.uint64)
+
+
+class HLL(AggregateFn):
+    """HyperLogLog distinct-count sketch (p=12 -> ~1.6% rel. error).
+
+    Register arrays merge by elementwise max — associative and
+    commutative, so Ray's aggregation tree can combine partials in any
+    order (the mergeable-sketch property).
+    """
+
+    def __init__(self, on: str, p: int = 12, alias_name: str | None = None):
+        m = 1 << p
+        alpha = 0.7213 / (1 + 1.079 / m)
+
+        def accumulate_block(regs: np.ndarray, block) -> np.ndarray:
+            if isinstance(block, pd.DataFrame):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            h = _hash64(block[on])
+            if len(h) == 0:
+                return regs
+            idx = (h >> np.uint64(64 - p)).astype(np.int64)
+            rest = h << np.uint64(p)
+            # rank = leading zeros of the remaining 64-p bits, + 1
+            rank = np.ones(len(h), dtype=np.uint8)
+            mask = np.uint64(1) << np.uint64(63)
+            remaining = rest
+            live = np.ones(len(h), dtype=bool)
+            for _ in range(64 - p):
+                zero = live & ((remaining & mask) == 0)
+                rank[zero] += 1
+                live &= zero
+                if not live.any():
+                    break
+                remaining = remaining << np.uint64(1)
+            regs = regs.copy()
+            np.maximum.at(regs, idx, rank)
+            return regs
+
+        def finalize(regs: np.ndarray) -> int:
+            est = alpha * m * m / np.sum(2.0 ** (-regs.astype(np.float64)))
+            zeros = int((regs == 0).sum())
+            if est <= 2.5 * m and zeros:
+                est = m * np.log(m / zeros)  # small-range correction
+            return int(round(est))
+
+        super().__init__(
+            init=lambda k: np.zeros(m, dtype=np.uint8),
+            merge=lambda a, b: np.maximum(a, b),
+            accumulate_block=accumulate_block,
+            finalize=finalize,
+            name=alias_name or f"hll({on})",
+        )
+
+
+class NullCount(AggregateFn):
+    def __init__(self, on: str, alias_name: str | None = None):
+        def accumulate_block(acc: int, block) -> int:
+            if isinstance(block, pd.DataFrame):
+                return acc + int(block[on].isna().sum())
+            if on not in block.schema.names:
+                return acc + block.num_rows
+            return acc + block[on].null_count
+
+        super().__init__(
+            init=lambda k: 0,
+            merge=lambda a, b: a + b,
+            accumulate_block=accumulate_block,
+            finalize=lambda a: a,
+            name=alias_name or f"null_count({on})",
+        )
+
+
+class ValueCounts(AggregateFn):
+    """Per-value counts for a (low-cardinality) categorical column.
+
+    Partial dicts merge by key-sum. ``max_keys`` guards against
+    accidentally aggregating a high-cardinality column: overflowing keys
+    collapse into ``__other__`` rather than OOMing the driver.
+    """
+
+    def __init__(self, on: str, max_keys: int = 10_000, alias_name: str | None = None):
+        def accumulate_block(acc: dict, block) -> dict:
+            if isinstance(block, pd.DataFrame):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            t = block.select([on]).group_by(on).aggregate([(on, "count")])
+            acc = dict(acc)
+            for k, n in zip(t[on].to_pylist(), t[f"{on}_count"].to_pylist()):
+                key = "__null__" if k is None else str(k)
+                if key not in acc and len(acc) >= max_keys:
+                    key = "__other__"
+                acc[key] = acc.get(key, 0) + n
+            return acc
+
+        def merge(a: dict, b: dict) -> dict:
+            out = dict(a)
+            for k, n in b.items():
+                if k not in out and len(out) >= max_keys:
+                    k = "__other__"
+                out[k] = out.get(k, 0) + n
+            return out
+
+        super().__init__(
+            init=lambda k: {},
+            merge=merge,
+            accumulate_block=accumulate_block,
+            finalize=lambda a: a,
+            name=alias_name or f"value_counts({on})",
+        )
+
+
+class Histogram(AggregateFn):
+    """Fixed-bin histogram sketch for a numeric column (mergeable)."""
+
+    def __init__(self, on: str, lo: float, hi: float, bins: int = 64,
+                 alias_name: str | None = None):
+        edges = np.linspace(lo, hi, bins + 1)
+
+        def accumulate_block(acc: np.ndarray, block) -> np.ndarray:
+            if isinstance(block, pd.DataFrame):
+                vals = block[on].dropna().to_numpy(dtype=np.float64)
+            else:
+                vals = block[on].drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+            if len(vals) == 0:
+                return acc
+            counts, _ = np.histogram(np.clip(vals, lo, hi), bins=edges)
+            return acc + counts
+
+        super().__init__(
+            init=lambda k: np.zeros(bins, dtype=np.int64),
+            merge=lambda a, b: a + b,
+            accumulate_block=accumulate_block,
+            finalize=lambda a: a.tolist(),
+            name=alias_name or f"hist({on})",
+        )
+
+
+def numeric_stats(ds, columns: list[str], distinct: bool = True) -> dict[str, dict[str, Any]]:
+    """One aggregation pass -> {column: {count,nulls,min,max,mean,distinct}}."""
+    aggs: list[AggregateFn] = [Count(alias_name="__rows__")]
+    for c in columns:
+        aggs += [
+            NullCount(c, alias_name=f"nulls:{c}"),
+            Min(c, alias_name=f"min:{c}"),
+            Max(c, alias_name=f"max:{c}"),
+            Mean(c, alias_name=f"mean:{c}"),
+        ]
+        if distinct:
+            aggs.append(HLL(c, alias_name=f"distinct:{c}"))
+    row = ds.aggregate(*aggs)
+    out: dict[str, dict[str, Any]] = {}
+    for c in columns:
+        out[c] = {
+            "count": row["__rows__"],
+            "nulls": row[f"nulls:{c}"],
+            "min": row[f"min:{c}"],
+            "max": row[f"max:{c}"],
+            "mean": row[f"mean:{c}"],
+        }
+        if distinct:
+            out[c]["distinct_hll"] = row[f"distinct:{c}"]
+    return out
+
+
+def categorical_drift(
+    observed: dict[str, int], profile: dict[str, float]
+) -> dict[str, Any]:
+    """Chi-square goodness-of-fit of observed counts vs a frequency profile."""
+    n = sum(v for k, v in observed.items() if k != "__null__")
+    buckets = list(profile)
+    stat = 0.0
+    other_obs = sum(v for k, v in observed.items() if k not in profile and k != "__null__")
+    for b in buckets:
+        exp = profile[b] * n
+        obs = observed.get(b, 0)
+        if exp > 0:
+            stat += (obs - exp) ** 2 / exp
+    dof = len(buckets) - 1
+    if other_obs:
+        stat += float("inf") if n else 0.0  # unseen categories: certain drift
+    p = 0.0 if stat == float("inf") else chi2_sf(stat, dof)
+    return {"statistic": stat, "dof": dof, "p_value": p, "n": n,
+            "unexpected_categories": other_obs}
+
+
+def ks_drift(observed_hist: list[int], profile_freqs: list[float]) -> dict[str, Any]:
+    """KS distance between a histogram and a reference bucket profile."""
+    obs = np.asarray(observed_hist, dtype=np.float64)
+    n = obs.sum()
+    if n == 0:
+        return {"statistic": 0.0, "p_value": 1.0, "n": 0}
+    ecdf = np.cumsum(obs) / n
+    ref = np.cumsum(np.asarray(profile_freqs, dtype=np.float64))
+    ref = ref / ref[-1]
+    d = float(np.max(np.abs(ecdf - ref)))
+    return {"statistic": d, "p_value": ks_pvalue(d, n), "n": int(n)}

@@ -1,0 +1,88 @@
+"""Uniqueness check: duplicated key values -> ``invalid`` violations.
+
+Scale-first design (SURVEY.md §2 set-ops): instead of shuffling every
+row by the key (a full all-to-all on, say, ``phash`` at 10^12 rows), we
+
+1. **pre-aggregate per batch** — one (key, partial_count) row per
+   distinct key per batch (`map_batches`, vectorized Arrow group_by);
+2. **small shuffle** — `groupby(key).sum(partial)` over the much smaller
+   partials; skew-safe because identical keys collapse within every
+   batch first (the classic combiner; a hot key contributes at most one
+   row per batch);
+3. **broadcast the duplicate key set** (`ray.put`) and re-scan the input
+   with a vectorized ``is_in`` filter to emit one violation per member
+   row.
+
+This re-reads the input once instead of shuffling it, which is the right
+trade at 100 TB when the duplicate rate is low (columnar re-read of one
+key column + id column). The violation rows match the reference's
+``$validate``-style code ``invalid`` (path = key column).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from ..sources.image_table import VIOLATION_SCHEMA
+
+
+def _partial_counts(column: str):
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.select([column]).group_by(column).aggregate([(column, "count")])
+        return t.rename_columns([column, "partial"])
+
+    return fn
+
+
+def duplicate_keys(ds, column: str) -> pa.Table:
+    """Small table (key, n) of keys appearing more than once."""
+    partials = ds.map_batches(
+        _partial_counts(column), batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = partials.groupby(column).sum("partial")
+    # vectorized filter (totals has one row per distinct key — keep it
+    # columnar; only the duplicate subset is materialized)
+    dup = totals.map_batches(
+        lambda t: t.filter(pc.fill_null(pc.greater(t["sum(partial)"], 1), False)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return pa.Table.from_pandas(dup.to_pandas(), preserve_index=False)
+
+
+def uniqueness_violations(ds, column: str, id_column: str = "image_id"):
+    """Dataset of violations for rows whose ``column`` value is duplicated."""
+    dup = duplicate_keys(ds, column)
+    if dup.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(VIOLATION_SCHEMA.empty_table())
+    dup_ref = ray.put(dup[column].combine_chunks())
+
+    def emit(batch: pa.Table) -> pa.Table:
+        keys = ray.get(dup_ref)
+        col = batch[column].combine_chunks()
+        mask = pc.is_in(col, value_set=keys)
+        mask = pc.fill_null(mask, False)
+        hit = batch.filter(mask)
+        n = hit.num_rows
+        if n == 0:
+            return VIOLATION_SCHEMA.empty_table()
+        from .validate import stringify_column
+
+        return pa.Table.from_arrays(
+            [
+                stringify_column(hit[id_column].combine_chunks()),
+                pa.array([column] * n, pa.string()),
+                pa.array(["invalid"] * n, pa.string()),
+                pa.array(["unique"] * n, pa.string()),
+                pa.array([None] * n, pa.string()),
+                pa.array([None] * n, pa.string()),
+                pa.array(["uniqueness"] * n, pa.string()),
+            ],
+            schema=VIOLATION_SCHEMA,
+        )
+
+    return ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
