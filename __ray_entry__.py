@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in schisma_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship pipeline: generate the deterministic synthetic
+  image+caption table at sf0.001 scale and run the full validation
+  pipeline (schema + decode + uniqueness + referential); returns the
+  violations Dataset.
+* ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data battery); see
+  schisma_ray/pipelines/catalog.py.
+* ``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible
+  query, column names matched to the Ray outputs.
 """
 
 from __future__ import annotations
@@ -20,25 +21,25 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from schisma_ray.pipelines import validate_images
+    from schisma_ray.sources import image_table
+
+    table_dir = image_table.generate_for_sf("/root/testdata/sf0.001")
+    return validate_images(table_dir)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from schisma_ray.pipelines import catalog
+    from schisma_ray.sources import image_table
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # pre-generate the image tables the oracle SQL reads, so the check
+    # passes regardless of whether the driver runs SQL or Ray first
+    image_table.generate_for_sf("/root/testdata/sf0.001")
+    image_table.generate_for_sf(catalog.ORACLE_SF_DIR)
+    return dict(catalog.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from schisma_ray.pipelines import catalog
+
+    return catalog.oracle_sql()

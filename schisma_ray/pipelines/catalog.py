@@ -1,0 +1,556 @@
+"""Query catalog: every operator exposed through the driver contract.
+
+Each entry pairs a Ray Data pipeline (callable of ``sf_dir``) with an
+ANSI-SQL oracle (DuckDB) that reproduces it bit-for-bit on the same
+parquet inputs — column names INCLUDED (the driver hashes values under
+sorted column names). Queries without a SQL-expressible semantics
+(decoding, sketches, heuristics) carry no oracle and get the driver's
+rows-only check.
+
+The image+caption table is generated deterministically per sf
+(sources/image_table.py); oracle SQL reads the generated parquet
+directly. Oracle strings are pinned to sf0.01 (the driver's correctness
+scale); the Ray callables parametrize by ``sf_dir``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..schema import BigInt, String
+from ..sources import image_table
+from ..stages import ColumnSpec, TableSchema, in_set, not_empty, range_check
+from ..stages.conform import TableConformer
+from ..stages.dedup import (
+    content_fingerprint,
+    exact_dedup_keep_first,
+    minhash_dedup_pairs,
+    simhash_dup_pairs,
+)
+from ..stages.referential import referential_violations
+from ..stages.similarity import ann_lsh, cosine_near_dup_pairs, knn_brute_force
+from ..stages.stats import HLL, ValueCounts, categorical_drift, numeric_stats
+from ..stages.text import lang_id, quality_score, text_metrics, token_count_by_lang
+from ..stages.uniqueness import uniqueness_violations
+from ..stages.validate import TableValidator
+from .validate_pipeline import (
+    LIGHT_COLUMNS,
+    image_table_schema,
+    read_images,
+    validate_images,
+)
+
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+DOC_LANGS = ["de", "en", "es", "fr", "zh"]
+
+_VIO_COLS = ["row_ref", "path", "code", "expected", "received"]
+
+
+def _img_dir(sf_dir: str) -> Path:
+    return image_table.generate_for_sf(sf_dir)
+
+
+def _img_glob(sf_dir: str) -> str:
+    return str(_img_dir(sf_dir) / "images" / "*.parquet")
+
+
+def _ref_ids(sf_dir: str) -> str:
+    return str(_img_dir(sf_dir) / "reference_ids.parquet")
+
+
+def _t(sf_dir: str, name: str):
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _project_violations(ds):
+    return ds.map_batches(
+        lambda t: t.select(_VIO_COLS), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _collect(ds, columns: list[str]) -> pa.Table:
+    """Materialize a small result with a guaranteed schema even when empty
+    (an empty Dataset loses its schema through to_pandas)."""
+    tables = list(ds.iter_batches(batch_format="pyarrow", batch_size=65536))
+    schema = pa.schema([(c, pa.string()) for c in columns])
+    tables = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables]
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
+        return schema.empty_table()
+    return pa.concat_tables(tables)
+
+
+# ------------------------------------------------------------------ image
+def q_image_schema_violations(sf_dir: str):
+    ts = image_table_schema().subset(LIGHT_COLUMNS)
+    ds = read_images(_img_dir(sf_dir), LIGHT_COLUMNS)
+    vio = ds.map_batches(TableValidator(ts), batch_format="pyarrow", zero_copy_batch=True)
+    return _project_violations(vio)
+
+
+def q_image_decode_violations(sf_dir: str):
+    from ..stages.decoder import DecodeValidator
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "bytes", "w", "h", "fmt"])
+    vio = ds.map_batches(
+        DecodeValidator(), batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+    )
+    return _project_violations(vio)
+
+
+def q_image_validate_full(sf_dir: str):
+    return _project_violations(validate_images(_img_dir(sf_dir)))
+
+
+def q_image_phash_duplicates(sf_dir: str):
+    ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
+    vio = uniqueness_violations(ds, "phash", id_column="image_id")
+    return vio.map_batches(
+        lambda t: t.select(["row_ref", "path", "code", "expected"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_image_referential_orphans(sf_dir: str):
+    ref = rd.read_parquet(_ref_ids(sf_dir))
+    ids = read_images(_img_dir(sf_dir), ["image_id"])
+    return _project_violations(
+        referential_violations(ids, "image_id", ref, strategy="broadcast")
+    )
+
+
+def q_image_stats(sf_dir: str):
+    ds = read_images(_img_dir(sf_dir), ["w", "h", "phash"])
+    stats = numeric_stats(ds, ["w", "h", "phash"], distinct=False)
+    rows = []
+    for c in ["w", "h", "phash"]:
+        st = stats[c]
+        rows.append(
+            {
+                "column": c,
+                "n_rows": int(st["count"]),
+                "n_nulls": int(st["nulls"]),
+                "min_v": float(st["min"]),
+                "max_v": float(st["max"]),
+                # int64 means overflow a 64-bit sum and are meaningless for
+                # hashes; report mean for the dimension columns only
+                "mean_v": round(float(st["mean"]), 6) if c != "phash" else None,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_image_fmt_counts(sf_dir: str):
+    ds = read_images(_img_dir(sf_dir), ["fmt"])
+    counts = ds.aggregate(ValueCounts("fmt", alias_name="vc"))["vc"]
+    rows = [{"fmt": k, "n": v} for k, v in sorted(counts.items())]
+    return pd.DataFrame(rows)
+
+
+def q_image_drift_fmt(sf_dir: str):
+    ds = read_images(_img_dir(sf_dir), ["fmt"])
+    counts = ds.aggregate(ValueCounts("fmt", alias_name="vc"))["vc"]
+    d = categorical_drift(counts, image_table.FMT_PROBS)
+    return pd.DataFrame(
+        [{"statistic": round(d["statistic"], 6), "dof": d["dof"], "n": d["n"]}]
+    )
+
+
+def q_image_distinct_hll(sf_dir: str):
+    ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
+    row = ds.aggregate(
+        HLL("image_id", alias_name="ids"), HLL("phash", alias_name="phashes")
+    )
+    return pd.DataFrame([{"ids_hll": row["ids"], "phashes_hll": row["phashes"]}])
+
+
+def q_image_schema_conform(sf_dir: str):
+    ts = image_table_schema().subset(LIGHT_COLUMNS)
+    ds = read_images(_img_dir(sf_dir), LIGHT_COLUMNS)
+    return ds.map_batches(
+        TableConformer(ts), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_image_conform_full(sf_dir: str):
+    from .validate_pipeline import conform_images
+
+    ds = conform_images(_img_dir(sf_dir))
+    return ds.map_batches(
+        lambda t: t.drop_columns(["bytes"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# -------------------------------------------------------------- documents
+def documents_schema() -> TableSchema:
+    return TableSchema(
+        {
+            "doc_id": BigInt,
+            "text": ColumnSpec(String, checks=[not_empty()]),
+            "lang": ColumnSpec(String, checks=[in_set(DOC_LANGS)]),
+            "source": String,
+            "n_chars": ColumnSpec(BigInt, checks=[range_check(0, None)]),
+        },
+        id_column="doc_id",
+    )
+
+
+def q_validate_documents(sf_dir: str):
+    ds = _t(sf_dir, "documents")
+    vio = ds.map_batches(
+        TableValidator(documents_schema()), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(_project_violations(vio), _VIO_COLS)
+
+
+def q_conform_documents(sf_dir: str):
+    ds = _t(sf_dir, "documents")
+    return ds.map_batches(
+        TableConformer(documents_schema()), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_stats_lineitem(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    stats = numeric_stats(ds, cols, distinct=False)
+    rows = []
+    for c in cols:
+        s = stats[c]
+        rows.append(
+            {
+                "column": c,
+                "n_rows": int(s["count"]),
+                "n_nulls": int(s["nulls"]),
+                "min_v": round(float(s["min"]), 6),
+                "max_v": round(float(s["max"]), 6),
+                "mean_v": round(float(s["mean"]), 6),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def q_referential_orders_customers(sf_dir: str):
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    customers = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return _collect(
+        _project_violations(
+            referential_violations(orders, "o_custkey", customers, strategy="broadcast")
+        ),
+        _VIO_COLS,
+    )
+
+
+def q_unique_event_ids(sf_dir: str):
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    vio = uniqueness_violations(ev, "event_id", id_column="event_id")
+    proj = vio.map_batches(
+        lambda t: t.select(["row_ref", "path", "code", "expected"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return _collect(proj, ["row_ref", "path", "code", "expected"])
+
+
+def q_drift_mktsegment(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_mktsegment"])
+    counts = ds.aggregate(ValueCounts("c_mktsegment", alias_name="vc"))["vc"]
+    profile = {k: 0.2 for k in sorted(counts)}  # uniform over observed segments
+    d = categorical_drift(counts, profile)
+    return pd.DataFrame(
+        [{"statistic": round(d["statistic"], 6), "dof": d["dof"], "n": d["n"]}]
+    )
+
+
+# ------------------------------------------------------------------ dedup
+def q_dedup_exact_documents(sf_dir: str):
+    return exact_dedup_keep_first(_t(sf_dir, "documents"), key="text", id_col="doc_id")
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return content_fingerprint(_t(sf_dir, "documents"), col="text", id_col="doc_id")
+
+
+def q_minhash_dedup(sf_dir: str):
+    return minhash_dedup_pairs(
+        _t(sf_dir, "documents"), col="text", id_col="doc_id", threshold=0.8
+    )
+
+
+def q_simhash_dedup(sf_dir: str):
+    return simhash_dup_pairs(
+        _t(sf_dir, "documents"), col="text", id_col="doc_id", max_hamming=3
+    )
+
+
+# ------------------------------------------------------------------- text
+def q_text_metrics(sf_dir: str):
+    return text_metrics(_t(sf_dir, "documents"))
+
+
+def q_token_count_by_lang(sf_dir: str):
+    return token_count_by_lang(_t(sf_dir, "documents"))
+
+
+def q_lang_id(sf_dir: str):
+    return lang_id(_t(sf_dir, "documents"))
+
+
+def q_quality_scores(sf_dir: str):
+    return quality_score(_t(sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- similarity
+def _query_vectors(sf_dir: str, nq: int = 5):
+    tbl = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .sort("vec_id")
+        .limit(nq)
+        .to_pandas()
+    )
+    ids = tbl["vec_id"].tolist()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"]])
+    return mat, ids
+
+
+def q_knn_cosine(sf_dir: str):
+    mat, ids = _query_vectors(sf_dir)
+    ds = _t(sf_dir, "embeddings")
+    return knn_brute_force(ds, mat, ids, k=10)
+
+
+def q_ann_lsh(sf_dir: str):
+    mat, ids = _query_vectors(sf_dir)
+    ds = _t(sf_dir, "embeddings")
+    return ann_lsh(ds, mat, ids, k=10, n_bits=6)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    return cosine_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.9)
+
+
+# ------------------------------------------------------------------ oracle
+def _oracle_sql() -> dict[str, str]:
+    img = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'images' / '*.parquet'}')"
+    refids = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'reference_ids.parquet'}')"
+    fmt_set = "('png', 'jpeg', 'webp')"
+    # SQL-escaped versions of the engine's in_set expected strings
+    in_set_fmt = "one of [''png'', ''jpeg'', ''webp'']"
+    in_set_lang = "one of [''de'', ''en'', ''es'', ''fr'', ''zh'']"
+    return {
+        "image_schema_violations": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'caption' AS path, 'missing key' AS code,
+       CAST(NULL AS VARCHAR) AS expected, CAST(NULL AS VARCHAR) AS received
+  FROM im WHERE caption IS NULL
+UNION ALL
+SELECT image_id, 'w', 'missing key', NULL, NULL FROM im WHERE w IS NULL
+UNION ALL
+SELECT image_id, 'h', 'missing key', NULL, NULL FROM im WHERE h IS NULL
+UNION ALL
+SELECT image_id, 'fmt', 'missing key', NULL, NULL FROM im WHERE fmt IS NULL
+UNION ALL
+SELECT image_id, 'phash', 'missing key', NULL, NULL FROM im WHERE phash IS NULL
+UNION ALL
+SELECT image_id, 'w', 'invalid', 'in [1, 65535]', CAST(w AS VARCHAR)
+  FROM im WHERE w IS NOT NULL AND (w < 1 OR w > 65535)
+UNION ALL
+SELECT image_id, 'h', 'invalid', 'in [1, 65535]', CAST(h AS VARCHAR)
+  FROM im WHERE h IS NOT NULL AND (h < 1 OR h > 65535)
+UNION ALL
+SELECT image_id, 'fmt', 'invalid', '{in_set_fmt}', fmt
+  FROM im WHERE fmt IS NOT NULL AND fmt NOT IN {fmt_set}
+""",
+        "image_phash_duplicates": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'phash' AS path, 'invalid' AS code, 'unique' AS expected
+  FROM im
+ WHERE phash IN (SELECT phash FROM im GROUP BY phash HAVING count(*) > 1)
+""",
+        "image_referential_orphans": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'image_id' AS path, 'invalid' AS code,
+       'known image_id' AS expected, image_id AS received
+  FROM im WHERE image_id NOT IN (SELECT image_id FROM {refids})
+""",
+        "image_stats": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT 'w' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(min(w) AS DOUBLE) AS min_v, CAST(max(w) AS DOUBLE) AS max_v,
+       ROUND(AVG(CAST(w AS DOUBLE)), 6) AS mean_v FROM im
+UNION ALL
+SELECT 'h', count(*), CAST(sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(h) AS DOUBLE), CAST(max(h) AS DOUBLE),
+       ROUND(AVG(CAST(h AS DOUBLE)), 6) FROM im
+UNION ALL
+SELECT 'phash', count(*), CAST(sum(CASE WHEN phash IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(min(phash) AS DOUBLE), CAST(max(phash) AS DOUBLE),
+       CAST(NULL AS DOUBLE) FROM im
+""",
+        "image_fmt_counts": f"""
+SELECT fmt, count(*) AS n FROM {img} GROUP BY fmt ORDER BY fmt
+""",
+        "image_drift_fmt": f"""
+WITH c AS (SELECT fmt, CAST(count(*) AS DOUBLE) AS cnt FROM {img} GROUP BY fmt),
+     n AS (SELECT sum(cnt) AS total FROM c),
+     e AS (SELECT * FROM (VALUES ('png', 0.70), ('jpeg', 0.25), ('webp', 0.05)) AS p(fmt, freq))
+SELECT ROUND(SUM(POWER(COALESCE(c.cnt, 0) - e.freq * n.total, 2) / (e.freq * n.total)), 6) AS statistic,
+       2 AS dof, CAST(n.total AS BIGINT) AS n
+  FROM e CROSS JOIN n LEFT JOIN c ON c.fmt = e.fmt GROUP BY n.total
+""",
+        "image_schema_conform": f"""
+SELECT image_id, COALESCE(w, 0) AS w, COALESCE(h, 0) AS h,
+       COALESCE(fmt, '') AS fmt, COALESCE(caption, '') AS caption,
+       COALESCE(phash, 0) AS phash
+  FROM {img}
+""",
+        "validate_documents": f"""
+SELECT CAST(doc_id AS VARCHAR) AS row_ref, 'text' AS path, 'missing key' AS code,
+       CAST(NULL AS VARCHAR) AS expected, CAST(NULL AS VARCHAR) AS received
+  FROM documents WHERE text IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'lang', 'missing key', NULL, NULL
+  FROM documents WHERE lang IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'source', 'missing key', NULL, NULL
+  FROM documents WHERE source IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'n_chars', 'missing key', NULL, NULL
+  FROM documents WHERE n_chars IS NULL
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'text', 'invalid', 'non-empty string', text
+  FROM documents WHERE text = ''
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'lang', 'invalid', '{in_set_lang}', lang
+  FROM documents WHERE lang IS NOT NULL AND lang NOT IN ('de','en','es','fr','zh')
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR), 'n_chars', 'invalid', '>=0', CAST(n_chars AS VARCHAR)
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars < 0
+""",
+        "conform_documents": """
+SELECT doc_id, COALESCE(text, '') AS text, COALESCE(lang, '') AS lang,
+       COALESCE(source, '') AS source, COALESCE(n_chars, 0) AS n_chars
+  FROM documents
+""",
+        "stats_lineitem": """
+SELECT 'l_quantity' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       ROUND(CAST(min(l_quantity) AS DOUBLE), 6) AS min_v,
+       ROUND(CAST(max(l_quantity) AS DOUBLE), 6) AS max_v,
+       ROUND(AVG(l_quantity), 6) AS mean_v FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', count(*), CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(CAST(min(l_extendedprice) AS DOUBLE), 6),
+       ROUND(CAST(max(l_extendedprice) AS DOUBLE), 6),
+       ROUND(AVG(l_extendedprice), 6) FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       ROUND(CAST(min(l_discount) AS DOUBLE), 6),
+       ROUND(CAST(max(l_discount) AS DOUBLE), 6),
+       ROUND(AVG(l_discount), 6) FROM lineitem
+""",
+        "referential_orders_customers": """
+SELECT CAST(o_custkey AS VARCHAR) AS row_ref, 'o_custkey' AS path, 'invalid' AS code,
+       'known o_custkey' AS expected, CAST(o_custkey AS VARCHAR) AS received
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+""",
+        "unique_event_ids": """
+SELECT CAST(event_id AS VARCHAR) AS row_ref, 'event_id' AS path,
+       'invalid' AS code, 'unique' AS expected
+  FROM events
+ WHERE event_id IN (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
+""",
+        "dedup_exact_documents": """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+""",
+        "doc_fingerprints": """
+SELECT doc_id, md5(text) AS fingerprint FROM documents
+""",
+        "text_metrics": """
+SELECT doc_id, length(text) AS n_chars,
+       len(string_split(text, ' ')) AS n_words,
+       length(regexp_replace(text, '[^A-Z]', '', 'g')) AS n_upper
+  FROM documents
+""",
+        "token_count_by_lang": """
+SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY lang
+""",
+        "quality_scores": """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+    FROM documents)
+SELECT doc_id,
+       ROUND(
+         0.4 * LEAST(1.0, n_words / 64.0)
+         + 0.3 * (CASE WHEN n_words > 0
+                        AND (n_chars - (n_words - 1)) / n_words >= 3
+                        AND (n_chars - (n_words - 1)) / n_words <= 12
+                       THEN 1.0 ELSE 0.0 END)
+         + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END)
+       , 6) AS score
+  FROM m
+""",
+        "knn_cosine": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+             FROM embeddings ORDER BY vec_id LIMIT 5),
+     s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS sim
+             FROM q CROSS JOIN embeddings e)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+          FROM s)
+ WHERE rn <= 10
+""",
+    }
+
+
+QUERIES = {
+    "image_schema_violations": q_image_schema_violations,
+    "image_decode_violations": q_image_decode_violations,
+    "image_validate_full": q_image_validate_full,
+    "image_phash_duplicates": q_image_phash_duplicates,
+    "image_referential_orphans": q_image_referential_orphans,
+    "image_stats": q_image_stats,
+    "image_fmt_counts": q_image_fmt_counts,
+    "image_drift_fmt": q_image_drift_fmt,
+    "image_distinct_hll": q_image_distinct_hll,
+    "image_schema_conform": q_image_schema_conform,
+    "image_conform_full": q_image_conform_full,
+    "validate_documents": q_validate_documents,
+    "conform_documents": q_conform_documents,
+    "stats_lineitem": q_stats_lineitem,
+    "referential_orders_customers": q_referential_orders_customers,
+    "unique_event_ids": q_unique_event_ids,
+    "drift_mktsegment": q_drift_mktsegment,
+    "dedup_exact_documents": q_dedup_exact_documents,
+    "doc_fingerprints": q_doc_fingerprints,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "text_metrics": q_text_metrics,
+    "token_count_by_lang": q_token_count_by_lang,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "knn_cosine": q_knn_cosine,
+    "ann_lsh": q_ann_lsh,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+
+def oracle_sql() -> dict[str, str]:
+    return _oracle_sql()

@@ -30,7 +30,7 @@ def _violation_table(ids: pa.Array, column: str) -> pa.Table:
             pc.cast(ids, pa.string()),
             pa.array([column] * n, pa.string()),
             pa.array(["invalid"] * n, pa.string()),
-            pa.array(["known image_id"] * n, pa.string()),
+            pa.array([f"known {column}"] * n, pa.string()),
             pc.cast(ids, pa.string()),
             pa.array([None] * n, pa.string()),
             pa.array(["referential"] * n, pa.string()),

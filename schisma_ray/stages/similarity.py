@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+* ``knn_brute_force`` — the exact baseline: the (small) query matrix is
+  ``ray.put`` once; each batch does one numpy matmul against it and
+  emits only its local top-k per query; a tiny global
+  ``groupby(query).map_groups`` keeps the overall top-k. Wire cost per
+  batch is O(q x k), never O(rows).
+* ``ann_lsh`` — the scale path: seeded random-hyperplane signatures
+  bucket the corpus; queries probe their own bucket plus all buckets at
+  Hamming distance 1. Recall/latency tunable via ``n_bits``.
+* ``cosine_near_dup_pairs`` — embedding near-duplicate detection: LSH
+  buckets -> in-bucket pairwise cosine -> threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch[col].combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // len(arr) if len(arr) else 0
+    return flat.reshape(len(arr), dim)
+
+
+def knn_brute_force(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
+                    id_col: str = "vec_id", k: int = 10):
+    """Exact cosine top-k: Dataset of (query_id, neighbor_id, sim).
+
+    cosine = dot(a, b) / (|a| * |b|) — computed with the norms applied
+    after the dot product (the same arithmetic shape SQL engines use,
+    so the DuckDB oracle agrees to float64 rounding).
+    """
+    qmat = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(qmat)
+    qids = list(query_ids)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        mat = _batch_matrix(batch, col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        qn = np.linalg.norm(q, axis=1)
+        mn = np.linalg.norm(mat, axis=1)
+        qn[qn == 0] = 1.0
+        mn[mn == 0] = 1.0
+        sims = (q @ mat.T) / (qn[:, None] * mn[None, :])  # (nq, nb)
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(sims[qi, idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q),
+                "neighbor_id": pa.array(out_n),
+                "sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    locals_ = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.nlargest(k, "sim", keep="first").copy()
+        g["sim"] = g["sim"].round(6)
+        return g
+
+    return locals_.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def _lsh_planes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0
+    out = np.zeros(len(mat), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        out |= bits[:, b].astype(np.int64) << b
+    return out
+
+
+def ann_lsh(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
+            id_col: str = "vec_id", k: int = 10, n_bits: int = 8, seed: int = 7):
+    """Approximate top-k: probe the query's LSH bucket + Hamming-1 buckets."""
+    qmat = _normalize(np.asarray(queries, dtype=np.float64))
+    planes = _lsh_planes(qmat.shape[1], n_bits, seed)
+    q_buckets = _bucket_of(qmat, planes)
+    probe: set[int] = set()
+    for b in q_buckets.tolist():
+        probe.add(b)
+        for i in range(n_bits):
+            probe.add(b ^ (1 << i))
+    probe_arr = np.array(sorted(probe), dtype=np.int64)
+    q_ref = ray.put((qmat, planes, probe_arr))
+    qids = list(query_ids)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, pl, probes = ray.get(q_ref)
+        mat = _normalize(_batch_matrix(batch, col))
+        buckets = _bucket_of(mat, pl)
+        keep = np.isin(buckets, probes)
+        if not keep.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()),
+                 "neighbor_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        mat = mat[keep]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        sims = q @ mat.T
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(sims[qi, idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q), "neighbor_id": pa.array(out_n),
+             "sim": pa.array(out_s, pa.float64())}
+        )
+
+    locals_ = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.nlargest(k, "sim", keep="first").copy()
+        g["sim"] = g["sim"].round(6)
+        return g
+
+    return locals_.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
+                          threshold: float = 0.95, n_bits: int = 10,
+                          seed: int = 7) -> pa.Table:
+    """Pairs (a, b, sim >= threshold) via LSH bucketing + in-bucket verify."""
+    state: dict = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if "planes" not in state:
+            dim = len(batch[col][0])
+            state["planes"] = _lsh_planes(dim, n_bits, seed)
+        mat = _normalize(_batch_matrix(batch, col))
+        buckets = _bucket_of(mat, state["planes"])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "bucket": pa.array(buckets, pa.int64()),
+                col: batch[col],
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(group, col))
+        ids = group[id_col].to_pylist()
+        sims = mat @ mat.T
+        a_out, b_out, s_out = [], [], []
+        order = np.argsort(ids)
+        for x in range(len(order)):
+            for y in range(x + 1, len(order)):
+                i, j = order[x], order[y]
+                if sims[i, j] >= threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    s_out.append(round(float(sims[i, j]), 6))
+        return pa.table({"a": pa.array(a_out), "b": pa.array(b_out),
+                         "sim": pa.array(s_out, pa.float64())})
+
+    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+    tbl = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+    if tbl.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return tbl.group_by(["a", "b"]).aggregate([("sim", "max")]).rename_columns(
+        ["a", "b", "sim"]
+    )

@@ -1,0 +1,138 @@
+"""Text analysis operators over a document table.
+
+* ``text_metrics`` — vectorized per-document counters whose semantics
+  are deliberately chosen to be ANSI-SQL-reproducible (the DuckDB
+  oracle mirrors them exactly): char length, single-space word split,
+  uppercase count.
+* ``token_count_by_lang`` — per-batch partial sums -> tiny groupby
+  (combiner pattern; the shuffle carries one row per lang per batch).
+* ``lang_id`` — n-gram/stopword heuristic language identifier (actor
+  pool; tables compiled once per actor).
+* ``quality_score`` — composite quality scoring from the metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_STOPWORDS = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "de", "que", "por"},
+}
+
+
+def text_metrics(ds, col: str = "text", id_col: str = "doc_id"):
+    """(id, n_chars, n_words, n_upper) — all SQL-mirrorable.
+
+    n_words counts single-space-separated fields (DuckDB
+    ``len(string_split(text, ' '))``), n_upper counts [A-Z].
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[col].combine_chunks()
+        n_chars = pc.utf8_length(text)
+        words = pc.split_pattern(text, " ")
+        n_words = pc.list_value_length(words)
+        upper = pc.count_substring_regex(text, "[A-Z]")
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_words": pc.cast(n_words, pa.int64()),
+                "n_upper": pc.cast(upper, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_count_by_lang(ds, col: str = "text", lang_col: str = "lang"):
+    """(lang, tokens) — total single-space tokens per language."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch[col].combine_chunks()
+        n_words = pc.cast(
+            pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+        )
+        t = pa.table({lang_col: batch[lang_col], "tokens": n_words})
+        out = t.group_by(lang_col).aggregate([("tokens", "sum")])
+        return out.rename_columns([lang_col, "tokens"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = partials.groupby(lang_col).sum("tokens")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({lang_col: t[lang_col], "tokens": t["sum(tokens)"]})
+
+    return total.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangId:
+    """Actor-pool heuristic language identifier (stopword voting with a
+    CJK-codepoint shortcut). Tables are built once per actor."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        self.col = col
+        self.id_col = id_col
+        self.tables = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "und"
+        cjk = sum(1 for ch in text[:200] if "一" <= ch <= "鿿")
+        if cjk > len(text[:200]) * 0.2:
+            return "zh"
+        words = text.lower().split()
+        best, best_score = "und", 0
+        for lang, stops in self.tables.items():
+            score = sum(1 for w in words if w in stops)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t or "") for t in batch[self.col].to_pylist()]
+        return pa.table(
+            {self.id_col: batch[self.id_col], "lang_pred": pa.array(preds, pa.string())}
+        )
+
+
+def lang_id(ds, col: str = "text", id_col: str = "doc_id", concurrency=None):
+    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(LangId(col, id_col), **kwargs)
+
+
+def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
+    """(id, score in [0,1]) — length/word-shape quality heuristic.
+
+    score = 0.4 * min(1, n_words/64) + 0.3 * [3 <= avg_word_len <= 12]
+          + 0.3 * (1 - upper_ratio), rounded to 6 dp. Every term is
+    SQL-expressible so the oracle reproduces it bit-for-bit on float64.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[col].combine_chunks().to_pandas()
+        n_chars = text.str.len().fillna(0)
+        n_words = text.str.split(" ").map(lambda w: len(w) if isinstance(w, list) else 0)
+        n_upper = text.str.count("[A-Z]").fillna(0)
+        avg_wl = np.where(n_words > 0, (n_chars - (n_words - 1)) / np.maximum(n_words, 1), 0.0)
+        score = (
+            0.4 * np.minimum(1.0, n_words / 64.0)
+            + 0.3 * ((avg_wl >= 3) & (avg_wl <= 12)).astype(np.float64)
+            + 0.3 * (1.0 - np.where(n_chars > 0, n_upper / n_chars, 0.0))
+        )
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score": pa.array(np.round(score, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
