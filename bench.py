@@ -1,0 +1,155 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines over ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints
+ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": 0.1, "num_cpus": N,
+     "rows": {...}, "throughput_rows_per_s": ...}
+
+``--scaling``: runs the headline pipeline twice in fresh subprocesses
+(num_cpus=8 then 32) on the same input and prints both throughputs plus
+the N->4N scaling efficiency (the sandbox stand-in for the two-cluster-
+size rule; see BASELINE.md).
+
+Synthetic-table generation and an untimed warm-up read are excluded from
+the timings (page cache warm, codegen warm), so the numbers measure
+compute + shuffle, not first-touch disk I/O.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _consume(result) -> int:
+    """Drive a lazy result to completion; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    rows = 0
+    for batch in result.iter_batches(batch_format="pyarrow", batch_size=65536):
+        rows += batch.num_rows
+    return rows
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from schisma_ray.pipelines import catalog, validate_images
+    from schisma_ray.sources import image_table
+
+    # untimed: generate (cached), warm the page cache with one read, and
+    # warm the Ray worker pool (imports + codegen) with a small full run
+    table_dir = image_table.generate_for_sf(SF_DIR)
+    warm_dir = image_table.generate(1000)
+    import ray.data as rd
+
+    rd.read_parquet(str(Path(table_dir) / "images")).count()
+    for _ in validate_images(warm_dir).iter_batches(batch_format="pyarrow"):
+        pass
+
+    n_images = image_table.rows_for_sf(SF_DIR)
+    bench_queries = {
+        # batch_size tuned to this payload: 1k tiny images/batch ~ 3 MB;
+        # with real ~100 KB images keep the 256 default
+        "image_validate_full": lambda: validate_images(
+            table_dir, decode_batch_size=1024, decode_concurrency=(2, 8)
+        ),
+        "image_conform_full": lambda: catalog.q_image_conform_full(SF_DIR),
+        "image_stats": lambda: catalog.q_image_stats(SF_DIR),
+        "image_distinct_hll": lambda: catalog.q_image_distinct_hll(SF_DIR),
+        "minhash_dedup": lambda: catalog.q_minhash_dedup(SF_DIR),
+        "simhash_dedup": lambda: catalog.q_simhash_dedup(SF_DIR),
+        "knn_cosine": lambda: catalog.q_knn_cosine(SF_DIR),
+        "text_metrics": lambda: catalog.q_text_metrics(SF_DIR),
+        "token_count_by_lang": lambda: catalog.q_token_count_by_lang(SF_DIR),
+    }
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, make in bench_queries.items():
+        t0 = time.monotonic()
+        rows[name] = _consume(make())
+        timings[name] = round(time.monotonic() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    headline = timings["image_validate_full"]
+    out = {
+        "metric": "schisma_ray validation+ops suite wall time (headline: full image validation)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(Path(SF_DIR).name.replace("sf", "") or 0.1),
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "headline_sec": headline,
+        "throughput_rows_per_s": round(n_images / headline, 1) if headline else None,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, __file__],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    tp_lo = lo["throughput_rows_per_s"]
+    tp_hi = hi["throughput_rows_per_s"]
+    eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "headline validation throughput scaling (num_cpus 8 -> 32)",
+        "unit": "rows/s",
+        "num_cpus_lo": lo_cpus,
+        "num_cpus_hi": hi_cpus,
+        "headline_sec_lo": lo["headline_sec"],
+        "headline_sec_hi": hi["headline_sec"],
+        "throughput_lo": tp_lo,
+        "throughput_hi": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+        "suite_sec_lo": lo["value"],
+        "suite_sec_hi": hi["value"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -98,7 +98,11 @@ def q_image_decode_violations(sf_dir: str):
 
     ds = read_images(_img_dir(sf_dir), ["image_id", "bytes", "w", "h", "fmt"])
     vio = ds.map_batches(
-        DecodeValidator(), batch_format="pyarrow", zero_copy_batch=True, batch_size=256
+        DecodeValidator,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=256,
+        concurrency=(2, 16),
     )
     return _project_violations(vio)
 

@@ -74,14 +74,17 @@ def validate_images(
     ]
     if decode:
         heavy = read_images(table_dir, DECODE_COLUMNS)
-        kwargs = dict(
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-            batch_size=decode_batch_size,
+        # the decoder is a stateful stage: pass the CLASS so Ray runs an
+        # autoscaling actor pool (codec state built once per actor)
+        parts.append(
+            heavy.map_batches(
+                DecodeValidator,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=decode_batch_size,
+                concurrency=decode_concurrency or (2, 16),
+            )
         )
-        if decode_concurrency is not None:
-            kwargs["concurrency"] = decode_concurrency
-        parts.append(heavy.map_batches(DecodeValidator(), **kwargs))
     if uniqueness:
         keys = read_images(table_dir, ["image_id", "phash"])
         parts.append(uniqueness_violations(keys, "phash", id_column="image_id"))
@@ -111,9 +114,10 @@ def conform_images(
     ds = ds.map_batches(
         TableConformer(ts), batch_format="pyarrow", zero_copy_batch=True
     )
-    kwargs = dict(
-        batch_format="pyarrow", zero_copy_batch=True, batch_size=decode_batch_size
+    return ds.map_batches(
+        DecodeConformer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=decode_batch_size,
+        concurrency=decode_concurrency or (2, 16),
     )
-    if decode_concurrency is not None:
-        kwargs["concurrency"] = decode_concurrency
-    return ds.map_batches(DecodeConformer(), **kwargs)

@@ -228,9 +228,29 @@ def generate(n: int, seed: int = 42, force: bool = False) -> Path:
     img_dir = tmp / "images"
     img_dir.mkdir()
     chunk = 5000
-    for shard, start in enumerate(range(0, n, chunk)):
-        idx = np.arange(start, min(start + chunk, n))
-        pq.write_table(rows_for(idx, seed), img_dir / f"part-{shard:05d}.parquet")
+    shards = [
+        (shard, start, min(start + chunk, n))
+        for shard, start in enumerate(range(0, n, chunk))
+    ]
+    try:
+        import ray
+
+        use_ray = len(shards) >= 4 and ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        use_ray = False
+    if use_ray:
+        import ray
+
+        @ray.remote
+        def _write(shard: int, start: int, stop: int) -> None:
+            t = rows_for(np.arange(start, stop), seed)
+            pq.write_table(t, img_dir / f"part-{shard:05d}.parquet")
+
+        ray.get([_write.remote(*s) for s in shards])
+    else:
+        for shard, start, stop in shards:
+            idx = np.arange(start, stop)
+            pq.write_table(rows_for(idx, seed), img_dir / f"part-{shard:05d}.parquet")
 
     ref_ids = [f"img-{i:09d}" for i in range(n) if i % 127 != 17]
     pq.write_table(

@@ -150,9 +150,11 @@ def minhash_candidate_pairs(ds, col: str, id_col: str, *, num_perm: int = 64,
     """LSH candidate pairs (a < b) from banded MinHash signatures."""
     rows_per_band = num_perm // bands
     sigs = ds.map_batches(
-        MinHasher(col, id_col, num_perm, shingle, seed),
+        MinHasher,
+        fn_constructor_args=(col, id_col, num_perm, shingle, seed),
         batch_format="pyarrow",
         zero_copy_batch=True,
+        concurrency=(1, 8),
     )
     band_rows = sigs.map_batches(
         lambda b: _band_rows(b, id_col, bands, rows_per_band),

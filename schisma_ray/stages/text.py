@@ -102,11 +102,14 @@ class LangId:
         )
 
 
-def lang_id(ds, col: str = "text", id_col: str = "doc_id", concurrency=None):
-    kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    return ds.map_batches(LangId(col, id_col), **kwargs)
+def lang_id(ds, col: str = "text", id_col: str = "doc_id", concurrency=(1, 8)):
+    return ds.map_batches(
+        LangId,
+        fn_constructor_args=(col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
 
 
 def quality_score(ds, col: str = "text", id_col: str = "doc_id"):

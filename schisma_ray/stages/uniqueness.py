@@ -36,20 +36,62 @@ def _partial_counts(column: str):
     return fn
 
 
-def duplicate_keys(ds, column: str) -> pa.Table:
-    """Small table (key, n) of keys appearing more than once."""
+def duplicate_keys(ds, column: str, *, driver_merge_limit: int = 2_000_000) -> pa.Table:
+    """Small table (key, n) of keys appearing more than once.
+
+    Two merge strategies for the per-batch partial counts:
+
+    * **driver merge** (default up to ``driver_merge_limit`` distinct
+      keys): stream the partials to the driver and fold them with Arrow
+      ``group_by`` every few batches. Memory is O(distinct keys) — the
+      floor for any exact distinct count — and it avoids Ray's sort
+      shuffle entirely (which has seconds of fixed cost).
+    * **Ray groupby** fallback when the running distinct count exceeds
+      the limit: the partials (already combined per batch) go through
+      ``groupby(key).sum`` — the scalable all-to-all for key spaces
+      that don't fit one machine.
+    """
     partials = ds.map_batches(
         _partial_counts(column), batch_format="pyarrow", zero_copy_batch=True
     )
-    totals = partials.groupby(column).sum("partial")
-    # vectorized filter (totals has one row per distinct key — keep it
-    # columnar; only the duplicate subset is materialized)
-    dup = totals.map_batches(
-        lambda t: t.filter(pc.fill_null(pc.greater(t["sum(partial)"], 1), False)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    merged: pa.Table | None = None
+    pending: list[pa.Table] = []
+    overflow = False
+    for batch in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = batch if isinstance(batch, pa.Table) else pa.Table.from_batches([batch])
+        pending.append(t)
+        if sum(x.num_rows for x in pending) >= 64 * 1024:
+            parts = pending if merged is None else [merged, *pending]
+            merged = (
+                pa.concat_tables(parts)
+                .group_by(column)
+                .aggregate([("partial", "sum")])
+                .rename_columns([column, "partial"])
+            )
+            pending = []
+            if merged.num_rows > driver_merge_limit:
+                overflow = True
+                break
+    if overflow:
+        totals = partials.groupby(column).sum("partial")
+        dup = totals.map_batches(
+            lambda t: t.filter(
+                pc.fill_null(pc.greater(t["sum(partial)"], 1), False)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        return pa.Table.from_pandas(dup.to_pandas(), preserve_index=False)
+    parts = ([merged] if merged is not None else []) + pending
+    if not parts:
+        return pa.table({column: pa.array([]), "partial": pa.array([], pa.int64())})
+    merged = (
+        pa.concat_tables(parts)
+        .group_by(column)
+        .aggregate([("partial", "sum")])
+        .rename_columns([column, "partial"])
     )
-    return pa.Table.from_pandas(dup.to_pandas(), preserve_index=False)
+    return merged.filter(pc.greater(merged["partial"], 1))
 
 
 def uniqueness_violations(ds, column: str, id_column: str = "image_id"):
