@@ -34,17 +34,40 @@ class CodecError(ValueError):
 
 
 _MAGICS = {
-    "png": b"\x89FPN",   # fake-png
-    "jpeg": b"\xff\xd8FJ",  # fake-jpeg
-    "webp": b"RIFF",
+    "png": b"\x89FPN",   # fake-png: lossless, zlib over raw pixels
+    "jpeg": b"\xff\xd8FJ",  # fake-jpeg: 8x8 block DCT, coarse quantizer
+    "webp": b"RIFF",        # fake-webp: 8x8 block DCT, fine quantizer
 }
 _FMT_BY_MAGIC = {v: k for k, v in _MAGICS.items()}
-#: quantization shift per format (0 = lossless). Shift 2 keeps max
-#: channel error 3 -> PSNR ~43 dB; shift 1 -> ~49 dB.
-_QUANT_SHIFT = {"png": 0, "jpeg": 2, "webp": 1}
+#: DCT-coefficient quantization step per lossy format. q=6 -> ~43 dB,
+#: q=3 -> ~49 dB on random content (both above the 40 dB conform bar).
+_QUANT = {"jpeg": 6.0, "webp": 3.0}
 
 FORMATS = tuple(_MAGICS)
 _HEADER = struct.Struct("<4sHHB")  # magic, w, h, channels
+
+#: orthonormal 8x8 DCT-II basis (real JPEG-family transform): decode
+#: performs genuine arithmetic per pixel (two 8x8 matmuls per block),
+#: making the stand-in compute-bound like libjpeg, not memcpy-bound.
+_K = np.arange(8)
+_DCT = np.sqrt(2.0 / 8.0) * np.cos((2 * _K[None, :] + 1) * _K[:, None] * np.pi / 16.0)
+_DCT[0, :] = np.sqrt(1.0 / 8.0)
+_IDCT = _DCT.T.copy()
+
+
+def _to_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hb, wb = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = plane.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+    return blocks, hb, wb
+
+
+def _from_blocks(blocks: np.ndarray, hb: int, wb: int, h: int, w: int) -> np.ndarray:
+    plane = blocks.reshape(hb, wb, 8, 8).transpose(0, 2, 1, 3).reshape(hb * 8, wb * 8)
+    return plane[:h, :w]
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
@@ -54,10 +77,16 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     if pixels.dtype != np.uint8 or pixels.ndim != 3:
         raise CodecError("pixels must be (h, w, c) uint8")
     h, w, c = pixels.shape
-    shift = _QUANT_SHIFT[fmt]
-    if shift:
-        pixels = (pixels >> shift) << shift  # lossy quantization
-    payload = zlib.compress(pixels.tobytes(), level=1)
+    if fmt == "png":
+        payload = zlib.compress(pixels.tobytes(), level=1)
+    else:
+        q = _QUANT[fmt]
+        coeffs = []
+        for ch in range(c):
+            blocks, hb, wb = _to_blocks(pixels[:, :, ch].astype(np.float32) - 128.0)
+            dct = _DCT @ blocks @ _DCT.T
+            coeffs.append(np.round(dct / q).astype(np.int16))
+        payload = zlib.compress(np.concatenate(coeffs).tobytes(), level=1)
     return _HEADER.pack(_MAGICS[fmt], w, h, c) + payload
 
 
@@ -65,17 +94,32 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
     """Decode to ((h, w, c) uint8, format). Raises CodecError."""
     if data is None or len(data) < _HEADER.size:
         raise CodecError("truncated header")
-    magic, w, h, c = _HEADER.unpack_from(data)
+    magic, w, h, c = _HEADER.unpack_from(bytes(data))
     fmt = _FMT_BY_MAGIC.get(magic)
     if fmt is None:
         raise CodecError(f"bad magic {magic!r}")
     try:
-        raw = zlib.decompress(data[_HEADER.size:])
+        raw = zlib.decompress(bytes(data)[_HEADER.size:])
     except zlib.error as e:
         raise CodecError(f"corrupt payload: {e}") from None
-    if len(raw) != w * h * c:
+    if fmt == "png":
+        if len(raw) != w * h * c:
+            raise CodecError("payload size mismatch")
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c), fmt
+    hb, wb = (h + 7) // 8, (w + 7) // 8
+    n_blocks = hb * wb
+    expected = n_blocks * 64 * 2 * c
+    if len(raw) != expected:
         raise CodecError("payload size mismatch")
-    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c), fmt
+    q = _QUANT[fmt]
+    all_coeffs = np.frombuffer(raw, dtype=np.int16).reshape(c, n_blocks, 8, 8)
+    out = np.empty((h, w, c), dtype=np.uint8)
+    for ch in range(c):
+        dct = all_coeffs[ch].astype(np.float32) * q
+        blocks = _IDCT @ dct @ _IDCT.T
+        plane = _from_blocks(blocks, hb, wb, h, w) + 128.0
+        out[:, :, ch] = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+    return out, fmt
 
 
 def sniff_format(data: bytes) -> str | None:

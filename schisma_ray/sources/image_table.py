@@ -90,18 +90,21 @@ def _caption_for(i: int) -> str | None:
     return base
 
 
-def rows_for(indices: np.ndarray, seed: int = 42) -> pa.Table:
+def rows_for(indices: np.ndarray, seed: int = 42,
+             px: tuple[int, int] = (8, 33)) -> pa.Table:
     """Materialize table rows for the given row indices (deterministic).
 
     Safe to call from parallel workers: each row depends only on
-    (seed, index).
+    (seed, index, px). ``px`` bounds the random image dimensions — small
+    for fast correctness tables, larger for compute-proportionate
+    benchmarks.
     """
     ids, blobs, ws, hs, fmts, captions, phashes = [], [], [], [], [], [], []
     for i in (int(x) for x in indices):
         content_i = i - 1 if (i % 97 == 0 and i > 0) else i  # phash dup pairs
         rng = np.random.default_rng([seed, content_i])
-        w = int(rng.integers(8, 33))
-        h = int(rng.integers(8, 33))
+        w = int(rng.integers(px[0], px[1]))
+        h = int(rng.integers(px[0], px[1]))
         pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
         row_rng = np.random.default_rng([seed, i, 1])
         fmt = str(row_rng.choice(list(FMT_PROBS), p=list(FMT_PROBS.values())))
@@ -140,7 +143,8 @@ def rows_for(indices: np.ndarray, seed: int = 42) -> pa.Table:
     )
 
 
-def expected_violations_for(n: int, seed: int = 42) -> pa.Table:
+def expected_violations_for(n: int, seed: int = 42,
+                            px: tuple[int, int] = (8, 33)) -> pa.Table:
     """Bookkeeping: the exact violation rows the pipeline must produce."""
     refs, paths, codes, exps, recs, msgs, checks = [], [], [], [], [], [], []
 
@@ -170,8 +174,8 @@ def expected_violations_for(n: int, seed: int = 42) -> pa.Table:
         else:
             content_i = i - 1 if (i % 97 == 0 and i > 0) else i
             rng = np.random.default_rng([seed, content_i])
-            w = int(rng.integers(8, 33))
-            int(rng.integers(8, 33))  # h (advance stream)
+            w = int(rng.integers(px[0], px[1]))
+            int(rng.integers(px[0], px[1]))  # h (advance stream)
             if i % 101 == 5 and not null_w:
                 add(i, "w", "invalid", str(w), str(w + 3), "decode")
             if i % 103 == 7:
@@ -206,14 +210,17 @@ def rows_for_sf(sf_dir: str) -> int:
     return max(100, int(round(sf * 1_000_000)))
 
 
-def generate(n: int, seed: int = 42, force: bool = False) -> Path:
+def generate(n: int, seed: int = 42, force: bool = False,
+             px: tuple[int, int] = (8, 33)) -> Path:
     """Generate (or reuse cached) table files; returns the directory.
 
     Layout: ``{cache}/images_n{n}_s{seed}/{images,reference_ids,
     reference_profile,expected_violations}.parquet``. Written to a temp
     dir then renamed, so partially-written caches are never observed.
     """
-    out = CACHE_ROOT / f"images_n{n}_s{seed}"
+    suffix = "" if px == (8, 33) else f"_px{px[0]}-{px[1]}"
+    # cache key includes the codec generation so codec changes invalidate
+    out = CACHE_ROOT / f"images_v2_n{n}_s{seed}{suffix}"
     done = out / "_SUCCESS"
     if done.exists() and not force:
         return out
@@ -227,7 +234,12 @@ def generate(n: int, seed: int = 42, force: bool = False) -> Path:
     # 100 TB Lance/parquet table splits into fragments.
     img_dir = tmp / "images"
     img_dir.mkdir()
-    chunk = 5000
+    # shard size targets ~24 MB per file: large enough for efficient
+    # parquet, small enough that Ray never block-splits a file (slicing a
+    # block re-serializes the whole parent buffer per slice — a silent
+    # multi-GB copy amplification for binary-heavy rows)
+    est_row_bytes = 3 * ((px[0] + px[1]) // 2) ** 2 + 2000
+    chunk = max(500, min(5000, 24_000_000 // est_row_bytes))
     shards = [
         (shard, start, min(start + chunk, n))
         for shard, start in enumerate(range(0, n, chunk))
@@ -243,14 +255,14 @@ def generate(n: int, seed: int = 42, force: bool = False) -> Path:
 
         @ray.remote
         def _write(shard: int, start: int, stop: int) -> None:
-            t = rows_for(np.arange(start, stop), seed)
+            t = rows_for(np.arange(start, stop), seed, px)
             pq.write_table(t, img_dir / f"part-{shard:05d}.parquet")
 
         ray.get([_write.remote(*s) for s in shards])
     else:
         for shard, start, stop in shards:
             idx = np.arange(start, stop)
-            pq.write_table(rows_for(idx, seed), img_dir / f"part-{shard:05d}.parquet")
+            pq.write_table(rows_for(idx, seed, px), img_dir / f"part-{shard:05d}.parquet")
 
     ref_ids = [f"img-{i:09d}" for i in range(n) if i % 127 != 17]
     pq.write_table(
@@ -267,7 +279,7 @@ def generate(n: int, seed: int = 42, force: bool = False) -> Path:
         ),
         tmp / "reference_profile.parquet",
     )
-    pq.write_table(expected_violations_for(n, seed), tmp / "expected_violations.parquet")
+    pq.write_table(expected_violations_for(n, seed, px), tmp / "expected_violations.parquet")
     (tmp / "_SUCCESS").touch()
     if out.exists():
         shutil.rmtree(out)

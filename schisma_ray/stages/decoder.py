@@ -40,10 +40,13 @@ def _placeholder() -> tuple[bytes, int, int, int]:
 class DecodeValidator:
     """Actor: decode + invariant checks -> violations table."""
 
-    def __init__(self, full_decode: bool = True):
+    def __init__(self, full_decode: bool = True, report_missing_bytes: bool = True):
         # full_decode=False uses header sniffing only (no decompression):
         # the cheap path for when only dims/format labels are audited.
+        # report_missing_bytes=False when a fused schema stage already
+        # owns the bytes null check (avoids duplicate rows).
         self.full_decode = full_decode
+        self.report_missing_bytes = report_missing_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["image_id"].to_pylist()
@@ -66,7 +69,8 @@ class DecodeValidator:
                 # this stage owns the bytes column (the schema stage runs
                 # on a bytes-free projection), so the required-null check
                 # lands here
-                add(i, "bytes", None, None, code="missing key", check="schema")
+                if self.report_missing_bytes:
+                    add(i, "bytes", None, None, code="missing key", check="schema")
                 continue
             if self.full_decode:
                 try:
