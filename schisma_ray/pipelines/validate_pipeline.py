@@ -96,14 +96,17 @@ def validate_images(
     ts = image_table_schema()
 
     if fused and decode:
+        # NOTE: no explicit batch_size and no actor pool here — both break
+        # Ray's read->map operator fusion, which would push every bytes
+        # block through the object store (measured 20x read-CPU inflation
+        # from concurrent plasma puts). Fused, the image bytes never
+        # leave the read task; a fragment (~24 MB) is the batch.
         full = read_images(table_dir)
         parts = [
             full.map_batches(
-                FusedValidator,
+                FusedValidator(),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
-                batch_size=decode_batch_size,
-                concurrency=decode_concurrency or (2, 16),
             )
         ]
     else:
