@@ -275,6 +275,79 @@ def q_drift_mktsegment(sf_dir: str):
     )
 
 
+def q_events_windowed(sf_dir: str):
+    """Tumbling 1h windows over the events stream (count + value sum)."""
+    from ..stages.window import tumbling_window_agg
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    out = tumbling_window_agg(ds, key_col="event_type", value_col="value")
+
+    # integer cents: float sums differ in the last ulp between engines,
+    # so the comparable quantity is round(sum * 100) as an integer
+    def to_cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value_sum"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": t["window_start"],
+                "n": t["n"],
+                "value_sum_cents": cents,
+            }
+        )
+
+    return out.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_fmt_stats_salted(sf_dir: str):
+    """Per-fmt stats via salted two-phase aggregation (fmt is 70% skewed)."""
+    from ..stages.salted import salted_aggregate
+
+    ds = read_images(_img_dir(sf_dir), ["fmt", "w"])
+    out = salted_aggregate(
+        ds, "fmt", {"n": ("fmt", "count"), "mean_w": ("w", "mean")}
+    )
+
+    def round_mean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.set_column(
+            t.schema.get_field_index("mean_w"),
+            "mean_w",
+            pc.round(t["mean_w"], ndigits=6),
+        )
+
+    return out.map_batches(round_mean, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_violation_summary(sf_dir: str):
+    """Grouped count of schema violations by (path, code) — the
+    reporting aggregation from SURVEY.md §2 sorts/limits."""
+    vio = q_image_schema_violations(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.select(["path", "code"]).group_by(["path", "code"]).aggregate(
+            [("code", "count")]
+        )
+        return out.rename_columns(["path", "code", "n"])
+
+    partials = vio.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = partials.groupby(["path", "code"]).sum("n")
+    return _collect(
+        total.map_batches(
+            lambda t: pa.table({"path": t["path"], "code": t["code"], "n": t["sum(n)"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["path", "code", "n"],
+    )
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact_documents(sf_dir: str):
     return exact_dedup_keep_first(_t(sf_dir, "documents"), key="text", id_col="doc_id")
@@ -474,6 +547,30 @@ SELECT CAST(event_id AS VARCHAR) AS row_ref, 'event_id' AS path,
   FROM events
  WHERE event_id IN (SELECT event_id FROM events GROUP BY event_id HAVING count(*) > 1)
 """,
+        "events_windowed": """
+SELECT event_type,
+       (CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600 AS window_start,
+       count(*) AS n,
+       CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_cents
+  FROM events GROUP BY 1, 2
+""",
+        "fmt_stats_salted": f"""
+SELECT fmt, count(*) AS n, ROUND(AVG(CAST(w AS DOUBLE)), 6) AS mean_w
+  FROM {img} GROUP BY fmt
+""",
+        "violation_summary": f"""
+WITH im AS (SELECT * FROM {img}), v AS (
+  SELECT 'caption' AS path, 'missing key' AS code FROM im WHERE caption IS NULL
+  UNION ALL SELECT 'w', 'missing key' FROM im WHERE w IS NULL
+  UNION ALL SELECT 'h', 'missing key' FROM im WHERE h IS NULL
+  UNION ALL SELECT 'fmt', 'missing key' FROM im WHERE fmt IS NULL
+  UNION ALL SELECT 'phash', 'missing key' FROM im WHERE phash IS NULL
+  UNION ALL SELECT 'w', 'invalid' FROM im WHERE w IS NOT NULL AND (w < 1 OR w > 65535)
+  UNION ALL SELECT 'h', 'invalid' FROM im WHERE h IS NOT NULL AND (h < 1 OR h > 65535)
+  UNION ALL SELECT 'fmt', 'invalid' FROM im
+     WHERE fmt IS NOT NULL AND fmt NOT IN ('png', 'jpeg', 'webp'))
+SELECT path, code, count(*) AS n FROM v GROUP BY path, code
+""",
         "dedup_exact_documents": """
 SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
 """,
@@ -542,6 +639,9 @@ QUERIES = {
     "referential_orders_customers": q_referential_orders_customers,
     "unique_event_ids": q_unique_event_ids,
     "drift_mktsegment": q_drift_mktsegment,
+    "events_windowed": q_events_windowed,
+    "fmt_stats_salted": q_fmt_stats_salted,
+    "violation_summary": q_violation_summary,
     "dedup_exact_documents": q_dedup_exact_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "minhash_dedup": q_minhash_dedup,

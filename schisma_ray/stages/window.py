@@ -1,0 +1,67 @@
+"""Tumbling-window aggregation over an event-time column.
+
+Ray Data has no event-time windows; a tumbling window IS a grouped
+aggregation on ``(key, floor(ts / width))`` (SURVEY.md §2:
+streaming-shaped workloads), so the implementation is the combiner
+pattern: per-batch Arrow ``group_by`` partials -> small global groupby.
+No ordering assumption: rows may arrive in any order across blocks
+(batch semantics; late data is just another row in its window).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    width_s: int = 3600,
+    value_col: str | None = None,
+):
+    """Counts (and optional value sums) per (key, window).
+
+    Output columns: ``[key_col?, window_start (epoch seconds), n,
+    value_sum?]`` — names chosen to be SQL-mirrorable.
+    """
+    width_us = width_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col].combine_chunks(), pa.int64())  # microseconds
+        window = pc.multiply(pc.divide(ts, width_us), width_s)
+        cols = {"window_start": pc.cast(window, pa.int64())}
+        if key_col:
+            cols[key_col] = batch[key_col]
+        group_keys = ([key_col] if key_col else []) + ["window_start"]
+        aggs = [("window_start", "count")]
+        if value_col:
+            cols[value_col] = batch[value_col]
+            aggs.append((value_col, "sum"))
+        t = pa.table(cols)
+        out = t.group_by(group_keys).aggregate(aggs)
+        names = group_keys + ["n"] + (["value_sum"] if value_col else [])
+        return out.rename_columns(names)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    group_keys = ([key_col] if key_col else []) + ["window_start"]
+    gb = partials.groupby(group_keys)
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum("n", alias_name="n")]
+    if value_col:
+        aggs.append(Sum("value_sum", alias_name="value_sum"))
+    total = gb.aggregate(*aggs)
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {}
+        for k in group_keys:
+            cols[k] = t[k]
+        cols["n"] = t["n"]
+        if value_col:
+            cols["value_sum"] = t["value_sum"]
+        return pa.table(cols)
+
+    return total.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
