@@ -1,0 +1,105 @@
+"""Command-line entry points (the only place besides bench/tests that
+owns a Ray session).
+
+    python -m schisma_ray.cli validate  --table DIR --out DIR [--resumable]
+    python -m schisma_ray.cli conform   --table DIR --out DIR
+    python -m schisma_ray.cli generate  --rows N [--px LO,HI]
+    python -m schisma_ray.cli report    --out DIR        (checkpoint summary)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="schisma_ray")
+    ap.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate")
+    v.add_argument("--table", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--resumable", action="store_true")
+    v.add_argument("--files-per-partition", type=int, default=4)
+
+    c = sub.add_parser("conform")
+    c.add_argument("--table", required=True)
+    c.add_argument("--out", required=True)
+
+    g = sub.add_parser("generate")
+    g.add_argument("--rows", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--px", default="8,33")
+
+    r = sub.add_parser("report")
+    r.add_argument("--out", required=True)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "report":
+        from schisma_ray.state import load_records
+
+        for rec in load_records(args.out):
+            print(json.dumps(rec))
+        return 0
+
+    ray = _init_ray(args.num_cpus)
+    try:
+        if args.cmd == "generate":
+            from schisma_ray.sources import image_table
+
+            lo, hi = (int(x) for x in args.px.split(","))
+            out = image_table.generate(args.rows, seed=args.seed, px=(lo, hi))
+            print(out)
+        elif args.cmd == "validate":
+            if args.resumable:
+                from schisma_ray.pipelines.validate_pipeline import FusedValidator
+                from schisma_ray.state import run_resumable
+
+                def pipe(ds):
+                    return ds.map_batches(
+                        FusedValidator(),
+                        batch_format="pyarrow",
+                        zero_copy_batch=True,
+                    )
+
+                recs = run_resumable(
+                    args.table, args.out, pipe,
+                    files_per_partition=args.files_per_partition,
+                )
+                print(json.dumps({"partitions_run": len(recs)}))
+            else:
+                from schisma_ray.pipelines import validate_images
+
+                validate_images(args.table, fused=True).write_parquet(args.out)
+        elif args.cmd == "conform":
+            from schisma_ray.pipelines import conform_images
+
+            conform_images(args.table).write_parquet(args.out)
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -146,17 +146,42 @@ def validate_images(
     return out
 
 
+class FusedConformer:
+    """Schema conform + decode conform in one pass (fusable with the read)."""
+
+    def __init__(self):
+        from ..stages.conform import TableConformer
+
+        self.schema_c = TableConformer(image_table_schema())
+        self.decode_c = DecodeConformer()
+
+    def __call__(self, batch):
+        return self.decode_c(self.schema_c(batch))
+
+
 def conform_images(
     table_dir: str | Path,
     *,
+    fused: bool = True,
     decode_batch_size: int = 256,
     decode_concurrency=None,
 ):
-    """Repaired table Dataset: schema conform then decode conform."""
+    """Repaired table Dataset: schema conform then decode conform.
+
+    ``fused=True`` (default) runs both repairs inside the read task
+    (operator fusion; bytes never round-trip the object store).
+    ``fused=False`` keeps the decode conform as a separate actor pool —
+    the right shape when the decoder holds heavy state (real codecs,
+    models) worth amortizing across many batches.
+    """
     from ..stages.conform import TableConformer
 
-    ts = image_table_schema()
     ds = read_images(table_dir)
+    if fused:
+        return ds.map_batches(
+            FusedConformer(), batch_format="pyarrow", zero_copy_batch=True
+        )
+    ts = image_table_schema()
     ds = ds.map_batches(
         TableConformer(ts), batch_format="pyarrow", zero_copy_batch=True
     )
