@@ -146,38 +146,90 @@ def _band_rows(batch: pa.Table, id_col: str, bands: int, rows_per_band: int) -> 
 
 def minhash_candidate_pairs(ds, col: str, id_col: str, *, num_perm: int = 64,
                             bands: int = 16, shingle: int = 3, seed: int = 1234,
-                            max_bucket: int = 1000):
-    """LSH candidate pairs (a < b) from banded MinHash signatures."""
+                            max_bucket: int = 1000, actor_pool: bool = False):
+    """LSH candidate pairs (a < b) from banded MinHash signatures.
+
+    Default is task mode (the signature stage fuses into the read; the
+    permutation table costs microseconds to build). ``actor_pool=True``
+    switches to an autoscaling pool — the right shape if the hasher ever
+    grows heavy state (e.g. a tokenizer model).
+    """
     rows_per_band = num_perm // bands
-    sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(col, id_col, num_perm, shingle, seed),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
-    )
+    if actor_pool:
+        sigs = ds.map_batches(
+            MinHasher,
+            fn_constructor_args=(col, id_col, num_perm, shingle, seed),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+    else:
+        sigs = ds.map_batches(
+            MinHasher(col, id_col, num_perm, shingle, seed),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     band_rows = sigs.map_batches(
         lambda b: _band_rows(b, id_col, bands, rows_per_band),
         batch_format="pyarrow",
     )
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(group[id_col].to_pylist())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            # oversized buckets are degenerate (all-identical content);
-            # cap to avoid quadratic blowup and let verification handle it
-            ids = ids[:max_bucket]
+    return _bucket_pairs(band_rows, ["band", "band_hash"], id_col, max_bucket)
+
+
+def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
+                  max_bucket: int, driver_limit: int = 5_000_000) -> pa.Table:
+    """(a, b) id pairs per bucket, a < b.
+
+    Small banded sets (<= driver_limit rows) fold on the driver with a
+    pandas groupby — Ray's sort shuffle has seconds of fixed cost that
+    dwarfs corpora below millions of rows. Larger sets go through the
+    scalable ``groupby(bucket).map_groups`` path. Buckets larger than
+    ``max_bucket`` are truncated (degenerate all-identical content)."""
+    collected: list[pa.Table] = []
+    total = 0
+    overflow = False
+    for batch in banded_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = batch if isinstance(batch, pa.Table) else pa.Table.from_batches([batch])
+        collected.append(t)
+        total += t.num_rows
+        if total > driver_limit:
+            overflow = True
+            break
+
+    def emit_pairs(ids: list) -> tuple[list, list]:
+        ids = sorted(ids)[:max_bucket]
         a_out, b_out = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 a_out.append(ids[i])
                 b_out.append(ids[j])
+        return a_out, b_out
+
+    if not overflow:
+        if not collected:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        df = pa.concat_tables(collected).to_pandas()
+        a_all, b_all = [], []
+        for _, group in df.groupby(group_cols, sort=False):
+            if len(group) < 2:
+                continue
+            a_out, b_out = emit_pairs(group[id_col].tolist())
+            a_all.extend(a_out)
+            b_all.extend(b_out)
+        return pa.table({"a": pa.array(a_all), "b": pa.array(b_all)})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        a_out, b_out = emit_pairs(ids)
         return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})
 
-    cand = band_rows.groupby(["band", "band_hash"]).map_groups(
-        pairs, batch_format="pyarrow"
-    )
-    return cand
+    cand = banded_ds.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
+    return pa.Table.from_pandas(cand.to_pandas(), preserve_index=False)
 
 
 def jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
@@ -201,10 +253,9 @@ def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
     construction; at extreme scales feed candidates through a bucketed
     join instead).
     """
-    cand = minhash_candidate_pairs(
+    cand_tbl = minhash_candidate_pairs(
         ds, col, id_col, num_perm=num_perm, bands=bands, shingle=shingle, seed=seed
     )
-    cand_tbl = pa.Table.from_pandas(cand.to_pandas(), preserve_index=False)
     if cand_tbl.num_rows == 0:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
@@ -280,28 +331,32 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3) -> pa.
         )
 
     banded = sigs.map_batches(bands, batch_format="pyarrow")
-
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        hs = group["simhash"].to_pylist()
-        order = np.argsort(ids)
-        a_out, b_out, d_out = [], [], []
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                d = bin((hs[i] ^ hs[j]) & ((1 << 64) - 1)).count("1")
-                if d <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    d_out.append(d)
-        return pa.table({"a": pa.array(a_out), "b": pa.array(b_out),
-                         "hamming": pa.array(d_out, pa.int32())})
-
-    dup = banded.groupby(["band", "key"]).map_groups(pairs, batch_format="pyarrow")
-    tbl = pa.Table.from_pandas(dup.to_pandas(), preserve_index=False)
-    if tbl.num_rows == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int32())})
-    return tbl.group_by(["a", "b"]).aggregate([("hamming", "min")]).rename_columns(
-        ["a", "b", "hamming"]
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int32())})
+    cand = _bucket_pairs(banded, ["band", "key"], id_col, max_bucket=1000)
+    if cand.num_rows == 0:
+        return empty
+    cand = cand.group_by(["a", "b"]).aggregate([])
+    # Hamming verification: look up the simhash of candidate ids only
+    need = set(cand["a"].to_pylist()) | set(cand["b"].to_pylist())
+    need_arr = pa.array(sorted(need))
+    sig_map: dict = {}
+    filtered = sigs.map_batches(
+        lambda t: t.filter(pc.is_in(t[id_col].combine_chunks(), value_set=need_arr)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
+    for batch in filtered.iter_batches(batch_format="pyarrow"):
+        for rid, sh in zip(batch[id_col].to_pylist(), batch["simhash"].to_pylist()):
+            sig_map[rid] = sh
+    a_out, b_out, d_out = [], [], []
+    for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist()):
+        d = bin((sig_map[a] ^ sig_map[b]) & ((1 << 64) - 1)).count("1")
+        if d <= max_hamming:
+            a_out.append(a)
+            b_out.append(b)
+            d_out.append(d)
+    if not a_out:
+        return empty
+    return pa.table({"a": pa.array(a_out), "b": pa.array(b_out),
+                     "hamming": pa.array(d_out, pa.int32())})
