@@ -108,7 +108,7 @@ def q_image_decode_violations(sf_dir: str):
 
 
 def q_image_validate_full(sf_dir: str):
-    return _project_violations(validate_images(_img_dir(sf_dir)))
+    return _project_violations(validate_images(_img_dir(sf_dir), fused=True))
 
 
 def q_image_phash_duplicates(sf_dir: str):
@@ -189,6 +189,42 @@ def q_image_conform_full(sf_dir: str):
     return ds.map_batches(
         lambda t: t.drop_columns(["bytes"]), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_image_features(sf_dir: str):
+    """Decode -> dense feature vector per image (model-stage plumbing)."""
+    from ..stages.multimodal import ImageFeatures
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "bytes"])
+    feats = ds.map_batches(
+        ImageFeatures,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=(2, 8),
+    )
+
+    # driver-friendly projection: nullable list<float> breaks pandas
+    # tensor casting, so serialize the vector deterministically
+    def project(t: pa.Table) -> pa.Table:
+        ids, out = [], []
+        for rid, v in zip(t["image_id"].to_pylist(), t["features"].to_pylist()):
+            if v is None:
+                continue
+            ids.append(rid)
+            out.append(",".join(f"{x:.4f}" for x in v))
+        return pa.table({"image_id": pa.array(ids, pa.string()),
+                         "features": pa.array(out, pa.string())})
+
+    return feats.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_frame_sample(sf_dir: str):
+    """Deterministic 1-in-10 sampling by key hash (frame-sampling pattern)."""
+    from ..stages.multimodal import frame_sample
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "w", "h", "fmt"])
+    return frame_sample(ds, every_k=10)
 
 
 # -------------------------------------------------------------- documents
@@ -632,6 +668,8 @@ QUERIES = {
     "image_drift_fmt": q_image_drift_fmt,
     "image_distinct_hll": q_image_distinct_hll,
     "image_schema_conform": q_image_schema_conform,
+    "image_features": q_image_features,
+    "frame_sample": q_frame_sample,
     "image_conform_full": q_image_conform_full,
     "validate_documents": q_validate_documents,
     "conform_documents": q_conform_documents,
