@@ -384,6 +384,22 @@ def q_violation_summary(sf_dir: str):
     )
 
 
+def q_events_last_order(sf_dir: str):
+    """As-of join: each event's most recent order at-or-before its ts."""
+    from ..stages.asof import asof_join_latest
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+    return asof_join_latest(
+        events, orders, key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate", left_id="event_id",
+    )
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact_documents(sf_dir: str):
     return exact_dedup_keep_first(_t(sf_dir, "documents"), key="text", id_col="doc_id")
@@ -590,6 +606,13 @@ SELECT event_type,
        CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_cents
   FROM events GROUP BY 1, 2
 """,
+        "events_last_order": """
+SELECT e.event_id AS row_id, e.user_id AS k,
+       CAST(floor(epoch((SELECT max(o.o_orderdate) FROM orders o
+                          WHERE o.o_custkey = e.user_id
+                            AND o.o_orderdate <= e.ts))) AS BIGINT) AS asof_epoch_s
+  FROM events e
+""",
         "fmt_stats_salted": f"""
 SELECT fmt, count(*) AS n, ROUND(AVG(CAST(w AS DOUBLE)), 6) AS mean_w
   FROM {img} GROUP BY fmt
@@ -678,6 +701,7 @@ QUERIES = {
     "unique_event_ids": q_unique_event_ids,
     "drift_mktsegment": q_drift_mktsegment,
     "events_windowed": q_events_windowed,
+    "events_last_order": q_events_last_order,
     "fmt_stats_salted": q_fmt_stats_salted,
     "violation_summary": q_violation_summary,
     "dedup_exact_documents": q_dedup_exact_documents,

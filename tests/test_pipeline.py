@@ -1,5 +1,7 @@
 """End-to-end pipeline tests on the seeded synthetic image table."""
 
+from pathlib import Path
+
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
@@ -50,6 +52,50 @@ def test_conform_round_trip_fidelity(table_dir):
         if expected_caption is None:
             expected_caption = ""  # required-null repaired with default
         assert row["caption"] == expected_caption
+
+
+def test_fused_matches_unfused(table_dir):
+    """The fused (one-pass) validator emits exactly the same violation
+    rows as the two-stage schema+decode composition."""
+    from schisma_ray.pipelines import validate_images
+
+    fused = _vio_set(
+        validate_images(table_dir, fused=True, uniqueness=False, referential=False)
+        .to_pandas()
+    )
+    unfused = _vio_set(
+        validate_images(table_dir, uniqueness=False, referential=False).to_pandas()
+    )
+    assert fused == unfused
+
+
+def test_per_partition_verdicts(table_dir, tmp_path):
+    """Checkpoint records carry per-partition violation counts that match
+    the seeded expectations exactly (the per-partition pass/fail gate)."""
+    import pyarrow.parquet as pq
+
+    from schisma_ray.pipelines.validate_pipeline import FusedValidator
+    from schisma_ray.state import checkpoint
+
+    def pipe(ds):
+        return ds.map_batches(
+            FusedValidator(), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    out = tmp_path / "verdicts"
+    checkpoint.run_resumable(table_dir, out, pipe, files_per_partition=1)
+    records = checkpoint.load_records(out)
+    exp = pq.read_table(table_dir / "expected_violations.parquet").to_pandas()
+    exp = exp[exp["check"].isin(["schema", "decode"])]  # fused pipe's scope
+    exp["row_idx"] = exp["row_ref"].str.slice(4).astype(int)
+    for rec in records:
+        # partition = one 5000-row shard; shard index from the file name
+        shard = int(Path(rec["inputs"][0]).stem.split("-")[1])
+        lo, hi = shard * 5000, (shard + 1) * 5000
+        part_exp = exp[(exp["row_idx"] >= lo) & (exp["row_idx"] < hi)]
+        expected_counts = part_exp["code"].value_counts().to_dict()
+        assert rec["violation_counts"] == expected_counts, rec["partition_id"]
+        assert rec["row_count"] == len(part_exp)
 
 
 def test_resume_skips_committed_partitions(table_dir, tmp_path):
