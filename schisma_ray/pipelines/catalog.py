@@ -438,6 +438,53 @@ def q_quality_scores(sf_dir: str):
     return quality_score(_t(sf_dir, "documents"))
 
 
+def q_corpus_clean(sf_dir: str):
+    """Composite training-data cleaning pipeline: keep English docs with
+    quality >= 0.6 that survive exact dedup (min doc_id per text)."""
+    import pyarrow.compute as pc
+
+    docs = _t(sf_dir, "documents")
+    kept_ids_ds = exact_dedup_keep_first(docs, key="text", id_col="doc_id")
+    kept = set()
+    for b in kept_ids_ds.iter_batches(batch_format="pyarrow"):
+        kept.update(b["doc_id"].to_pylist())
+    kept_arr = pa.array(sorted(kept), pa.int64())
+    scored = quality_score(_t(sf_dir, "documents"))
+    langs = _t(sf_dir, "documents").map_batches(
+        lambda t: t.select(["doc_id", "lang"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    # join score + lang per doc (both small projections) batch-side:
+    # filter by lang inline; then intersect with kept + threshold
+    import ray
+
+    kept_ref = ray.put(kept_arr)
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        ok = pc.and_(
+            pc.is_in(ids, value_set=ray.get(kept_ref)),
+            pc.greater_equal(t["score"].combine_chunks(), 0.6),
+        )
+        return t.filter(ok).select(["doc_id", "score"])
+
+    scored_kept = scored.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+    lang_map = {}
+    for b in langs.iter_batches(batch_format="pyarrow"):
+        for i, l in zip(b["doc_id"].to_pylist(), b["lang"].to_pylist()):
+            lang_map[i] = l
+    rows_id, rows_score = [], []
+    for b in scored_kept.iter_batches(batch_format="pyarrow"):
+        for i, sc in zip(b["doc_id"].to_pylist(), b["score"].to_pylist()):
+            if lang_map.get(i) == "en":
+                rows_id.append(i)
+                rows_score.append(sc)
+    return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                     "score": pa.array(rows_score, pa.float64())})
+
+
 # -------------------------------------------------------------- similarity
 def _query_vectors(sf_dir: str, nq: int = 5):
     tbl = (
@@ -664,6 +711,28 @@ SELECT doc_id,
        , 6) AS score
   FROM m
 """,
+        "corpus_clean": """
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+         min(doc_id) OVER (PARTITION BY text) AS keeper
+    FROM documents),
+ s AS (
+  SELECT doc_id, lang, keeper,
+         ROUND(
+           0.4 * LEAST(1.0, n_words / 64.0)
+           + 0.3 * (CASE WHEN n_words > 0
+                          AND (n_chars - (n_words - 1)) / n_words >= 3
+                          AND (n_chars - (n_words - 1)) / n_words <= 12
+                         THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END)
+         , 6) AS score
+    FROM m)
+SELECT doc_id, score FROM s
+ WHERE doc_id = keeper AND score >= 0.6 AND lang = 'en'
+""",
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
              FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -712,6 +781,7 @@ QUERIES = {
     "token_count_by_lang": q_token_count_by_lang,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
+    "corpus_clean": q_corpus_clean,
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
     "embedding_near_dups": q_embedding_near_dups,

@@ -79,8 +79,12 @@ def dec_value(v: Any) -> Any:
 
 
 def dec_schema(s: Any) -> Any:
+    from schisma_ray.schema import SchemaNode
+
     if s is None or (isinstance(s, dict) and s.get("$null")):
         return None
+    if "$node" in s:
+        return SchemaNode(dec_schema(s["$node"]))
     if "$class" in s:
         return CLASSES[s["$class"]]
     if "$arr" in s:

@@ -195,6 +195,17 @@ def hand_cases() -> list[dict]:
     add("conf-noflatten", rec, "validate", obj_doc(a="s"),
         {"flattenErrors": False, "filterNonErrors": False})
 
+    # --- test/complexSchemas.mjs: Schisma-instance composition
+    child = obj({"name": C("String"), "age": C("Number")})
+    add("compose-create", obj({"child": {"$node": child},
+                               "children": ARR({"$node": child})}), "create")
+    add("compose-validate", obj({"child": {"$node": child}}), "validate",
+        obj_doc(child={"name": "x", "age": "bad"}))
+    add("compose-conform", obj({"child": {"$node": child}}), "conform",
+        obj_doc(child={"name": 5, "age": "3"}))
+    add("compose-sobj", sobj(typeof=[{"$node": child}, C("Number")]), "validate",
+        obj_doc(name="x", age=1))
+
     # --- quirks
     add("quirk-object-passes-null", obj({"x": {"$null": True}}), "validate",
         obj_doc(x={}))
@@ -222,10 +233,12 @@ DOC_POOL = [0, 1.5, -3, "", "32", "abc", "xxxxxxx", True, False, None,
 def rand_schema(rng: random.Random, depth: int) -> dict:
     kinds = ["class", "lit"]
     if depth > 0:
-        kinds += ["obj", "arr", "sobj", "obj", "arr", "sobj", "regex"]
+        kinds += ["obj", "arr", "sobj", "obj", "arr", "sobj", "regex", "node"]
     k = rng.choice(kinds)
     if k == "class":
         return C(rng.choice(PRIM_CLASSES))
+    if k == "node" :
+        return {"$node": rand_schema(rng, depth - 1)}
     if k == "lit":
         return LIT(rng.choice([5, "s", True, BIG(3), 0]))
     if k == "obj":
@@ -255,6 +268,8 @@ def doc_for(schema: dict, rng: random.Random, mutate: float):
     """Generate a doc roughly matching `schema`, with random mutations."""
     if rng.random() < mutate:
         return rng.choice(DOC_POOL)
+    if "$node" in schema:
+        return doc_for(schema["$node"], rng, mutate)
     if "$class" in schema:
         return {"Number": 1.5, "BigInt": BIG(2), "String": "s",
                 "Boolean": True, "Null": None}[schema["$class"]]

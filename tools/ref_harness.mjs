@@ -53,6 +53,7 @@ function decValue(v) {
 
 function decSchema(s) {
   if (s === null || s.$null) return null
+  if (s.$node !== undefined) return schisma(decSchema(s.$node))
   if (s.$class !== undefined) return CLASSES[s.$class]
   if (s.$arr !== undefined) return s.$arr.map(decSchema)
   if (s.$lit !== undefined) return decValue(s.$lit)
