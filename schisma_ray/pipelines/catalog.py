@@ -131,7 +131,8 @@ def q_image_referential_orphans(sf_dir: str):
 
 def q_image_stats(sf_dir: str):
     ds = read_images(_img_dir(sf_dir), ["w", "h", "phash"])
-    stats = numeric_stats(ds, ["w", "h", "phash"], distinct=False)
+    stats = numeric_stats(ds, ["w", "h", "phash"], distinct=False,
+                          std_columns=["w", "h"])
     rows = []
     for c in ["w", "h", "phash"]:
         st = stats[c]
@@ -143,8 +144,9 @@ def q_image_stats(sf_dir: str):
                 "min_v": float(st["min"]),
                 "max_v": float(st["max"]),
                 # int64 means overflow a 64-bit sum and are meaningless for
-                # hashes; report mean for the dimension columns only
+                # hashes; report mean/std for the dimension columns only
                 "mean_v": round(float(st["mean"]), 6) if c != "phash" else None,
+                "std_v": round(float(st.get("std", 0.0)), 6) if c != "phash" else None,
             }
         )
     return pd.DataFrame(rows)
@@ -274,6 +276,7 @@ def q_stats_lineitem(sf_dir: str):
                 "min_v": round(float(s["min"]), 6),
                 "max_v": round(float(s["max"]), 6),
                 "mean_v": round(float(s["mean"]), 6),
+                "std_v": round(float(s["std"]), 6),
             }
         )
     return pd.DataFrame(rows)
@@ -563,15 +566,17 @@ WITH im AS (SELECT * FROM {img})
 SELECT 'w' AS "column", count(*) AS n_rows,
        CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(min(w) AS DOUBLE) AS min_v, CAST(max(w) AS DOUBLE) AS max_v,
-       ROUND(AVG(CAST(w AS DOUBLE)), 6) AS mean_v FROM im
+       ROUND(AVG(CAST(w AS DOUBLE)), 6) AS mean_v,
+       ROUND(stddev_samp(CAST(w AS DOUBLE)), 6) AS std_v FROM im
 UNION ALL
 SELECT 'h', count(*), CAST(sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(h) AS DOUBLE), CAST(max(h) AS DOUBLE),
-       ROUND(AVG(CAST(h AS DOUBLE)), 6) FROM im
+       ROUND(AVG(CAST(h AS DOUBLE)), 6),
+       ROUND(stddev_samp(CAST(h AS DOUBLE)), 6) FROM im
 UNION ALL
 SELECT 'phash', count(*), CAST(sum(CASE WHEN phash IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(min(phash) AS DOUBLE), CAST(max(phash) AS DOUBLE),
-       CAST(NULL AS DOUBLE) FROM im
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM im
 """,
         "image_fmt_counts": f"""
 SELECT fmt, count(*) AS n FROM {img} GROUP BY fmt ORDER BY fmt
@@ -623,17 +628,20 @@ SELECT 'l_quantity' AS "column", count(*) AS n_rows,
        CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        ROUND(CAST(min(l_quantity) AS DOUBLE), 6) AS min_v,
        ROUND(CAST(max(l_quantity) AS DOUBLE), 6) AS max_v,
-       ROUND(AVG(l_quantity), 6) AS mean_v FROM lineitem
+       ROUND(AVG(l_quantity), 6) AS mean_v,
+       ROUND(stddev_samp(l_quantity), 6) AS std_v FROM lineitem
 UNION ALL
 SELECT 'l_extendedprice', count(*), CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        ROUND(CAST(min(l_extendedprice) AS DOUBLE), 6),
        ROUND(CAST(max(l_extendedprice) AS DOUBLE), 6),
-       ROUND(AVG(l_extendedprice), 6) FROM lineitem
+       ROUND(AVG(l_extendedprice), 6),
+       ROUND(stddev_samp(l_extendedprice), 6) FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*), CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        ROUND(CAST(min(l_discount) AS DOUBLE), 6),
        ROUND(CAST(max(l_discount) AS DOUBLE), 6),
-       ROUND(AVG(l_discount), 6) FROM lineitem
+       ROUND(AVG(l_discount), 6),
+       ROUND(stddev_samp(l_discount), 6) FROM lineitem
 """,
         "referential_orders_customers": """
 SELECT CAST(o_custkey AS VARCHAR) AS row_ref, 'o_custkey' AS path, 'invalid' AS code,

@@ -19,7 +19,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min
+from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Std
 
 from ._math import chi2_sf, ks_pvalue
 
@@ -167,8 +167,15 @@ class Histogram(AggregateFn):
         )
 
 
-def numeric_stats(ds, columns: list[str], distinct: bool = True) -> dict[str, dict[str, Any]]:
-    """One aggregation pass -> {column: {count,nulls,min,max,mean,distinct}}."""
+def numeric_stats(ds, columns: list[str], distinct: bool = True,
+                  std_columns: list[str] | None = None) -> dict[str, dict[str, Any]]:
+    """One aggregation pass -> {column: {count,nulls,min,max,mean[,std]}}.
+
+    ``std_columns`` limits the Welford variance aggregate (Ray's Std
+    overflows on extreme-magnitude int64 columns like hashes); default
+    = all columns.
+    """
+    std_columns = columns if std_columns is None else std_columns
     aggs: list[AggregateFn] = [Count(alias_name="__rows__")]
     for c in columns:
         aggs += [
@@ -177,6 +184,8 @@ def numeric_stats(ds, columns: list[str], distinct: bool = True) -> dict[str, di
             Max(c, alias_name=f"max:{c}"),
             Mean(c, alias_name=f"mean:{c}"),
         ]
+        if c in std_columns:
+            aggs.append(Std(c, alias_name=f"std:{c}"))
         if distinct:
             aggs.append(HLL(c, alias_name=f"distinct:{c}"))
     row = ds.aggregate(*aggs)
@@ -189,6 +198,8 @@ def numeric_stats(ds, columns: list[str], distinct: bool = True) -> dict[str, di
             "max": row[f"max:{c}"],
             "mean": row[f"mean:{c}"],
         }
+        if c in std_columns:
+            out[c]["std"] = row[f"std:{c}"]
         if distinct:
             out[c]["distinct_hll"] = row[f"distinct:{c}"]
     return out
