@@ -314,6 +314,49 @@ def q_drift_mktsegment(sf_dir: str):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_schema() -> TableSchema:
+    from ..schema import Number
+
+    return TableSchema(
+        {
+            "event_id": BigInt,
+            "user_id": ColumnSpec(BigInt, checks=[range_check(0, None)]),
+            "event_type": ColumnSpec(String, checks=[in_set(EVENT_TYPES)]),
+            "value": ColumnSpec(Number, checks=[range_check(0, None)]),
+            "props": String,
+        },
+        id_column="event_id",
+        ignore_unexpected=True,  # ts column validated separately (temporal)
+    )
+
+
+def q_validate_events(sf_dir: str):
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "value", "props"],
+    )
+    vio = ds.map_batches(
+        TableValidator(events_schema()), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(_project_violations(vio), _VIO_COLS)
+
+
+def q_image_w_drift_ks(sf_dir: str):
+    """KS drift of the w distribution vs a uniform reference profile."""
+    from ..stages.stats import Histogram, ks_drift
+
+    ds = read_images(_img_dir(sf_dir), ["w"])
+    hist = ds.aggregate(Histogram("w", lo=8, hi=33, bins=25, alias_name="h"))["h"]
+    d = ks_drift(hist, [1.0 / 25] * 25)
+    return pd.DataFrame(
+        [{"statistic": round(d["statistic"], 6), "n": d["n"],
+          "drifted": bool(d["p_value"] < 0.01)}]
+    )
+
+
 def q_events_windowed(sf_dir: str):
     """Tumbling 1h windows over the events stream (count + value sum)."""
     from ..stages.window import tumbling_window_agg
@@ -661,6 +704,33 @@ SELECT event_type,
        CAST(ROUND(SUM(value) * 100) AS BIGINT) AS value_sum_cents
   FROM events GROUP BY 1, 2
 """,
+        "validate_events": """
+SELECT CAST(event_id AS VARCHAR) AS row_ref, 'user_id' AS path, 'missing key' AS code,
+       CAST(NULL AS VARCHAR) AS expected, CAST(NULL AS VARCHAR) AS received
+  FROM events WHERE user_id IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'event_type', 'missing key', NULL, NULL
+  FROM events WHERE event_type IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'value', 'missing key', NULL, NULL
+  FROM events WHERE value IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'props', 'missing key', NULL, NULL
+  FROM events WHERE props IS NULL
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'user_id', 'invalid', '>=0', CAST(user_id AS VARCHAR)
+  FROM events WHERE user_id IS NOT NULL AND user_id < 0
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'event_type', 'invalid',
+       'one of [''click'', ''error'', ''purchase'', ''signup'', ''view'']', event_type
+  FROM events WHERE event_type IS NOT NULL
+   AND event_type NOT IN ('click', 'error', 'purchase', 'signup', 'view')
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'value', 'invalid', '>=0',
+       CASE WHEN value = CAST(value AS BIGINT) THEN CAST(CAST(value AS BIGINT) AS VARCHAR)
+            ELSE CAST(value AS VARCHAR) END
+  FROM events WHERE value IS NOT NULL AND value < 0
+""",
         "events_last_order": """
 SELECT e.event_id AS row_id, e.user_id AS k,
        CAST(floor(epoch((SELECT max(o.o_orderdate) FROM orders o
@@ -778,6 +848,8 @@ QUERIES = {
     "unique_event_ids": q_unique_event_ids,
     "drift_mktsegment": q_drift_mktsegment,
     "events_windowed": q_events_windowed,
+    "validate_events": q_validate_events,
+    "image_w_drift_ks": q_image_w_drift_ks,
     "events_last_order": q_events_last_order,
     "fmt_stats_salted": q_fmt_stats_salted,
     "violation_summary": q_violation_summary,
