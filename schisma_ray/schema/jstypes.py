@@ -128,12 +128,9 @@ def js_number(data: Any) -> float:
                 return math.nan
         return math.nan
     if isinstance(data, list):
-        # Number([]) = 0; Number([x]) = Number(x); Number([x,y]) = NaN
-        if len(data) == 0:
-            return 0.0
-        if len(data) == 1:
-            return js_number(data[0])
-        return math.nan
+        # JS ToPrimitive(array) -> joined string, then string->number:
+        # Number([]) = 0, Number([5]) = 5, Number([true]) = NaN ('true')
+        return js_number(js_string(data))
     return math.nan  # plain objects
 
 

@@ -37,7 +37,6 @@ from .jstypes import (
     HOLE,
     is_undefined,
     JSError,
-    JSType,
     Null,
     UNDEFINED,
     js_boolean,

@@ -33,10 +33,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..schema import SchemaNode
 from ..schema.jstypes import (
     JSError,
-    UNDEFINED,
     format_number,
     js_bigint,
     js_boolean,

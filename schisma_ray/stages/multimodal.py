@@ -130,7 +130,6 @@ def frame_sample(ds, every_k: int = 10, key_col: str = "image_id"):
     access pattern for video containers: same key -> same decision on
     any cluster size)."""
     import pandas as pd
-    import pyarrow.compute as pc
 
     def fn(batch: pa.Table) -> pa.Table:
         keys = batch[key_col].combine_chunks().to_numpy(zero_copy_only=False)

@@ -18,7 +18,6 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Std
 
 from ._math import chi2_sf, ks_pvalue
