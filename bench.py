@@ -242,7 +242,8 @@ def run_scaling() -> dict:
         )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    lo_cpus, hi_cpus = 8, 32
+    lo_cpus = int(os.environ.get("SCHISMA_SCALING_LO", "8"))
+    hi_cpus = int(os.environ.get("SCHISMA_SCALING_HI", "32"))
     lo = one(lo_cpus)
     hi = one(hi_cpus)
     tp_lo = lo["throughput_rows_per_s"]
@@ -250,7 +251,7 @@ def run_scaling() -> dict:
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
     hw = _hardware_speedup(lo_cpus, hi_cpus)
     return {
-        "metric": "image validation throughput scaling (num_cpus 8 -> 32, "
+        "metric": f"image validation throughput scaling (num_cpus {lo_cpus} -> {hi_cpus}, "
         f"{SCALING_ROWS} rows, {SCALING_PX[0]}-{SCALING_PX[1]}px)",
         "unit": "rows/s",
         "num_cpus_lo": lo_cpus,
