@@ -33,7 +33,7 @@ from ..stages.dedup import (
     simhash_dup_pairs,
 )
 from ..stages.referential import referential_violations
-from ..stages.similarity import ann_lsh, cosine_near_dup_pairs, knn_brute_force
+from ..stages.similarity import ann_ivf, ann_lsh, cosine_near_dup_pairs, knn_brute_force
 from ..stages.stats import HLL, ValueCounts, categorical_drift, numeric_stats
 from ..stages.text import lang_id, quality_score, text_metrics, token_count_by_lang
 from ..stages.uniqueness import uniqueness_violations
@@ -556,6 +556,21 @@ def q_ann_lsh(sf_dir: str):
     return ann_lsh(ds, mat, ids, k=10, n_bits=6)
 
 
+def q_ann_ivf(sf_dir: str):
+    mat, ids = _query_vectors(sf_dir)
+    ds = _t(sf_dir, "embeddings")
+    return ann_ivf(ds, mat, ids, k=10, n_centroids=16, n_probe=4)
+
+
+def q_minhash_dedup_groups(sf_dir: str):
+    """Near-dup groups -> surviving doc ids (pairs + connected components)."""
+    from ..stages.components import near_dedup_survivors
+
+    docs = _t(sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, col="text", id_col="doc_id", threshold=0.8)
+    return _collect(near_dedup_survivors(docs, pairs, "doc_id"), ["doc_id"])
+
+
 def q_embedding_near_dups(sf_dir: str):
     return cosine_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.9)
 
@@ -864,6 +879,8 @@ QUERIES = {
     "corpus_clean": q_corpus_clean,
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
+    "minhash_dedup_groups": q_minhash_dedup_groups,
     "embedding_near_dups": q_embedding_near_dups,
 }
 

@@ -72,7 +72,10 @@ def knn_brute_force(ds, queries: np.ndarray, query_ids: list, *, col: str = "emb
     locals_ = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
 
     def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.nlargest(k, "sim", keep="first").copy()
+        # deterministic tie-break: sim desc, then neighbor id asc (the
+        # same ordering the SQL oracle's row_number() uses)
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k).copy()
         g["sim"] = g["sim"].round(6)
         return g
 
@@ -136,7 +139,83 @@ def ann_lsh(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
     locals_ = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
 
     def global_topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.nlargest(k, "sim", keep="first").copy()
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k).copy()
+        g["sim"] = g["sim"].round(6)
+        return g
+
+    return locals_.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
+def ann_ivf(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
+            id_col: str = "vec_id", k: int = 10, n_centroids: int = 16,
+            n_probe: int = 4, kmeans_iters: int = 5, sample_rows: int = 2048,
+            seed: int = 13):
+    """IVF approximate top-k: coarse k-means centroids partition the
+    corpus; queries probe the ``n_probe`` nearest cells.
+
+    Centroids are trained on a deterministic sample on the driver (the
+    classic IVF recipe — training data is tiny relative to the corpus),
+    then broadcast; assignment is one matmul per batch. Recall/latency
+    trade via ``n_probe``/``n_centroids``.
+    """
+    sample = ds.limit(sample_rows).take_all()
+    train = _normalize(
+        np.stack([np.asarray(r[col], dtype=np.float64) for r in sample])
+    )
+    rng = np.random.default_rng(seed)
+    centroids = train[rng.choice(len(train), size=min(n_centroids, len(train)),
+                                 replace=False)]
+    for _ in range(kmeans_iters):
+        assign = np.argmax(train @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+
+    qmat = np.asarray(queries, dtype=np.float64)
+    qn = _normalize(qmat)
+    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    probe_set = np.unique(probe_cells)
+    state = ray.put((qmat, centroids, probe_set))
+    qids = list(query_ids)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, cents, probes = ray.get(state)
+        mat = _batch_matrix(batch, col)
+        cells = np.argmax(_normalize(mat) @ cents.T, axis=1)
+        keep = np.isin(cells, probes)
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "neighbor_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        if not keep.any():
+            return empty
+        mat = mat[keep]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[keep]
+        qnorm = np.linalg.norm(q, axis=1)
+        mnorm = np.linalg.norm(mat, axis=1)
+        qnorm[qnorm == 0] = 1.0
+        mnorm[mnorm == 0] = 1.0
+        sims = (q @ mat.T) / (qnorm[:, None] * mnorm[None, :])
+        kk = min(k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(sims[qi, idx].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q), "neighbor_id": pa.array(out_n),
+             "sim": pa.array(out_s, pa.float64())}
+        )
+
+    locals_ = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k).copy()
         g["sim"] = g["sim"].round(6)
         return g
 

@@ -199,3 +199,54 @@ def test_kernel_batch_parity(ray_session):
     # engine adds the vectorized range 'invalid' on top of kernel parity
     expected.add(("r3", "num", "invalid"))
     assert got == expected
+
+
+def test_connected_components_and_survivors(docs):
+    import pyarrow as pa
+
+    from schisma_ray.stages.components import (
+        components_from_pairs,
+        near_dedup_survivors,
+    )
+
+    pairs = pa.table({"a": pa.array([0, 1, 4], pa.int64()),
+                      "b": pa.array([1, 3, 5], pa.int64())})
+    comp = components_from_pairs(pairs)
+    m = dict(zip(comp["node"].to_pylist(), comp["component"].to_pylist()))
+    assert m == {0: 0, 1: 0, 3: 0, 4: 4, 5: 4}
+    # propagation path must agree with union-find
+    comp2 = components_from_pairs(pairs, driver_limit=0)
+    m2 = dict(zip(comp2["node"].to_pylist(), comp2["component"].to_pylist()))
+    assert m2 == m
+    survivors = sorted(
+        near_dedup_survivors(docs, pairs, "doc_id").to_pandas()["doc_id"]
+    )
+    assert survivors == [0, 2, 4]  # 1,3 fold into 0; 5 folds into 4
+
+
+def test_minhash_end_to_end_dedup(docs):
+    from schisma_ray.stages.components import near_dedup_survivors
+    from schisma_ray.stages.dedup import minhash_dedup_pairs
+
+    pairs = minhash_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+    survivors = sorted(
+        near_dedup_survivors(docs, pairs, "doc_id").to_pandas()["doc_id"]
+    )
+    # docs 0,1,3 are one near-dup cluster -> keeper 0
+    assert 0 in survivors and 1 not in survivors and 3 not in survivors
+    assert {2, 4, 5} <= set(survivors)
+
+
+def test_ann_ivf_recall(vectors):
+    import numpy as np
+
+    from schisma_ray.stages.similarity import ann_ivf, knn_brute_force
+
+    tbl = vectors.take_all()
+    q = np.stack([np.array(tbl[i]["embedding"], dtype=np.float64) for i in (3, 11)])
+    exact = knn_brute_force(vectors, q, [3, 11], k=5).to_pandas()
+    approx = ann_ivf(vectors, q, [3, 11], k=5, n_centroids=4, n_probe=2).to_pandas()
+    a3 = set(approx[approx.query_id == 3]["neighbor_id"])
+    e3 = set(exact[exact.query_id == 3]["neighbor_id"])
+    assert 3 in a3  # self always found (its cell is probed)
+    assert len(a3 & e3) >= 3  # decent recall with 2/4 cells probed
