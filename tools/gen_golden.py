@@ -310,7 +310,7 @@ def fuzz_cases(n: int, seed: int = 42) -> list[dict]:
     rng = random.Random(seed)
     cases = []
     for i in range(n):
-        schema = rand_schema(rng, rng.randint(1, 3))
+        schema = rand_schema(rng, rng.randint(1, 4))
         op = rng.choice(["validate", "validate", "conform", "conform", "create"])
         case = {"name": f"fuzz-{i}-{op}", "schema": schema, "op": op}
         if op in ("validate", "conform") or rng.random() < 0.5:
