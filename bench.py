@@ -109,6 +109,14 @@ def run_bench() -> dict:
         "headline_sec": headline,
         "throughput_rows_per_s": round(n_images / headline, 1) if headline else None,
     }
+    # attach the latest --scaling evidence (written by run_scaling) so the
+    # per-round bench record carries the criterion numbers
+    scaling_file = Path(__file__).parent / "BENCH_SCALING.json"
+    if scaling_file.exists():
+        try:
+            out["scaling"] = json.loads(scaling_file.read_text())
+        except Exception:
+            pass
     ray.shutdown()
     return out
 
@@ -278,6 +286,15 @@ if __name__ == "__main__":
     if os.environ.get("SCHISMA_BENCH_MODE") == "scaling_worker":
         print(json.dumps(run_scaling_worker()))
     elif "--scaling" in sys.argv:
-        print(json.dumps(run_scaling()))
+        result = run_scaling()
+        # persist per-pair results so plain bench runs can attach them
+        path = Path(__file__).parent / "BENCH_SCALING.json"
+        try:
+            existing = json.loads(path.read_text()) if path.exists() else {}
+        except Exception:
+            existing = {}
+        existing[f"{result['num_cpus_lo']}->{result['num_cpus_hi']}"] = result
+        path.write_text(json.dumps(existing, indent=1))
+        print(json.dumps(result))
     else:
         print(json.dumps(run_bench()))
