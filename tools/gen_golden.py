@@ -306,13 +306,48 @@ def doc_for(schema: dict, rng: random.Random, mutate: float):
     return rng.choice(DOC_POOL)
 
 
+def rand_which(schema: dict, rng: random.Random) -> str:
+    """Random dot-path into (or near) the schema, including $N segments
+    and occasional garbage keys."""
+    parts = []
+    node = schema
+    for _ in range(rng.randint(1, 3)):
+        if rng.random() < 0.15:
+            parts.append(rng.choice(["nope", "$9", "x.y"]))
+            break
+        if "$node" in node:
+            node = node["$node"]
+        if "$obj" in node:
+            keys = [k for k in node["$obj"] if not k.startswith("$/")]
+            if not keys:
+                break
+            k = rng.choice(keys)
+            parts.append(k)
+            node = node["$obj"][k]
+        elif "$sobj" in node and node["$sobj"].get("typeof"):
+            alts = node["$sobj"]["typeof"]
+            i = rng.randrange(len(alts))
+            parts.append(f"${i}")
+            node = alts[i]
+        elif "$arr" in node and node["$arr"]:
+            i = rng.randrange(len(node["$arr"]))
+            parts.append(str(i))
+            node = node["$arr"][i]
+        else:
+            break
+    return ".".join(parts) if parts else "a"
+
+
 def fuzz_cases(n: int, seed: int = 42) -> list[dict]:
     rng = random.Random(seed)
     cases = []
     for i in range(n):
         schema = rand_schema(rng, rng.randint(1, 4))
-        op = rng.choice(["validate", "validate", "conform", "conform", "create"])
+        op = rng.choice(["validate", "validate", "conform", "conform", "create",
+                         "createProperty"])
         case = {"name": f"fuzz-{i}-{op}", "schema": schema, "op": op}
+        if op == "createProperty":
+            case["which"] = rand_which(schema, rng)
         if op in ("validate", "conform") or rng.random() < 0.5:
             case["doc"] = doc_for(schema, rng, rng.choice([0.0, 0.15, 0.4]))
         conf = {}
