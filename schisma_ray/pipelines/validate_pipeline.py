@@ -48,16 +48,17 @@ def image_table_schema() -> TableSchema:
 
 
 def read_images(table_dir: str | Path, columns: list[str] | None = None):
-    """Read the image table, one block per fragment file.
+    """Read the image table (Lance-first, parquet fallback), one block per
+    fragment file.
 
     Ray's default heuristic block-splits bytes-heavy fragments, and each
     split slice re-serializes its parent buffer — a silent copy
     amplification (measured 3-4x read CPU). Fragments are generated at
     ~24 MB precisely so one-block-per-file is the right granularity.
     """
-    path = Path(table_dir) / "images"
-    n_files = sum(1 for _ in path.glob("*.parquet")) or None
-    return rd.read_parquet(str(path), columns=columns, override_num_blocks=n_files)
+    from ..sources.reader import read_table
+
+    return read_table(Path(table_dir) / "images", columns=columns)
 
 
 class FusedValidator:

@@ -268,3 +268,71 @@ def test_default_function():
 def test_union_first_wins_tie():
     errs = schema({"$typeof": [String, Number]}).validate(True)
     assert errs[0].type_index == 0  # declaration-order priority
+
+
+# --- test/date.mjs analogue: construct-then-validate via $unmarshal
+def test_date_analogue():
+    """Mirrors test/date.mjs:7-33 with Python datetime as the class."""
+    from datetime import datetime
+
+    sch = schema(
+        {
+            "ts": {
+                "$type": datetime,
+                # hooks must tolerate undefined, exactly as JS hooks must
+                # (create() calls $unmarshal(undefined), schisma.mjs:546-548)
+                "$unmarshal": lambda v: (
+                    v if isinstance(v, datetime)
+                    else datetime(2000, 1, 1) if not isinstance(v, str)
+                    else datetime.fromisoformat(v)
+                ),
+                "$validate": lambda v, dot: (
+                    True if isinstance(v, datetime) and v.year >= 2000
+                    else {"expected": "datetime >= 2000", "received": str(v)}
+                ),
+            }
+        }
+    )
+    assert sch.validate({"ts": datetime(2024, 5, 1)}) == []
+    assert sch.validate({"ts": "2024-05-01T10:00:00"}) == []  # unmarshal constructs
+    errs = sch.validate({"ts": "1990-01-01T00:00:00"})
+    assert [e.code for e in errs] == [INVALID]
+    assert errs[0].expected == "datetime >= 2000"
+    # create with data constructs through $unmarshal (schisma.mjs:546-548)
+    made = sch.create({}, {"ts": "2030-01-01T00:00:00"})
+    assert isinstance(made, dict)
+
+
+# --- test/uuid.mjs analogue: class with a serializable round trip
+def test_uuid_analogue():
+    import uuid
+
+    sch = schema(
+        {
+            "id": {
+                "$type": uuid.UUID,
+                "$unmarshal": lambda v: (
+                    v if isinstance(v, uuid.UUID)
+                    else uuid.UUID(int=0) if not isinstance(v, str)
+                    else uuid.UUID(v)
+                ),
+            }
+        }
+    )
+    u = uuid.uuid5(uuid.NAMESPACE_DNS, "schisma-ray")
+    assert sch.validate({"id": u}) == []
+    assert sch.validate({"id": str(u)}) == []  # string constructs via unmarshal
+    # $unmarshal coerces everything to a UUID before the type check, so a
+    # bare class check passes — pair with $validate to reject (the same
+    # pattern the reference tests use, test/class.mjs:38-62)
+    assert sch.validate({"id": 5.0}) == []
+    strict = schema(
+        {
+            "id": {
+                "$type": uuid.UUID,
+                "$validate": lambda v, dot: isinstance(v, uuid.UUID),
+            }
+        }
+    )
+    errs = strict.validate({"id": 5.0})
+    assert [e.code for e in errs] == [INVALID]
