@@ -336,3 +336,16 @@ def test_uuid_analogue():
     )
     errs = strict.validate({"id": 5.0})
     assert [e.code for e in errs] == [INVALID]
+
+
+def test_compat_facade():
+    """The reference-shaped API surface (schisma_ray.compat)."""
+    from schisma_ray.compat import schisma as compat
+
+    sch = compat({"name": str, "age": {"$type": float, "$default": 0.0}})
+    errs = sch.validate({"name": "x", "age": "oops"})
+    assert [e.code for e in errs] == [compat.SchismaResult.NO_MATCH]
+    assert sch.conform({"name": 5.0}) == {"name": "5", "age": 0.0}
+    assert sch.create() == {"name": "", "age": 0.0}
+    assert sch.createProperty("age") == 0.0
+    assert compat.SchismaResult.MISSING_KEY == "missing key"
