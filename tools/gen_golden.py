@@ -344,7 +344,7 @@ def fuzz_cases(n: int, seed: int = 42) -> list[dict]:
     for i in range(n):
         schema = rand_schema(rng, rng.randint(1, 4))
         op = rng.choice(["validate", "validate", "conform", "conform", "create",
-                         "createProperty"])
+                         "createProperty", "conform2"])
         case = {"name": f"fuzz-{i}-{op}", "schema": schema, "op": op}
         if op == "createProperty":
             case["which"] = rand_which(schema, rng)
@@ -391,6 +391,8 @@ def run_kernel(case: dict) -> dict:
             result = sch.validate(doc, conf)
         elif op == "conform":
             result = sch.conform(doc, conf)
+        elif op == "conform2":
+            result = sch.conform(sch.conform(doc, conf), conf)
         elif op == "create":
             result = sch.create(conf, doc)
         elif op == "createProperty":

@@ -111,6 +111,7 @@ rl.on('line', (line) => {
     let result
     if (c.op === 'validate') result = sch.validate(decValue(c.doc), c.conf || {})
     else if (c.op === 'conform') result = sch.conform(decValue(c.doc), c.conf || {})
+    else if (c.op === 'conform2') result = sch.conform(sch.conform(decValue(c.doc), c.conf || {}), c.conf || {})
     else if (c.op === 'create') result = sch.create(c.conf || {}, c.doc !== undefined ? decValue(c.doc) : undefined)
     else if (c.op === 'createProperty') result = sch.createProperty(c.which, c.conf || {}, c.doc !== undefined ? decValue(c.doc) : undefined)
     else throw new Error('bad op ' + c.op)
