@@ -430,6 +430,26 @@ def q_violation_summary(sf_dir: str):
     )
 
 
+def q_event_sessions(sf_dir: str):
+    """Sessionization per user (30-minute inactivity gap)."""
+    from ..stages.window import session_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return session_agg(ds, gap_s=1800)
+
+
+def q_top_duplicated_phashes(sf_dir: str):
+    """Top-10 most duplicated phash values (sort desc + deterministic
+    tie-break + limit — the reporting top-k from SURVEY.md §2)."""
+    from ..stages.uniqueness import duplicate_keys
+
+    ds = read_images(_img_dir(sf_dir), ["phash"])
+    dup = duplicate_keys(ds, "phash")
+    df = dup.to_pandas().rename(columns={"partial": "n", "sum(partial)": "n"})
+    df = df.sort_values(["n", "phash"], ascending=[False, True]).head(10)
+    return df.reset_index(drop=True)
+
+
 def q_events_last_order(sf_dir: str):
     """As-of join: each event's most recent order at-or-before its ts."""
     from ..stages.asof import asof_join_latest
@@ -746,6 +766,24 @@ SELECT CAST(event_id AS VARCHAR), 'value', 'invalid', '>=0',
             ELSE CAST(value AS VARCHAR) END
   FROM events WHERE value IS NOT NULL AND value < 0
 """,
+        "event_sessions": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+    FROM events)
+SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+  FROM o GROUP BY user_id
+""",
+        "top_duplicated_phashes": f"""
+SELECT phash, count(*) AS n
+  FROM {img}
+ GROUP BY phash HAVING count(*) > 1
+ ORDER BY n DESC, phash
+ LIMIT 10
+""",
         "events_last_order": """
 SELECT e.event_id AS row_id, e.user_id AS k,
        CAST(floor(epoch((SELECT max(o.o_orderdate) FROM orders o
@@ -866,6 +904,8 @@ QUERIES = {
     "validate_events": q_validate_events,
     "image_w_drift_ks": q_image_w_drift_ks,
     "events_last_order": q_events_last_order,
+    "event_sessions": q_event_sessions,
+    "top_duplicated_phashes": q_top_duplicated_phashes,
     "fmt_stats_salted": q_fmt_stats_salted,
     "violation_summary": q_violation_summary,
     "dedup_exact_documents": q_dedup_exact_documents,

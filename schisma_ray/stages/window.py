@@ -14,6 +14,48 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def session_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_s: int = 1800,
+):
+    """Sessionization: (key, n_sessions, n_events) with a gap threshold.
+
+    A session breaks when the time since the previous event of the same
+    key exceeds ``gap_s``. One shuffle on the key; each group sorts its
+    own events (pandas) — the per-entity event stream fits a group task
+    (the same partitioning assumption as any per-user sessionizer).
+    """
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "ts_us": pc.cast(t[ts_col], pa.int64()),
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_key(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts_us"].sort_values().to_numpy()
+        new_session = (ts[1:] - ts[:-1]) > gap_us
+        return pd.DataFrame(
+            {
+                key_col: [group[key_col].iloc[0]],
+                "n_sessions": [int(new_session.sum()) + 1],
+                "n_events": [len(ts)],
+            }
+        )
+
+    return narrow.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def tumbling_window_agg(
     ds,
     *,
