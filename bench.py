@@ -89,6 +89,8 @@ def run_bench() -> dict:
         "knn_cosine": lambda: catalog.q_knn_cosine(SF_DIR),
         "text_metrics": lambda: catalog.q_text_metrics(SF_DIR),
         "token_count_by_lang": lambda: catalog.q_token_count_by_lang(SF_DIR),
+        "events_windowed": lambda: catalog.q_events_windowed(SF_DIR),
+        "event_sessions": lambda: catalog.q_event_sessions(SF_DIR),
     }
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
