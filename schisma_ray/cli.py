@@ -53,15 +53,26 @@ def main(argv=None) -> int:
 
     r = sub.add_parser("report")
     r.add_argument("--out", required=True)
+    r.add_argument("--max-violation-rate", type=float, default=None,
+                   help="per-partition PASS/FAIL: violations/row_count threshold")
 
     args = ap.parse_args(argv)
 
     if args.cmd == "report":
         from schisma_ray.state import load_records
 
+        failed = 0
         for rec in load_records(args.out):
+            if args.max_violation_rate is not None:
+                n_vio = sum(rec.get("violation_counts", {}).values())
+                denom = max(1, rec.get("row_count", 0)) or 1
+                rec = dict(rec)
+                rec["verdict"] = (
+                    "PASS" if n_vio / denom <= args.max_violation_rate else "FAIL"
+                )
+                failed += rec["verdict"] == "FAIL"
             print(json.dumps(rec))
-        return 0
+        return 1 if failed else 0
 
     ray = _init_ray(args.num_cpus)
     try:

@@ -430,6 +430,35 @@ def q_violation_summary(sf_dir: str):
     )
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping windows (1h width, 30min slide) per event_type."""
+    from ..stages.window import hopping_window_agg
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return hopping_window_agg(ds, key_col="event_type", width_s=3600, slide_s=1800)
+
+
+def q_documents_ranked(sf_dir: str):
+    """Global sort (Ray sort shuffle) with stable rank assignment."""
+    ds = _t(sf_dir, "documents").map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ordered = ds.sort(["n_chars", "doc_id"])
+    ids, chars = [], []
+    for b in ordered.iter_batches(batch_format="pyarrow", batch_size=8192):
+        ids.extend(b["doc_id"].to_pylist())
+        chars.extend(b["n_chars"].to_pylist())
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(chars, pa.int64()),
+            "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
+        }
+    )
+
+
 def q_event_sessions(sf_dir: str):
     """Sessionization per user (30-minute inactivity gap)."""
     from ..stages.window import session_agg
@@ -766,6 +795,21 @@ SELECT CAST(event_id AS VARCHAR), 'value', 'invalid', '>=0',
             ELSE CAST(value AS VARCHAR) END
   FROM events WHERE value IS NOT NULL AND value < 0
 """,
+        "events_hopping": """
+WITH w AS (
+  SELECT event_type, (CAST(epoch_us(ts) AS BIGINT) // 1800000000) * 1800 AS ws
+    FROM events
+  UNION ALL
+  SELECT event_type, (CAST(epoch_us(ts) AS BIGINT) // 1800000000) * 1800 - 1800
+    FROM events)
+SELECT event_type, ws AS window_start, count(*) AS n
+  FROM w GROUP BY event_type, ws
+""",
+        "documents_ranked": """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars, doc_id) AS rank
+  FROM documents
+""",
         "event_sessions": """
 WITH o AS (
   SELECT user_id, ts,
@@ -905,6 +949,8 @@ QUERIES = {
     "image_w_drift_ks": q_image_w_drift_ks,
     "events_last_order": q_events_last_order,
     "event_sessions": q_event_sessions,
+    "events_hopping": q_events_hopping,
+    "documents_ranked": q_documents_ranked,
     "top_duplicated_phashes": q_top_duplicated_phashes,
     "fmt_stats_salted": q_fmt_stats_salted,
     "violation_summary": q_violation_summary,

@@ -56,6 +56,52 @@ def session_agg(
     return narrow.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def hopping_window_agg(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    width_s: int = 3600,
+    slide_s: int = 1800,
+):
+    """Hopping (sliding) windows: each event lands in width/slide
+    overlapping windows; per-batch the (key, window) partials combine
+    before the small global groupby (same combiner shape as tumbling)."""
+    if width_s % slide_s:
+        raise ValueError("width must be a multiple of slide")
+    k = width_s // slide_s
+    slide_us = slide_s * 1_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ts = pc.cast(batch[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        base = (ts // slide_us) * slide_s  # seconds
+        pieces = []
+        for i in range(k):
+            cols = {"window_start": pa.array(base - i * slide_s, pa.int64())}
+            if key_col:
+                cols[key_col] = batch[key_col]
+            pieces.append(pa.table(cols))
+        t = pa.concat_tables(pieces)
+        group_keys = ([key_col] if key_col else []) + ["window_start"]
+        out = t.group_by(group_keys).aggregate([("window_start", "count")])
+        return out.rename_columns(group_keys + ["n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    group_keys = ([key_col] if key_col else []) + ["window_start"]
+    from ray.data.aggregate import Sum
+
+    total = partials.groupby(group_keys).aggregate(Sum("n", alias_name="n"))
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {kc: t[kc] for kc in group_keys}
+        cols["n"] = t["n"]
+        return pa.table(cols)
+
+    return total.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def tumbling_window_agg(
     ds,
     *,
