@@ -65,7 +65,7 @@ def main(argv=None) -> int:
         for rec in load_records(args.out):
             if args.max_violation_rate is not None:
                 n_vio = sum(rec.get("violation_counts", {}).values())
-                denom = max(1, rec.get("row_count", 0)) or 1
+                denom = max(1, rec.get("input_rows", 0)) or 1
                 rec = dict(rec)
                 rec["verdict"] = (
                     "PASS" if n_vio / denom <= args.max_violation_rate else "FAIL"

@@ -83,6 +83,7 @@ def run_resumable(
             break
         t0 = time.monotonic()
         ds = rd.read_parquet(inputs)
+        input_rows = ds.count()  # parquet metadata count (no data read)
         result = pipeline(ds)
         part_dir = out_dir / pid
         result.write_parquet(str(part_dir))
@@ -114,6 +115,7 @@ def run_resumable(
             "inputs": inputs,
             "schema_version": SCHEMA_VERSION,
             "engine_version": __version__,
+            "input_rows": input_rows,
             "row_count": rows,
             "violation_counts": dict(counts),
             "duration_s": round(time.monotonic() - t0, 3),
