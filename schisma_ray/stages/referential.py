@@ -110,3 +110,110 @@ def _hash64(col: pa.Array) -> pa.Array:
 
     h = pd.util.hash_array(col.to_numpy(zero_copy_only=False)).astype(np.int64)
     return pa.array(np.abs(h))
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over string/int keys (numpy bit array).
+
+    k hash functions derived by salting pandas.util.hash_array. No false
+    negatives: "absent" answers are certain — exactly the property the
+    anti-join prefilter needs (an absent key is *definitely* an orphan).
+    """
+
+    def __init__(self, values, n_bits: int = 1 << 22, k: int = 5):
+        import numpy as np
+        import pandas as pd
+
+        self.n_bits = n_bits
+        self.k = k
+        self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        arr = np.asarray(values, dtype=object)
+        for salt in range(k):
+            h = pd.util.hash_array(arr, hash_key=f"{salt:016d}") % n_bits
+            np.bitwise_or.at(self.bits, h // 8, (1 << (h % 8)).astype(np.uint8))
+
+    def maybe_contains(self, values) -> "np.ndarray":
+        import numpy as np
+        import pandas as pd
+
+        arr = np.asarray(values, dtype=object)
+        out = np.ones(len(arr), dtype=bool)
+        for salt in range(self.k):
+            h = pd.util.hash_array(arr, hash_key=f"{salt:016d}") % self.n_bits
+            out &= (self.bits[h // 8] & (1 << (h % 8)).astype(np.uint8)) != 0
+        return out
+
+
+def referential_violations_bloom(
+    ds,
+    column: str,
+    reference_ids,
+    *,
+    n_bits: int = 1 << 22,
+    num_buckets: int = 64,
+):
+    """Anti-join via Bloom prefilter + exact residual check.
+
+    Phase 1 broadcasts only the Bloom bits (n_bits/8 bytes, vs the full
+    id set): keys the filter rejects are *certain* orphans and are
+    flagged locally with no shuffle. Phase 2 exact-checks the remaining
+    "maybe present" keys (members + false positives) through the
+    bucketed shuffle anti-join — the shuffle now carries only that
+    residual instead of every row. The two violation streams union.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    if hasattr(reference_ids, "to_pandas") and not isinstance(
+        reference_ids, (pa.Table, pa.Array, pa.ChunkedArray)
+    ):
+        reference_ids = pa.Table.from_pandas(reference_ids.to_pandas())
+    if isinstance(reference_ids, pa.Table):
+        ref_arr = reference_ids.column(0).combine_chunks()
+    else:
+        ref_arr = reference_ids
+    bloom = BloomFilter(ref_arr.to_pylist(), n_bits=n_bits)
+    bloom_ref = ray.put(bloom)
+
+    def split(batch: pa.Table) -> pa.Table:
+        bf = ray.get(bloom_ref)
+        col = pc.cast(batch[column].combine_chunks(), pa.string())
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = col.to_pylist()
+        maybe = np.zeros(len(vals), dtype=bool)
+        if valid.any():
+            arr = np.array(["" if v is None else v for v in vals], dtype=object)
+            maybe = bf.maybe_contains(arr) & valid
+        certain_orphan = valid & ~maybe
+        return pa.table(
+            {
+                "key": col,
+                "certain": pa.array(certain_orphan),
+                "maybe": pa.array(maybe),
+            }
+        )
+
+    tagged = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+
+    def certain_violations(t: pa.Table) -> pa.Table:
+        hit = t.filter(t["certain"])
+        if hit.num_rows == 0:
+            return VIOLATION_SCHEMA.empty_table()
+        return _violation_table(hit["key"].combine_chunks(), column)
+
+    certain = tagged.map_batches(
+        certain_violations, batch_format="pyarrow", zero_copy_batch=True
+    )
+    residual = tagged.map_batches(
+        lambda t: pa.table({column: t.filter(t["maybe"])["key"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    exact = referential_violations(
+        residual,
+        column,
+        rd.from_arrow(pa.table({column: ref_arr})),
+        strategy="shuffle",
+        num_buckets=num_buckets,
+    )
+    return certain.union(exact)

@@ -89,3 +89,23 @@ def test_referential_shuffle_matches_broadcast_midsize(ray_session):
     ).to_pandas()
     assert set(b["row_ref"]) == set(s["row_ref"])
     assert len(set(b["row_ref"])) == 2500
+
+
+def test_referential_bloom_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.referential import (
+        referential_violations,
+        referential_violations_bloom,
+    )
+
+    ids = pa.table({"image_id": pa.array([f"k{i}" for i in range(4000)])})
+    ref = pa.table({"image_id": pa.array([f"k{i}" for i in range(0, 4000, 3)])})
+    exact = referential_violations(
+        rd.from_arrow(ids).repartition(4), "image_id", ref, strategy="broadcast"
+    ).to_pandas()
+    bloom = referential_violations_bloom(
+        rd.from_arrow(ids).repartition(4), "image_id", ref, n_bits=1 << 16
+    ).to_pandas()
+    assert set(bloom["row_ref"]) == set(exact["row_ref"])
+    assert len(set(exact["row_ref"])) == 4000 - len(range(0, 4000, 3))
