@@ -168,6 +168,30 @@ def q_image_drift_fmt(sf_dir: str):
     )
 
 
+def q_image_drift_vs_profile(sf_dir: str):
+    """Chi-square drift vs the persisted reference_profile.parquet
+    companion table (the stored-profile drift workflow: a profile is
+    written by a previous run, later runs test against it)."""
+    import pyarrow.parquet as pq
+
+    prof_tbl = pq.read_table(str(_img_dir(sf_dir) / "reference_profile.parquet"))
+    profile = {
+        b: f
+        for c, b, f in zip(
+            prof_tbl["column"].to_pylist(),
+            prof_tbl["bucket"].to_pylist(),
+            prof_tbl["freq"].to_pylist(),
+        )
+        if c == "fmt"
+    }
+    ds = read_images(_img_dir(sf_dir), ["fmt"])
+    counts = ds.aggregate(ValueCounts("fmt", alias_name="vc"))["vc"]
+    d = categorical_drift(counts, profile)
+    return pd.DataFrame(
+        [{"statistic": round(d["statistic"], 6), "dof": d["dof"], "n": d["n"]}]
+    )
+
+
 def q_image_distinct_hll(sf_dir: str):
     ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
     row = ds.aggregate(
@@ -627,6 +651,7 @@ def q_embedding_near_dups(sf_dir: str):
 # ------------------------------------------------------------------ oracle
 def _oracle_sql() -> dict[str, str]:
     img = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'images' / '*.parquet'}')"
+    refprof = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'reference_profile.parquet'}')"
     refids = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'reference_ids.parquet'}')"
     fmt_set = "('png', 'jpeg', 'webp')"
     # SQL-escaped versions of the engine's in_set expected strings
@@ -694,6 +719,15 @@ WITH c AS (SELECT fmt, CAST(count(*) AS DOUBLE) AS cnt FROM {img} GROUP BY fmt),
      e AS (SELECT * FROM (VALUES ('png', 0.70), ('jpeg', 0.25), ('webp', 0.05)) AS p(fmt, freq))
 SELECT ROUND(SUM(POWER(COALESCE(c.cnt, 0) - e.freq * n.total, 2) / (e.freq * n.total)), 6) AS statistic,
        2 AS dof, CAST(n.total AS BIGINT) AS n
+  FROM e CROSS JOIN n LEFT JOIN c ON c.fmt = e.fmt GROUP BY n.total
+""",
+        "image_drift_vs_profile": f"""
+WITH c AS (SELECT fmt, CAST(count(*) AS DOUBLE) AS cnt FROM {img} GROUP BY fmt),
+     n AS (SELECT sum(cnt) AS total FROM c),
+     e AS (SELECT bucket AS fmt, freq FROM {refprof} WHERE "column" = 'fmt')
+SELECT ROUND(SUM(POWER(COALESCE(c.cnt, 0) - e.freq * n.total, 2) / (e.freq * n.total)), 6) AS statistic,
+       CAST((SELECT count(*) FROM e) - 1 AS INTEGER) AS dof,
+       CAST(n.total AS BIGINT) AS n
   FROM e CROSS JOIN n LEFT JOIN c ON c.fmt = e.fmt GROUP BY n.total
 """,
         "image_schema_conform": f"""
@@ -933,6 +967,7 @@ QUERIES = {
     "image_stats": q_image_stats,
     "image_fmt_counts": q_image_fmt_counts,
     "image_drift_fmt": q_image_drift_fmt,
+    "image_drift_vs_profile": q_image_drift_vs_profile,
     "image_distinct_hll": q_image_distinct_hll,
     "image_schema_conform": q_image_schema_conform,
     "image_features": q_image_features,
