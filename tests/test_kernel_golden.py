@@ -27,6 +27,8 @@ def run_kernel(case):
         return sch.validate(doc, conf)
     if op == "conform":
         return sch.conform(doc, conf)
+    if op == "conform2":  # conform idempotence differential
+        return sch.conform(sch.conform(doc, conf), conf)
     if op == "create":
         return sch.create(conf, doc)
     if op == "createProperty":
