@@ -73,7 +73,6 @@ def hopping_window_agg(
     slide_us = slide_s * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        import numpy as np
 
         ts = pc.cast(batch[ts_col].combine_chunks(), pa.int64()).to_numpy()
         base = (ts // slide_us) * slide_s  # seconds
