@@ -1,11 +1,14 @@
-"""Tumbling-window aggregation over an event-time column.
+"""Event-time windowing: tumbling + hopping windows and sessionization.
 
 Ray Data has no event-time windows; a tumbling window IS a grouped
 aggregation on ``(key, floor(ts / width))`` (SURVEY.md §2:
 streaming-shaped workloads), so the implementation is the combiner
 pattern: per-batch Arrow ``group_by`` partials -> small global groupby.
-No ordering assumption: rows may arrive in any order across blocks
-(batch semantics; late data is just another row in its window).
+Hopping windows emit width/slide (key, window) rows per event before
+the same combine; sessions are a per-key sorted gap scan inside
+``map_groups``. No cross-batch ordering assumption anywhere: rows may
+arrive in any order across blocks (late data is just another row in its
+window/session group).
 """
 
 from __future__ import annotations
