@@ -35,7 +35,13 @@ from ..stages.dedup import (
 from ..stages.referential import referential_violations
 from ..stages.similarity import ann_ivf, ann_lsh, cosine_near_dup_pairs, knn_brute_force
 from ..stages.stats import HLL, ValueCounts, categorical_drift, numeric_stats
-from ..stages.text import lang_id, quality_score, text_metrics, token_count_by_lang
+from ..stages.text import (
+    bpe_token_counts,
+    lang_id,
+    quality_score,
+    text_metrics,
+    token_count_by_lang,
+)
 from ..stages.uniqueness import uniqueness_violations
 from ..stages.validate import TableValidator
 from .validate_pipeline import (
@@ -549,6 +555,10 @@ def q_token_count_by_lang(sf_dir: str):
     return token_count_by_lang(_t(sf_dir, "documents"))
 
 
+def q_bpe_token_counts(sf_dir: str):
+    return bpe_token_counts(_t(sf_dir, "documents"))
+
+
 def q_lang_id(sf_dir: str):
     return lang_id(_t(sf_dir, "documents"))
 
@@ -902,6 +912,12 @@ SELECT doc_id, length(text) AS n_chars,
 SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
   FROM documents GROUP BY lang
 """,
+        "bpe_token_counts": """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_tokens
+  FROM documents
+""",
         "quality_scores": """
 WITH m AS (
   SELECT doc_id,
@@ -995,6 +1011,7 @@ QUERIES = {
     "simhash_dedup": q_simhash_dedup,
     "text_metrics": q_text_metrics,
     "token_count_by_lang": q_token_count_by_lang,
+    "bpe_token_counts": q_bpe_token_counts,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "corpus_clean": q_corpus_clean,

@@ -71,6 +71,46 @@ def token_count_by_lang(ds, col: str = "text", lang_col: str = "lang"):
     return total.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+BPE_ISH_PATTERN = r"'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+class BpeTokenCounter:
+    """Actor-pool BPE-style token counter (GPT-2-ish regex pre-tokenizer
+    split: contraction suffixes, words, numbers, punctuation runs). The
+    compiled pattern lives once per actor; counts match DuckDB's RE2
+    ``regexp_extract_all`` on the same pattern (oracle-verified)."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id"):
+        import re
+
+        self.col = col
+        self.id_col = id_col
+        self.pattern = re.compile(BPE_ISH_PATTERN)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        counts = [
+            0 if t is None else len(self.pattern.findall(t))
+            for t in batch[self.col].to_pylist()
+        ]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "n_tokens": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def bpe_token_counts(ds, col: str = "text", id_col: str = "doc_id",
+                     concurrency=(1, 8)):
+    return ds.map_batches(
+        BpeTokenCounter,
+        fn_constructor_args=(col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 class LangId:
     """Actor-pool heuristic language identifier (stopword voting with a
     CJK-codepoint shortcut). Tables are built once per actor."""
