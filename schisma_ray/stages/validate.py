@@ -164,9 +164,14 @@ class TableValidator:
     task closure, not per batch.
     """
 
-    def __init__(self, table_schema: TableSchema, check_label: str = "schema"):
+    def __init__(self, table_schema: TableSchema, check_label: str = "schema",
+                 conf: dict | None = None):
+        # reference validate() conf flags honored at batch level:
+        # ignoreUnexpected / ignoreRequired here; array flags and hooks
+        # pass through to the row-kernel residual path
         self.ts = table_schema
         self.check_label = check_label
+        self.conf = conf or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ts = self.ts
@@ -178,8 +183,10 @@ class TableValidator:
         b = _Builder(refs)
 
         batch_cols = set(batch.schema.names)
+        ignore_unexpected = self.conf.get("ignoreUnexpected", ts.ignore_unexpected)
+        ignore_required = self.conf.get("ignoreRequired", False)
         # unexpected columns (once per batch -> every row)
-        if not ts.ignore_unexpected:
+        if not ignore_unexpected:
             for name in batch.schema.names:
                 if name not in ts.plans:
                     b.all_rows(
@@ -191,12 +198,12 @@ class TableValidator:
         # missing columns
         for name, plan in ts.plans.items():
             if name not in batch_cols:
-                if plan.required:
+                if plan.required and not ignore_required:
                     b.all_rows(name, "missing key", check=self.check_label)
                 continue
             col = batch[name].combine_chunks()
             null_mask = pc.is_null(col).to_numpy(zero_copy_only=False)
-            if plan.required and null_mask.any():
+            if plan.required and not ignore_required and null_mask.any():
                 b.mask(null_mask, name, "missing key", check=self.check_label)
             valid = ~null_mask
             if not valid.any():
@@ -244,7 +251,7 @@ class TableValidator:
         for i, v in enumerate(values):
             if null_mask[i]:
                 continue
-            for err in flatten_rooted(plan.node, _to_js(v), plan.name):
+            for err in flatten_rooted(plan.node, _to_js(v), plan.name, self.conf):
                 if err.code not in PROBLEM_CODES:
                     continue
                 idx.append(i)

@@ -250,3 +250,29 @@ def test_ann_ivf_recall(vectors):
     e3 = set(exact[exact.query_id == 3]["neighbor_id"])
     assert 3 in a3  # self always found (its cell is probed)
     assert len(a3 & e3) >= 3  # decent recall with 2/4 cells probed
+
+
+def test_batch_validator_conf_flags(ray_session):
+    import pyarrow as pa
+
+    from schisma_ray.schema import Number, String
+    from schisma_ray.stages import TableSchema
+    from schisma_ray.stages.validate import TableValidator
+
+    tbl = pa.table(
+        {
+            "id": pa.array(["a", "b"]),
+            "num": pa.array([1.5, None], pa.float64()),
+            "extra": pa.array([1, 2], pa.int64()),
+        }
+    )
+    ts = TableSchema({"id": String, "num": Number}, id_column="id")
+    default = TableValidator(ts)(tbl)
+    assert {(r["path"], r["code"]) for r in default.to_pylist()} == {
+        ("extra", "unexpected key"),
+        ("num", "missing key"),
+    }
+    relaxed = TableValidator(
+        ts, conf={"ignoreUnexpected": True, "ignoreRequired": True}
+    )(tbl)
+    assert relaxed.num_rows == 0
