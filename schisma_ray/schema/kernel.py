@@ -90,12 +90,30 @@ def _normalize_type(o: Any) -> Any:
     return o
 
 
+class JSArray(list):
+    """A list carrying JS-style string properties.
+
+    JS allows ``arr['k'] = v``: the property is visible to Object.keys
+    and property reads but invisible to JSON serialization. The kernel
+    models the rare conform paths that assign object keys onto array
+    documents with this subclass (props ordered after indices, as JS
+    orders integer indices first).
+    """
+
+    def __init__(self, *args):
+        super().__init__(*args)
+        self.props: dict = {}
+
+
 def _keys_of(o: Any) -> list:
     """JS Object.keys for dict-like and array-like documents."""
     if isinstance(o, dict):
         return [k for k in o.keys()]
     if isinstance(o, list):
-        return [str(i) for i in range(len(o))]
+        keys = [str(i) for i in range(len(o))]
+        if isinstance(o, JSArray):
+            keys += [k for k in o.props]
+        return keys
     return []
 
 
@@ -106,6 +124,8 @@ def _get_key(o: Any, key: Any) -> Any:
         try:
             i = int(key)
         except (TypeError, ValueError):
+            if isinstance(o, JSArray):
+                return o.props.get(key, UNDEFINED)
             return UNDEFINED
         return o[i] if 0 <= i < len(o) else UNDEFINED
     return UNDEFINED
@@ -637,7 +657,12 @@ def _set_key(data: Any, key: Any, value: Any) -> Any:
         try:
             i = int(key)
         except (TypeError, ValueError):
-            return data  # JS: string-key property on an array — invisible
+            # JS: string-key property assignment on an array — visible to
+            # Object.keys, invisible to serialization
+            if not isinstance(data, JSArray):
+                data = JSArray(data)
+            data.props[key] = value
+            return data
         while len(data) <= i:
             data.append(HOLE)  # JS sparse assignment leaves holes
         data[i] = value
@@ -653,6 +678,8 @@ def _del_key(data: Any, key: Any) -> None:
         try:
             i = int(key)
         except (TypeError, ValueError):
+            if isinstance(data, JSArray):
+                data.props.pop(key, None)
             return
         if 0 <= i < len(data):
             data[i] = HOLE
