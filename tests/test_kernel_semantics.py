@@ -349,3 +349,21 @@ def test_compat_facade():
     assert sch.create() == {"name": "", "age": 0.0}
     assert sch.createProperty("age") == 0.0
     assert compat.SchismaResult.MISSING_KEY == "missing key"
+
+
+def test_js_array_properties():
+    """Conform onto an array document persists string-key repairs as
+    JS-style properties: visible to subsequent validation, invisible to
+    the list content (JSON semantics)."""
+    sch = schema({"k": Number})
+    out = sch.conform([1.0, 2.0])  # array doc vs object schema
+    # indices dropped (unexpected), 'k' inserted as a property
+    from schisma_ray.schema.kernel import JSArray, _get_key
+    from schisma_ray.schema.jstypes import HOLE
+
+    assert isinstance(out, JSArray)
+    assert _get_key(out, "k") == 0.0
+    assert list(out) == [HOLE, HOLE]  # deleted indices leave holes
+    # second conform sees the property and leaves it intact (idempotent)
+    out2 = sch.conform(out)
+    assert _get_key(out2, "k") == 0.0

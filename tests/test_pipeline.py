@@ -197,3 +197,29 @@ def test_stats_and_drift(ray_session):
     assert flat["p_value"] > 0.9
     skewed = ks_drift([400, 0, 0, 0], [0.25, 0.25, 0.25, 0.25])
     assert skewed["p_value"] < 1e-6
+
+
+def test_codec_malformed_payloads():
+    from schisma_ray.sources import codec
+
+    px = np.zeros((9, 9, 3), dtype=np.uint8)
+    good = codec.encode(px, "jpeg")
+    for bad in (
+        None,
+        b"",
+        b"\x00" * 3,
+        b"XXXX" + good[4:],          # wrong magic
+        good[:12],                    # truncated payload
+        good[:-5],                    # corrupt tail
+    ):
+        with pytest.raises(codec.CodecError):
+            codec.decode(bad)
+    # trailing garbage after a complete stream is tolerated, like real
+    # codecs ignoring bytes after the end-of-image marker
+    out, _ = codec.decode(good + b"extra")
+    assert out.shape == (9, 9, 3)
+    # sniffing never raises
+    assert codec.sniff_format(b"") is None
+    assert codec.sniff_dims(None) is None
+    out, fmt = codec.decode(good)
+    assert fmt == "jpeg" and out.shape == (9, 9, 3)  # non-multiple-of-8 dims
