@@ -614,6 +614,26 @@ def q_corpus_clean(sf_dir: str):
                      "score": pa.array(rows_score, pa.float64())})
 
 
+def q_corpus_rejected(sf_dir: str):
+    """Set difference: documents NOT surviving the cleaning pipeline
+    (all ids EXCEPT corpus_clean survivors — broadcast anti-filter)."""
+    import pyarrow.compute as pc
+    import ray
+
+    kept = q_corpus_clean(sf_dir)
+    kept_ref = ray.put(kept["doc_id"].combine_chunks())
+
+    def filt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        bad = pc.fill_null(pc.is_in(ids, value_set=ray.get(kept_ref)), False)
+        return pa.table({"doc_id": ids}).filter(pc.invert(bad))
+
+    ds = _t(sf_dir, "documents").map_batches(
+        filt, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _collect(ds, ["doc_id"])
+
+
 # -------------------------------------------------------------- similarity
 def _query_vectors(sf_dir: str, nq: int = 5):
     tbl = (
@@ -958,6 +978,29 @@ WITH m AS (
 SELECT doc_id, score FROM s
  WHERE doc_id = keeper AND score >= 0.6 AND lang = 'en'
 """,
+        "corpus_rejected": """
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+         min(doc_id) OVER (PARTITION BY text) AS keeper
+    FROM documents),
+ s AS (
+  SELECT doc_id, lang, keeper,
+         ROUND(
+           0.4 * LEAST(1.0, n_words / 64.0)
+           + 0.3 * (CASE WHEN n_words > 0
+                          AND (n_chars - (n_words - 1)) / n_words >= 3
+                          AND (n_chars - (n_words - 1)) / n_words <= 12
+                         THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END)
+         , 6) AS score
+    FROM m)
+SELECT doc_id FROM documents
+EXCEPT
+SELECT doc_id FROM s WHERE doc_id = keeper AND score >= 0.6 AND lang = 'en'
+""",
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
              FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -1015,6 +1058,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
     "corpus_clean": q_corpus_clean,
+    "corpus_rejected": q_corpus_rejected,
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
