@@ -99,6 +99,8 @@ def js_typeof(v: Any) -> str:
 
 _NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
 _HEX_RE = re.compile(r"^0[xX][0-9a-fA-F]+$")
+_BIN_RE = re.compile(r"^0[bB][01]+$")
+_OCT_RE = re.compile(r"^0[oO][0-7]+$")
 
 
 def js_number(data: Any) -> float:
@@ -121,6 +123,10 @@ def js_number(data: Any) -> float:
             return -math.inf
         if _HEX_RE.match(s):
             return float(int(s, 16))
+        if _BIN_RE.match(s):
+            return float(int(s, 2))
+        if _OCT_RE.match(s):
+            return float(int(s, 8))
         if _NUM_RE.match(s):
             try:
                 return float(s)
@@ -151,7 +157,9 @@ def js_bigint(data: Any) -> int:
         if s == "":
             return 0
         try:
-            return int(s, 0) if _HEX_RE.match(s) else int(s)
+            if _HEX_RE.match(s) or _BIN_RE.match(s) or _OCT_RE.match(s):
+                return int(s, 0)
+            return int(s)
         except ValueError:
             raise JSError(f"Cannot convert {data!r} to a BigInt") from None
     if isinstance(data, list):
@@ -161,16 +169,44 @@ def js_bigint(data: Any) -> int:
 
 
 def format_number(v: float) -> str:
-    """JS number → string formatting (shortest round-trip, integral w/o '.0')."""
+    """JS ``String(number)`` per ECMA-262 Number::toString (radix 10).
+
+    Shortest round-trip digits (Python repr provides them), then the
+    spec's placement rule: fixed notation while the decimal exponent n
+    satisfies -6 < n <= 21, exponential otherwise — with the exponent
+    NOT zero-padded and carrying an explicit sign (``1e-7``, ``1e+21``),
+    unlike Python repr (``1e-07``, ``1e+21``).
+    """
     if math.isnan(v):
         return "NaN"
     if v == math.inf:
         return "Infinity"
     if v == -math.inf:
         return "-Infinity"
-    if v == int(v) and abs(v) < 1e21:
-        return str(int(v))
-    return repr(v)
+    if v == 0:
+        return "0"  # JS String(-0) is '0'
+    sign = "-" if v < 0 else ""
+    s = repr(abs(v))
+    mant, _, exp_s = s.partition("e")
+    exp = int(exp_s) if exp_s else 0
+    int_part, _, frac = mant.partition(".")
+    digits_all = int_part + frac
+    first_sig = len(digits_all) - len(digits_all.lstrip("0"))
+    # value = 0.<digits> * 10^n  (n = decimal-point position)
+    n = len(int_part) - first_sig + exp
+    digits = digits_all[first_sig:].rstrip("0")
+    k = len(digits)
+    if k <= n <= 21:
+        out = digits + "0" * (n - k)
+    elif 0 < n <= 21:
+        out = digits[:n] + "." + digits[n:]
+    elif -6 < n <= 0:
+        out = "0." + "0" * (-n) + digits
+    else:
+        e = n - 1
+        m = digits[0] + ("." + digits[1:] if k > 1 else "")
+        out = f"{m}e{'+' if e >= 0 else '-'}{abs(e)}"
+    return sign + out
 
 
 def js_string(data: Any) -> str:

@@ -160,10 +160,16 @@ def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        text = batch[col].combine_chunks().to_pandas()
-        n_chars = text.str.len().fillna(0)
-        n_words = text.str.split(" ").map(lambda w: len(w) if isinstance(w, list) else 0)
-        n_upper = text.str.count("[A-Z]").fillna(0)
+        # same pyarrow.compute counters as text_metrics — no pandas copy
+        # of the (heaviest) text column
+        text = batch[col].combine_chunks()
+        n_chars = pc.fill_null(pc.cast(pc.utf8_length(text), pa.int64()), 0).to_numpy()
+        n_words = pc.fill_null(
+            pc.cast(pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()), 0
+        ).to_numpy()
+        n_upper = pc.fill_null(
+            pc.cast(pc.count_substring_regex(text, "[A-Z]"), pa.int64()), 0
+        ).to_numpy()
         avg_wl = np.where(n_words > 0, (n_chars - (n_words - 1)) / np.maximum(n_words, 1), 0.0)
         score = (
             0.4 * np.minimum(1.0, n_words / 64.0)

@@ -120,9 +120,11 @@ def tumbling_window_agg(
     width_us = width_s * 1_000_000
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = pc.cast(batch[ts_col].combine_chunks(), pa.int64())  # microseconds
-        window = pc.multiply(pc.divide(ts, width_us), width_s)
-        cols = {"window_start": pc.cast(window, pa.int64())}
+        # floor division (numpy //), matching the hopping path: negative
+        # timestamps land in the window at-or-before them, not after
+        ts = pc.cast(batch[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        window = (ts // width_us) * width_s
+        cols = {"window_start": pa.array(window, pa.int64())}
         if key_col:
             cols[key_col] = batch[key_col]
         group_keys = ([key_col] if key_col else []) + ["window_start"]

@@ -15,6 +15,20 @@ parquet output is fully written, so a killed run never leaves a commit
 without its data; on resume, committed partitions are skipped and the
 rest re-run idempotently (same inputs -> same outputs).
 
+Two further guarantees:
+
+* **no stale partials** — partition output is written to a
+  ``.inprogress`` temp dir and renamed into place; any leftover temp or
+  uncommitted output directory from a crashed attempt is deleted before
+  the re-run, so a crash between ``write_parquet`` and the commit never
+  double-counts rows on resume.
+* **content-addressed identity** — the partition id embeds a hash of
+  its input file list (``part-{idx}-{hash}``), so a commit can never be
+  silently reused for a *different* input group (files added/removed,
+  ``files_per_partition`` changed). A committed index whose input hash
+  no longer matches the recomputed assignment raises instead of
+  skipping or re-running against the wrong lineage record.
+
 The partition unit is a group of input files (parquet fragments) — the
 same unit a multi-node run would assign to workers, so resume behavior
 is identical at 100 TB; only the fragment count grows.
@@ -44,6 +58,16 @@ def partition_inputs(table_dir: str | Path, files_per_partition: int = 4) -> lis
     ]
 
 
+def _inputs_hash(inputs: list[str]) -> str:
+    import hashlib
+
+    return hashlib.blake2b("\n".join(inputs).encode(), digest_size=4).hexdigest()
+
+
+def partition_id(idx: int, inputs: list[str]) -> str:
+    return f"part-{idx:05d}-{_inputs_hash(inputs)}"
+
+
 def _commit_path(out_dir: Path, pid: str) -> Path:
     return out_dir / "_commits" / f"{pid}.json"
 
@@ -70,15 +94,28 @@ def run_resumable(
     committed partitions are skipped). ``max_partitions`` lets tests
     simulate a crash mid-run.
     """
+    import shutil
+
     out_dir = Path(out_dir)
     (out_dir / "_commits").mkdir(parents=True, exist_ok=True)
     done = committed_partitions(out_dir)
     records = []
     ran = 0
     for idx, inputs in enumerate(partition_inputs(table_dir, files_per_partition)):
-        pid = f"part-{idx:05d}"
+        pid = partition_id(idx, inputs)
         if pid in done:
             continue
+        # a commit for this index with a DIFFERENT input hash means the
+        # input assignment changed under the checkpoint (files added or
+        # removed, files_per_partition changed) — refuse rather than
+        # silently pairing old lineage records with new input groups
+        stale = [d for d in done if d.startswith(f"part-{idx:05d}-")]
+        if stale:
+            raise RuntimeError(
+                f"checkpoint mismatch at partition {idx}: committed {stale[0]} "
+                f"does not match current inputs (hash {_inputs_hash(inputs)}); "
+                "the input assignment changed — use a fresh out_dir"
+            )
         if max_partitions is not None and ran >= max_partitions:
             break
         t0 = time.monotonic()
@@ -86,14 +123,22 @@ def run_resumable(
         input_rows = ds.count()  # parquet metadata count (no data read)
         result = pipeline(ds)
         part_dir = out_dir / pid
-        result.write_parquet(str(part_dir))
+        # crash hygiene: write to a temp dir and rename into place; clear
+        # any leftovers of a previous uncommitted attempt first so a
+        # resumed run never appends to (or reads metrics from) stale
+        # partial output
+        tmp_dir = out_dir / f"{pid}.inprogress"
+        for leftover in (tmp_dir, part_dir):
+            if leftover.exists():
+                shutil.rmtree(leftover)
+        result.write_parquet(str(tmp_dir))
         # metrics from the *written* files (column-pruned re-read of just
         # `code`; avoids re-executing the pipeline a second time)
         counts: Counter = Counter()
         rows = 0
         import pyarrow.dataset as pads
 
-        written = pads.dataset(str(part_dir), format="parquet")
+        written = pads.dataset(str(tmp_dir), format="parquet")
         if "code" in written.schema.names:
             for frag_batch in written.to_batches(columns=["code"]):
                 rows += frag_batch.num_rows
@@ -120,6 +165,7 @@ def run_resumable(
             "violation_counts": dict(counts),
             "duration_s": round(time.monotonic() - t0, 3),
         }
+        os.rename(tmp_dir, part_dir)  # output visible only when complete
         tmp = _commit_path(out_dir, pid).with_suffix(".tmp")
         tmp.write_text(json.dumps(record, indent=1))
         os.rename(tmp, _commit_path(out_dir, pid))

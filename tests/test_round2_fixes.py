@@ -1,0 +1,141 @@
+"""Round-2 regression tests: ADVICE.md fixes.
+
+* ECMAScript Number::toString formatting (jstypes.format_number)
+* JS binary/octal numeric-string coercion (js_number / js_bigint)
+* tumbling/hopping window floor-division agreement on negative ts
+* checkpoint crash hygiene (stale partial output) + content-addressed
+  partition identity (changed assignment refuses to resume)
+"""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from schisma_ray.schema.jstypes import JSError, format_number, js_bigint, js_number
+
+
+# Expected strings produced by `node -e "String(v)"` for each value.
+JS_STRING_CASES = [
+    (0.00005, "0.00005"),
+    (1e-7, "1e-7"),
+    (1.5e-7, "1.5e-7"),
+    (1e-6, "0.000001"),
+    (0.000001234, "0.000001234"),
+    (1e21, "1e+21"),
+    (1.5e21, "1.5e+21"),
+    (9.999e20, "999900000000000000000"),
+    (1.2345678901234568e21, "1.2345678901234568e+21"),
+    (1e16, "10000000000000000"),
+    (123.456, "123.456"),
+    (100.0, "100"),
+    (5.0, "5"),
+    (-0.0, "0"),
+    (0.1, "0.1"),
+    (1e-21, "1e-21"),
+    (2.5e-8, "2.5e-8"),
+    (-0.00005, "-0.00005"),
+    (-1e-7, "-1e-7"),
+    (3.141592653589793, "3.141592653589793"),
+    (float("nan"), "NaN"),
+    (float("inf"), "Infinity"),
+    (float("-inf"), "-Infinity"),
+]
+
+
+def test_format_number_matches_js():
+    for v, expected in JS_STRING_CASES:
+        assert format_number(v) == expected, v
+
+
+def test_js_number_binary_octal_literals():
+    assert js_number("0b101") == 5.0
+    assert js_number("0B11") == 3.0
+    assert js_number("0o17") == 15.0
+    assert js_number("0O7") == 7.0
+    assert js_number("0x1f") == 31.0
+    # malformed digit-set stays NaN
+    import math
+
+    assert math.isnan(js_number("0b102"))
+    assert math.isnan(js_number("0o19"))
+
+
+def test_js_bigint_binary_octal_literals():
+    assert js_bigint("0b101") == 5
+    assert js_bigint("0o17") == 15
+    assert js_bigint("0x10") == 16
+    with pytest.raises(JSError):
+        js_bigint("0b102")
+
+
+def test_conform_string_small_magnitude(ray_session):
+    """End-to-end: conform({'s': 0.00005}) stringifies like the reference."""
+    from schisma_ray.schema import SchemaNode, String
+
+    sch = SchemaNode({"s": String})
+    assert sch.conform({"s": 0.00005}) == {"s": "0.00005"}
+    assert sch.conform({"s": 1e-7}) == {"s": "1e-7"}
+    assert sch.conform({"s": 1e21}) == {"s": "1e+21"}
+
+
+def test_tumbling_hopping_agree_on_negative_ts(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.window import hopping_window_agg, tumbling_window_agg
+
+    # events 1us before and after the epoch, plus deep negative
+    ts_us = [-1, 0, 1, -3_600_000_000, -3_600_000_001]
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts_us, pa.int64())}))
+    tumble = tumbling_window_agg(ds, width_s=3600).to_pandas()
+    got = dict(zip(tumble["window_start"], tumble["n"]))
+    # floor semantics: -1us is in [-3600, 0), -3600s exactly starts its
+    # own window, -3600s-1us falls one window earlier
+    assert got == {-3600: 2, 0: 2, -7200: 1}
+    # hopping with width == slide degenerates to tumbling — must agree
+    hop = hopping_window_agg(ds, width_s=3600, slide_s=3600).to_pandas()
+    hop_got = dict(zip(hop["window_start"], hop["n"]))
+    assert hop_got == got
+
+
+def test_checkpoint_crash_hygiene_and_identity(ray_session, tmp_path):
+    from schisma_ray.state import checkpoint
+
+    tdir = tmp_path / "tbl"
+    (tdir / "images").mkdir(parents=True)
+    for i in range(3):
+        pq.write_table(
+            pa.table({"code": [f"c{i}"] * 5}),
+            tdir / "images" / f"part-{i:05d}.parquet",
+        )
+
+    def pipe(ds):
+        return ds
+
+    out = tmp_path / "out"
+    first = checkpoint.run_resumable(
+        tdir, out, pipe, files_per_partition=1, max_partitions=1
+    )
+    assert len(first) == 1
+
+    # simulate a crash after write_parquet but before commit on partition
+    # 1: stale output dir + stale .inprogress dir, both with junk rows
+    parts = checkpoint.partition_inputs(tdir, 1)
+    pid1 = checkpoint.partition_id(1, parts[1])
+    junk = pa.table({"code": ["junk"] * 50})
+    (out / pid1).mkdir()
+    pq.write_table(junk, out / pid1 / "stale.parquet")
+    (out / f"{pid1}.inprogress").mkdir()
+    pq.write_table(junk, out / f"{pid1}.inprogress" / "stale.parquet")
+
+    recs = checkpoint.run_resumable(tdir, out, pipe, files_per_partition=1)
+    by_pid = {r["partition_id"]: r for r in recs}
+    # stale files must NOT be double-counted in the committed metrics
+    assert by_pid[pid1]["row_count"] == 5
+    assert by_pid[pid1]["violation_counts"] == {"c1": 5}
+    written = pq.read_table(out / pid1)
+    assert written.num_rows == 5 and "junk" not in written["code"].to_pylist()
+
+    # a different files-per-partition assignment maps committed ids onto
+    # different input groups — must refuse, not silently skip/rerun
+    with pytest.raises(RuntimeError, match="checkpoint mismatch"):
+        checkpoint.run_resumable(tdir, out, pipe, files_per_partition=2)

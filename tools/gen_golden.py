@@ -216,6 +216,14 @@ def hand_cases() -> list[dict]:
     add("quirk-union-tie", sobj(typeof=[C("String"), C("Number")]), "validate", True)
     add("quirk-union-default", sobj(typeof=[C("String"), C("Number")], default=5),
         "validate", obj_doc())
+    # --- JS Number::toString bands (small/large magnitudes; ADVICE.md):
+    # String coercion + violation 'received' stringification must follow
+    # ECMA-262 fixed-vs-exponential placement, not Python repr
+    numfmt_vals = [5e-05, 1e-7, 1.5e-7, 1e-6, 1.234e-6, 1e21, 1.5e21,
+                   9.999e20, 1e16, -5e-05, -1e-7, 2.5e-8, 1e-21]
+    for i, v in enumerate(numfmt_vals):
+        add(f"numfmt-conform-{i}", obj({"s": C("String")}), "conform", obj_doc(s=v))
+        add(f"numfmt-received-{i}", obj({"s": C("String")}), "validate", obj_doc(s=v))
     return cases
 
 
@@ -227,7 +235,10 @@ def obj_doc(**kw):
 PRIM_CLASSES = ["Number", "BigInt", "String", "Boolean", "Null"]
 DOC_POOL = [0, 1.5, -3, "", "32", "abc", "xxxxxxx", True, False, None,
             BIG(0), BIG(7), NUM("NaN"), {"$undef": True}, [], {}, [1, "a"],
-            {"k": 1.0}]
+            {"k": 1.0},
+            # small/large-magnitude floats: exercise the ECMA Number::toString
+            # fixed-vs-exponential bands in String coercion / received fields
+            5e-05, 1e-7, 1.5e21, 1e-6, "0b101", "0o17"]
 
 
 def rand_schema(rng: random.Random, depth: int) -> dict:
