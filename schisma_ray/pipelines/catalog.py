@@ -135,6 +135,28 @@ def q_image_referential_orphans(sf_dir: str):
     )
 
 
+def q_image_referential_orphans_shuffle(sf_dir: str):
+    """Same anti-join through the bucketed-shuffle strategy (the 100-TB
+    path when the reference id set outgrows a broadcast): one all-to-all
+    over (key, side, bucket) and one vectorized Arrow left-anti join per
+    bucket."""
+    ref = rd.read_parquet(_ref_ids(sf_dir))
+    ids = read_images(_img_dir(sf_dir), ["image_id"])
+    return _project_violations(
+        referential_violations(ids, "image_id", ref, strategy="shuffle")
+    )
+
+
+def q_image_referential_orphans_bloom(sf_dir: str):
+    """Bloom-prefilter variant: certain orphans flagged with no shuffle;
+    only the maybe-present residual goes through the bucketed exact join."""
+    from ..stages.referential import referential_violations_bloom
+
+    ref = rd.read_parquet(_ref_ids(sf_dir))
+    ids = read_images(_img_dir(sf_dir), ["image_id"])
+    return _project_violations(referential_violations_bloom(ids, "image_id", ref))
+
+
 def q_image_stats(sf_dir: str):
     ds = read_images(_img_dir(sf_dir), ["w", "h", "phash"])
     stats = numeric_stats(ds, ["w", "h", "phash"], distinct=False,
@@ -567,71 +589,74 @@ def q_quality_scores(sf_dir: str):
     return quality_score(_t(sf_dir, "documents"))
 
 
+def _small_ids(ds, col: str = "doc_id") -> pa.Array:
+    """Fold a SMALL id Dataset (dedup survivors, clean-set ids) into one
+    Arrow array — the broadcast side of an anti/semi filter. No pandas,
+    no Python sets; O(ids) memory, which is the floor for a broadcast."""
+    parts = [
+        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b])).select([col])
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.array([], pa.int64())
+    return pa.concat_tables(parts)[col].combine_chunks()
+
+
 def q_corpus_clean(sf_dir: str):
     """Composite training-data cleaning pipeline: keep English docs with
-    quality >= 0.6 that survive exact dedup (min doc_id per text)."""
+    quality >= 0.6 that survive exact dedup (min doc_id per text).
+
+    One streaming pass over the corpus: the dedup-survivor id set (the
+    small side by construction) is ``ray.put`` ONCE; lang filter,
+    quality score and the kept/threshold intersect all run vectorized
+    inside ``map_batches`` — nothing else touches the driver."""
     import pyarrow.compute as pc
-
-    docs = _t(sf_dir, "documents")
-    kept_ids_ds = exact_dedup_keep_first(docs, key="text", id_col="doc_id")
-    kept = set()
-    for b in kept_ids_ds.iter_batches(batch_format="pyarrow"):
-        kept.update(b["doc_id"].to_pylist())
-    kept_arr = pa.array(sorted(kept), pa.int64())
-    scored = quality_score(_t(sf_dir, "documents"))
-    langs = _t(sf_dir, "documents").map_batches(
-        lambda t: t.select(["doc_id", "lang"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    # join score + lang per doc (both small projections) batch-side:
-    # filter by lang inline; then intersect with kept + threshold
     import ray
 
-    kept_ref = ray.put(kept_arr)
+    from ..stages.text import quality_score_values
+
+    docs = _t(sf_dir, "documents")
+    kept_ref = ray.put(
+        _small_ids(exact_dedup_keep_first(docs, key="text", id_col="doc_id"))
+    )
 
     def filt(t: pa.Table) -> pa.Table:
+        en = pc.fill_null(pc.equal(t["lang"].combine_chunks(), "en"), False)
+        t = t.filter(en)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         ids = t["doc_id"].combine_chunks()
+        score = pa.array(quality_score_values(t["text"].combine_chunks()),
+                         pa.float64())
         ok = pc.and_(
             pc.is_in(ids, value_set=ray.get(kept_ref)),
-            pc.greater_equal(t["score"].combine_chunks(), 0.6),
+            pc.greater_equal(score, 0.6),
         )
-        return t.filter(ok).select(["doc_id", "score"])
+        return pa.table({"doc_id": ids, "score": score}).filter(ok)
 
-    scored_kept = scored.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
-    lang_map = {}
-    for b in langs.iter_batches(batch_format="pyarrow"):
-        for i, l in zip(b["doc_id"].to_pylist(), b["lang"].to_pylist()):
-            lang_map[i] = l
-    rows_id, rows_score = [], []
-    for b in scored_kept.iter_batches(batch_format="pyarrow"):
-        for i, sc in zip(b["doc_id"].to_pylist(), b["score"].to_pylist()):
-            if lang_map.get(i) == "en":
-                rows_id.append(i)
-                rows_score.append(sc)
-    return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
-                     "score": pa.array(rows_score, pa.float64())})
+    return docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_corpus_rejected(sf_dir: str):
     """Set difference: documents NOT surviving the cleaning pipeline
-    (all ids EXCEPT corpus_clean survivors — broadcast anti-filter)."""
+    (all ids EXCEPT corpus_clean survivors). The clean pipeline runs
+    once to produce the (small) survivor id set, which becomes the one
+    broadcast of a vectorized anti-filter pass over the corpus."""
     import pyarrow.compute as pc
     import ray
 
-    kept = q_corpus_clean(sf_dir)
-    kept_ref = ray.put(kept["doc_id"].combine_chunks())
+    kept_ref = ray.put(_small_ids(q_corpus_clean(sf_dir)))
 
     def filt(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].combine_chunks()
         bad = pc.fill_null(pc.is_in(ids, value_set=ray.get(kept_ref)), False)
         return pa.table({"doc_id": ids}).filter(pc.invert(bad))
 
-    ds = _t(sf_dir, "documents").map_batches(
+    return _t(sf_dir, "documents").map_batches(
         filt, batch_format="pyarrow", zero_copy_batch=True
     )
-    return _collect(ds, ["doc_id"])
 
 
 # -------------------------------------------------------------- similarity
@@ -718,6 +743,18 @@ SELECT image_id AS row_ref, 'phash' AS path, 'invalid' AS code, 'unique' AS expe
  WHERE phash IN (SELECT phash FROM im GROUP BY phash HAVING count(*) > 1)
 """,
         "image_referential_orphans": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'image_id' AS path, 'invalid' AS code,
+       'known image_id' AS expected, image_id AS received
+  FROM im WHERE image_id NOT IN (SELECT image_id FROM {refids})
+""",
+        "image_referential_orphans_shuffle": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'image_id' AS path, 'invalid' AS code,
+       'known image_id' AS expected, image_id AS received
+  FROM im WHERE image_id NOT IN (SELECT image_id FROM {refids})
+""",
+        "image_referential_orphans_bloom": f"""
 WITH im AS (SELECT * FROM {img})
 SELECT image_id AS row_ref, 'image_id' AS path, 'invalid' AS code,
        'known image_id' AS expected, image_id AS received
@@ -1023,6 +1060,8 @@ QUERIES = {
     "image_validate_full": q_image_validate_full,
     "image_phash_duplicates": q_image_phash_duplicates,
     "image_referential_orphans": q_image_referential_orphans,
+    "image_referential_orphans_shuffle": q_image_referential_orphans_shuffle,
+    "image_referential_orphans_bloom": q_image_referential_orphans_bloom,
     "image_stats": q_image_stats,
     "image_fmt_counts": q_image_fmt_counts,
     "image_drift_fmt": q_image_drift_fmt,

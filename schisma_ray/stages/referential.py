@@ -76,6 +76,7 @@ def referential_violations(
         def tag(side: str):
             def fn(batch: pa.Table) -> pa.Table:
                 col = pc.cast(batch[column].combine_chunks(), pa.string())
+                col = col.filter(pc.is_valid(col))
                 bucket = pc.bit_wise_and(pc.hash_64(col) if hasattr(pc, "hash_64") else _hash64(col), num_buckets - 1)
                 return pa.table(
                     {"key": col, "side": pa.array([side] * len(col)), "bucket": pc.cast(bucket, pa.int32())}
@@ -90,16 +91,23 @@ def referential_violations(
         ref = reference_ids.map_batches(tag("ref"), batch_format="pyarrow")
 
         def anti(group: pa.Table) -> pa.Table:
-            sides = group["side"]
-            has_ref = pc.any(pc.equal(sides, "ref")).as_py()
-            if has_ref:
-                return VIOLATION_SCHEMA.empty_table()
-            facts = group.filter(pc.equal(sides, "fact"))
+            # one vectorized Arrow left-anti join per BUCKET (not per key):
+            # num_buckets group tasks total, each O(bucket) hash-join work
+            facts = group.filter(pc.equal(group["side"], "fact")).select(["key"])
             if facts.num_rows == 0:
                 return VIOLATION_SCHEMA.empty_table()
-            return _violation_table(facts["key"].combine_chunks(), column)
+            refs = (
+                group.filter(pc.equal(group["side"], "ref"))
+                .select(["key"])
+                .group_by("key")
+                .aggregate([])  # distinct — keeps the join build side minimal
+            )
+            orphans = facts.join(refs, keys="key", join_type="left anti")
+            if orphans.num_rows == 0:
+                return VIOLATION_SCHEMA.empty_table()
+            return _violation_table(orphans["key"].combine_chunks(), column)
 
-        return fact.union(ref).groupby("key").map_groups(anti, batch_format="pyarrow")
+        return fact.union(ref).groupby("bucket").map_groups(anti, batch_format="pyarrow")
 
     raise ValueError(f"unknown strategy {strategy!r}")
 

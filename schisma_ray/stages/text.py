@@ -151,35 +151,41 @@ def lang_id(ds, col: str = "text", id_col: str = "doc_id", concurrency=(1, 8)):
     )
 
 
-def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
-    """(id, score in [0,1]) — length/word-shape quality heuristic.
+def quality_score_values(text) -> "np.ndarray":
+    """Vectorized quality scores for one Arrow string array.
 
     score = 0.4 * min(1, n_words/64) + 0.3 * [3 <= avg_word_len <= 12]
-          + 0.3 * (1 - upper_ratio), rounded to 6 dp. Every term is
-    SQL-expressible so the oracle reproduces it bit-for-bit on float64.
+          + 0.3 * (1 - upper_ratio), rounded to 6 dp. Pure
+    pyarrow.compute + numpy (no pandas copy of the text column); every
+    term is SQL-expressible so the DuckDB oracle reproduces it
+    bit-for-bit on float64. Shared by the quality_score stage and the
+    corpus-clean composite pipeline.
     """
+    n_chars = pc.fill_null(pc.cast(pc.utf8_length(text), pa.int64()), 0).to_numpy()
+    n_words = pc.fill_null(
+        pc.cast(pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()), 0
+    ).to_numpy()
+    n_upper = pc.fill_null(
+        pc.cast(pc.count_substring_regex(text, "[A-Z]"), pa.int64()), 0
+    ).to_numpy()
+    avg_wl = np.where(n_words > 0, (n_chars - (n_words - 1)) / np.maximum(n_words, 1), 0.0)
+    score = (
+        0.4 * np.minimum(1.0, n_words / 64.0)
+        + 0.3 * ((avg_wl >= 3) & (avg_wl <= 12)).astype(np.float64)
+        + 0.3 * (1.0 - np.where(n_chars > 0, n_upper / n_chars, 0.0))
+    )
+    return np.round(score, 6)
+
+
+def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
+    """(id, score in [0,1]) — length/word-shape quality heuristic."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        # same pyarrow.compute counters as text_metrics — no pandas copy
-        # of the (heaviest) text column
-        text = batch[col].combine_chunks()
-        n_chars = pc.fill_null(pc.cast(pc.utf8_length(text), pa.int64()), 0).to_numpy()
-        n_words = pc.fill_null(
-            pc.cast(pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()), 0
-        ).to_numpy()
-        n_upper = pc.fill_null(
-            pc.cast(pc.count_substring_regex(text, "[A-Z]"), pa.int64()), 0
-        ).to_numpy()
-        avg_wl = np.where(n_words > 0, (n_chars - (n_words - 1)) / np.maximum(n_words, 1), 0.0)
-        score = (
-            0.4 * np.minimum(1.0, n_words / 64.0)
-            + 0.3 * ((avg_wl >= 3) & (avg_wl <= 12)).astype(np.float64)
-            + 0.3 * (1.0 - np.where(n_chars > 0, n_upper / n_chars, 0.0))
-        )
+        score = quality_score_values(batch[col].combine_chunks())
         return pa.table(
             {
                 id_col: batch[id_col],
-                "score": pa.array(np.round(score, 6), pa.float64()),
+                "score": pa.array(score, pa.float64()),
             }
         )
 
