@@ -491,24 +491,17 @@ def q_events_hopping(sf_dir: str):
 
 
 def q_documents_ranked(sf_dir: str):
-    """Global sort (Ray sort shuffle) with stable rank assignment."""
+    """Global sort (Ray sort shuffle) + distributed rank: per-block row
+    counts prefix-summed on the driver (ints only), ordinals assigned
+    inside one remote task per block — rows never reach the driver."""
+    from ..stages.rank import ranked
+
     ds = _t(sf_dir, "documents").map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"], "n_chars": t["n_chars"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    ordered = ds.sort(["n_chars", "doc_id"])
-    ids, chars = [], []
-    for b in ordered.iter_batches(batch_format="pyarrow", batch_size=8192):
-        ids.extend(b["doc_id"].to_pylist())
-        chars.extend(b["n_chars"].to_pylist())
-    return pa.table(
-        {
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_chars": pa.array(chars, pa.int64()),
-            "rank": pa.array(range(1, len(ids) + 1), pa.int64()),
-        }
-    )
+    return ranked(ds, ["n_chars", "doc_id"], index_col="rank")
 
 
 def q_event_sessions(sf_dir: str):
@@ -526,9 +519,11 @@ def q_top_duplicated_phashes(sf_dir: str):
 
     ds = read_images(_img_dir(sf_dir), ["phash"])
     dup = duplicate_keys(ds, "phash")
-    df = dup.to_pandas().rename(columns={"partial": "n", "sum(partial)": "n"})
-    df = df.sort_values(["n", "phash"], ascending=[False, True]).head(10)
-    return df.reset_index(drop=True)
+    # dup is bounded by the duplicated-key count (small by construction);
+    # Arrow sort + slice on it, no pandas round-trip
+    n_col = "partial" if "partial" in dup.column_names else "sum(partial)"
+    dup = pa.table({"phash": dup["phash"], "n": dup[n_col]})
+    return dup.sort_by([("n", "descending"), ("phash", "ascending")]).slice(0, 10)
 
 
 def q_events_last_order(sf_dir: str):

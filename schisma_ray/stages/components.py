@@ -8,14 +8,27 @@ keeper). Two paths:
   verified pair set is orders of magnitude smaller than the corpus by
   construction, so a path-compressed union-find on the driver is the
   right tool.
-* **min-label propagation** for giant edge sets: iterate
-  label[v] = min(label of v's neighborhood) via groupby rounds until a
-  fixed point — each round is one shuffle over (node, label) pairs;
-  converges in O(diameter) rounds (duplicate clusters are shallow).
+* **distributed min-label propagation with pointer doubling**
+  (``components_distributed``) for giant edge sets: labels start as the
+  node id; each round co-locates every node's label row with its
+  incident edges by HASH BUCKET (one grouped shuffle), sends
+  ``min(label)`` to each neighbor, and folds messages with a second
+  bucketed shuffle. The current label pointers (v -> label[v]) are fed
+  back in as extra edges each round — they connect nodes already in the
+  same component, so components are preserved, and reachability roughly
+  squares per round (hash-to-min-style pointer doubling), giving
+  O(log V) rounds even for path graphs instead of O(diameter). All
+  per-bucket work is vectorized pandas/numpy — one Python call per
+  bucket, never per node. Each round is two shuffles over O(V + E)
+  narrow int64 rows.
+
+Node ids must be non-negative int64 (doc ids); -1 is used as the
+"no value" sentinel inside the message schema.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -42,16 +55,180 @@ def _union_find(edges: list[tuple]) -> dict:
     return {x: find(x) for x in nodes}
 
 
+def _mix_bucket(node: np.ndarray, num_buckets: int) -> np.ndarray:
+    """Deterministic splitmix-style hash -> bucket (skew-resistant even
+    for sequential ids)."""
+    x = node.astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return (x % np.uint64(num_buckets)).astype(np.int32)
+
+
+def components_distributed(pairs, *, num_buckets: int = 64,
+                           max_rounds: int = 64):
+    """(node, component) Dataset via bucketed min-label propagation.
+
+    ``pairs``: pa.Table or Dataset of (a, b) int64 edges. Component id =
+    the minimum node id in the component. The iteration state (the
+    labels Dataset, V narrow rows) is materialized once per round so the
+    lineage stays O(1) deep; edge rows live in the object store and are
+    re-scanned, never driver-resident.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    pairs_ds = rd.from_arrow(pairs) if isinstance(pairs, pa.Table) else pairs
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, b])
+        other = np.concatenate([b, a])
+        return pa.table(
+            {
+                "bucket": pa.array(_mix_bucket(node, num_buckets), pa.int32()),
+                "node": pa.array(node, pa.int64()),
+                "other": pa.array(other, pa.int64()),
+                "label": pa.array(np.full(len(node), -1, np.int64), pa.int64()),
+                "flag": pa.array(np.zeros(len(node), np.int8), pa.int8()),
+            }
+        )
+
+    # undirected edge rows (2E), bucketed by source node; materialized
+    # once and re-scanned every round
+    und = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    if und.count() == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "component": pa.array([], pa.int64())}))
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        # per-batch distinct; cross-batch duplicates are fine (phase 1
+        # folds multiple label rows per node with min)
+        node = np.unique(t["node"].combine_chunks().to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                "bucket": pa.array(_mix_bucket(node, num_buckets), pa.int32()),
+                "node": pa.array(node, pa.int64()),
+                "other": pa.array(np.full(len(node), -1, np.int64), pa.int64()),
+                "label": pa.array(node, pa.int64()),
+                "flag": pa.array(np.ones(len(node), np.int8), pa.int8()),
+            }
+        )
+
+    labels = und.map_batches(init_labels, batch_format="pyarrow").materialize()
+
+    def send_min(group: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: label rows (flag=1) + edge rows (flag=0) for every
+        node hashing here. Emits (target, label) messages: each node's
+        current min label to all neighbors, plus to itself (flagged, so
+        the fold can detect change)."""
+        lab = group[group["flag"] == 1]
+        cur = lab.groupby("node")["label"].min()
+        edges = group[group["flag"] == 0]
+        tgt = np.concatenate([edges["other"].to_numpy(), cur.index.to_numpy()])
+        msg = np.concatenate(
+            [cur.reindex(edges["node"]).to_numpy(), cur.to_numpy()]
+        )
+        flag = np.concatenate(
+            [np.zeros(len(edges), np.int8), np.ones(len(cur), np.int8)]
+        )
+        return pd.DataFrame(
+            {
+                "bucket": _mix_bucket(tgt.astype(np.int64), num_buckets),
+                "node": tgt.astype(np.int64),
+                "label": msg.astype(np.int64),
+                "flag": flag,
+            }
+        )
+
+    def fold_min(group: pd.DataFrame) -> pd.DataFrame:
+        """One bucket of messages: new label = min over messages per
+        node; changed iff it beats the node's own previous label."""
+        g = group.groupby("node")
+        new = g["label"].min()
+        old = group[group["flag"] == 1].groupby("node")["label"].min()
+        old = old.reindex(new.index).fillna(np.iinfo(np.int64).max)
+        node = new.index.to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": _mix_bucket(node, num_buckets),
+                "node": node,
+                "other": np.full(len(node), -1, np.int64),
+                "label": new.to_numpy().astype(np.int64),
+                "flag": np.ones(len(node), np.int8),
+                "changed": (new.to_numpy() < old.to_numpy()).astype(np.int8),
+            }
+        )
+
+    def pointer_edges(t: pa.Table) -> pa.Table:
+        """Label pointers v -> label[v] as extra (bidirectional) edges:
+        safe (both endpoints share a component) and they double the
+        propagation reach each round."""
+        node = t["node"].combine_chunks().to_numpy(zero_copy_only=False)
+        lbl = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = node != lbl
+        node, lbl = node[keep], lbl[keep]
+        src = np.concatenate([node, lbl]).astype(np.int64)
+        dst = np.concatenate([lbl, node]).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(_mix_bucket(src, num_buckets), pa.int32()),
+                "node": pa.array(src, pa.int64()),
+                "other": pa.array(dst, pa.int64()),
+                "label": pa.array(np.full(len(src), -1, np.int64), pa.int64()),
+                "flag": pa.array(np.zeros(len(src), np.int8), pa.int8()),
+            }
+        )
+
+    # Ray's sort-shuffle emits as many blocks as it receives, and union
+    # concatenates block lists — without a bound the labels block count
+    # would double every round (exponential per-block overhead, measured).
+    # Repartitioning the (V-row, narrow) labels state each round keeps
+    # every round's plan the same size.
+    label_blocks = max(1, min(num_buckets, und.num_blocks()))
+    converged = False
+    for _ in range(max_rounds):
+        ptr = labels.map_batches(pointer_edges, batch_format="pyarrow")
+        merged = labels.union(und).union(ptr)
+        msgs = merged.groupby("bucket").map_groups(send_min, batch_format="pandas")
+        folded = (
+            msgs.groupby("bucket")
+            .map_groups(fold_min, batch_format="pandas")
+            .repartition(label_blocks)
+            .materialize()
+        )
+        n_changed = folded.sum("changed")
+        labels = folded.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"components_distributed did not converge in {max_rounds} rounds"
+        )
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def components_from_pairs(pairs: pa.Table, *, driver_limit: int = 10_000_000) -> pa.Table:
     """(node, component) for every node appearing in ``pairs``.
 
-    Component id = the minimum node id in the component (the keeper)."""
+    Component id = the minimum node id in the component (the keeper).
+    Above ``driver_limit`` edges the computation runs distributed
+    (``components_distributed``) and only the resulting label table —
+    O(nodes-in-pairs), small by construction for dedup graphs — is
+    collected."""
     n_edges = pairs.num_rows
     if n_edges == 0:
         return pa.table({"node": pa.array([], pa.int64()),
                          "component": pa.array([], pa.int64())})
-    edges = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
     if n_edges <= driver_limit:
+        edges = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
         labels = _union_find(edges)
         nodes = sorted(labels)
         return pa.table(
@@ -60,36 +237,18 @@ def components_from_pairs(pairs: pa.Table, *, driver_limit: int = 10_000_000) ->
                 "component": pa.array([labels[n] for n in nodes]),
             }
         )
-    # min-label propagation (scale path): resolve via repeated groupby
-    import pandas as pd
-
-    label = {}
-    for a, b in edges:
-        label.setdefault(a, a)
-        label.setdefault(b, b)
-    adj = pd.DataFrame(edges, columns=["a", "b"])
-    changed = True
-    while changed:
-        changed = False
-        fwd = adj.assign(lbl=adj["b"].map(label)).groupby("a")["lbl"].min()
-        bwd = adj.assign(lbl=adj["a"].map(label)).groupby("b")["lbl"].min()
-        for node, lbl in pd.concat([fwd, bwd]).groupby(level=0).min().items():
-            if lbl < label[node]:
-                label[node] = lbl
-                changed = True
-    # path-compress labels to component roots
-    def root(x):
-        while label[x] != x:
-            x = label[x]
-        return x
-
-    nodes = sorted(label)
-    return pa.table(
-        {"node": pa.array(nodes), "component": pa.array([root(n) for n in nodes])}
-    )
+    out = components_distributed(pairs)
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    tbl = pa.concat_tables(parts)
+    return tbl.sort_by("node")
 
 
-def near_dedup_survivors(ds, pairs: pa.Table, id_col: str):
+def near_dedup_survivors(ds, pairs: pa.Table, id_col: str,
+                         *, driver_limit: int = 10_000_000):
     """Dataset of surviving ids: every id minus non-keeper dup-group members.
 
     The non-survivor set (group members that are not the minimum id) is
@@ -99,12 +258,10 @@ def near_dedup_survivors(ds, pairs: pa.Table, id_col: str):
     import pyarrow.compute as pc
     import ray
 
-    comp = components_from_pairs(pairs)
-    drop = [
-        n for n, c in zip(comp["node"].to_pylist(), comp["component"].to_pylist())
-        if n != c
-    ]
-    drop_ref = ray.put(pa.array(sorted(drop)))
+    comp = components_from_pairs(pairs, driver_limit=driver_limit)
+    keep_mask = pc.equal(comp["node"], comp["component"])
+    drop_tbl = comp.filter(pc.invert(keep_mask))
+    drop_ref = ray.put(drop_tbl["node"].combine_chunks())
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()

@@ -139,3 +139,34 @@ def test_checkpoint_crash_hygiene_and_identity(ray_session, tmp_path):
     # different input groups — must refuse, not silently skip/rerun
     with pytest.raises(RuntimeError, match="checkpoint mismatch"):
         checkpoint.run_resumable(tdir, out, pipe, files_per_partition=2)
+
+
+def test_components_distributed_pointer_doubling(ray_session):
+    """A path graph (worst-case diameter) must converge in O(log V)
+    rounds via the pointer-doubling edges, matching union-find."""
+    from schisma_ray.stages.components import components_from_pairs
+
+    chain = pa.table(
+        {
+            "a": pa.array(list(range(199)), pa.int64()),
+            "b": pa.array(list(range(1, 200)), pa.int64()),
+        }
+    )
+    out = components_from_pairs(chain, driver_limit=0)  # force distributed
+    assert out.num_rows == 200
+    assert set(out["component"].to_pylist()) == {0}
+
+
+def test_components_distributed_matches_union_find(ray_session):
+    import numpy as np
+
+    from schisma_ray.stages.components import components_from_pairs
+
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 500, 400).astype("int64")
+    b = rng.integers(0, 500, 400).astype("int64")
+    keep = a != b
+    pairs = pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+    truth = components_from_pairs(pairs)
+    dist = components_from_pairs(pairs, driver_limit=0)
+    assert truth.sort_by("node").equals(dist.sort_by("node"))
