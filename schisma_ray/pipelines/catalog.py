@@ -698,9 +698,28 @@ def q_embedding_near_dups(sf_dir: str):
     return cosine_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.9)
 
 
+def q_embedding_near_dups_seeded(sf_dir: str):
+    """Falsifiable near-dup detection: the seeded fixture plants 16
+    perturbed copies (cos >= 0.999) into the base embeddings; the
+    multi-table LSH pipeline must recover exactly the pairs the
+    exhaustive SQL cross-join finds."""
+    from ..sources.embedding_fixture import seeded_near_dup_embeddings
+
+    path = seeded_near_dup_embeddings(sf_dir)
+    return cosine_near_dup_pairs(rd.read_parquet(str(path)), threshold=0.9)
+
+
 # ------------------------------------------------------------------ oracle
 def _oracle_sql() -> dict[str, str]:
+    from ..sources.embedding_fixture import seeded_near_dup_embeddings
+
     img = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'images' / '*.parquet'}')"
+    emb_seeded = f"read_parquet('{seeded_near_dup_embeddings(ORACLE_SF_DIR)}')"
+    # seeded-expectation table: the generator's independent bookkeeping of
+    # every violation the pipeline must produce (sources/image_table.py
+    # writes it alongside the corrupted rows) — the oracle for the checks
+    # SQL can't recompute (decode needs the codec)
+    expviol = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'expected_violations.parquet'}')"
     refprof = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'reference_profile.parquet'}')"
     refids = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'reference_ids.parquet'}')"
     fmt_set = "('png', 'jpeg', 'webp')"
@@ -730,6 +749,13 @@ SELECT image_id, 'h', 'invalid', 'in [1, 65535]', CAST(h AS VARCHAR)
 UNION ALL
 SELECT image_id, 'fmt', 'invalid', '{in_set_fmt}', fmt
   FROM im WHERE fmt IS NOT NULL AND fmt NOT IN {fmt_set}
+""",
+        "image_decode_violations": f"""
+SELECT row_ref, path, code, expected, received
+  FROM {expviol} WHERE "check" = 'decode'
+""",
+        "image_validate_full": f"""
+SELECT row_ref, path, code, expected, received FROM {expviol}
 """,
         "image_phash_duplicates": f"""
 WITH im AS (SELECT * FROM {img})
@@ -1033,6 +1059,13 @@ SELECT doc_id FROM documents
 EXCEPT
 SELECT doc_id FROM s WHERE doc_id = keeper AND score >= 0.6 AND lang = 'en'
 """,
+        "embedding_near_dups_seeded": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
+     p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                  list_cosine_similarity(x.v, y.v) AS sim
+             FROM e x JOIN e y ON x.vec_id < y.vec_id)
+SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
+""",
         "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
              FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -1098,6 +1131,7 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "minhash_dedup_groups": q_minhash_dedup_groups,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_near_dups_seeded": q_embedding_near_dups_seeded,
 }
 
 

@@ -8,10 +8,13 @@ dimensions, and a zlib-compressed pixel payload. ``jpeg``/``webp`` are
 conform-fidelity bar from BASELINE.md), ``png`` is lossless.
 
 The Ray-side plumbing (schemas, batch sizes, actor signatures, output
-layout) is identical to what a real codec would need: swap
-``encode``/``decode`` for PIL calls and nothing else changes. If PIL is
-importable (not in this container), ``HAVE_PIL`` flips and callers may
-opt into it.
+layout) is identical to what a real codec would need: the public
+``encode``/``decode``/``sniff_*`` functions dispatch on a backend
+selected with ``set_backend("builtin" | "pil")``. The ``pil`` backend
+implements the same contract over Pillow (real PNG/JPEG/WEBP); it is
+selectable whenever ``HAVE_PIL`` is true and is covered by a contract
+test that injects a PIL stand-in — so the gate is exercised even in
+containers without Pillow, and rots loudly instead of silently.
 """
 
 from __future__ import annotations
@@ -27,6 +30,30 @@ try:  # pragma: no cover - not present in this container
     HAVE_PIL = True
 except ImportError:
     HAVE_PIL = False
+
+#: active implementation: "builtin" (deterministic stand-in) or "pil"
+_BACKEND = "builtin"
+
+
+def set_backend(name: str) -> str:
+    """Select the codec implementation; returns the previous backend.
+
+    ``pil`` requires an importable ``PIL.Image`` (raises ImportError
+    otherwise). All decode/conform stages call only the public
+    ``encode``/``decode``/``sniff_*`` functions, so flipping the backend
+    swaps the codec under every pipeline with no other change.
+    """
+    global _BACKEND
+    if name == "pil":
+        import PIL.Image  # noqa: F401 — loud failure when Pillow absent
+    elif name != "builtin":
+        raise ValueError(f"unknown codec backend {name!r}")
+    prev, _BACKEND = _BACKEND, name
+    return prev
+
+
+def get_backend() -> str:
+    return _BACKEND
 
 
 class CodecError(ValueError):
@@ -72,6 +99,92 @@ def _from_blocks(blocks: np.ndarray, hb: int, wb: int, h: int, w: int) -> np.nda
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:
     """Encode an (h, w, 3) uint8 array into the given format."""
+    if _BACKEND == "pil":
+        return _pil_encode(pixels, fmt)
+    return _builtin_encode(pixels, fmt)
+
+
+def decode(data: bytes) -> tuple[np.ndarray, str]:
+    """Decode to ((h, w, c) uint8, format). Raises CodecError."""
+    if _BACKEND == "pil":
+        return _pil_decode(data)
+    return _builtin_decode(data)
+
+
+def sniff_format(data: bytes) -> str | None:
+    """Cheap format detection from the magic header (no decompress)."""
+    if _BACKEND == "pil":
+        return _pil_sniff(data)[0]
+    return _builtin_sniff_format(data)
+
+
+def sniff_dims(data: bytes) -> tuple[int, int] | None:
+    """Cheap (w, h) from the header (no decompress); None if unreadable."""
+    if _BACKEND == "pil":
+        return _pil_sniff(data)[1]
+    return _builtin_sniff_dims(data)
+
+
+# ------------------------------------------------------------ pil backend
+_PIL_FMT = {"png": "PNG", "jpeg": "JPEG", "webp": "WEBP"}
+
+
+def _pil_encode(pixels: np.ndarray, fmt: str) -> bytes:
+    import io
+
+    import PIL.Image
+
+    if fmt not in _PIL_FMT:
+        raise CodecError(f"unknown format {fmt!r}")
+    if pixels.dtype != np.uint8 or pixels.ndim != 3:
+        raise CodecError("pixels must be (h, w, c) uint8")
+    buf = io.BytesIO()
+    img = PIL.Image.fromarray(pixels)
+    kwargs = {"quality": 95} if fmt in ("jpeg", "webp") else {}
+    img.save(buf, format=_PIL_FMT[fmt], **kwargs)
+    return buf.getvalue()
+
+
+def _pil_decode(data: bytes) -> tuple[np.ndarray, str]:
+    import io
+
+    import PIL.Image
+
+    if data is None or len(data) == 0:
+        raise CodecError("empty payload")
+    try:
+        img = PIL.Image.open(io.BytesIO(bytes(data)))
+        fmt = (img.format or "").lower()
+        out = np.asarray(img.convert("RGB"))
+    except CodecError:
+        raise
+    except Exception as e:  # Pillow raises assorted types on corruption
+        raise CodecError(f"undecodable payload: {e}") from None
+    if fmt not in _PIL_FMT:
+        raise CodecError(f"unsupported format {fmt!r}")
+    return out, fmt
+
+
+def _pil_sniff(data: bytes) -> tuple[str | None, tuple[int, int] | None]:
+    import io
+
+    import PIL.Image
+
+    if data is None or len(data) == 0:
+        return None, None
+    try:
+        # lazy open: Pillow parses only the header — no pixel decode
+        img = PIL.Image.open(io.BytesIO(bytes(data)))
+        fmt = (img.format or "").lower()
+        if fmt not in _PIL_FMT:
+            return None, None
+        return fmt, (img.size[0], img.size[1])
+    except Exception:
+        return None, None
+
+
+# -------------------------------------------------------- builtin backend
+def _builtin_encode(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt not in _MAGICS:
         raise CodecError(f"unknown format {fmt!r}")
     if pixels.dtype != np.uint8 or pixels.ndim != 3:
@@ -90,8 +203,7 @@ def encode(pixels: np.ndarray, fmt: str) -> bytes:
     return _HEADER.pack(_MAGICS[fmt], w, h, c) + payload
 
 
-def decode(data: bytes) -> tuple[np.ndarray, str]:
-    """Decode to ((h, w, c) uint8, format). Raises CodecError."""
+def _builtin_decode(data: bytes) -> tuple[np.ndarray, str]:
     if data is None or len(data) < _HEADER.size:
         raise CodecError("truncated header")
     magic, w, h, c = _HEADER.unpack_from(bytes(data))
@@ -122,15 +234,13 @@ def decode(data: bytes) -> tuple[np.ndarray, str]:
     return out, fmt
 
 
-def sniff_format(data: bytes) -> str | None:
-    """Cheap format detection from the magic header (no decompress)."""
+def _builtin_sniff_format(data: bytes) -> str | None:
     if data is None or len(data) < 4:
         return None
     return _FMT_BY_MAGIC.get(bytes(data[:4]))
 
 
-def sniff_dims(data: bytes) -> tuple[int, int] | None:
-    """Cheap (w, h) from the header (no decompress); None if unreadable."""
+def _builtin_sniff_dims(data: bytes) -> tuple[int, int] | None:
     if data is None or len(data) < _HEADER.size:
         return None
     magic, w, h, _ = _HEADER.unpack_from(data)

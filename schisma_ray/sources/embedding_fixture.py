@@ -1,0 +1,73 @@
+"""Seeded near-duplicate embedding fixture.
+
+The base ``embeddings.parquet`` testdata has no pairs above ~0.52
+cosine (measured), so an unseeded near-dup query passes vacuously with
+0 rows. This companion table makes the check falsifiable: the base
+vectors plus ``n_planted`` perturbed copies (cosine >= 0.999 to their
+source) under fresh vec_ids. Everything is a pure function of
+(base table, seed); written atomically to the shared cache so the Ray
+pipeline and the DuckDB oracle read the identical file.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .image_table import CACHE_ROOT
+
+
+def seeded_near_dup_embeddings(sf_dir: str, *, n_planted: int = 16,
+                               eps: float = 0.02, seed: int = 99) -> Path:
+    """Generate (or reuse) the seeded table; returns the parquet path."""
+    base_path = Path(sf_dir) / "embeddings.parquet"
+    base = pq.read_table(base_path)
+    out_dir = CACHE_ROOT / f"emb_seeded_n{base.num_rows}_p{n_planted}_s{seed}"
+    out = out_dir / "embeddings_seeded.parquet"
+    if out.exists():
+        return out
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    vec_ids = base["vec_id"].to_pylist()
+    order = np.argsort(vec_ids)[:n_planted]
+    max_id = max(vec_ids)
+    rng = np.random.default_rng([seed, base.num_rows])
+
+    new_ids, new_vecs, new_labels = [], [], []
+    labels = base["label"].to_pylist() if "label" in base.column_names else None
+    for k, idx in enumerate(order):
+        v = np.asarray(base["embedding"][int(idx)].as_py(), dtype=np.float64)
+        noise = rng.standard_normal(len(v))
+        v2 = v + eps * np.linalg.norm(v) * noise / np.linalg.norm(noise)
+        new_ids.append(max_id + 1 + k)
+        new_vecs.append(v2.astype(np.float32).tolist())
+        new_labels.append(labels[int(idx)] if labels is not None else 0)
+
+    planted = pa.table(
+        {
+            "vec_id": pa.array(new_ids, pa.int64()),
+            "embedding": pa.array(new_vecs, pa.list_(pa.float32())),
+            "label": pa.array(new_labels, pa.int32()),
+        }
+    )
+    base_cast = pa.table(
+        {
+            "vec_id": base["vec_id"],
+            "embedding": base["embedding"].combine_chunks().cast(pa.list_(pa.float32())),
+            "label": base["label"] if labels is not None else pa.array([0] * base.num_rows, pa.int32()),
+        }
+    )
+    merged = pa.concat_tables([base_cast, planted])
+    pq.write_table(merged, tmp_dir / "embeddings_seeded.parquet")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
+    return out

@@ -40,11 +40,18 @@ def _placeholder() -> tuple[bytes, int, int, int]:
 class DecodeValidator:
     """Actor: decode + invariant checks -> violations table."""
 
-    def __init__(self, full_decode: bool = True, report_missing_bytes: bool = True):
+    def __init__(self, full_decode: bool = True, report_missing_bytes: bool = True,
+                 backend: str | None = None):
         # full_decode=False uses header sniffing only (no decompression):
         # the cheap path for when only dims/format labels are audited.
         # report_missing_bytes=False when a fused schema stage already
         # owns the bytes null check (avoids duplicate rows).
+        # backend selects the codec implementation ("builtin"/"pil") and
+        # is applied HERE — actor constructors run once per worker
+        # process, which is where module state must be set (a driver-side
+        # set_backend never reaches the pool).
+        if backend is not None:
+            codec.set_backend(backend)
         self.full_decode = full_decode
         self.report_missing_bytes = report_missing_bytes
 
@@ -116,7 +123,9 @@ class DecodeConformer:
     fidelity is exact (PSNR = inf).
     """
 
-    def __init__(self, fix_phash: bool = False):
+    def __init__(self, fix_phash: bool = False, backend: str | None = None):
+        if backend is not None:
+            codec.set_backend(backend)
         self.fix_phash = fix_phash
         self.placeholder = _placeholder()
 

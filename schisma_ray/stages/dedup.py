@@ -229,7 +229,123 @@ def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
         return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})
 
     cand = banded_ds.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
-    return pa.Table.from_pandas(cand.to_pandas(), preserve_index=False)
+    # fold the (bounded: <= max_bucket^2/2 per bucket) pair set as Arrow —
+    # no pandas round-trip of the candidate table
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    return pa.concat_tables(parts)
+
+
+def _verify_pairs_bucketed(ds, cand: pa.Table, col: str, id_col: str,
+                           verify_fn, *, num_buckets: int = 64):
+    """Distributed pair verification: attach both payloads of every
+    candidate pair via two bucketed shuffles over CANDIDATE-sized data,
+    then run ``verify_fn(payload_a, payload_b)`` inside buckets.
+
+    The 100-TB path (SURVEY.md §2 joins/lookups): payloads (texts) are
+    never driver-resident —
+
+    1. each pair (a, b) becomes two slot rows (id, pair_id, slot),
+       hash-bucketed by id;
+    2. the corpus projection (id, payload), pre-filtered to candidate
+       ids with one broadcast ``is_in``, is bucketed the same way; a
+       per-bucket vectorized merge attaches the payload to each slot row;
+    3. slot rows re-bucket by pair_id; each pair's two rows meet in one
+       bucket where ``verify_fn`` runs.
+
+    Returns an Arrow table (a, b, metric) with metric = verify_fn output
+    (unfiltered — the caller applies its threshold).
+    """
+    import ray.data as rd
+
+    n = cand.num_rows
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "metric": pa.array([], pa.float64())})
+    if n == 0:
+        return empty
+    a = cand["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = cand["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pair_id = np.arange(n, dtype=np.int64)
+    ids = np.concatenate([a, b])
+    slot_tbl = pa.table(
+        {
+            "bucket": pa.array((ids % num_buckets).astype(np.int32), pa.int32()),
+            "id": pa.array(ids, pa.int64()),
+            "pair_id": pa.array(np.concatenate([pair_id, pair_id]), pa.int64()),
+            "slot": pa.array(
+                np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                pa.int8(),
+            ),
+            "payload": pa.array([None] * (2 * n), pa.string()),
+        }
+    )
+    need_ref = ray.put(pa.array(np.unique(ids)))
+
+    def project(t: pa.Table) -> pa.Table:
+        idc = pc.cast(t[id_col].combine_chunks(), pa.int64())
+        keep = pc.fill_null(pc.is_in(idc, value_set=ray.get(need_ref)), False)
+        t = pa.table({"id": idc, "payload": pc.cast(t[col].combine_chunks(), pa.string())}).filter(keep)
+        idn = t["id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array((idn % num_buckets).astype(np.int32), pa.int32()),
+                "id": t["id"],
+                "pair_id": pa.array(np.full(len(idn), -1, np.int64), pa.int64()),
+                "slot": pa.array(np.full(len(idn), -1, np.int8), pa.int8()),
+                "payload": t["payload"],
+            }
+        )
+
+    payloads = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def attach(group: pd.DataFrame) -> pd.DataFrame:
+        slots = group[group["slot"] >= 0][["id", "pair_id", "slot"]]
+        texts = group[group["slot"] < 0][["id", "payload"]].drop_duplicates("id")
+        m = slots.merge(texts, on="id", how="left")
+        return pd.DataFrame(
+            {
+                "bucket": (m["pair_id"].to_numpy() % num_buckets).astype(np.int32),
+                "pair_id": m["pair_id"].to_numpy(),
+                "slot": m["slot"].to_numpy(),
+                "id": m["id"].to_numpy(),
+                "payload": m["payload"],
+            }
+        )
+
+    attached = rd.from_arrow(slot_tbl).union(payloads).groupby("bucket").map_groups(
+        attach, batch_format="pandas"
+    )
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["pair_id", "slot"]).reset_index(drop=True)
+        g0 = g.iloc[0::2]
+        g1 = g.iloc[1::2]
+        metric = [
+            verify_fn("" if pd.isna(ta) else ta, "" if pd.isna(tb) else tb)
+            for ta, tb in zip(g0["payload"], g1["payload"])
+        ]
+        return pd.DataFrame(
+            {
+                "a": g0["id"].to_numpy(np.int64),
+                "b": g1["id"].to_numpy(np.int64),
+                "metric": np.asarray(metric, np.float64),
+            }
+        )
+
+    out = attached.groupby("bucket").map_groups(verify, batch_format="pandas")
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    return pa.concat_tables(parts) if parts else empty
 
 
 def jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
@@ -244,24 +360,45 @@ def jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
 
 def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
                         num_perm: int = 64, bands: int = 16, shingle: int = 3,
-                        seed: int = 1234) -> pa.Table:
+                        seed: int = 1234,
+                        verify_driver_limit: int = 100_000) -> pa.Table:
     """Verified near-duplicate pairs (a, b, jaccard >= threshold).
 
-    Candidates come from LSH; verification joins the candidate ids back
-    to their texts via a broadcast lookup (candidate set << corpus).
-    Returns a driver-side table (the verified pair set is small by
-    construction; at extreme scales feed candidates through a bucketed
-    join instead).
+    Candidates come from LSH banding. Verification has two shapes:
+
+    * up to ``verify_driver_limit`` candidate pairs (the common case —
+      the pair set is small by construction): the candidate texts are
+      fetched with one broadcast-filtered scan and verified locally;
+    * beyond it, ``_verify_pairs_bucketed`` joins texts to pairs with
+      two candidate-sized bucketed shuffles — texts never accumulate on
+      the driver (the 100-TB path; force with verify_driver_limit=0).
     """
     cand_tbl = minhash_candidate_pairs(
         ds, col, id_col, num_perm=num_perm, bands=bands, shingle=shingle, seed=seed
     )
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
     if cand_tbl.num_rows == 0:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+        return empty
     # distinct pairs
     cand_tbl = cand_tbl.group_by(["a", "b"]).aggregate([])
+
+    if cand_tbl.num_rows > verify_driver_limit:
+        verified = _verify_pairs_bucketed(
+            ds, cand_tbl, col, id_col,
+            lambda ta, tb: jaccard(ta, tb, shingle),
+        )
+        keep = pc.greater_equal(verified["metric"], threshold)
+        hit = verified.filter(keep)
+        return pa.table(
+            {
+                "a": hit["a"],
+                "b": hit["b"],
+                "jaccard": pc.round(hit["metric"], ndigits=6),
+            }
+        ).sort_by([("a", "ascending"), ("b", "ascending")])
+
     need = set(cand_tbl["a"].to_pylist()) | set(cand_tbl["b"].to_pylist())
     need_arr = pa.array(sorted(need))
     texts_ds = ds.map_batches(
@@ -308,8 +445,18 @@ def simhash_signatures(ds, col: str, id_col: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3) -> pa.Table:
-    """Near-dup pairs by SimHash banding (4 x 16-bit) + Hamming verify."""
+def _hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
+                      verify_driver_limit: int = 100_000) -> pa.Table:
+    """Near-dup pairs by SimHash banding (4 x 16-bit) + Hamming verify.
+
+    Verification mirrors minhash: a driver lookup of the (small) int64
+    signature map below ``verify_driver_limit`` candidates, the bucketed
+    pair-join (`_verify_pairs_bucketed` over stringified signatures)
+    beyond it."""
     sigs = simhash_signatures(ds, col, id_col)
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -337,6 +484,25 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3) -> pa.
     if cand.num_rows == 0:
         return empty
     cand = cand.group_by(["a", "b"]).aggregate([])
+
+    if cand.num_rows > verify_driver_limit:
+        verified = _verify_pairs_bucketed(
+            sigs, cand, "simhash", id_col,
+            lambda sa, sb: float(_hamming64(int(sa or 0), int(sb or 0))),
+        )
+        hit = verified.filter(
+            pc.less_equal(verified["metric"], float(max_hamming))
+        )
+        if hit.num_rows == 0:
+            return empty
+        return pa.table(
+            {
+                "a": hit["a"],
+                "b": hit["b"],
+                "hamming": pc.cast(hit["metric"], pa.int32()),
+            }
+        ).sort_by([("a", "ascending"), ("b", "ascending")])
+
     # Hamming verification: look up the simhash of candidate ids only
     need = set(cand["a"].to_pylist()) | set(cand["b"].to_pylist())
     need_arr = pa.array(sorted(need))

@@ -224,30 +224,58 @@ def ann_ivf(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
 
 def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
                           threshold: float = 0.95, n_bits: int = 10,
-                          seed: int = 7) -> pa.Table:
-    """Pairs (a, b, sim >= threshold) via LSH bucketing + in-bucket verify."""
+                          n_tables: int = 4, seed: int = 7,
+                          max_bucket: int = 1000) -> pa.Table:
+    """Pairs (a, b, sim >= threshold) via MULTI-TABLE LSH bucketing +
+    in-bucket verify.
+
+    OR-amplification: ``n_tables`` independent hyperplane sets; a pair
+    split by one table's bucket boundary is caught by another, so the
+    miss probability for a true near-dup pair drops exponentially in
+    ``n_tables`` (for sim ~0.999 and 10 bits, ~4.5% per table -> ~4e-6
+    at 4 tables). Buckets over ``max_bucket`` members are truncated on
+    sorted ids (skew guard — a degenerate bucket of near-identical
+    vectors would otherwise go O(bucket^2) in one group task).
+    Verification computes dot/(|a||b|) — the same arithmetic shape as
+    SQL ``list_cosine_similarity`` so the seeded-fixture oracle agrees
+    to float64 rounding.
+    """
     state: dict = {}
 
     def bucketize(batch: pa.Table) -> pa.Table:
         if "planes" not in state:
             dim = len(batch[col][0])
-            state["planes"] = _lsh_planes(dim, n_bits, seed)
+            state["planes"] = [
+                _lsh_planes(dim, n_bits, seed + 977 * t) for t in range(n_tables)
+            ]
         mat = _normalize(_batch_matrix(batch, col))
-        buckets = _bucket_of(mat, state["planes"])
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "bucket": pa.array(buckets, pa.int64()),
-                col: batch[col],
-            }
-        )
+        pieces = []
+        for t_i, planes in enumerate(state["planes"]):
+            buckets = _bucket_of(mat, planes)
+            pieces.append(
+                pa.table(
+                    {
+                        id_col: batch[id_col],
+                        "table_id": pa.array(
+                            np.full(len(buckets), t_i, np.int32), pa.int32()
+                        ),
+                        "bucket": pa.array(buckets, pa.int64()),
+                        col: batch[col],
+                    }
+                )
+            )
+        return pa.concat_tables(pieces)
 
     bucketed = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
 
     def verify(group: pa.Table) -> pa.Table:
-        mat = _normalize(_batch_matrix(group, col))
+        if group.num_rows > max_bucket:
+            group = group.sort_by(id_col).slice(0, max_bucket)
+        mat = _batch_matrix(group, col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
         ids = group[id_col].to_pylist()
-        sims = mat @ mat.T
+        sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
         a_out, b_out, s_out = [], [], []
         order = np.argsort(ids)
         for x in range(len(order)):
@@ -257,14 +285,24 @@ def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
                     a_out.append(ids[i])
                     b_out.append(ids[j])
                     s_out.append(round(float(sims[i, j]), 6))
-        return pa.table({"a": pa.array(a_out), "b": pa.array(b_out),
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64()),
                          "sim": pa.array(s_out, pa.float64())})
 
-    pairs = bucketed.groupby("bucket").map_groups(verify, batch_format="pyarrow")
-    tbl = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
-    if tbl.num_rows == 0:
+    pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
+        verify, batch_format="pyarrow"
+    )
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in pairs.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                          "sim": pa.array([], pa.float64())})
+    tbl = pa.concat_tables(parts)
+    # the same pair can surface in several tables — max(sim) dedupes
+    # (sims are identical across tables; max is just the dedup fold)
     return tbl.group_by(["a", "b"]).aggregate([("sim", "max")]).rename_columns(
         ["a", "b", "sim"]
     )

@@ -23,40 +23,58 @@ def session_agg(
     ts_col: str = "ts",
     key_col: str = "user_id",
     gap_s: int = 1800,
+    num_buckets: int = 64,
 ):
     """Sessionization: (key, n_sessions, n_events) with a gap threshold.
 
     A session breaks when the time since the previous event of the same
-    key exceeds ``gap_s``. One shuffle on the key; each group sorts its
-    own events (pandas) — the per-entity event stream fits a group task
-    (the same partitioning assumption as any per-user sessionizer).
+    key exceeds ``gap_s``. One shuffle carrying only (key, ts) — keys
+    co-locate by HASH BUCKET, and each bucket runs a segmented numpy
+    scan (sort by (key, ts), session boundary = key change OR gap)
+    over ALL its users at once: one Python call per bucket, not per
+    user. The partitioning assumption is per-bucket, not per-user, so
+    a single giant user no longer bounds the group task alone.
     """
+    import numpy as np
     import pandas as pd
 
     gap_us = gap_s * 1_000_000
 
     def prep(t: pa.Table) -> pa.Table:
+        key = t[key_col].combine_chunks()
+        bucket = pc.cast(
+            pc.bit_wise_and(pc.cast(key, pa.int64()), num_buckets - 1), pa.int32()
+        )
         return pa.table(
             {
-                key_col: t[key_col],
+                key_col: key,
                 "ts_us": pc.cast(t[ts_col], pa.int64()),
+                "bucket": bucket,
             }
         )
 
     narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    def per_key(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts_us"].sort_values().to_numpy()
-        new_session = (ts[1:] - ts[:-1]) > gap_us
-        return pd.DataFrame(
-            {
-                key_col: [group[key_col].iloc[0]],
-                "n_sessions": [int(new_session.sum()) + 1],
-                "n_events": [len(ts)],
-            }
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "ts_us"])
+        k = g[key_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_s = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same_key = k[1:] == k[:-1]
+            small_gap = (ts[1:] - ts[:-1]) <= gap_us
+            new_s[1:] = ~(same_key & small_gap)
+        out = (
+            pd.DataFrame({key_col: k, "new_s": new_s})
+            .groupby(key_col, sort=False)
+            .agg(n_sessions=("new_s", "sum"), n_events=("new_s", "size"))
+            .reset_index()
         )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
 
-    return narrow.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
 
 
 def hopping_window_agg(

@@ -170,3 +170,33 @@ def test_components_distributed_matches_union_find(ray_session):
     truth = components_from_pairs(pairs)
     dist = components_from_pairs(pairs, driver_limit=0)
     assert truth.sort_by("node").equals(dist.sort_by("node"))
+
+
+def test_minhash_verify_bucketed_matches_driver(ray_session):
+    """Forcing the bucketed-join verification (verify_driver_limit=0)
+    must yield exactly the driver-path pair set."""
+    import ray.data as rd
+
+    from schisma_ray.stages.dedup import minhash_dedup_pairs, simhash_dup_pairs
+
+    texts = [f"the quick brown fox jumps over dog number {i} " * 4 for i in range(40)]
+    texts += [t + "tail" for t in texts[:8]]  # seeded near-dups
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    drv = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5)
+    dist = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5,
+                               verify_driver_limit=0)
+    key = lambda t: sorted(zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                               t["jaccard"].to_pylist()))
+    assert drv.num_rows > 0
+    assert key(drv) == key(dist)
+
+    drv_s = simhash_dup_pairs(ds, "text", "doc_id", max_hamming=10)
+    dist_s = simhash_dup_pairs(ds, "text", "doc_id", max_hamming=10,
+                               verify_driver_limit=0)
+    key_s = lambda t: sorted(zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                                 t["hamming"].to_pylist()))
+    assert drv_s.num_rows > 0
+    assert key_s(drv_s) == key_s(dist_s)
