@@ -424,22 +424,39 @@ def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
 
 
 # --------------------------------------------------------------- SimHash
+def simhash64_batch(texts: list) -> np.ndarray:
+    """Vectorized 64-bit SimHash for a whole batch: ONE hash_array call
+    over every token of every doc, bit votes as one (tokens, 64) int8
+    matrix, per-doc segment sums via np.add.reduceat, vectorized bit
+    packing. Bit-identical to per-doc simhash64."""
+    counts = np.empty(len(texts), dtype=np.int64)
+    all_tokens: list[str] = []
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        counts[i] = len(toks)
+        all_tokens.extend(toks)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    if all_tokens:
+        h = _hash_tokens(all_tokens)
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int8
+        )
+        votes = 2 * bits - 1  # int8, one row per token
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        pos = counts > 0
+        seg = np.add.reduceat(votes.astype(np.int32), starts[pos], axis=0)
+        powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+        out[pos] = ((seg > 0).astype(np.uint64) * powers[None, :]).sum(axis=1)
+    return out.view(np.int64)
+
+
 def simhash64(text: str) -> int:
-    h = _hash_tokens(text.split())
-    if len(h) == 0:
-        return 0
-    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
-    votes = (2 * bits - 1).sum(axis=0)
-    value = 0
-    for i in range(64):
-        if votes[i] > 0:
-            value |= 1 << i
-    return value - (1 << 64) if value >= (1 << 63) else value
+    return int(simhash64_batch([text])[0])
 
 
 def simhash_signatures(ds, col: str, id_col: str):
     def fn(batch: pa.Table) -> pa.Table:
-        sigs = [simhash64(t or "") for t in batch[col].to_pylist()]
+        sigs = simhash64_batch(batch[col].to_pylist())
         return pa.table({id_col: batch[id_col], "simhash": pa.array(sigs, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -456,8 +473,14 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
     Verification mirrors minhash: a driver lookup of the (small) int64
     signature map below ``verify_driver_limit`` candidates, the bucketed
     pair-join (`_verify_pairs_bucketed` over stringified signatures)
-    beyond it."""
-    sigs = simhash_signatures(ds, col, id_col)
+    beyond it.
+
+    Signatures are used twice (banding, then verification lookup), so
+    the narrow (id, int64) signature table is materialized once instead
+    of recomputing the text hashing pass — 16 bytes/row, object-store
+    resident (spills at extreme scale rather than re-hashing the corpus).
+    """
+    sigs = simhash_signatures(ds, col, id_col).materialize()
 
     def bands(batch: pa.Table) -> pa.Table:
         ids, band_ids, keys, full = [], [], [], []
