@@ -598,6 +598,28 @@ def _small_ids(ds, col: str = "doc_id") -> pa.Array:
     return pa.concat_tables(parts)[col].combine_chunks()
 
 
+SCRUB_PATTERN = "(vector|stream)"
+
+
+def q_docs_regex_filtered(sf_dir: str):
+    """Content-policy scrub: docs whose text does NOT match the banned
+    pattern (vectorized RE2 per batch; the PII/boilerplate-filter shape)."""
+    from ..stages.text import regex_filter
+
+    out = regex_filter(_t(sf_dir, "documents"), SCRUB_PATTERN)
+    return out.map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_doc_repetition(sf_dir: str):
+    """Repetition/diversity metrics per document (Gopher-style filter
+    signals)."""
+    from ..stages.text import repetition_metrics
+
+    return repetition_metrics(_t(sf_dir, "documents"))
+
+
 def q_corpus_clean(sf_dir: str):
     """Composite training-data cleaning pipeline: keep English docs with
     quality >= 0.6 that survive exact dedup (min doc_id per text).
@@ -818,6 +840,14 @@ SELECT ROUND(SUM(POWER(COALESCE(c.cnt, 0) - e.freq * n.total, 2) / (e.freq * n.t
        CAST(n.total AS BIGINT) AS n
   FROM e CROSS JOIN n LEFT JOIN c ON c.fmt = e.fmt GROUP BY n.total
 """,
+        "drift_mktsegment": """
+WITH c AS (SELECT c_mktsegment AS seg, CAST(count(*) AS DOUBLE) AS cnt
+             FROM customer GROUP BY c_mktsegment),
+     n AS (SELECT sum(cnt) AS total, count(*) AS k FROM c)
+SELECT ROUND(SUM(POWER(c.cnt - 0.2 * n.total, 2) / (0.2 * n.total)), 6) AS statistic,
+       CAST(n.k - 1 AS INTEGER) AS dof, CAST(n.total AS BIGINT) AS n
+  FROM c CROSS JOIN n GROUP BY n.k, n.total
+""",
         "image_schema_conform": f"""
 SELECT image_id, COALESCE(w, 0) AS w, COALESCE(h, 0) AS h,
        COALESCE(fmt, '') AS fmt, COALESCE(caption, '') AS caption,
@@ -1014,6 +1044,19 @@ SELECT doc_id,
        , 6) AS score
   FROM m
 """,
+        "docs_regex_filtered": """
+SELECT doc_id FROM documents WHERE NOT regexp_matches(text, '(vector|stream)')
+""",
+        "doc_repetition": """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+       ROUND(CASE WHEN len(words) > 0
+                  THEN CAST(len(list_distinct(words)) AS DOUBLE) / len(words)
+                  ELSE 0.0 END, 6) AS diversity
+  FROM w
+""",
         "corpus_clean": """
 WITH m AS (
   SELECT doc_id, lang,
@@ -1124,6 +1167,8 @@ QUERIES = {
     "bpe_token_counts": q_bpe_token_counts,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
+    "docs_regex_filtered": q_docs_regex_filtered,
+    "doc_repetition": q_doc_repetition,
     "corpus_clean": q_corpus_clean,
     "corpus_rejected": q_corpus_rejected,
     "knn_cosine": q_knn_cosine,

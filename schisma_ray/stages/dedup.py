@@ -111,16 +111,55 @@ class MinHasher:
         vals = (self.a[:, None] * (h[None, :] % self.p) + self.b[:, None]) % self.p
         return vals.min(axis=1)
 
+    #: token budget per (num_perm x tokens) temp matrix — bounds the
+    #: transient to ~50 MB at 64 permutations
+    _CHUNK_TOKENS = 100_000
+
+    def signatures_batch(self, texts: list) -> np.ndarray:
+        """(n_docs, num_perm) uint64 — ONE hash_array over every distinct
+        shingle of every doc, then chunked (a*h+b) mod p with per-doc
+        np.minimum.reduceat. Identical values to per-doc signature()
+        (min is order-invariant over the same shingle set)."""
+        n = len(texts)
+        counts = np.empty(n, np.int64)
+        all_sh: list[str] = []
+        for i, t in enumerate(texts):
+            sh = set(word_shingles(t or "", self.shingle))
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, np.uint64)
+        if not all_sh:
+            return sigs
+        h = _hash_tokens(all_sh) % self.p
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        doc_idx = np.nonzero(counts > 0)[0]
+        i0 = 0
+        while i0 < len(doc_idx):
+            i1, tok = i0, 0
+            while i1 < len(doc_idx) and (
+                tok == 0 or tok + counts[doc_idx[i1]] <= self._CHUNK_TOKENS
+            ):
+                tok += counts[doc_idx[i1]]
+                i1 += 1
+            docs = doc_idx[i0:i1]
+            s0 = starts[docs[0]]
+            s1 = starts[docs[-1]] + counts[docs[-1]]
+            hh = h[s0:s1]
+            vals = (self.a[:, None] * hh[None, :] + self.b[:, None]) % self.p
+            mins = np.minimum.reduceat(vals, (starts[docs] - s0), axis=1)
+            sigs[docs] = mins.T
+            i0 = i1
+        return sigs
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.col].to_pylist()
-        sigs = [self.signature(t or "") for t in texts]
+        sigs = self.signatures_batch(batch[self.col].to_pylist())
+        flat = sigs.astype(np.int64).reshape(-1)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "signature": pa.array(
-                    [s.astype(np.int64).tolist() for s in sigs],
-                    pa.list_(pa.int64()),
-                ),
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat, pa.int64()), self.num_perm
+                ).cast(pa.list_(pa.int64())),
             }
         )
 

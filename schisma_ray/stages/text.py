@@ -151,6 +151,56 @@ def lang_id(ds, col: str = "text", id_col: str = "doc_id", concurrency=(1, 8)):
     )
 
 
+def regex_filter(ds, pattern: str, *, col: str = "text", invert: bool = False):
+    """Content-policy filter: drop rows whose ``col`` matches ``pattern``
+    (``invert=True`` keeps only matches). Fully vectorized — Arrow's RE2
+    ``match_substring_regex`` per batch, no actor state, no Python rows.
+    The classic scrub stage (PII patterns, boilerplate markers, banned
+    phrases) of a training-data pipeline; RE2 semantics match DuckDB's
+    ``regexp_matches`` so the oracle reproduces it exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = pc.fill_null(
+            pc.match_substring_regex(batch[col].combine_chunks(), pattern), False
+        )
+        return batch.filter(m if invert else pc.invert(m))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def repetition_metrics(ds, col: str = "text", id_col: str = "doc_id"):
+    """(id, n_words, n_distinct, diversity) — repetition signals
+    (Gopher-style filters drop documents with low distinct-word ratios).
+
+    Tokenization is the single-space split shared by the other text ops;
+    the per-doc set is inherent (same cost class as MinHash shingling)
+    but the split itself is Arrow-vectorized and the loop touches token
+    lists, not characters.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        words = pc.split_pattern(batch[col].combine_chunks(), " ")
+        n_words = pc.fill_null(
+            pc.cast(pc.list_value_length(words), pa.int64()), 0
+        ).to_numpy()
+        n_distinct = np.fromiter(
+            (len(set(w)) if w is not None else 0 for w in words.to_pylist()),
+            dtype=np.int64,
+            count=len(words),
+        )
+        diversity = np.where(n_words > 0, n_distinct / np.maximum(n_words, 1), 0.0)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "diversity": pa.array(np.round(diversity, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quality_score_values(text) -> "np.ndarray":
     """Vectorized quality scores for one Arrow string array.
 
