@@ -742,6 +742,7 @@ def _oracle_sql() -> dict[str, str]:
     # writes it alongside the corrupted rows) — the oracle for the checks
     # SQL can't recompute (decode needs the codec)
     expviol = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'expected_violations.parquet'}')"
+    expconf = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'expected_conform.parquet'}')"
     refprof = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'reference_profile.parquet'}')"
     refids = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'reference_ids.parquet'}')"
     fmt_set = "('png', 'jpeg', 'webp')"
@@ -771,6 +772,13 @@ SELECT image_id, 'h', 'invalid', 'in [1, 65535]', CAST(h AS VARCHAR)
 UNION ALL
 SELECT image_id, 'fmt', 'invalid', '{in_set_fmt}', fmt
   FROM im WHERE fmt IS NOT NULL AND fmt NOT IN {fmt_set}
+""",
+        "frame_sample": f"""
+SELECT image_id, w, h, fmt FROM {img}
+ WHERE CAST(concat('0x', substr(md5(image_id), 1, 8)) AS BIGINT) % 10 = 0
+""",
+        "image_conform_full": f"""
+SELECT image_id, w, h, fmt, caption, phash FROM {expconf}
 """,
         "image_decode_violations": f"""
 SELECT row_ref, path, code, expected, received
@@ -1044,8 +1052,49 @@ SELECT doc_id,
        , 6) AS score
   FROM m
 """,
+        "image_w_drift_ks": f"""
+WITH b AS (SELECT LEAST(CAST(LEAST(GREATEST(w, 8), 33) AS INTEGER) - 8, 24) AS bin
+             FROM {img} WHERE w IS NOT NULL),
+     g AS (SELECT r.range AS bin, COALESCE(c.cnt, 0) AS cnt
+             FROM range(0, 25) r
+             LEFT JOIN (SELECT bin, CAST(count(*) AS DOUBLE) AS cnt
+                          FROM b GROUP BY bin) c ON c.bin = r.range),
+     n AS (SELECT sum(cnt) AS total FROM g),
+     e AS (SELECT SUM(g.cnt) OVER (ORDER BY g.bin) / n.total AS ecdf,
+                  (g.bin + 1) / 25.0 AS ref
+             FROM g CROSS JOIN n),
+     d AS (SELECT MAX(ABS(ecdf - ref)) AS stat FROM e),
+     l AS (SELECT d.stat, n.total,
+                  (sqrt(n.total) + 0.12 + 0.11 / sqrt(n.total)) * d.stat AS lam
+             FROM d CROSS JOIN n)
+SELECT ROUND(stat, 6) AS statistic, CAST(total AS BIGINT) AS n,
+       (2 * (exp(-2 * lam * lam) - exp(-8 * lam * lam)
+             + exp(-18 * lam * lam) - exp(-32 * lam * lam)) < 0.01) AS drifted
+  FROM l
+""",
         "docs_regex_filtered": """
 SELECT doc_id FROM documents WHERE NOT regexp_matches(text, '(vector|stream)')
+""",
+        "lang_id": """
+WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS words
+             FROM documents),
+     s AS (SELECT doc_id, text,
+   len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+   len(list_filter(words, x -> x IN ('der','die','das','und','ist','ein','zu','mit','von','nicht'))) AS s_de,
+   len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS s_fr,
+   len(list_filter(words, x -> x IN ('el','la','los','las','es','un','una','de','que','por'))) AS s_es,
+   length(regexp_replace(substr(text, 1, 200), '[^一-鿿]', '', 'g')) AS cjk,
+   length(substr(text, 1, 200)) AS head_len
+  FROM t)
+SELECT doc_id,
+  CASE WHEN text IS NULL OR text = '' THEN 'und'
+       WHEN cjk > head_len * 0.2 THEN 'zh'
+       WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+  FROM s
 """,
         "doc_repetition": """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)

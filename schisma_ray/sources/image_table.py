@@ -26,7 +26,12 @@ suppresses the wrong-w expectation.
 
 Companions: ``reference_ids.parquet`` (referential target),
 ``reference_profile.parquet`` (fmt frequency profile for drift checks),
-``expected_violations.parquet`` (the bookkeeping above).
+``expected_violations.parquet`` (the bookkeeping above), and
+``expected_conform.parquet`` — the exact (image_id, w, h, fmt, caption,
+phash) rows the conform pipeline must produce: schema conform fills
+caption nulls with '' and w nulls with the default, then the decode
+conform repairs w/h/fmt from the decoded truth and replaces undecodable
+payloads with the deterministic 8x8 placeholder.
 
 Everything is a pure function of (n, seed); outputs are cached under
 ``/tmp/schisma_ray_cache`` and written atomically (tmp dir + rename) so
@@ -200,6 +205,58 @@ def expected_violations_for(n: int, seed: int = 42,
     )
 
 
+def expected_conform_for(n: int, seed: int = 42,
+                         px: tuple[int, int] = (8, 33)) -> pa.Table:
+    """Independent bookkeeping of the conform pipeline's output rows
+    (bytes column excluded): decode-truth repairs for w/h/fmt, schema
+    default for null captions, placeholder metadata for truncated
+    payloads. Mirrors DecodeConformer + TableConformer semantics without
+    executing either."""
+    placeholder_phash = codec.phash64(np.zeros((8, 8, 3), dtype=np.uint8))
+    ids, ws, hs, fmts, captions, phashes = [], [], [], [], [], []
+    for i in range(n):
+        content_i = i - 1 if (i % 97 == 0 and i > 0) else i
+        rng = np.random.default_rng([seed, content_i])
+        w = int(rng.integers(px[0], px[1]))
+        h = int(rng.integers(px[0], px[1]))
+        pixels = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        row_rng = np.random.default_rng([seed, i, 1])
+        fmt = str(row_rng.choice(list(FMT_PROBS), p=list(FMT_PROBS.values())))
+        ids.append(f"img-{i:09d}")
+        if i % 107 == 9:  # truncated payload -> placeholder repair
+            ws.append(8)
+            hs.append(8)
+            fmts.append("png")
+            phashes.append(placeholder_phash)
+        else:
+            ws.append(w)
+            hs.append(h)
+            fmts.append(fmt)  # decode conform repairs the rotated label
+            phashes.append(codec.phash64(pixels))
+        cap = _caption_for(i)
+        captions.append("" if cap is None else cap)
+    return pa.Table.from_arrays(
+        [
+            pa.array(ids, pa.string()),
+            pa.array(ws, pa.int32()),
+            pa.array(hs, pa.int32()),
+            pa.array(fmts, pa.string()),
+            pa.array(captions, pa.string()),
+            pa.array(phashes, pa.int64()),
+        ],
+        schema=pa.schema(
+            [
+                ("image_id", pa.string()),
+                ("w", pa.int32()),
+                ("h", pa.int32()),
+                ("fmt", pa.string()),
+                ("caption", pa.string()),
+                ("phash", pa.int64()),
+            ]
+        ),
+    )
+
+
 def rows_for_sf(sf_dir: str) -> int:
     """Row count for a testdata sf directory name (sf0.01 -> 10_000)."""
     name = Path(sf_dir).name
@@ -220,7 +277,8 @@ def generate(n: int, seed: int = 42, force: bool = False,
     """
     suffix = "" if px == (8, 33) else f"_px{px[0]}-{px[1]}"
     # cache key includes the codec generation so codec changes invalidate
-    out = CACHE_ROOT / f"images_v2_n{n}_s{seed}{suffix}"
+    # (v3: adds expected_conform.parquet)
+    out = CACHE_ROOT / f"images_v3_n{n}_s{seed}{suffix}"
     done = out / "_SUCCESS"
     if done.exists() and not force:
         return out
@@ -280,6 +338,7 @@ def generate(n: int, seed: int = 42, force: bool = False,
         tmp / "reference_profile.parquet",
     )
     pq.write_table(expected_violations_for(n, seed, px), tmp / "expected_violations.parquet")
+    pq.write_table(expected_conform_for(n, seed, px), tmp / "expected_conform.parquet")
     (tmp / "_SUCCESS").touch()
     if out.exists():
         shutil.rmtree(out)

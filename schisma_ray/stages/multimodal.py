@@ -128,12 +128,23 @@ class ImageFeatures:
 def frame_sample(ds, every_k: int = 10, key_col: str = "image_id"):
     """Deterministic 1-in-k row sampling by key hash (the frame-sampling
     access pattern for video containers: same key -> same decision on
-    any cluster size)."""
-    import pandas as pd
+    any cluster size).
+
+    Decision = int(md5(key)[:8], 16) % k == 0 — md5 so the selection is
+    reproducible by ANY engine (DuckDB oracle included), not just this
+    process's pandas hash seed. Per-key md5 is ~1 us, noise next to the
+    decode work such sampling gates."""
+    import hashlib
 
     def fn(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col].combine_chunks().to_numpy(zero_copy_only=False)
-        h = pd.util.hash_array(keys) % every_k
-        return batch.filter(pa.array(h == 0))
+        keys = batch[key_col].combine_chunks().to_pylist()
+        mask = pa.array(
+            [
+                k is not None
+                and int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % every_k == 0
+                for k in keys
+            ]
+        )
+        return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
