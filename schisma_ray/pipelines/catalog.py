@@ -542,6 +542,79 @@ def q_events_last_order(sf_dir: str):
     )
 
 
+def q_orders_enriched(sf_dir: str):
+    """Enrichment equi-join (broadcast strategy): orders + customer name
+    and segment. The small side is ray.put once; every batch probes it
+    with a vectorized Arrow hash join — no shuffle."""
+    from ..stages.join import broadcast_hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+
+    out = broadcast_hash_join(orders, customers, on="o_custkey", right_on="c_custkey")
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "c_mktsegment": t["c_mktsegment"],
+                "total_cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_orders_enriched_shuffle(sf_dir: str):
+    """Same join through Ray Data's native hash-shuffle Dataset.join —
+    the path for a dimension side too big to broadcast."""
+    from ..stages.join import shuffle_hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"]
+    )
+    out = shuffle_hash_join(orders, customers, on="o_custkey", right_on="c_custkey",
+                            num_partitions=16)
+
+    def cents(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "c_name": t["c_name"],
+                "c_mktsegment": t["c_mktsegment"],
+                "total_cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    return out.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_top_users_per_event_type(sf_dir: str):
+    """Grouped top-k: 3 heaviest users per event type (combiner-first)."""
+    from ..stages.topk import grouped_count_topk
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return grouped_count_topk(ev, "event_type", "user_id", k=3)
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact_documents(sf_dir: str):
     return exact_dedup_keep_first(_t(sf_dir, "documents"), key="text", id_col="doc_id")
@@ -988,6 +1061,24 @@ SELECT phash, count(*) AS n
  ORDER BY n DESC, phash
  LIMIT 10
 """,
+        "orders_enriched": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "orders_enriched_shuffle": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "top_users_per_event_type": """
+SELECT event_type, user_id, n FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rn
+    FROM events GROUP BY event_type, user_id)
+ WHERE rn <= 3
+""",
         "events_last_order": """
 SELECT e.event_id AS row_id, e.user_id AS k,
        CAST(floor(epoch((SELECT max(o.o_orderdate) FROM orders o
@@ -1201,6 +1292,9 @@ QUERIES = {
     "validate_events": q_validate_events,
     "image_w_drift_ks": q_image_w_drift_ks,
     "events_last_order": q_events_last_order,
+    "orders_enriched": q_orders_enriched,
+    "orders_enriched_shuffle": q_orders_enriched_shuffle,
+    "top_users_per_event_type": q_top_users_per_event_type,
     "event_sessions": q_event_sessions,
     "events_hopping": q_events_hopping,
     "documents_ranked": q_documents_ranked,

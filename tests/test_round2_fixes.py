@@ -200,3 +200,42 @@ def test_minhash_verify_bucketed_matches_driver(ray_session):
                                  t["hamming"].to_pylist()))
     assert drv_s.num_rows > 0
     assert key_s(drv_s) == key_s(dist_s)
+
+
+def test_join_operators(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.join import broadcast_hash_join, shuffle_hash_join
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3, 4], pa.int64()),
+                                "v": pa.array(list("abcde"))}))
+    r = pa.table({"k": pa.array([2, 3, 3, 9], pa.int64()),
+                  "w": pa.array([10, 20, 21, 90], pa.int64())})
+    # duplicate right keys multiply rows (ANSI semantics)
+    inner = broadcast_hash_join(l, r, on="k").to_pandas()
+    assert sorted(zip(inner["k"], inner["v"], inner["w"])) == [
+        (2, "b", 10), (2, "c", 10), (3, "d", 20), (3, "d", 21)]
+    # left outer keeps unmatched fact rows with null payload
+    left = broadcast_hash_join(l, r, on="k", how="left outer").to_pandas()
+    assert len(left) == 6 and left["w"].isna().sum() == 2
+    # native shuffle join agrees with the broadcast result
+    sh = shuffle_hash_join(l, rd.from_arrow(r), on="k", num_partitions=4).to_pandas()
+    assert sorted(zip(sh["k"], sh["v"], sh["w"])) == sorted(
+        zip(inner["k"], inner["v"], inner["w"]))
+
+
+def test_grouped_count_topk_ties(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.topk import grouped_count_topk
+
+    t = pa.table(
+        {
+            "g": pa.array(["x"] * 6 + ["y"] * 2),
+            "u": pa.array([1, 1, 2, 2, 3, 4, 7, 7], pa.int64()),
+        }
+    )
+    out = grouped_count_topk(rd.from_arrow(t), "g", "u", k=2).to_pandas()
+    got = sorted(zip(out["g"], out["u"], out["n"]))
+    # tie between u=1 and u=2 (both n=2): item asc breaks it; y has one user
+    assert got == [("x", 1, 2), ("x", 2, 2), ("y", 7, 2)]
