@@ -615,6 +615,27 @@ def q_top_users_per_event_type(sf_dir: str):
     return grouped_count_topk(ev, "event_type", "user_id", k=3)
 
 
+def q_lineitem_quantiles(sf_dir: str):
+    """Exact distributed quantiles (order statistics via sort + block
+    offsets — no approximation, no driver sort)."""
+    from ..stages.rank import exact_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return exact_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
+def q_distinct_sources_by_lang(sf_dir: str):
+    """Exact distinct counts per group (two-level combiner)."""
+    from ..stages.topk import grouped_distinct_count
+
+    docs = _t(sf_dir, "documents").map_batches(
+        lambda t: t.select(["lang", "source"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_distinct_count(docs, "lang", "source")
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact_documents(sf_dir: str):
     return exact_dedup_keep_first(_t(sf_dir, "documents"), key="text", id_col="doc_id")
@@ -1061,6 +1082,19 @@ SELECT phash, count(*) AS n
  ORDER BY n DESC, phash
  LIMIT 10
 """,
+        "lineitem_quantiles": """
+WITH o AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                  row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                  count(*) OVER () AS c
+             FROM lineitem)
+SELECT t.q, o.v AS value
+  FROM o, (VALUES (0.5), (0.9), (0.99)) AS t(q)
+ WHERE o.rn = CAST(floor((o.c - 1) * t.q) AS BIGINT) + 1
+""",
+        "distinct_sources_by_lang": """
+SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
+  FROM documents GROUP BY lang
+""",
         "orders_enriched": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
@@ -1295,6 +1329,8 @@ QUERIES = {
     "orders_enriched": q_orders_enriched,
     "orders_enriched_shuffle": q_orders_enriched_shuffle,
     "top_users_per_event_type": q_top_users_per_event_type,
+    "lineitem_quantiles": q_lineitem_quantiles,
+    "distinct_sources_by_lang": q_distinct_sources_by_lang,
     "event_sessions": q_event_sessions,
     "events_hopping": q_events_hopping,
     "documents_ranked": q_documents_ranked,

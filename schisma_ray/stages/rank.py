@@ -55,3 +55,54 @@ def zip_with_index(ds, *, index_col: str = "rank", start: int = 1):
 def ranked(ds, sort_keys: list[str], *, index_col: str = "rank"):
     """Global sort + rank: ``ds.sort(sort_keys)`` then zip-with-index."""
     return zip_with_index(ds.sort(sort_keys), index_col=index_col)
+
+
+def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
+    """EXACT quantiles of a column via the distributed order statistics:
+    sort shuffle -> per-block offsets -> each target rank fetched from
+    exactly one block. No approximation, no driver sort; the driver
+    touches O(num_blocks) counts and len(qs) scalar lookups.
+
+    Rank convention: value at 1-based rank ``floor((n-1) * q) + 1`` of
+    the ascending order — i.e. ``ORDER BY col LIMIT 1 OFFSET
+    floor((n-1)*q)``, so a SQL oracle reproduces it exactly.
+    """
+    mat = ds.sort(col).materialize()
+    refs: list = []
+    counts: list[int] = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(block_ref)
+            counts.append(meta.num_rows)
+    n = int(sum(counts))
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+
+    @ray.remote
+    def pick(block, local_idx: list[int]):
+        t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+        return [t[col][i].as_py() for i in local_idx]
+
+    # map each target rank to (block, local index); one task per block hit
+    wanted: dict[int, list[tuple[int, int]]] = {}
+    for qi, q in enumerate(qs):
+        r = int(np.floor((n - 1) * q))  # 0-based global index
+        b = int(np.searchsorted(offsets, r, side="right")) - 1
+        wanted.setdefault(b, []).append((qi, r - int(offsets[b])))
+    out: list = [None] * len(qs)
+    futures = {
+        b: pick.remote(refs[b], [idx for _, idx in pairs])
+        for b, pairs in wanted.items()
+    }
+    for b, pairs in wanted.items():
+        vals = ray.get(futures[b])
+        for (qi, _), v in zip(pairs, vals):
+            out[qi] = v
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array([float(v) for v in out], pa.float64()),
+        }
+    )

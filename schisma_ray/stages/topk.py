@@ -45,3 +45,45 @@ def grouped_count_topk(ds, group_col: str, item_col: str, *, k: int = 3):
         )
 
     return totals.groupby(group_col).map_groups(topk, batch_format="pandas")
+
+
+def grouped_distinct_count(ds, group_col: str, item_col: str):
+    """(group, n_distinct): EXACT distinct items per group.
+
+    Two-level combiner: per-batch distinct (group, item) pairs shrink
+    the shuffle to unique pairs per batch; the global groupby dedupes
+    across batches; a per-batch count partial + tiny final sum produces
+    the per-group cardinality. Memory floor is O(distinct pairs) spread
+    over the cluster — the exact-distinct lower bound (use the HLL
+    aggregate when an estimate suffices).
+    """
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select([group_col, item_col])
+        # null items don't count (SQL COUNT(DISTINCT) semantics); null
+        # groups are kept as their own group (SQL GROUP BY semantics)
+        t = t.filter(pc.is_valid(t[item_col]))
+        return t.group_by([group_col, item_col]).aggregate([])
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+    distinct_pairs = pairs.groupby([group_col, item_col]).count()
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        # count_all, not count(group_col): a NULL group key must still
+        # count its rows (count(col) skips nulls)
+        t = batch.select([group_col]).group_by(group_col).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({group_col: t[group_col], "partial": t["count_all"]})
+
+    partials = distinct_pairs.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    total = partials.groupby(group_col).sum("partial")
+    return total.map_batches(
+        lambda t: pa.table({group_col: t[group_col], "n_distinct": t["sum(partial)"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

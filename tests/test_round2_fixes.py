@@ -239,3 +239,37 @@ def test_grouped_count_topk_ties(ray_session):
     got = sorted(zip(out["g"], out["u"], out["n"]))
     # tie between u=1 and u=2 (both n=2): item asc breaks it; y has one user
     assert got == [("x", 1, 2), ("x", 2, 2), ("y", 7, 2)]
+
+
+def test_exact_quantiles(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from schisma_ray.stages.rank import exact_quantiles
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(np.arange(1001, dtype=np.float64))
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(7)
+    out = exact_quantiles(ds, "x", [0.0, 0.5, 0.9, 1.0]).to_pydict()
+    assert out["value"] == [0.0, 500.0, 900.0, 1000.0]
+    empty = exact_quantiles(
+        rd.from_arrow(pa.table({"x": pa.array([], pa.float64())})), "x", [0.5]
+    )
+    assert empty.num_rows == 0
+
+
+def test_grouped_distinct_count_nulls(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.topk import grouped_distinct_count
+
+    t = pa.table(
+        {
+            "g": pa.array(["a", "a", "a", "b", None]),
+            "i": pa.array([1, 1, None, 2, 3], pa.int64()),
+        }
+    )
+    out = grouped_distinct_count(rd.from_arrow(t), "g", "i").to_pandas()
+    got = {row["g"]: row["n_distinct"] for _, row in out.iterrows()}
+    # null items excluded (COUNT DISTINCT semantics); null group kept
+    assert got == {"a": 1, "b": 1, None: 1}
