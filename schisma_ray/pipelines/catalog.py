@@ -615,6 +615,15 @@ def q_top_users_per_event_type(sf_dir: str):
     return grouped_count_topk(ev, "event_type", "user_id", k=3)
 
 
+def q_profile_images(sf_dir: str):
+    """Per-column null profile of the image table in one streaming pass
+    (the expectations-suite building block)."""
+    from ..stages.profile import profile_table
+
+    ds = read_images(_img_dir(sf_dir), LIGHT_COLUMNS)
+    return profile_table(ds)
+
+
 def q_lineitem_quantiles(sf_dir: str):
     """Exact distributed quantiles (order statistics via sort + block
     offsets — no approximation, no driver sort)."""
@@ -1082,6 +1091,20 @@ SELECT phash, count(*) AS n
  ORDER BY n DESC, phash
  LIMIT 10
 """,
+        "profile_images": f"""
+WITH im AS (SELECT * FROM {img}),
+     v AS (
+  SELECT 'image_id' AS "column", count(*) AS n_rows,
+         CAST(sum(CASE WHEN image_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls FROM im
+  UNION ALL SELECT 'w', count(*), CAST(sum(CASE WHEN w IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM im
+  UNION ALL SELECT 'h', count(*), CAST(sum(CASE WHEN h IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM im
+  UNION ALL SELECT 'fmt', count(*), CAST(sum(CASE WHEN fmt IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM im
+  UNION ALL SELECT 'caption', count(*), CAST(sum(CASE WHEN caption IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM im
+  UNION ALL SELECT 'phash', count(*), CAST(sum(CASE WHEN phash IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM im)
+SELECT "column", n_rows, n_nulls,
+       ROUND(CAST(n_nulls AS DOUBLE) / GREATEST(CAST(n_rows AS DOUBLE), 1.0), 6) AS null_rate
+  FROM v
+""",
         "lineitem_quantiles": """
 WITH o AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
                   row_number() OVER (ORDER BY l_extendedprice) AS rn,
@@ -1329,6 +1352,7 @@ QUERIES = {
     "orders_enriched": q_orders_enriched,
     "orders_enriched_shuffle": q_orders_enriched_shuffle,
     "top_users_per_event_type": q_top_users_per_event_type,
+    "profile_images": q_profile_images,
     "lineitem_quantiles": q_lineitem_quantiles,
     "distinct_sources_by_lang": q_distinct_sources_by_lang,
     "event_sessions": q_event_sessions,

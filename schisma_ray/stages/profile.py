@@ -1,0 +1,85 @@
+"""Whole-table column profiling: the expectations-suite building block.
+
+``profile_table`` computes (column, n_rows, n_nulls, null_rate) for every
+column in ONE streaming pass — per-batch partials are a handful of ints
+per column, folded by a tiny groupby. ``expect_null_rates`` turns a
+profile into schisma-style ``invalid`` violations when a column's
+null-rate exceeds its budget (the table-level analogue of a ``$validate``
+hook on presence).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def profile_table(ds, columns: list[str] | None = None):
+    """(column, n_rows, n_nulls, null_rate) per column, one pass."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = columns or batch.column_names
+        names, rows, nulls = [], [], []
+        for c in cols:
+            names.append(c)
+            rows.append(batch.num_rows)
+            nulls.append(batch[c].null_count)
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "n_rows": pa.array(rows, pa.int64()),
+                "n_nulls": pa.array(nulls, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    total = partials.groupby("column").sum(["n_rows", "n_nulls"])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["sum(n_rows)"], pa.float64())
+        nn = pc.cast(t["sum(n_nulls)"], pa.float64())
+        rate = pc.round(pc.divide(nn, pc.max_element_wise(n, 1.0)), ndigits=6)
+        return pa.table(
+            {
+                "column": t["column"],
+                "n_rows": t["sum(n_rows)"],
+                "n_nulls": t["sum(n_nulls)"],
+                "null_rate": rate,
+            }
+        )
+
+    return total.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def expect_null_rates(ds, budgets: dict[str, float]):
+    """Violations for columns whose null_rate exceeds its budget.
+
+    Output columns: (path, code, expected, received) — one row per
+    failing column, schisma's ``invalid`` code.
+    """
+    prof = profile_table(ds, columns=sorted(budgets))
+
+    def check(t: pa.Table) -> pa.Table:
+        paths, codes, exps, recs = [], [], [], []
+        for col, n_nulls, n_rows, rate in zip(
+            t["column"].to_pylist(),
+            t["n_nulls"].to_pylist(),
+            t["n_rows"].to_pylist(),
+            t["null_rate"].to_pylist(),
+        ):
+            budget = budgets[col]
+            if rate > budget:
+                paths.append(col)
+                codes.append("invalid")
+                exps.append(f"null_rate<={budget}")
+                recs.append(f"{rate} ({n_nulls}/{n_rows})")
+        return pa.table(
+            {
+                "path": pa.array(paths, pa.string()),
+                "code": pa.array(codes, pa.string()),
+                "expected": pa.array(exps, pa.string()),
+                "received": pa.array(recs, pa.string()),
+            }
+        )
+
+    return prof.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)

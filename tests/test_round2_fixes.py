@@ -273,3 +273,44 @@ def test_grouped_distinct_count_nulls(ray_session):
     got = {row["g"]: row["n_distinct"] for _, row in out.iterrows()}
     # null items excluded (COUNT DISTINCT semantics); null group kept
     assert got == {"a": 1, "b": 1, None: 1}
+
+
+def test_profile_and_expectations(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.profile import expect_null_rates, profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, None, 3, None], pa.int64()),
+            "b": pa.array(["x", "y", "z", "w"]),
+        }
+    )
+    ds = rd.from_arrow(t)
+    prof = {r["column"]: r for r in profile_table(ds).to_pandas().to_dict("records")}
+    assert prof["a"]["n_nulls"] == 2 and prof["a"]["null_rate"] == 0.5
+    assert prof["b"]["n_nulls"] == 0
+    vio = expect_null_rates(ds, {"a": 0.25, "b": 0.0}).to_pandas()
+    assert list(vio["path"]) == ["a"] and vio["code"].iloc[0] == "invalid"
+    assert "0.5 (2/4)" in vio["received"].iloc[0]
+
+
+def test_partitioned_writer_roundtrip(ray_session, tmp_path):
+    import ray.data as rd
+
+    from schisma_ray.sources.writer import read_partitioned, write_partitioned
+
+    t = pa.table(
+        {
+            "lang": pa.array(["en", "de", "en", "fr"]),
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = write_partitioned(rd.from_arrow(t), tmp_path / "out",
+                            partition_cols=["lang"])
+    # hive layout: one directory per key value
+    assert sorted(p.name for p in out.iterdir()) == ["lang=de", "lang=en", "lang=fr"]
+    back = read_partitioned(out).to_pandas()
+    assert sorted(back["doc_id"]) == [1, 2, 3, 4]
+    en = read_partitioned(out, partition_filter={"lang": "en"}).to_pandas()
+    assert sorted(en["doc_id"]) == [1, 3]
