@@ -823,6 +823,21 @@ def q_embedding_near_dups(sf_dir: str):
     return cosine_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.9)
 
 
+def q_embedding_dedup_survivors(sf_dir: str):
+    """Full embedding-dedup composite over the seeded fixture: multi-table
+    LSH pairs -> connected components -> surviving vec_ids (every id
+    minus non-keeper group members)."""
+    from ..sources.embedding_fixture import seeded_near_dup_embeddings
+    from ..stages.components import near_dedup_survivors
+
+    path = seeded_near_dup_embeddings(sf_dir)
+    ds = rd.read_parquet(str(path))
+    pairs = cosine_near_dup_pairs(ds, threshold=0.9)
+    return _collect(
+        near_dedup_survivors(ds, pairs.select(["a", "b"]), "vec_id"), ["vec_id"]
+    )
+
+
 def q_embedding_near_dups_seeded(sf_dir: str):
     """Falsifiable near-dup detection: the seeded fixture plants 16
     perturbed copies (cos >= 0.999) into the base embeddings; the
@@ -1299,6 +1314,13 @@ SELECT doc_id FROM documents
 EXCEPT
 SELECT doc_id FROM s WHERE doc_id = keeper AND score >= 0.6 AND lang = 'en'
 """,
+        "embedding_dedup_survivors": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
+     p AS (SELECT x.vec_id AS a, y.vec_id AS b
+             FROM e x JOIN e y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(x.v, y.v) >= 0.9)
+SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT b FROM p)
+""",
         "embedding_near_dups_seeded": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
      p AS (SELECT x.vec_id AS a, y.vec_id AS b,
@@ -1380,6 +1402,7 @@ QUERIES = {
     "minhash_dedup_groups": q_minhash_dedup_groups,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_seeded": q_embedding_near_dups_seeded,
+    "embedding_dedup_survivors": q_embedding_dedup_survivors,
 }
 
 
