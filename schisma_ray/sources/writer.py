@@ -14,13 +14,35 @@ from pathlib import Path
 
 def write_partitioned(ds, out_dir: str | Path, *, partition_cols: list[str],
                       min_rows_per_file: int | None = None) -> Path:
-    """Write ``ds`` as hive-partitioned parquet; returns the output dir."""
+    """Write ``ds`` as hive-partitioned parquet; returns the output dir.
+
+    Atomic: data lands in ``{out_dir}.inprogress`` and is renamed into
+    place with a ``_MANIFEST.json`` of partition directories — readers
+    never observe a half-written output, and a crashed attempt's temp
+    dir is replaced on retry (same contract as state/checkpoint).
+    """
+    import json
+    import os
+    import shutil
+
     out_dir = Path(out_dir)
+    tmp = out_dir.with_name(out_dir.name + ".inprogress")
+    if tmp.exists():
+        shutil.rmtree(tmp)
     ds.write_parquet(
-        str(out_dir),
+        str(tmp),
         partition_cols=partition_cols,
         min_rows_per_file=min_rows_per_file,
     )
+    parts = sorted(
+        str(d.relative_to(tmp)) for d in {f.parent for f in tmp.rglob("*.parquet")}
+    )
+    (tmp / "_MANIFEST.json").write_text(
+        json.dumps({"partition_cols": partition_cols, "partitions": parts}, indent=1)
+    )
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp, out_dir)
     return out_dir
 
 

@@ -304,19 +304,26 @@ def _verify_pairs_bucketed(ds, cand: pa.Table, col: str, id_col: str,
     import ray.data as rd
 
     n = cand.num_rows
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
+    id_type = cand["a"].type
+    empty = pa.table({"a": pa.array([], id_type),
+                      "b": pa.array([], id_type),
                       "metric": pa.array([], pa.float64())})
     if n == 0:
         return empty
-    a = cand["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = cand["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def id_bucket(arr: pa.Array) -> np.ndarray:
+        # works for int AND string ids
+        h = pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
+        return (h % num_buckets).astype(np.int32)
+
+    a = cand["a"].combine_chunks() if isinstance(cand["a"], pa.ChunkedArray) else cand["a"]
+    b = cand["b"].combine_chunks() if isinstance(cand["b"], pa.ChunkedArray) else cand["b"]
     pair_id = np.arange(n, dtype=np.int64)
-    ids = np.concatenate([a, b])
+    ids = pa.concat_arrays([a, b])
     slot_tbl = pa.table(
         {
-            "bucket": pa.array((ids % num_buckets).astype(np.int32), pa.int32()),
-            "id": pa.array(ids, pa.int64()),
+            "bucket": pa.array(id_bucket(ids), pa.int32()),
+            "id": ids,
             "pair_id": pa.array(np.concatenate([pair_id, pair_id]), pa.int64()),
             "slot": pa.array(
                 np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
@@ -325,19 +332,19 @@ def _verify_pairs_bucketed(ds, cand: pa.Table, col: str, id_col: str,
             "payload": pa.array([None] * (2 * n), pa.string()),
         }
     )
-    need_ref = ray.put(pa.array(np.unique(ids)))
+    need_ref = ray.put(pc.unique(ids))
 
     def project(t: pa.Table) -> pa.Table:
-        idc = pc.cast(t[id_col].combine_chunks(), pa.int64())
+        idc = pc.cast(t[id_col].combine_chunks(), id_type)
         keep = pc.fill_null(pc.is_in(idc, value_set=ray.get(need_ref)), False)
         t = pa.table({"id": idc, "payload": pc.cast(t[col].combine_chunks(), pa.string())}).filter(keep)
-        idn = t["id"].to_numpy(zero_copy_only=False)
+        idn = t["id"].combine_chunks() if isinstance(t["id"], pa.ChunkedArray) else t["id"]
         return pa.table(
             {
-                "bucket": pa.array((idn % num_buckets).astype(np.int32), pa.int32()),
+                "bucket": pa.array(id_bucket(idn), pa.int32()),
                 "id": t["id"],
-                "pair_id": pa.array(np.full(len(idn), -1, np.int64), pa.int64()),
-                "slot": pa.array(np.full(len(idn), -1, np.int8), pa.int8()),
+                "pair_id": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "slot": pa.array(np.full(t.num_rows, -1, np.int8), pa.int8()),
                 "payload": t["payload"],
             }
         )
@@ -372,8 +379,8 @@ def _verify_pairs_bucketed(ds, cand: pa.Table, col: str, id_col: str,
         ]
         return pd.DataFrame(
             {
-                "a": g0["id"].to_numpy(np.int64),
-                "b": g1["id"].to_numpy(np.int64),
+                "a": g0["id"].to_numpy(),  # keeps int or string dtype
+                "b": g1["id"].to_numpy(),
                 "metric": np.asarray(metric, np.float64),
             }
         )

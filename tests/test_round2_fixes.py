@@ -308,9 +308,35 @@ def test_partitioned_writer_roundtrip(ray_session, tmp_path):
     )
     out = write_partitioned(rd.from_arrow(t), tmp_path / "out",
                             partition_cols=["lang"])
-    # hive layout: one directory per key value
-    assert sorted(p.name for p in out.iterdir()) == ["lang=de", "lang=en", "lang=fr"]
+    # hive layout: one directory per key value + atomic-write manifest
+    assert sorted(p.name for p in out.iterdir()) == [
+        "_MANIFEST.json", "lang=de", "lang=en", "lang=fr"]
+    import json
+
+    manifest = json.loads((out / "_MANIFEST.json").read_text())
+    assert sorted(manifest["partitions"]) == ["lang=de", "lang=en", "lang=fr"]
+    assert not out.with_name(out.name + ".inprogress").exists()
     back = read_partitioned(out).to_pandas()
     assert sorted(back["doc_id"]) == [1, 2, 3, 4]
     en = read_partitioned(out, partition_filter={"lang": "en"}).to_pandas()
     assert sorted(en["doc_id"]) == [1, 3]
+
+
+def test_minhash_verify_bucketed_string_ids(ray_session):
+    """The bucketed pair-verify must support string ids (the image_id
+    shape), not just int64 doc ids."""
+    import ray.data as rd
+
+    from schisma_ray.stages.dedup import minhash_dedup_pairs
+
+    texts = [f"quick brown fox jumps over lazy dog {i} " * 5 for i in range(20)]
+    texts += [t + "x" for t in texts[:4]]
+    ids = [f"doc-{i:03d}" for i in range(len(texts))]
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.string()),
+                                 "text": pa.array(texts, pa.string())}))
+    drv = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5)
+    dist = minhash_dedup_pairs(ds, "text", "doc_id", threshold=0.5,
+                               verify_driver_limit=0)
+    key = lambda t: sorted(zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                               t["jaccard"].to_pylist()))
+    assert drv.num_rows > 0 and key(drv) == key(dist)
