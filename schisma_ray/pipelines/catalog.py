@@ -633,6 +633,17 @@ def q_lineitem_quantiles(sf_dir: str):
     return exact_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99])
 
 
+def q_lineitem_quantiles_approx(sf_dir: str):
+    """Mergeable-histogram approximate quantiles (two streaming passes,
+    constant state — the no-sort path; error bounded by one bin width).
+    No SQL oracle (approximate by design); accuracy pinned vs
+    exact_quantiles in tests/test_round2_property.py."""
+    from ..stages.rank import approx_quantiles
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return approx_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99])
+
+
 def q_distinct_sources_by_lang(sf_dir: str):
     """Exact distinct counts per group (two-level combiner)."""
     from ..stages.topk import grouped_distinct_count
@@ -1376,6 +1387,7 @@ QUERIES = {
     "top_users_per_event_type": q_top_users_per_event_type,
     "profile_images": q_profile_images,
     "lineitem_quantiles": q_lineitem_quantiles,
+    "lineitem_quantiles_approx": q_lineitem_quantiles_approx,
     "distinct_sources_by_lang": q_distinct_sources_by_lang,
     "event_sessions": q_event_sessions,
     "events_hopping": q_events_hopping,

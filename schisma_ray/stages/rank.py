@@ -57,6 +57,43 @@ def ranked(ds, sort_keys: list[str], *, index_col: str = "rank"):
     return zip_with_index(ds.sort(sort_keys), index_col=index_col)
 
 
+def approx_quantiles(ds, col: str, qs: list[float], *, bins: int = 4096) -> pa.Table:
+    """Approximate quantiles via a mergeable two-pass histogram sketch —
+    the 100-TB path (exact_quantiles sorts the whole column; this does
+    two streaming aggregate passes with constant-size state).
+
+    Pass 1: min/max (tree aggregate). Pass 2: fixed-bin histogram
+    between them (mergeable int vector). Quantile = linear interpolation
+    inside the target bin; worst-case error is one bin width
+    ((max-min)/bins).
+    """
+    from ray.data.aggregate import Max, Min
+
+    from ..stages.stats import Histogram
+
+    bounds = ds.aggregate(Min(col, alias_name="lo"), Max(col, alias_name="hi"))
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    if hi <= lo:
+        return pa.table({"q": pa.array(list(qs), pa.float64()),
+                         "value": pa.array([lo] * len(qs), pa.float64())})
+    hist = np.asarray(
+        ds.aggregate(Histogram(col, lo=lo, hi=hi, bins=bins, alias_name="h"))["h"],
+        dtype=np.float64,
+    )
+    n = hist.sum()
+    cdf = np.cumsum(hist) / n
+    edges = np.linspace(lo, hi, bins + 1)
+    out = []
+    for q in qs:
+        b = int(np.searchsorted(cdf, q, side="left"))
+        b = min(b, bins - 1)
+        prev = cdf[b - 1] if b > 0 else 0.0
+        frac = (q - prev) / max(cdf[b] - prev, 1e-300)
+        out.append(edges[b] + frac * (edges[b + 1] - edges[b]))
+    return pa.table({"q": pa.array(list(qs), pa.float64()),
+                     "value": pa.array(out, pa.float64())})
+
+
 def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
     """EXACT quantiles of a column via the distributed order statistics:
     sort shuffle -> per-block offsets -> each target rank fetched from
