@@ -665,6 +665,18 @@ def q_doc_fingerprints(sf_dir: str):
     return content_fingerprint(_t(sf_dir, "documents"), col="text", id_col="doc_id")
 
 
+def q_doc_winnow_overlap(sf_dir: str):
+    """Rolling-hash winnowing fingerprints -> docs sharing >= min_shared
+    fingerprints (plagiarism/overlap candidates; rows-only — winnowing
+    is not SQL-expressible; kernels brute-force-verified in tests)."""
+    from ..stages.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _t(sf_dir, "documents"), col="text", id_col="doc_id",
+        k=12, window=6, min_shared=5,
+    )
+
+
 def q_minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(
         _t(sf_dir, "documents"), col="text", id_col="doc_id", threshold=0.8
@@ -1397,6 +1409,7 @@ QUERIES = {
     "violation_summary": q_violation_summary,
     "dedup_exact_documents": q_dedup_exact_documents,
     "doc_fingerprints": q_doc_fingerprints,
+    "doc_winnow_overlap": q_doc_winnow_overlap,
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "text_metrics": q_text_metrics,

@@ -67,6 +67,113 @@ def exact_dedup_keep_first(ds, key: str, id_col: str):
     return kept.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_ROLL_B = np.uint64(1000003)  # odd -> invertible mod 2^64
+
+
+def _modinv_pow2_64(a: int) -> int:
+    """Inverse of odd a mod 2^64 (Newton iteration on 2-adic integers)."""
+    x = a  # correct to 3 bits
+    for _ in range(5):
+        x = (x * (2 - a * x)) & 0xFFFFFFFFFFFFFFFF
+    return x
+
+
+_ROLL_BINV = np.uint64(_modinv_pow2_64(int(_ROLL_B)))
+
+
+def rolling_hashes(data: bytes, k: int) -> np.ndarray:
+    """All k-gram rolling hashes of ``data`` (uint64, mod 2^64), fully
+    vectorized: h[i] = sum_j data[i+j] * B^j (reversed-polynomial Rabin
+    hash — position-independent: equal k-grams hash equally).
+
+    One cumulative sum S[i] = sum_{j<=i} c[j]*B^j gives
+    h[i] = (S[i+k-1] - S[i-1]) * Binv^i (Binv = modular inverse of the
+    odd base mod 2^64) — no per-position loop. The extra constant
+    B^(k-1) factor below is a bijection mod 2^64 (odd), harmless.
+    """
+    c = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(c)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    idx = np.arange(n, dtype=np.uint64)
+    powB = np.empty(n, dtype=np.uint64)
+    powB[0] = 1
+    np.multiply.accumulate(np.full(n - 1, _ROLL_B, np.uint64), out=powB[1:])
+    powBinv = np.empty(n, dtype=np.uint64)
+    powBinv[0] = 1
+    np.multiply.accumulate(np.full(n - 1, _ROLL_BINV, np.uint64), out=powBinv[1:])
+    S = np.cumsum(c * powB, dtype=np.uint64)
+    diff = S[k - 1 :].copy()
+    diff[1:] -= S[: n - k]
+    # h[i] = diff[i] * Binv^i * B^(k-1)... fold the constants:
+    return diff * powBinv[: n - k + 1] * powB[k - 1]
+
+
+def winnow_fingerprints_one(text: str, k: int = 8, window: int = 4) -> np.ndarray:
+    """Winnowing (Schleimer/Wilkerson/Aiken-style): k-gram rolling hashes,
+    then the minimum of every ``window`` consecutive hashes (rightmost
+    min per window), deduplicated. Guarantees any shared substring of
+    length >= k + window - 1 contributes >= 1 shared fingerprint."""
+    h = rolling_hashes(text.encode("utf-8"), k)
+    if len(h) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(h, window)
+    # rightmost minimum: argmin on the reversed window
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    pos = np.arange(len(win)) + (window - 1 - rev_arg)
+    return np.unique(h[np.unique(pos)])
+
+
+def winnow_fingerprints(ds, col: str, id_col: str, *, k: int = 8, window: int = 4):
+    """(id, fingerprint) rows — content-defined rolling-hash fingerprints
+    (the brief's 'document fingerprinting (rolling hash)'). Exploded so
+    downstream overlap detection is a plain groupby on fingerprint."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_out, fps_out = [], []
+        for rid, t in zip(batch[id_col].to_pylist(), batch[col].to_pylist()):
+            fps = winnow_fingerprints_one(t or "", k, window)
+            ids_out.extend([rid] * len(fps))
+            fps_out.append(fps)
+        flat = (
+            np.concatenate(fps_out) if fps_out else np.empty(0, np.uint64)
+        ).view(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids_out),
+                "fingerprint": pa.array(flat, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winnow_overlap_pairs(ds, col: str, id_col: str, *, k: int = 8,
+                         window: int = 4, min_shared: int = 2,
+                         max_bucket: int = 1000) -> pa.Table:
+    """Candidate near-dup/plagiarism pairs: docs sharing >= min_shared
+    winnow fingerprints. Same banded-bucket shape as MinHash LSH — the
+    all-to-all carries (fingerprint, id) rows only."""
+    fps = winnow_fingerprints(ds, col, id_col, k=k, window=window)
+    cand = _bucket_pairs(fps, ["fingerprint"], id_col, max_bucket)
+    if cand.num_rows == 0:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "shared": pa.array([], pa.int64())})
+    counted = (
+        cand.group_by(["a", "b"])
+        .aggregate([([], "count_all")])
+        .rename_columns(["a", "b", "shared"])
+    )
+    return counted.filter(
+        pc.greater_equal(counted["shared"], min_shared)
+    ).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
 def content_fingerprint(ds, col: str, id_col: str):
     """(id, fingerprint=md5(col)) — exact-dup key; matches SQL md5()."""
 

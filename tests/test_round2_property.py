@@ -93,3 +93,53 @@ def test_approx_quantiles_constant_column(ray_session):
     ds = rd.from_arrow(pa.table({"x": pa.array([7.0] * 100, pa.float64())}))
     out = approx_quantiles(ds, "x", [0.0, 0.5, 1.0]).to_pydict()
     assert out["value"] == [7.0, 7.0, 7.0]
+
+
+def test_rolling_hash_brute_force():
+    from schisma_ray.stages.dedup import rolling_hashes
+
+    B = 1000003
+    data = b"hello rolling world"
+    k = 5
+    exp = []
+    for i in range(len(data) - k + 1):
+        v = 0
+        for j in range(k):
+            v = (v + data[i + j] * pow(B, j, 2**64)) % 2**64
+        exp.append((v * pow(B, k - 1, 2**64)) % 2**64)
+    assert rolling_hashes(data, k).tolist() == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=120), st.integers(2, 10))
+def test_rolling_hash_position_independent(data, k):
+    from schisma_ray.stages.dedup import rolling_hashes
+
+    h = rolling_hashes(data, k)
+    assert len(h) == max(0, len(data) - k + 1)
+    shifted = rolling_hashes(b"ZZ" + data, k)
+    if len(h):
+        assert set(h.tolist()) <= set(shifted.tolist())
+
+
+def test_winnow_overlap_pairs(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.dedup import winnow_overlap_pairs
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    texts = [f"doc {i} unrelated filler content with words {i*7} {i*13}" for i in range(10)]
+    texts += [f"prefix {i} " + base + f" suffix {i}" for i in range(3)]  # ids 10,11,12
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                                 "text": pa.array(texts, pa.string())}))
+    pairs = winnow_overlap_pairs(ds, "text", "doc_id", k=8, window=4, min_shared=3)
+    by_shared = sorted(
+        zip(pairs["shared"].to_pylist(), pairs["a"].to_pylist(), pairs["b"].to_pylist()),
+        reverse=True,
+    )
+    got = set(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    assert {(10, 11), (10, 12), (11, 12)} <= got
+    # the docs sharing the long planted paragraph dominate the overlap
+    # ranking (filler docs share only their common template substring)
+    top3 = {(a, b) for _, a, b in by_shared[:3]}
+    assert top3 == {(10, 11), (10, 12), (11, 12)}
