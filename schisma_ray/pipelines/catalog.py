@@ -281,6 +281,78 @@ def q_frame_sample(sf_dir: str):
     return frame_sample(ds, every_k=10)
 
 
+# ------------------------------------------------------------ audio/video
+def _audio_dir(sf_dir: str):
+    from ..sources import av_table
+
+    return av_table.generate_audio(av_table.rows_for_sf(sf_dir, 20_000))
+
+
+def _video_dir(sf_dir: str):
+    from ..sources import av_table
+
+    return av_table.generate_video(av_table.rows_for_sf(sf_dir, 4_000))
+
+
+def q_audio_decode_violations(sf_dir: str):
+    """Audio analogue of the image decode check: stored sample_rate /
+    n_samples vs the decoded truth (actor pool; seeded defects oracled
+    against the generator's expected_violations)."""
+    from ..stages.multimodal import AudioDecodeValidator
+
+    ds = rd.read_parquet(str(_audio_dir(sf_dir) / "audio.parquet"))
+    vio = ds.map_batches(
+        AudioDecodeValidator, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return _collect(_project_violations(vio), _VIO_COLS)
+
+
+def q_audio_features(sf_dir: str):
+    """Decode -> audio feature vectors (duration/rms/zcr/band energies)."""
+    from ..stages.multimodal import AudioFeatures
+
+    ds = rd.read_parquet(str(_audio_dir(sf_dir) / "audio.parquet"),
+                         columns=["audio_id", "bytes"])
+    feats = ds.map_batches(
+        AudioFeatures, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        ids, out = [], []
+        for rid, v in zip(t["audio_id"].to_pylist(), t["features"].to_pylist()):
+            if v is None:
+                continue
+            ids.append(rid)
+            out.append(",".join(f"{x:.4f}" for x in v))
+        return pa.table({"audio_id": pa.array(ids, pa.string()),
+                         "features": pa.array(out, pa.string())})
+
+    return feats.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_video_frame_explode(sf_dir: str):
+    """True frame explosion: every 3rd frame of each container becomes a
+    row; oracled from the stored n_frames metadata."""
+    from ..stages.multimodal import VideoFrameSampler
+
+    ds = rd.read_parquet(str(_video_dir(sf_dir) / "video.parquet"),
+                         columns=["video_id", "bytes"])
+    frames = ds.map_batches(
+        VideoFrameSampler,
+        fn_constructor_args=(3,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return frames.map_batches(
+        lambda t: t.select(["video_id", "frame_idx", "w", "h", "fmt"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 # -------------------------------------------------------------- documents
 def documents_schema() -> TableSchema:
     return TableSchema(
@@ -914,6 +986,15 @@ UNION ALL
 SELECT image_id, 'fmt', 'invalid', '{in_set_fmt}', fmt
   FROM im WHERE fmt IS NOT NULL AND fmt NOT IN {fmt_set}
 """,
+        "audio_decode_violations": f"""
+SELECT row_ref, path, code, expected, received
+  FROM read_parquet('{{AUDIO_EXPECTED}}')
+""".replace("{AUDIO_EXPECTED}", str(_audio_dir(ORACLE_SF_DIR) / "expected_violations.parquet")),
+        "video_frame_explode": f"""
+SELECT video_id, CAST(unnest(range(0, n_frames, 3)) AS INTEGER) AS frame_idx,
+       w, h, fmt
+  FROM read_parquet('{{VIDEO_TBL}}')
+""".replace("{VIDEO_TBL}", str(_video_dir(ORACLE_SF_DIR) / "video.parquet")),
         "frame_sample": f"""
 SELECT image_id, w, h, fmt FROM {img}
  WHERE CAST(concat('0x', substr(md5(image_id), 1, 8)) AS BIGINT) % 10 = 0
@@ -1383,6 +1464,9 @@ QUERIES = {
     "image_schema_conform": q_image_schema_conform,
     "image_features": q_image_features,
     "frame_sample": q_frame_sample,
+    "audio_decode_violations": q_audio_decode_violations,
+    "audio_features": q_audio_features,
+    "video_frame_explode": q_video_frame_explode,
     "image_conform_full": q_image_conform_full,
     "validate_documents": q_validate_documents,
     "conform_documents": q_conform_documents,

@@ -125,6 +125,137 @@ class ImageFeatures:
         )
 
 
+class AudioFeatures:
+    """Actor: decode audio bytes -> dense feature vector per row
+    (duration, RMS, zero-crossing rate, FFT band energies). Same actor
+    signature as a real embedding/ASR front-end: per-actor state in
+    ``__init__``, batches through ``__call__``; undecodable rows -> null.
+    """
+
+    def __init__(self, n_bands: int = 8, id_col: str = "audio_id"):
+        self.n_bands = n_bands
+        self.id_col = id_col
+        self.dim = 3 + n_bands
+
+    def features_of(self, samples: "np.ndarray", sr: int) -> "np.ndarray":
+        mono = samples.astype(np.float32).mean(axis=1) / 32768.0
+        n = len(mono)
+        duration = n / max(1, sr)
+        rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
+        zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0
+        spec = np.abs(np.fft.rfft(mono)) ** 2
+        bands = np.array_split(spec, self.n_bands)
+        total = max(1e-12, spec.sum())
+        energy = np.array([b.sum() / total for b in bands], dtype=np.float32)
+        return np.concatenate(
+            [np.array([duration, rms, zcr], np.float32), energy]
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import av_codec
+
+        feats = []
+        for blob in batch["bytes"].to_pylist():
+            try:
+                samples, sr = av_codec.decode_audio(blob)
+            except (av_codec.AVCodecError, TypeError):
+                feats.append(None)
+                continue
+            feats.append(self.features_of(samples, sr).tolist())
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "features": pa.array(feats, pa.list_(pa.float32())),
+            }
+        )
+
+
+class AudioDecodeValidator:
+    """Actor: audio analogue of DecodeValidator — stored sample_rate /
+    n_samples metadata checked against the decoded truth; undecodable
+    payloads -> one ``bytes`` violation (schisma's ``invalid`` code)."""
+
+    def __init__(self, id_col: str = "audio_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import av_codec
+        from ..sources.image_table import VIOLATION_SCHEMA
+
+        ids = batch[self.id_col].to_pylist()
+        srs = batch["sample_rate"].to_pylist() if "sample_rate" in batch.column_names else [None] * len(ids)
+        ns = batch["n_samples"].to_pylist() if "n_samples" in batch.column_names else [None] * len(ids)
+        refs, paths, exps, recs = [], [], [], []
+        for i, blob in enumerate(batch["bytes"].to_pylist()):
+            try:
+                samples, sr = av_codec.decode_audio(blob)
+            except (av_codec.AVCodecError, TypeError):
+                refs.append(ids[i])
+                paths.append("bytes")
+                exps.append("decodable audio")
+                recs.append("undecodable")
+                continue
+            if srs[i] is not None and srs[i] != sr:
+                refs.append(ids[i]); paths.append("sample_rate")
+                exps.append(str(sr)); recs.append(str(srs[i]))
+            if ns[i] is not None and ns[i] != len(samples):
+                refs.append(ids[i]); paths.append("n_samples")
+                exps.append(str(len(samples))); recs.append(str(ns[i]))
+        n = len(refs)
+        return pa.Table.from_arrays(
+            [
+                pa.array([str(r) for r in refs], pa.string()),
+                pa.array(paths, pa.string()),
+                pa.array(["invalid"] * n, pa.string()),
+                pa.array(exps, pa.string()),
+                pa.array(recs, pa.string()),
+                pa.array([None] * n, pa.string()),
+                pa.array(["decode"] * n, pa.string()),
+            ],
+            schema=VIOLATION_SCHEMA,
+        )
+
+
+class VideoFrameSampler:
+    """Actor: true frame explosion — decode every k-th frame of a video
+    container into its own row (video_id, frame_idx, w, h, fmt, bytes).
+    Length-prefixed frames mean skipped frames are seeks, not decodes;
+    re-encoding keeps pixel payloads out of long-lived batch memory."""
+
+    def __init__(self, every_k: int = 5, id_col: str = "video_id"):
+        self.every_k = every_k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import av_codec
+
+        vids, idxs, ws, hs, fmts, blobs = [], [], [], [], [], []
+        for vid, blob in zip(batch[self.id_col].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            try:
+                for fi, pixels, fmt in av_codec.iter_video_frames(
+                    blob, every_k=self.every_k
+                ):
+                    vids.append(vid)
+                    idxs.append(fi)
+                    hs.append(pixels.shape[0])
+                    ws.append(pixels.shape[1])
+                    fmts.append(fmt)
+                    blobs.append(codec.encode(pixels, fmt))
+            except (av_codec.AVCodecError, codec.CodecError, TypeError):
+                continue  # undecodable container: validation owns reporting
+        return pa.table(
+            {
+                self.id_col: pa.array(vids),
+                "frame_idx": pa.array(idxs, pa.int32()),
+                "w": pa.array(ws, pa.int32()),
+                "h": pa.array(hs, pa.int32()),
+                "fmt": pa.array(fmts, pa.string()),
+                "bytes": pa.array(blobs, pa.binary()),
+            }
+        )
+
+
 def frame_sample(ds, every_k: int = 10, key_col: str = "image_id"):
     """Deterministic 1-in-k row sampling by key hash (the frame-sampling
     access pattern for video containers: same key -> same decision on
