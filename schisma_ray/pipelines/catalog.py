@@ -687,6 +687,29 @@ def q_top_users_per_event_type(sf_dir: str):
     return grouped_count_topk(ev, "event_type", "user_id", k=3)
 
 
+def q_documents_conform_diff(sf_dir: str):
+    """Snapshot diff between two table versions: the original documents
+    vs a normalized revision (en text upper-cased). Exactly the rows the
+    revision touched surface as 'changed' — one bucketed shuffle of
+    (key, row-hash) pairs; payloads never move."""
+    import pyarrow.compute as pc
+
+    from ..stages.diff import table_diff
+
+    docs = _t(sf_dir, "documents")
+
+    def normalize(t: pa.Table) -> pa.Table:
+        en = pc.fill_null(pc.equal(t["lang"], "en"), False)
+        text = pc.if_else(en, pc.utf8_upper(t["text"].combine_chunks()), t["text"])
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    revised = _t(sf_dir, "documents").map_batches(
+        normalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = table_diff(docs, revised, "doc_id", ["text", "lang", "source", "n_chars"])
+    return _collect(out, ["doc_id", "change"])
+
+
 def q_profile_images(sf_dir: str):
     """Per-column null profile of the image table in one streaming pass
     (the expectations-suite building block)."""
@@ -1210,6 +1233,10 @@ SELECT phash, count(*) AS n
  ORDER BY n DESC, phash
  LIMIT 10
 """,
+        "documents_conform_diff": """
+SELECT doc_id, 'changed' AS change FROM documents
+ WHERE lang = 'en' AND text <> upper(text)
+""",
         "profile_images": f"""
 WITH im AS (SELECT * FROM {img}),
      v AS (
@@ -1481,6 +1508,7 @@ QUERIES = {
     "orders_enriched": q_orders_enriched,
     "orders_enriched_shuffle": q_orders_enriched_shuffle,
     "top_users_per_event_type": q_top_users_per_event_type,
+    "documents_conform_diff": q_documents_conform_diff,
     "profile_images": q_profile_images,
     "lineitem_quantiles": q_lineitem_quantiles,
     "lineitem_quantiles_approx": q_lineitem_quantiles_approx,

@@ -340,3 +340,18 @@ def test_minhash_verify_bucketed_string_ids(ray_session):
     key = lambda t: sorted(zip(t["a"].to_pylist(), t["b"].to_pylist(),
                                t["jaccard"].to_pylist()))
     assert drv.num_rows > 0 and key(drv) == key(dist)
+
+
+def test_table_diff_classification(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.diff import table_diff
+
+    old = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                    "v": pa.array(["a", "b", "c", None])})
+    new = pa.table({"k": pa.array([2, 3, 5], pa.int64()),
+                    "v": pa.array(["b", "CHANGED", "e"])})
+    out = table_diff(rd.from_arrow(old), rd.from_arrow(new), "k", ["v"]).to_pandas()
+    got = dict(zip(out["k"], out["change"]))
+    # 1,4 removed; 5 added; 3 changed; 2 unchanged (absent)
+    assert got == {1: "removed", 4: "removed", 5: "added", 3: "changed"}
