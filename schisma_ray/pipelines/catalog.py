@@ -877,6 +877,36 @@ def q_corpus_clean(sf_dir: str):
     return docs.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_corpus_clean_join(sf_dir: str):
+    """corpus_clean through a distributed semi-join instead of the
+    survivor-set broadcast: the dedup-survivor ids join the scored+
+    filtered docs via Ray's native hash-shuffle Dataset.join — the path
+    for when the survivor set itself is too big to broadcast (it is
+    O(distinct texts): at 100 TB that can be most of the corpus)."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import quality_score_values
+
+    docs = _t(sf_dir, "documents")
+    kept = exact_dedup_keep_first(docs, key="text", id_col="doc_id")
+
+    def score_filter(t: pa.Table) -> pa.Table:
+        en = pc.fill_null(pc.equal(t["lang"].combine_chunks(), "en"), False)
+        t = t.filter(en)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        score = pa.array(quality_score_values(t["text"].combine_chunks()),
+                         pa.float64())
+        out = pa.table({"doc_id": t["doc_id"], "score": score})
+        return out.filter(pc.greater_equal(out["score"], 0.6))
+
+    scored = docs.map_batches(score_filter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return scored.join(kept, join_type="inner", num_partitions=16,
+                       on=("doc_id",))
+
+
 def q_corpus_rejected(sf_dir: str):
     """Set difference: documents NOT surviving the cleaning pipeline
     (all ids EXCEPT corpus_clean survivors). The clean pipeline runs
@@ -1422,6 +1452,28 @@ WITH m AS (
 SELECT doc_id, score FROM s
  WHERE doc_id = keeper AND score >= 0.6 AND lang = 'en'
 """,
+        "corpus_clean_join": """
+WITH m AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+         min(doc_id) OVER (PARTITION BY text) AS keeper
+    FROM documents),
+ s AS (
+  SELECT doc_id, lang, keeper,
+         ROUND(
+           0.4 * LEAST(1.0, n_words / 64.0)
+           + 0.3 * (CASE WHEN n_words > 0
+                          AND (n_chars - (n_words - 1)) / n_words >= 3
+                          AND (n_chars - (n_words - 1)) / n_words <= 12
+                         THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END)
+         , 6) AS score
+    FROM m)
+SELECT doc_id, score FROM s
+ WHERE doc_id = keeper AND score >= 0.6 AND lang = 'en'
+""",
         "corpus_rejected": """
 WITH m AS (
   SELECT doc_id, lang,
@@ -1532,6 +1584,7 @@ QUERIES = {
     "docs_regex_filtered": q_docs_regex_filtered,
     "doc_repetition": q_doc_repetition,
     "corpus_clean": q_corpus_clean,
+    "corpus_clean_join": q_corpus_clean_join,
     "corpus_rejected": q_corpus_rejected,
     "knn_cosine": q_knn_cosine,
     "ann_lsh": q_ann_lsh,

@@ -248,15 +248,53 @@ def components_from_pairs(pairs: pa.Table, *, driver_limit: int = 10_000_000) ->
 
 
 def near_dedup_survivors(ds, pairs: pa.Table, id_col: str,
-                         *, driver_limit: int = 10_000_000):
+                         *, driver_limit: int = 10_000_000,
+                         strategy: str = "broadcast"):
     """Dataset of surviving ids: every id minus non-keeper dup-group members.
 
-    The non-survivor set (group members that are not the minimum id) is
-    broadcast and filtered out in one vectorized pass — the corpus never
-    shuffles.
+    * ``broadcast`` (default): the non-survivor set (group members that
+      are not the minimum id) is broadcast and filtered out in one
+      vectorized pass — the corpus never shuffles. Right while the
+      non-survivor set fits the object store (low duplicate rates).
+    * ``join``: the labels stay a DATASET end-to-end — the distributed
+      component labels are filtered to non-keepers and anti-joined
+      against the corpus via Ray's native hash-shuffle join (left outer
+      + null-marker filter). The path for duplicate-heavy corpora where
+      the drop set is itself corpus-sized.
     """
     import pyarrow.compute as pc
     import ray
+
+    if strategy == "join":
+        if pairs.num_rows == 0:
+            return ds.map_batches(
+                lambda t: t.select([id_col]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            )
+        labels = components_distributed(pairs)
+        drop_ds = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "__dup": pa.array([1] * t.num_rows, pa.int8()),
+                }
+            ).filter(pc.invert(pc.equal(t["node"], t["component"]))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        narrow = ds.map_batches(
+            lambda t: t.select([id_col]),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        joined = narrow.join(
+            drop_ds, join_type="left_outer", num_partitions=16,
+            on=(id_col,), right_on=("node",),
+        )
+        return joined.map_batches(
+            lambda t: t.filter(pc.is_null(t["__dup"])).select([id_col]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     comp = components_from_pairs(pairs, driver_limit=driver_limit)
     keep_mask = pc.equal(comp["node"], comp["component"])

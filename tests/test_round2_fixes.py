@@ -355,3 +355,22 @@ def test_table_diff_classification(ray_session):
     got = dict(zip(out["k"], out["change"]))
     # 1,4 removed; 5 added; 3 changed; 2 unchanged (absent)
     assert got == {1: "removed", 4: "removed", 5: "added", 3: "changed"}
+
+
+def test_near_dedup_survivors_join_strategy(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.components import near_dedup_survivors
+
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(range(20), pa.int64())}))
+    pairs = pa.table({"a": pa.array([1, 2, 7], pa.int64()),
+                      "b": pa.array([2, 3, 8], pa.int64())})
+    # components: {1,2,3} keeper 1; {7,8} keeper 7 -> drop 2,3,8
+    bc = sorted(near_dedup_survivors(docs, pairs, "doc_id").to_pandas()["doc_id"])
+    jn = sorted(near_dedup_survivors(docs, pairs, "doc_id",
+                                     strategy="join").to_pandas()["doc_id"])
+    assert bc == jn == [i for i in range(20) if i not in (2, 3, 8)]
+    # empty pair set: everything survives, both strategies
+    e = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    assert sorted(near_dedup_survivors(docs, e, "doc_id",
+                                       strategy="join").to_pandas()["doc_id"]) == list(range(20))
