@@ -127,6 +127,19 @@ def q_image_phash_duplicates(sf_dir: str):
     )
 
 
+def q_image_phash_duplicates_join(sf_dir: str):
+    """Uniqueness through the semi-join strategy: the duplicate-key set
+    stays a Dataset (the duplicate-heavy-table path; no broadcast)."""
+    ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
+    vio = uniqueness_violations(ds, "phash", id_column="image_id",
+                                strategy="join")
+    return vio.map_batches(
+        lambda t: t.select(["row_ref", "path", "code", "expected"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_image_referential_orphans(sf_dir: str):
     ref = rd.read_parquet(_ref_ids(sf_dir))
     ids = read_images(_img_dir(sf_dir), ["image_id"])
@@ -1068,6 +1081,12 @@ SELECT image_id AS row_ref, 'phash' AS path, 'invalid' AS code, 'unique' AS expe
   FROM im
  WHERE phash IN (SELECT phash FROM im GROUP BY phash HAVING count(*) > 1)
 """,
+        "image_phash_duplicates_join": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'phash' AS path, 'invalid' AS code, 'unique' AS expected
+  FROM im
+ WHERE phash IN (SELECT phash FROM im GROUP BY phash HAVING count(*) > 1)
+""",
         "image_referential_orphans": f"""
 WITH im AS (SELECT * FROM {img})
 SELECT image_id AS row_ref, 'image_id' AS path, 'invalid' AS code,
@@ -1532,6 +1551,7 @@ QUERIES = {
     "image_decode_violations": q_image_decode_violations,
     "image_validate_full": q_image_validate_full,
     "image_phash_duplicates": q_image_phash_duplicates,
+    "image_phash_duplicates_join": q_image_phash_duplicates_join,
     "image_referential_orphans": q_image_referential_orphans,
     "image_referential_orphans_shuffle": q_image_referential_orphans_shuffle,
     "image_referential_orphans_bloom": q_image_referential_orphans_bloom,

@@ -94,8 +94,71 @@ def duplicate_keys(ds, column: str, *, driver_merge_limit: int = 2_000_000) -> p
     return merged.filter(pc.greater(merged["partial"], 1))
 
 
-def uniqueness_violations(ds, column: str, id_column: str = "image_id"):
-    """Dataset of violations for rows whose ``column`` value is duplicated."""
+def duplicate_keys_ds(ds, column: str):
+    """Dataset of (column, n) for keys appearing more than once — the
+    never-materialize variant of ``duplicate_keys``: per-batch partials
+    -> Ray groupby sum -> filter, everything stays distributed."""
+    partials = ds.map_batches(
+        _partial_counts(column), batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = partials.groupby(column).sum("partial")
+    return totals.map_batches(
+        lambda t: pa.table(
+            {column: t[column], "n": t["sum(partial)"]}
+        ).filter(pc.fill_null(pc.greater(t["sum(partial)"], 1), False)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def uniqueness_violations(ds, column: str, id_column: str = "image_id",
+                          *, strategy: str = "broadcast"):
+    """Dataset of violations for rows whose ``column`` value is duplicated.
+
+    * ``broadcast`` (default): the duplicate-key set is collected and
+      broadcast; one vectorized ``is_in`` re-scan emits violations. Right
+      while duplicates are rare (the common case for a uniqueness check).
+    * ``join``: the duplicate keys stay a DATASET and semi-join the
+      input via Ray's native hash-shuffle join — the path for
+      duplicate-heavy tables where the dup-key set outgrows a broadcast.
+    """
+    if strategy == "join":
+        # materialize the (bounded: distinct duplicated keys) dup set:
+        # Ray's join cannot digest schema-less empty blocks, and the
+        # 0-duplicate case must short-circuit rather than join
+        dup_ds = duplicate_keys_ds(ds, column).materialize()
+        if dup_ds.count() == 0:
+            import ray.data as rd
+
+            return rd.from_arrow(VIOLATION_SCHEMA.empty_table())
+        narrow = ds.map_batches(
+            lambda t: t.select([id_column, column]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        hit = narrow.join(dup_ds, join_type="inner", num_partitions=16,
+                          on=(column,))
+
+        def emit_rows(t: pa.Table) -> pa.Table:
+            from .validate import stringify_column
+
+            n = t.num_rows
+            return pa.Table.from_arrays(
+                [
+                    stringify_column(t[id_column].combine_chunks()),
+                    pa.array([column] * n, pa.string()),
+                    pa.array(["invalid"] * n, pa.string()),
+                    pa.array(["unique"] * n, pa.string()),
+                    pa.array([None] * n, pa.string()),
+                    pa.array([None] * n, pa.string()),
+                    pa.array(["uniqueness"] * n, pa.string()),
+                ],
+                schema=VIOLATION_SCHEMA,
+            )
+
+        return hit.map_batches(emit_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
     dup = duplicate_keys(ds, column)
     if dup.num_rows == 0:
         import ray.data as rd

@@ -374,3 +374,19 @@ def test_near_dedup_survivors_join_strategy(ray_session):
     e = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
     assert sorted(near_dedup_survivors(docs, e, "doc_id",
                                        strategy="join").to_pandas()["doc_id"]) == list(range(20))
+
+
+def test_uniqueness_join_strategy_edges(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.uniqueness import uniqueness_violations
+
+    nodup = pa.table({"image_id": pa.array(["i1", "i2", "i3"]),
+                      "phash": pa.array([1, 2, 3], pa.int64())})
+    assert uniqueness_violations(rd.from_arrow(nodup), "phash",
+                                 strategy="join").count() == 0
+    heavy = pa.table({"image_id": pa.array(["i1", "i2", "i3", "i4"]),
+                      "phash": pa.array([1, 1, 1, 2], pa.int64())})
+    out = uniqueness_violations(rd.from_arrow(heavy), "phash",
+                                strategy="join").to_pandas()
+    assert sorted(out["row_ref"]) == ["i1", "i2", "i3"]
