@@ -481,6 +481,40 @@ def q_validate_events(sf_dir: str):
     return _collect(_project_violations(vio), _VIO_COLS)
 
 
+def _props_k_range(v, where=None):
+    from ..schema.jstypes import format_number
+
+    if isinstance(v, float) and 0 <= v <= 50:
+        return True
+    return "expected 0..50, got " + (
+        format_number(v) if isinstance(v, float) else str(v)
+    )
+
+
+def q_validate_event_props(sf_dir: str):
+    """The reference's FULL row kernel distributed over a JSON column:
+    events.props parsed with JS number semantics and validated against a
+    nested schema with a $validate hook — nested dot-paths (props.k),
+    reference result codes, hook-message strings, all at table scale."""
+    from ..schema import Number
+    from ..stages.validate import JsonColumnValidator
+
+    schema = {"k": {"$type": Number, "$validate": _props_k_range}}
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    vio = ds.map_batches(
+        JsonColumnValidator,
+        fn_constructor_args=(schema, "props", "event_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return vio.map_batches(
+        lambda t: t.select(["row_ref", "path", "code", "message"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_image_w_drift_ks(sf_dir: str):
     """KS drift of the w distribution vs a uniform reference profile."""
     from ..stages.stats import Histogram, ks_drift
@@ -1249,6 +1283,17 @@ SELECT CAST(event_id AS VARCHAR), 'value', 'invalid', '>=0',
             ELSE CAST(value AS VARCHAR) END
   FROM events WHERE value IS NOT NULL AND value < 0
 """,
+        "validate_event_props": """
+WITH p AS (SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS k
+             FROM events WHERE props IS NOT NULL)
+SELECT CAST(event_id AS VARCHAR) AS row_ref, 'props.k' AS path,
+       'invalid' AS code,
+       'expected 0..50, got ' || CAST(CAST(k AS BIGINT) AS VARCHAR) AS message
+  FROM p WHERE k IS NOT NULL AND (k < 0 OR k > 50)
+UNION ALL
+SELECT CAST(event_id AS VARCHAR), 'props.k', 'missing key', CAST(NULL AS VARCHAR)
+  FROM p WHERE k IS NULL
+""",
         "events_hopping": """
 WITH w AS (
   SELECT event_type, (CAST(epoch_us(ts) AS BIGINT) // 1800000000) * 1800 AS ws
@@ -1575,6 +1620,7 @@ QUERIES = {
     "drift_mktsegment": q_drift_mktsegment,
     "events_windowed": q_events_windowed,
     "validate_events": q_validate_events,
+    "validate_event_props": q_validate_event_props,
     "image_w_drift_ks": q_image_w_drift_ks,
     "events_last_order": q_events_last_order,
     "orders_enriched": q_orders_enriched,

@@ -286,3 +286,73 @@ def violations_dataset(ds, table_schema: TableSchema, **map_kwargs):
     kwargs = dict(batch_format="pyarrow", zero_copy_batch=True)
     kwargs.update(map_kwargs)
     return ds.map_batches(TableValidator(table_schema), **kwargs)
+
+
+class JsonColumnValidator:
+    """Actor: the reference's FULL row kernel over a JSON string column.
+
+    The table checks above vectorize flat columns; semi-structured
+    payload columns (event properties, API blobs) are where the actual
+    schisma semantics — nested descent, unions, ``$validate`` hooks,
+    regex keys, dot-paths — run per document. JSON is parsed with JS
+    number semantics (every number -> float, as ``JSON.parse`` yields
+    JS numbers); the compiled ``SchemaNode`` lives once per actor;
+    violations come out dot-prefixed with the column name
+    (``props.k``), codes/strings identical to the reference.
+    """
+
+    def __init__(self, schema_literal, col: str, id_col: str,
+                 conf: dict | None = None, check: str = "json"):
+        self.node = (
+            schema_literal
+            if isinstance(schema_literal, SchemaNode)
+            else SchemaNode(schema_literal)
+        )
+        self.col = col
+        self.id_col = id_col
+        self.conf = dict(conf or {})
+        self.check = check
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        ids = stringify_column(batch[self.id_col].combine_chunks()).to_pylist()
+        texts = batch[self.col].to_pylist()
+        refs, paths, codes, exps, recs, msgs = [], [], [], [], [], []
+
+        def emit(rid, path, code, expected, received, message):
+            refs.append(rid)
+            paths.append(path)
+            codes.append(code)
+            exps.append(expected)
+            recs.append(received)
+            msgs.append(message)
+
+        for rid, s in zip(ids, texts):
+            if s is None:
+                continue  # column-level null checks belong to the schema stage
+            try:
+                doc = json.loads(s, parse_int=float)
+            except ValueError:
+                emit(rid, self.col, "invalid", "valid JSON", "unparseable", None)
+                continue
+            for r in self.node.validate(doc, dict(self.conf)):
+                where = "" if r.where is UNSET else str(r.where)
+                path = f"{self.col}.{where}" if where else self.col
+                exp = None if r.expected is UNSET else _js_str(r.expected)
+                rec = None if r.received is UNSET else _js_str(r.received)
+                msg = None if r.message is UNSET or r.message is None else str(r.message)
+                emit(rid, path, r.code, exp, rec, msg)
+        n = len(refs)
+        return pa.Table.from_arrays(
+            [
+                pa.array(refs, pa.string()),
+                pa.array(paths, pa.string()),
+                pa.array(codes, pa.string()),
+                pa.array(exps, pa.string()),
+                pa.array(recs, pa.string()),
+                pa.array(msgs, pa.string()),
+                pa.array([self.check] * n, pa.string()),
+            ],
+            schema=VIOLATION_SCHEMA,
+        )

@@ -390,3 +390,35 @@ def test_uniqueness_join_strategy_edges(ray_session):
     out = uniqueness_violations(rd.from_arrow(heavy), "phash",
                                 strategy="join").to_pandas()
     assert sorted(out["row_ref"]) == ["i1", "i2", "i3"]
+
+
+def test_json_column_validator_edges(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.schema import Number, String
+    from schisma_ray.stages.validate import JsonColumnValidator
+
+    schema = {"k": Number, "tag": {"$type": String, "$required": False}}
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "props": pa.array(
+                ['{"k": 5}', "not json", None, '{"k": 5, "extra": 1}', '{}'],
+                pa.string(),
+            ),
+        }
+    )
+    out = rd.from_arrow(t).map_batches(
+        JsonColumnValidator,
+        fn_constructor_args=(schema, "props", "event_id"),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).to_pandas()
+    got = set(zip(out["row_ref"], out["path"], out["code"]))
+    # JS numbers: json 5 -> 5.0 passes Number; unparseable -> invalid;
+    # null column -> skipped; unexpected key + missing key via kernel
+    assert got == {
+        ("2", "props", "invalid"),
+        ("4", "props.extra", "unexpected key"),
+        ("5", "props.k", "missing key"),
+    }
