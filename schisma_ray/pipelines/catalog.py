@@ -515,6 +515,25 @@ def q_validate_event_props(sf_dir: str):
     )
 
 
+def q_conform_event_props(sf_dir: str):
+    """Kernel conform over the JSON column: the schema requires a key
+    the data lacks ('m'), so the insert-missing-with-default repair (C4)
+    fires on every row; output re-serialized with JSON.stringify
+    formatting (compact, JS number strings)."""
+    from ..schema import Number
+    from ..stages.validate import JsonColumnConformer
+
+    schema = {"k": Number, "m": Number}
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return ds.map_batches(
+        JsonColumnConformer,
+        fn_constructor_args=(schema, "props", "event_id"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+
+
 def q_image_w_drift_ks(sf_dir: str):
     """KS drift of the w distribution vs a uniform reference profile."""
     from ..stages.stats import Histogram, ks_drift
@@ -1283,6 +1302,12 @@ SELECT CAST(event_id AS VARCHAR), 'value', 'invalid', '>=0',
             ELSE CAST(value AS VARCHAR) END
   FROM events WHERE value IS NOT NULL AND value < 0
 """,
+        "conform_event_props": """
+SELECT event_id,
+       '{"k":' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+       || ',"m":0}' AS props
+  FROM events WHERE props IS NOT NULL
+""",
         "validate_event_props": """
 WITH p AS (SELECT event_id, CAST(json_extract(props, '$.k') AS DOUBLE) AS k
              FROM events WHERE props IS NOT NULL)
@@ -1621,6 +1646,7 @@ QUERIES = {
     "events_windowed": q_events_windowed,
     "validate_events": q_validate_events,
     "validate_event_props": q_validate_event_props,
+    "conform_event_props": q_conform_event_props,
     "image_w_drift_ks": q_image_w_drift_ks,
     "events_last_order": q_events_last_order,
     "orders_enriched": q_orders_enriched,

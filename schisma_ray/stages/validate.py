@@ -288,6 +288,52 @@ def violations_dataset(ds, table_schema: TableSchema, **map_kwargs):
     return ds.map_batches(TableValidator(table_schema), **kwargs)
 
 
+class JsonColumnConformer:
+    """Actor: the reference's conform over a JSON string column — parse
+    with JS number semantics, repair via the full kernel (coercions,
+    default insertion, unexpected-key removal, ``__typeIndex`` union
+    dispatch), re-serialize with ``JSON.stringify`` formatting (compact,
+    JS number strings). Null cells stay null; unparseable payloads
+    conform to the schema's default instance (the create() path)."""
+
+    def __init__(self, schema_literal, col: str, id_col: str,
+                 conf: dict | None = None, out_col: str | None = None):
+        self.node = (
+            schema_literal
+            if isinstance(schema_literal, SchemaNode)
+            else SchemaNode(schema_literal)
+        )
+        self.col = col
+        self.id_col = id_col
+        self.conf = dict(conf or {})
+        self.out_col = out_col or col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        from ..schema.jstypes import js_json_stringify
+
+        out = []
+        for s in batch[self.col].to_pylist():
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                doc = json.loads(s, parse_int=float)
+            except ValueError:
+                out.append(js_json_stringify(self.node.create(dict(self.conf))))
+                continue
+            out.append(
+                js_json_stringify(self.node.conform(doc, dict(self.conf)))
+            )
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                self.out_col: pa.array(out, pa.string()),
+            }
+        )
+
+
 class JsonColumnValidator:
     """Actor: the reference's FULL row kernel over a JSON string column.
 

@@ -422,3 +422,33 @@ def test_json_column_validator_edges(ray_session):
         ("4", "props.extra", "unexpected key"),
         ("5", "props.k", "missing key"),
     }
+
+
+def test_json_column_conformer_repairs(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.schema import Number
+    from schisma_ray.stages.validate import JsonColumnConformer
+
+    schema = {"k": Number, "m": Number}
+    t = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "props": pa.array(
+                ['{"k": 7}', '{"k": "32", "junk": true}', "garbage", None, '{}'],
+                pa.string(),
+            ),
+        }
+    )
+    out = rd.from_arrow(t).map_batches(
+        JsonColumnConformer,
+        fn_constructor_args=(schema, "props", "event_id"),
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).to_pandas()
+    got = dict(zip(out["event_id"], out["props"]))
+    assert got[1] == '{"k":7,"m":0}'        # insert-missing default
+    assert got[2] == '{"k":32,"m":0}'       # '32' coerced, junk dropped
+    assert got[3] == '{"k":0,"m":0}'        # unparseable -> default instance
+    assert got[4] is None                   # null stays null
+    assert got[5] == '{"k":0,"m":0}'        # both defaults inserted
