@@ -1024,6 +1024,40 @@ def q_ann_ivf(sf_dir: str):
     return ann_ivf(ds, mat, ids, k=10, n_centroids=16, n_probe=4)
 
 
+def q_image_drift_psi(sf_dir: str):
+    """Population Stability Index of fmt vs the stored reference profile
+    (third drift statistic alongside chi-square and KS)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.stats import psi_drift
+
+    prof_tbl = pq.read_table(str(_img_dir(sf_dir) / "reference_profile.parquet"))
+    profile = {
+        b: f
+        for c, b, f in zip(
+            prof_tbl["column"].to_pylist(),
+            prof_tbl["bucket"].to_pylist(),
+            prof_tbl["freq"].to_pylist(),
+        )
+        if c == "fmt"
+    }
+    ds = read_images(_img_dir(sf_dir), ["fmt"])
+    counts = ds.aggregate(ValueCounts("fmt", alias_name="vc"))["vc"]
+    d = psi_drift(counts, profile)
+    return pd.DataFrame(
+        [{"statistic": round(d["statistic"], 6), "n": d["n"],
+          "shifted": bool(d["shifted"])}]
+    )
+
+
+def q_label_centroids(sf_dir: str):
+    """Per-label embedding centroids (class-centroid aggregation) in
+    long format, oracled against unnest + generate_subscripts SQL."""
+    from ..stages.topk import grouped_vector_mean
+
+    return grouped_vector_mean(_t(sf_dir, "embeddings"), "label", "embedding")
+
+
 def q_minhash_dedup_groups(sf_dir: str):
     """Near-dup groups -> surviving doc ids (pairs + connected components)."""
     from ..stages.components import near_dedup_survivors
@@ -1202,6 +1236,26 @@ WITH c AS (SELECT c_mktsegment AS seg, CAST(count(*) AS DOUBLE) AS cnt
 SELECT ROUND(SUM(POWER(c.cnt - 0.2 * n.total, 2) / (0.2 * n.total)), 6) AS statistic,
        CAST(n.k - 1 AS INTEGER) AS dof, CAST(n.total AS BIGINT) AS n
   FROM c CROSS JOIN n GROUP BY n.k, n.total
+""",
+        "image_drift_psi": f"""
+WITH c AS (SELECT fmt, CAST(count(*) AS DOUBLE) AS cnt FROM {img} GROUP BY fmt),
+     n AS (SELECT sum(cnt) AS total FROM c),
+     e AS (SELECT bucket AS fmt, freq FROM {refprof} WHERE "column" = 'fmt'),
+     terms AS (
+  SELECT (GREATEST(COALESCE(c.cnt, 0) / n.total, 1e-6) - GREATEST(e.freq, 1e-6))
+         * ln(GREATEST(COALESCE(c.cnt, 0) / n.total, 1e-6) / GREATEST(e.freq, 1e-6)) AS term,
+         n.total
+    FROM e CROSS JOIN n LEFT JOIN c ON c.fmt = e.fmt)
+SELECT ROUND(SUM(term), 6) AS statistic, CAST(total AS BIGINT) AS n,
+       (SUM(term) > 0.25) AS shifted
+  FROM terms GROUP BY total
+""",
+        "label_centroids": """
+SELECT label, CAST(dim AS BIGINT) AS dim, ROUND(AVG(v), 6) AS mean_v
+  FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+ GROUP BY label, dim
 """,
         "image_schema_conform": f"""
 SELECT image_id, COALESCE(w, 0) AS w, COALESCE(h, 0) AS h,
@@ -1629,6 +1683,8 @@ QUERIES = {
     "image_fmt_counts": q_image_fmt_counts,
     "image_drift_fmt": q_image_drift_fmt,
     "image_drift_vs_profile": q_image_drift_vs_profile,
+    "image_drift_psi": q_image_drift_psi,
+    "label_centroids": q_label_centroids,
     "image_distinct_hll": q_image_distinct_hll,
     "image_schema_conform": q_image_schema_conform,
     "image_features": q_image_features,

@@ -204,6 +204,26 @@ def numeric_stats(ds, columns: list[str], distinct: bool = True,
     return out
 
 
+def psi_drift(observed: dict[str, int], profile: dict[str, float],
+              *, eps: float = 1e-6) -> dict[str, Any]:
+    """Population Stability Index vs a frequency profile.
+
+    PSI = sum over buckets (p_obs - p_ref) * ln(p_obs / p_ref), with the
+    conventional epsilon floor for empty buckets. Common monitoring
+    thresholds: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major.
+    """
+    import math
+
+    n = sum(v for k, v in observed.items() if k != "__null__")
+    stat = 0.0
+    for b, ref in profile.items():
+        p_obs = max(observed.get(b, 0) / n if n else 0.0, eps)
+        p_ref = max(ref, eps)
+        stat += (p_obs - p_ref) * math.log(p_obs / p_ref)
+    return {"statistic": stat, "n": n,
+            "shifted": stat > 0.25}
+
+
 def categorical_drift(
     observed: dict[str, int], profile: dict[str, float]
 ) -> dict[str, Any]:

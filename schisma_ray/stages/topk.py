@@ -47,6 +47,58 @@ def grouped_count_topk(ds, group_col: str, item_col: str, *, k: int = 3):
     return totals.groupby(group_col).map_groups(topk, batch_format="pandas")
 
 
+def grouped_vector_mean(ds, group_col: str, vec_col: str):
+    """(group, dim, mean_v): per-group centroid of an embedding column —
+    the class-centroid / cluster-profile aggregation. Combiner-first:
+    each batch emits one (sum-vector, count) partial per group (numpy
+    matmul-free segment sums); the global fold is over
+    groups x batches tiny partials; division happens once at the end.
+    Output is long-format (1-based dim) so a SQL oracle can reproduce it
+    via unnest + generate_subscripts.
+    """
+    import numpy as np
+
+    def partial(batch: pa.Table) -> pa.Table:
+        arr = batch[vec_col].combine_chunks()
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // len(arr) if len(arr) else 0
+        mat = flat.reshape(len(arr), dim)
+        groups = batch[group_col].to_pandas()
+        out_g, out_sum, out_n = [], [], []
+        df = pd.DataFrame({"g": groups})
+        for g, idx in df.groupby("g", sort=False).groups.items():
+            out_g.append(g)
+            out_sum.append(mat[np.asarray(idx)].sum(axis=0).tolist())
+            out_n.append(len(idx))
+        return pa.table(
+            {
+                group_col: pa.array(out_g),
+                "vsum": pa.array(out_sum, pa.list_(pa.float64())),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vs = np.stack([np.asarray(v, dtype=np.float64) for v in group["vsum"]])
+        total = vs.sum(axis=0)
+        n = int(group["n"].sum())
+        mean = np.round(total / max(n, 1), 6)
+        g = group[group_col].iloc[0]
+        return pd.DataFrame(
+            {
+                group_col: [g] * len(mean),
+                "dim": np.arange(1, len(mean) + 1, dtype=np.int64),
+                "mean_v": mean,
+            }
+        )
+
+    return partials.groupby(group_col).map_groups(fold, batch_format="pandas")
+
+
 def grouped_distinct_count(ds, group_col: str, item_col: str):
     """(group, n_distinct): EXACT distinct items per group.
 

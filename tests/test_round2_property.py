@@ -143,3 +143,23 @@ def test_winnow_overlap_pairs(ray_session):
     # ranking (filler docs share only their common template substring)
     top3 = {(a, b) for _, a, b in by_shared[:3]}
     assert top3 == {(10, 11), (10, 12), (11, 12)}
+
+
+def test_grouped_vector_mean(ray_session):
+    import ray.data as rd
+
+    from schisma_ray.stages.topk import grouped_vector_mean
+
+    rng = np.random.default_rng(9)
+    n, dim = 300, 8
+    labels = rng.integers(0, 3, n)
+    mat = rng.standard_normal((n, dim))
+    ds = rd.from_arrow(
+        pa.table({"label": pa.array(labels, pa.int32()),
+                  "embedding": pa.array(mat.tolist(), pa.list_(pa.float64()))})
+    ).repartition(5)
+    out = grouped_vector_mean(ds, "label", "embedding").to_pandas()
+    for lbl in range(3):
+        exp = np.round(mat[labels == lbl].mean(axis=0), 6)
+        got = out[out["label"] == lbl].sort_values("dim")["mean_v"].to_numpy()
+        assert np.allclose(got, exp, atol=1e-6), lbl
