@@ -907,6 +907,77 @@ def q_doc_repetition(sf_dir: str):
     return repetition_metrics(_t(sf_dir, "documents"))
 
 
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+MIXTURE_RATES = {"en": 0.5, "de": 0.25}
+DECONTAM_MOD = 11  # benchmark side = doc_id % 11 == 0
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag corpus docs sharing any word
+    4-gram with the held-out set (docs where doc_id % 11 == 0). The
+    benchmark n-gram set is broadcast once; the corpus streams."""
+    from ..stages.corpus import decontaminate
+
+    def side(is_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy()
+            mask = (ids % DECONTAM_MOD == 0) if is_bench else (ids % DECONTAM_MOD != 0)
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    docs = _t(sf_dir, "documents")
+    bench = docs.map_batches(side(True), batch_format="pyarrow", zero_copy_batch=True)
+    corpus = docs.map_batches(side(False), batch_format="pyarrow", zero_copy_batch=True)
+    return decontaminate(corpus, bench, n=4)
+
+
+def q_doc_mixture_sample(sf_dir: str):
+    """Deterministic corpus-mixture sampling: md5-hash each doc_id and
+    keep per-language rates (en 0.5, de 0.25, others 0.1) — the
+    training-mix weighting primitive."""
+    from ..stages.corpus import sample_by_rate
+
+    return sample_by_rate(
+        _t(sf_dir, "documents"), MIXTURE_RATES, default_rate=0.1
+    )
+
+
+def q_doc_chunks(sf_dir: str):
+    """LLM context-window preparation: explode each document into
+    80-char windows with stride 60 (one Arrow slice kernel per chunk
+    position)."""
+    from ..stages.corpus import chunk_text
+
+    return chunk_text(_t(sf_dir, "documents"), size=80, stride=60)
+
+
+def q_doc_pii_redacted(sf_dir: str):
+    """PII scrubbing: emails (injected deterministically into every 7th
+    doc so the redaction is exercised for real, mirrored in the oracle)
+    replaced with [EMAIL]; returns the redacted text plus match counts."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import redact_regex
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        suffix = pa.array(
+            [
+                f" contact: user{i}@example.com" if i % 7 == 0 else ""
+                for i in ids
+            ],
+            pa.string(),
+        )
+        text = pc.binary_join_element_wise(t["text"].combine_chunks(), suffix, "")
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    docs = _t(sf_dir, "documents").map_batches(
+        inject, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return redact_regex(docs, EMAIL_PATTERN, "[EMAIL]")
+
+
 def q_corpus_clean(sf_dir: str):
     """Composite training-data cleaning pipeline: keep English docs with
     quality >= 0.6 that survive exact dedup (min doc_id per text).
@@ -1542,6 +1613,40 @@ SELECT ROUND(stat, 6) AS statistic, CAST(total AS BIGINT) AS n,
         "docs_regex_filtered": """
 SELECT doc_id FROM documents WHERE NOT regexp_matches(text, '(vector|stream)')
 """,
+        "doc_decontaminate": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-3, 0)+1)) AS t(i)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0)
+SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
+  FROM grams g JOIN bench b USING (g)
+ WHERE g.doc_id % 11 != 0
+ GROUP BY g.doc_id
+""",
+        "doc_mixture_sample": """
+SELECT * FROM documents
+ WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
+       < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+""",
+        "doc_chunks": """
+SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
+  FROM documents, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
+""",
+        "doc_pii_redacted": """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE text END AS text
+    FROM documents)
+SELECT doc_id,
+       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_redacted
+  FROM aug
+""",
         "lang_id": """
 WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS words
              FROM documents),
@@ -1731,6 +1836,10 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "docs_regex_filtered": q_docs_regex_filtered,
     "doc_repetition": q_doc_repetition,
+    "doc_decontaminate": q_doc_decontaminate,
+    "doc_mixture_sample": q_doc_mixture_sample,
+    "doc_chunks": q_doc_chunks,
+    "doc_pii_redacted": q_doc_pii_redacted,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_join": q_corpus_clean_join,
     "corpus_rejected": q_corpus_rejected,

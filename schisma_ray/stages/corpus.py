@@ -1,0 +1,189 @@
+"""Training-corpus preparation operators.
+
+Beyond the reference's validators (reference kettek/schisma has no
+corpus tooling; these extend SURVEY.md §2.4's engine obligations with
+the stages a large-scale LLM-data pipeline needs):
+
+* ``decontaminate`` — benchmark decontamination: flag corpus documents
+  sharing word n-grams with a held-out evaluation set. The benchmark
+  side is tiny by nature (eval suites are MBs; the corpus is TBs), so
+  its n-gram set is built once and broadcast via a single ``ray.put``;
+  the corpus streams through ``map_batches`` and never shuffles.
+* ``sample_by_rate`` — deterministic hash-based stratified sampling /
+  corpus mixture weighting: keep a row iff
+  ``md5(id) % 10000 < rate[key] * 10000``. Pure per-row decision — no
+  shuffle, no global state, reproducible across runs and cluster sizes
+  (md5, not Python ``hash``, so results are process-invariant).
+* ``chunk_text`` — fixed-size character windows with stride (LLM
+  context-window preparation). Vectorized: one Arrow ``slice`` kernel
+  call per *chunk position*, not per row — the loop is over the max
+  chunk count in the batch (tiny), never over documents.
+
+Every operator is SQL-mirrorable and carries a DuckDB oracle in the
+catalog (decontaminate: list-slice n-grams + join; sample: md5 CASE;
+chunk: generate_series + substring).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+
+def _word_ngrams(text: str, n: int) -> set:
+    """Distinct word n-grams under the single-space split shared by the
+    other text ops (DuckDB ``string_split(text, ' ')`` parity)."""
+    w = text.split(" ")
+    return {" ".join(w[i : i + n]) for i in range(max(len(w) - n + 1, 0))}
+
+
+class _ContaminationCounter:
+    """Per-batch counter of benchmark n-gram hits. The benchmark gram
+    set arrives as an object-store ref (one ``ray.put`` on the driver,
+    zero-copy reads in every task)."""
+
+    def __init__(self, bench_ref, n: int, col: str, id_col: str):
+        self.bench = ray.get(bench_ref) if not isinstance(bench_ref, frozenset) else bench_ref
+        self.n = n
+        self.col = col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hits = [], []
+        texts = batch[self.col].to_pylist()
+        for rid, text in zip(batch[self.id_col].to_pylist(), texts):
+            if not text:
+                continue
+            n_hits = len(_word_ngrams(text, self.n) & self.bench)
+            if n_hits:
+                ids.append(rid)
+                hits.append(n_hits)
+        id_type = batch[self.id_col].type
+        return pa.table(
+            {
+                self.id_col: pa.array(ids, id_type),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+
+def decontaminate(corpus, bench, *, n: int = 4, col: str = "text",
+                  id_col: str = "doc_id"):
+    """(id, n_hits) for every corpus document sharing >= 1 word n-gram
+    with the benchmark set; ``n_hits`` counts DISTINCT shared grams.
+
+    ``bench`` is a Dataset holding the held-out texts. Its distinct
+    n-gram set is folded on the driver — this is the deliberate design,
+    not a shortcut: eval benchmarks are small and static while the
+    corpus is the 100-TB side, so broadcast-once beats any shuffle by
+    orders of magnitude. The corpus side is one streaming
+    ``map_batches`` pass (no shuffle, no materialization).
+    """
+    grams: set = set()
+    for b in bench.select_columns([col]).iter_batches(batch_format="pyarrow"):
+        for text in b[col].to_pylist():
+            if text:
+                grams |= _word_ngrams(text, n)
+    bench_ref = ray.put(frozenset(grams))
+    return corpus.map_batches(
+        _ContaminationCounter,
+        fn_constructor_args=(bench_ref, n, col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def _md5_bucket(values, mod: int = 10000) -> np.ndarray:
+    """int(md5(str(v))[:8], 16) % mod per value — process-invariant,
+    DuckDB-mirrorable (``CAST(concat('0x', substr(md5(v),1,8)) AS
+    BIGINT) % mod``)."""
+    out = np.empty(len(values), dtype=np.int64)
+    for i, v in enumerate(values):
+        out[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod
+    return out
+
+
+def sample_by_rate(ds, rates: dict, *, key_col: str = "lang",
+                   id_col: str = "doc_id", default_rate: float = 0.0):
+    """Deterministic stratified sample / mixture weighting: keep a row
+    iff ``md5(id) % 10000 < rates.get(key, default_rate) * 10000``.
+
+    This is the corpus-mixture primitive (weight each source/language
+    into a training mix) and the downsampling primitive in one. Purely
+    per-row: scales linearly, no shuffle, and the same row set is kept
+    at any parallelism level. Rows pass through unprojected.
+    """
+    thresholds = {k: int(round(r * 10000)) for k, r in rates.items()}
+    default_thr = int(round(default_rate * 10000))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        buckets = _md5_bucket(batch[id_col].to_pylist())
+        keys = batch[key_col].to_pylist()
+        thr = np.fromiter(
+            (thresholds.get(k, default_thr) for k in keys),
+            dtype=np.int64,
+            count=len(keys),
+        )
+        return batch.filter(pa.array(buckets < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_text(ds, *, size: int = 80, stride: int = 60, col: str = "text",
+               id_col: str = "doc_id"):
+    """Explode documents into fixed-size character windows:
+    (id, chunk_idx, chunk_text) with chunk k covering codepoints
+    [k*stride, k*stride + size). Every document yields >= 1 chunk
+    (empty text gives one empty chunk, mirroring the oracle's
+    ``range(0, greatest(length, 1), stride)``).
+
+    Vectorized per chunk position: chunk k is one
+    ``utf8_slice_codeunits`` over the rows still long enough — the
+    Python loop runs max-chunks-in-batch times, not once per row.
+    Output grows by ~size/stride x; downstream stages see normal-sized
+    blocks because Ray re-blocks between operators.
+    """
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[col].combine_chunks()
+        ids = batch[id_col].combine_chunks()
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch[id_col].type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            }
+        )
+        lengths = pc.fill_null(pc.utf8_length(text), 0).to_numpy(zero_copy_only=False)
+        parts = [empty]
+        k = 0
+        while True:
+            start = k * stride
+            mask = lengths > start if k else np.ones(len(lengths), dtype=bool)
+            if not mask.any():
+                break
+            m = pa.array(mask)
+            parts.append(
+                pa.table(
+                    {
+                        id_col: ids.filter(m),
+                        "chunk_idx": pa.array(
+                            np.full(int(mask.sum()), k, dtype=np.int64)
+                        ),
+                        "chunk_text": pc.utf8_slice_codeunits(
+                            text.filter(m), start, start + size
+                        ),
+                    }
+                )
+            )
+            k += 1
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -168,6 +168,32 @@ def regex_filter(ds, pattern: str, *, col: str = "text", invert: bool = False):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def redact_regex(ds, pattern: str, replacement: str = "[REDACTED]", *,
+                 col: str = "text", id_col: str = "doc_id"):
+    """PII scrubbing: (id, redacted, n_redacted) — every match of
+    ``pattern`` in ``col`` replaced with ``replacement``, plus the
+    non-overlapping match count. Fully vectorized (Arrow RE2
+    ``replace_substring_regex`` / ``count_substring_regex``); RE2
+    semantics match DuckDB ``regexp_replace(..., 'g')`` /
+    ``regexp_extract_all`` so the oracle reproduces it exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[col].combine_chunks()
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "redacted": pc.replace_substring_regex(
+                    text, pattern, replacement
+                ),
+                "n_redacted": pc.cast(
+                    pc.count_substring_regex(text, pattern), pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def repetition_metrics(ds, col: str = "text", id_col: str = "doc_id"):
     """(id, n_words, n_distinct, diversity) — repetition signals
     (Gopher-style filters drop documents with low distinct-word ratios).

@@ -1,0 +1,143 @@
+"""Tests for the corpus-preparation operators (decontaminate, mixture
+sampling, chunking, PII redaction)."""
+
+import hashlib
+
+import pyarrow as pa
+import pytest
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_decontaminate_planted(ray_session):
+    from schisma_ray.stages.corpus import decontaminate
+
+    bench = _ds([(100, "alpha beta gamma delta epsilon", "en")])
+    corpus = _ds(
+        [
+            # shares the 4-grams "alpha beta gamma delta" and
+            # "beta gamma delta epsilon" with the benchmark doc
+            (1, "x alpha beta gamma delta epsilon y", "en"),
+            # shares only a 3-gram — must NOT be flagged at n=4
+            (2, "alpha beta gamma nothing else here at all", "en"),
+            (3, "entirely unrelated words in this row", "en"),
+        ]
+    )
+    out = decontaminate(corpus, bench, n=4).to_pandas()
+    assert out.set_index("doc_id")["n_hits"].to_dict() == {1: 2}
+
+
+def test_decontaminate_counts_distinct_grams(ray_session):
+    from schisma_ray.stages.corpus import decontaminate
+
+    bench = _ds([(100, "a b c d", "en")])
+    # "a b c d" appears twice but is ONE distinct shared gram
+    corpus = _ds([(1, "a b c d a b c d", "en")])
+    out = decontaminate(corpus, bench, n=4).to_pandas()
+    # grams of corpus doc: {a b c d, b c d a, c d a b, d a b c} -> 1 hit
+    assert out.set_index("doc_id")["n_hits"].to_dict() == {1: 1}
+
+
+def test_sample_by_rate_matches_md5_rule_and_is_deterministic(ray_session):
+    from schisma_ray.stages.corpus import sample_by_rate
+
+    rows = [(i, f"text {i}", ["en", "de", "fr"][i % 3]) for i in range(300)]
+    rates = {"en": 0.5, "de": 0.25}
+
+    def expect(i, lang):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000
+        return b < int(rates.get(lang, 0.1) * 10000)
+
+    want = sorted(i for i, _, lang in rows if expect(i, lang))
+    got1 = sorted(sample_by_rate(_ds(rows), rates, default_rate=0.1).to_pandas()["doc_id"])
+    got2 = sorted(sample_by_rate(_ds(rows), rates, default_rate=0.1).to_pandas()["doc_id"])
+    assert got1 == want
+    assert got2 == want  # process-invariant (md5, not PYTHONHASHSEED)
+
+
+def test_sample_by_rate_keeps_full_rows(ray_session):
+    from schisma_ray.stages.corpus import sample_by_rate
+
+    out = sample_by_rate(
+        _ds([(i, f"t{i}", "en") for i in range(50)]), {"en": 1.0}
+    ).to_pandas()
+    assert sorted(out.columns) == ["doc_id", "lang", "text"]
+    assert len(out) == 50  # rate 1.0 keeps everything
+
+
+def _py_chunks(text, size, stride):
+    """Reference semantics: windows at 0, stride, 2*stride... while
+    start < max(len, 1)."""
+    out = []
+    start, k = 0, 0
+    while start < max(len(text), 1):
+        out.append((k, text[start : start + size]))
+        start += stride
+        k += 1
+    return out
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "short",
+        "x" * 80,  # exactly one window
+        "x" * 81,  # spills into a second
+        "abcdefghij" * 25,  # many windows
+        "汉字" * 100,  # codepoint (not byte) slicing
+    ],
+)
+def test_chunk_text_windows(ray_session, text):
+    from schisma_ray.stages.corpus import chunk_text
+
+    out = (
+        chunk_text(_ds([(7, text, "zh")]), size=80, stride=60)
+        .to_pandas()
+        .sort_values("chunk_idx")
+    )
+    got = list(zip(out["chunk_idx"], out["chunk_text"]))
+    assert got == _py_chunks(text, 80, 60)
+
+
+def test_chunk_text_multiple_docs(ray_session):
+    from schisma_ray.stages.corpus import chunk_text
+
+    rows = [(i, "word " * (i * 20), "en") for i in range(5)]
+    out = chunk_text(_ds(rows), size=50, stride=40).to_pandas()
+    for i, text, _ in rows:
+        mine = out[out.doc_id == i].sort_values("chunk_idx")
+        assert list(zip(mine["chunk_idx"], mine["chunk_text"])) == _py_chunks(
+            text, 50, 40
+        )
+
+
+def test_redact_regex(ray_session):
+    from schisma_ray.stages.text import redact_regex
+
+    ds = _ds(
+        [
+            (1, "mail me at bob@example.com or alice@test.org now", "en"),
+            (2, "no pii here", "en"),
+            (3, "x@y.io", "en"),
+        ]
+    )
+    pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    out = redact_regex(ds, pat, "[EMAIL]").to_pandas().set_index("doc_id")
+    assert out.loc[1, "redacted"] == "mail me at [EMAIL] or [EMAIL] now"
+    assert out.loc[1, "n_redacted"] == 2
+    assert out.loc[2, "redacted"] == "no pii here"
+    assert out.loc[2, "n_redacted"] == 0
+    assert out.loc[3, "redacted"] == "[EMAIL]"
