@@ -978,6 +978,31 @@ def q_doc_pii_redacted(sf_dir: str):
     return redact_regex(docs, EMAIL_PATTERN, "[EMAIL]")
 
 
+def q_doc_cap_per_source(sf_dir: str):
+    """Per-domain cap (training-mix guard): at most 10 docs per source,
+    chosen by md5(doc_id) order — stable across runs and parallelism."""
+    from ..stages.corpus import cap_per_key
+
+    return cap_per_key(_t(sf_dir, "documents"), key_col="source", n=10)
+
+
+def q_top_event_types_per_window(sf_dir: str):
+    """Trending-per-hour: top-3 event types in each tumbling 1h window
+    (per-batch window bucketing -> combiner counts -> per-window top-k)."""
+    from ..stages.window import windowed_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    return windowed_topk(ds, item_col="event_type", width_s=3600, k=3)
+
+
+def q_embedding_quantized(sf_dir: str):
+    """int8 embedding quantization (long format + integer-carried scale),
+    the 4x storage/bandwidth reduction stage before ANN serving."""
+    from ..stages.similarity import quantize_embeddings
+
+    return quantize_embeddings(_t(sf_dir, "embeddings"))
+
+
 def q_corpus_clean(sf_dir: str):
     """Composite training-data cleaning pipeline: keep English docs with
     quality >= 0.6 that survive exact dedup (min doc_id per text).
@@ -1635,6 +1660,35 @@ SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
        substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
   FROM documents, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
 """,
+        "doc_cap_per_source": """
+WITH r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM documents)
+SELECT source, doc_id FROM r WHERE rn <= 10
+""",
+        "top_event_types_per_window": """
+WITH w AS (SELECT (CAST(epoch_us(ts) AS BIGINT) // 3600000000) * 3600 AS window_start,
+                  event_type
+             FROM events),
+c AS (SELECT window_start, event_type, count(*) AS n FROM w GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type) AS rn FROM c)
+SELECT window_start, event_type, n FROM r WHERE rn <= 3
+""",
+        "embedding_quantized": """
+WITH flat AS (
+  SELECT vec_id, CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE) AS v,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim
+    FROM embeddings),
+scales AS (
+  SELECT vec_id, max(abs(v)) AS s FROM flat GROUP BY vec_id)
+SELECT f.vec_id, f.dim,
+       CAST(CASE WHEN s > 0 THEN floor(v * (127.0 / s) + 0.5) ELSE 0 END AS BIGINT) AS q,
+       CAST(floor(s * 1e6 + 0.5) AS BIGINT) AS scale_e6
+  FROM flat f JOIN scales USING (vec_id)
+""",
         "doc_pii_redacted": """
 WITH aug AS (
   SELECT doc_id,
@@ -1840,6 +1894,9 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_chunks": q_doc_chunks,
     "doc_pii_redacted": q_doc_pii_redacted,
+    "doc_cap_per_source": q_doc_cap_per_source,
+    "top_event_types_per_window": q_top_event_types_per_window,
+    "embedding_quantized": q_embedding_quantized,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_join": q_corpus_clean_join,
     "corpus_rejected": q_corpus_rejected,

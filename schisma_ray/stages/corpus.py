@@ -187,3 +187,42 @@ def chunk_text(ds, *, size: int = 80, stride: int = 60, col: str = "text",
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cap_per_key(ds, *, key_col: str = "source", id_col: str = "doc_id",
+                n: int = 10):
+    """Deterministic per-domain cap: keep at most ``n`` rows per key —
+    the standard training-mix guard against one domain/source dominating
+    the corpus. Selection order is ``md5(id)`` (then id), so the kept
+    set is a stable pseudo-random sample, invariant to parallelism,
+    block order and PYTHONHASHSEED, and SQL-mirrorable
+    (``row_number() OVER (PARTITION BY key ORDER BY md5(id), id)``).
+
+    Combiner-first: each batch keeps its local n smallest (key, md5)
+    rows, so the shuffle carries <= n * keys * batches tiny rows — raw
+    rows never move. Output: (key, id).
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                id_col: pa.array(ids, batch[id_col].type),
+                "h": pa.array(hexes, pa.string()),
+            }
+        )
+        df = t.to_pandas().sort_values([key_col, "h", id_col])
+        return pa.Table.from_pandas(
+            df.groupby(key_col, sort=False).head(n), preserve_index=False
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(["h", id_col]).head(n)
+        return g[[key_col, id_col]]
+
+    return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

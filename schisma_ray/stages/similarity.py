@@ -306,3 +306,50 @@ def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
     return tbl.group_by(["a", "b"]).aggregate([("sim", "max")]).rename_columns(
         ["a", "b", "sim"]
     )
+
+
+def quantize_embeddings(ds, *, col: str = "embedding", id_col: str = "vec_id"):
+    """Symmetric int8 quantization of an embedding column — the storage/
+    bandwidth path for ANN at scale (4x smaller vectors, SIMD-friendly
+    dot products). Per vector: scale = max|x|, q_d = floor(x_d * 127 /
+    scale + 0.5) in [-127, 127] (half-up rounding spelled as floor(+0.5)
+    so numpy and SQL agree; an all-zero vector quantizes to zeros).
+
+    Output is long-format (id, dim 1-based, q, scale_e6) — like
+    ``grouped_vector_mean`` — so the DuckDB oracle reproduces it via
+    unnest with ordinality; scale is carried as floor(scale*1e6 + 0.5)
+    (int64) to keep the comparison float-repr-free. Pure per-batch numpy
+    over the flattened list buffer: no shuffle, no Python per row.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = batch[col].combine_chunks()
+        nrows = len(arr)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        if nrows == 0 or flat.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "dim": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                    "scale_e6": pa.array([], pa.int64()),
+                }
+            )
+        d = flat.size // nrows
+        mat = flat.reshape(nrows, d)
+        scale = np.abs(mat).max(axis=1)
+        factor = np.where(scale > 0, 127.0 / np.where(scale > 0, scale, 1.0), 0.0)
+        q = np.floor(mat * factor[:, None] + 0.5).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, d)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), nrows)),
+                "q": pa.array(q.ravel(), pa.int64()),
+                "scale_e6": pa.array(
+                    np.repeat(np.floor(scale * 1e6 + 0.5).astype(np.int64), d)
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

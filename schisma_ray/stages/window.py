@@ -175,3 +175,37 @@ def tumbling_window_agg(
         return pa.table(cols)
 
     return total.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def windowed_topk(
+    ds,
+    *,
+    ts_col: str = "ts",
+    item_col: str = "event_type",
+    width_s: int = 3600,
+    k: int = 3,
+):
+    """Top-k items per tumbling window: (window_start, item, n) — the
+    streaming-analytics "trending per hour" shape.
+
+    Composition of the engine's existing scale paths: a per-batch
+    window-bucket projection (floor division, matching
+    ``tumbling_window_agg``) feeding ``grouped_count_topk``'s
+    combiner-first count + per-window top-k — the shuffle carries one
+    row per (window, item) per batch, never raw events."""
+    from .topk import grouped_count_topk
+
+    width_us = width_s * 1_000_000
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        window = (ts // width_us) * width_s
+        return pa.table(
+            {
+                "window_start": pa.array(window, pa.int64()),
+                item_col: batch[item_col],
+            }
+        )
+
+    buckets = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_count_topk(buckets, "window_start", item_col, k=k)

@@ -141,3 +141,96 @@ def test_redact_regex(ray_session):
     assert out.loc[2, "redacted"] == "no pii here"
     assert out.loc[2, "n_redacted"] == 0
     assert out.loc[3, "redacted"] == "[EMAIL]"
+
+
+def test_cap_per_key_deterministic_and_capped(ray_session):
+    from schisma_ray.stages.corpus import cap_per_key
+
+    rows = [(i, f"t{i}", ["a", "b", "c"][i % 3]) for i in range(90)]
+    ds = _ds(rows).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text", "source"]),
+        batch_format="pyarrow",
+    )
+    out = cap_per_key(ds, key_col="source", n=5).to_pandas()
+    assert out.groupby("source").size().to_dict() == {"a": 5, "b": 5, "c": 5}
+
+    # matches the md5-order rule exactly
+    def md5h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    for src in ["a", "b", "c"]:
+        ids = [i for i, _, s in rows if ["a", "b", "c"][i % 3] == src and s]
+        want = sorted(sorted(ids, key=lambda i: (md5h(i), i))[:5])
+        got = sorted(out[out.source == src]["doc_id"])
+        assert got == want
+
+    # parallelism-invariant: same result over a many-block layout
+    out2 = cap_per_key(
+        _ds(rows).map_batches(
+            lambda t: t.rename_columns(["doc_id", "text", "source"]),
+            batch_format="pyarrow",
+        ).repartition(16),
+        key_col="source",
+        n=5,
+    ).to_pandas()
+    assert sorted(map(tuple, out2[["source", "doc_id"]].values.tolist())) == sorted(
+        map(tuple, out[["source", "doc_id"]].values.tolist())
+    )
+
+
+def test_windowed_topk(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.window import windowed_topk
+
+    # two windows; counts a:3 b:2 c:1 in w0, ties b=c=2 in w1 (item asc wins)
+    events = [
+        (0, "a"), (1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c"),
+        (3600, "b"), (3601, "b"), (3602, "c"), (3603, "c"),
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array([t * 1_000_000 for t, _ in events], pa.int64()),
+                "event_type": pa.array([e for _, e in events]),
+            }
+        )
+    )
+    out = windowed_topk(ds, width_s=3600, k=2).to_pandas()
+    got = sorted(map(tuple, out[["window_start", "event_type", "n"]].values.tolist()))
+    assert got == [(0, "a", 3), (0, "b", 2), (3600, "b", 2), (3600, "c", 2)]
+
+
+def test_quantize_embeddings(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from schisma_ray.stages.similarity import quantize_embeddings
+
+    vecs = [
+        [1.0, -0.5, 0.25, 0.0],
+        [0.0, 0.0, 0.0, 0.0],  # all-zero -> q=0, scale_e6=0
+        [-2.0, 2.0, 1.0, -1.0],
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = quantize_embeddings(ds).to_pandas()
+    assert len(out) == 12
+    q0 = out[out.vec_id == 0].sort_values("dim")["q"].tolist()
+    assert q0 == [127, -63, 32, 0]  # floor(x*127 + 0.5) half-up
+    assert (out[out.vec_id == 1]["q"] == 0).all()
+    assert (out[out.vec_id == 1]["scale_e6"] == 0).all()
+    q2 = out[out.vec_id == 2].sort_values("dim")["q"].tolist()
+    assert q2 == [-127, 127, 64, -63]  # note: floor(-0.5*127+0.5) = -63
+    # dequantization error bound: one half-step of the grid
+    for vid, vec in enumerate(vecs):
+        rows = out[out.vec_id == vid].sort_values("dim")
+        s = rows["scale_e6"].iloc[0] / 1e6
+        if s == 0:
+            continue
+        deq = rows["q"].to_numpy() * s / 127.0
+        assert np.abs(deq - np.array(vec, np.float32)).max() <= s / 127.0
