@@ -1003,6 +1003,100 @@ def q_embedding_quantized(sf_dir: str):
     return quantize_embeddings(_t(sf_dir, "embeddings"))
 
 
+def q_corpus_prepare(sf_dir: str):
+    """Flagship end-to-end LLM corpus preparation, composed as one
+    streaming DAG over the documents table:
+
+      benchmark holdout (doc_id % 11) -> 4-gram decontamination (bench
+      grams broadcast once) -> PII injection fixture + email redaction
+      -> lang filter + quality >= 0.5 -> exact dedup keep-first
+      (survivor ids broadcast, like corpus_clean) -> per-source cap of
+      10 (md5 order, combiner-first) -> 80/60 context-window chunking.
+
+    Output: (doc_id, chunk_idx, chunk_text). Every stage is vectorized
+    in map_batches or a combiner-first shuffle; the only driver folds
+    are the two deliberately-small sides (bench n-grams, dedup-survivor
+    ids — corpus_clean_join shows the join-strategy alternative when
+    even those outgrow the object store)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.corpus import _word_ngrams, cap_per_key, chunk_text
+    from ..stages.text import quality_score_values
+
+    docs = _t(sf_dir, "documents")
+
+    # benchmark side: tiny by construction (the eval set), fold + broadcast
+    bench_grams: set = set()
+    for b in docs.select_columns(["doc_id", "text"]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for rid, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            if rid % DECONTAM_MOD == 0 and text:
+                bench_grams |= _word_ngrams(text, 4)
+    bench_ref = ray.put(frozenset(bench_grams))
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids_np = t["doc_id"].combine_chunks().to_numpy()
+        t = t.filter(pa.array(ids_np % DECONTAM_MOD != 0))
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "source": pa.array([], pa.string()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        bench = ray.get(bench_ref)
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        uncontaminated = pa.array(
+            [not (_word_ngrams(x or "", 4) & bench) for x in texts]
+        )
+        t = t.filter(uncontaminated)
+        if t.num_rows == 0:
+            return empty
+        # PII injection fixture (mirrored in the oracle) + redaction
+        ids = t["doc_id"].to_pylist()
+        suffix = pa.array(
+            [
+                f" contact: user{i}@example.com" if i % 7 == 0 else ""
+                for i in ids
+            ],
+            pa.string(),
+        )
+        text = pc.binary_join_element_wise(t["text"].combine_chunks(), suffix, "")
+        text = pc.replace_substring_regex(text, EMAIL_PATTERN, "[EMAIL]")
+        score = quality_score_values(text)
+        keep = pc.and_(
+            pc.fill_null(pc.equal(t["lang"].combine_chunks(), "en"), False),
+            pa.array(score >= 0.5),
+        )
+        out = pa.table(
+            {"doc_id": t["doc_id"], "source": t["source"], "text": text}
+        )
+        return out.filter(keep)
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    kept_ref = ray.put(
+        _small_ids(exact_dedup_keep_first(prepped, key="text", id_col="doc_id"))
+    )
+
+    def dedup_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.is_in(t["doc_id"].combine_chunks(), value_set=ray.get(kept_ref))
+        )
+
+    survivors = prepped.map_batches(
+        dedup_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    capped = cap_per_key(
+        survivors, key_col="source", n=10, carry_cols=("text",)
+    )
+    return chunk_text(capped, size=80, stride=60)
+
+
 def q_corpus_clean(sf_dir: str):
     """Composite training-data cleaning pipeline: keep English docs with
     quality >= 0.6 that survive exact dedup (min doc_id per text).
@@ -1732,6 +1826,52 @@ SELECT doc_id,
                   ELSE 0.0 END, 6) AS diversity
   FROM w
 """,
+        "corpus_prepare": r"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(w[i:i+3], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-3, 0)+1)) AS t(i)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 11 = 0),
+contaminated AS (
+  SELECT DISTINCT g.doc_id FROM grams g JOIN bench b USING (g)
+   WHERE g.doc_id % 11 != 0),
+clean AS (
+  SELECT * FROM documents
+   WHERE doc_id % 11 != 0
+     AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+red AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                ELSE text END,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS text
+    FROM clean),
+m AS (
+  SELECT *, CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
+         min(doc_id) OVER (PARTITION BY text) AS keeper
+    FROM red),
+s AS (
+  SELECT *, ROUND(
+      0.4 * LEAST(1.0, n_words / 64.0)
+    + 0.3 * (CASE WHEN n_words > 0
+                   AND (n_chars - (n_words - 1)) / n_words >= 3
+                   AND (n_chars - (n_words - 1)) / n_words <= 12
+                  THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END), 6) AS score
+    FROM m),
+surv AS (SELECT * FROM s WHERE lang = 'en' AND score >= 0.5 AND doc_id = keeper),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM surv) WHERE rn <= 10)
+SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
+  FROM capped, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
+""",
         "corpus_clean": """
 WITH m AS (
   SELECT doc_id, lang,
@@ -1897,6 +2037,7 @@ QUERIES = {
     "doc_cap_per_source": q_doc_cap_per_source,
     "top_event_types_per_window": q_top_event_types_per_window,
     "embedding_quantized": q_embedding_quantized,
+    "corpus_prepare": q_corpus_prepare,
     "corpus_clean": q_corpus_clean,
     "corpus_clean_join": q_corpus_clean_join,
     "corpus_rejected": q_corpus_rejected,

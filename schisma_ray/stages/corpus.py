@@ -190,7 +190,7 @@ def chunk_text(ds, *, size: int = 80, stride: int = 60, col: str = "text",
 
 
 def cap_per_key(ds, *, key_col: str = "source", id_col: str = "doc_id",
-                n: int = 10):
+                n: int = 10, carry_cols: tuple = ()):
     """Deterministic per-domain cap: keep at most ``n`` rows per key —
     the standard training-mix guard against one domain/source dominating
     the corpus. Selection order is ``md5(id)`` (then id), so the kept
@@ -200,21 +200,25 @@ def cap_per_key(ds, *, key_col: str = "source", id_col: str = "doc_id",
 
     Combiner-first: each batch keeps its local n smallest (key, md5)
     rows, so the shuffle carries <= n * keys * batches tiny rows — raw
-    rows never move. Output: (key, id).
+    rows never move. Output: (key, id) plus any ``carry_cols``
+    (columns ferried through the cap unchanged, e.g. the text for a
+    downstream chunker — only surviving rows ride the shuffle).
     """
     import pandas as pd
+
+    carry = list(carry_cols)
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
-        t = pa.table(
-            {
-                key_col: batch[key_col],
-                id_col: pa.array(ids, batch[id_col].type),
-                "h": pa.array(hexes, pa.string()),
-            }
-        )
-        df = t.to_pandas().sort_values([key_col, "h", id_col])
+        cols = {
+            key_col: batch[key_col],
+            id_col: pa.array(ids, batch[id_col].type),
+            "h": pa.array(hexes, pa.string()),
+        }
+        for c in carry:
+            cols[c] = batch[c]
+        df = pa.table(cols).to_pandas().sort_values([key_col, "h", id_col])
         return pa.Table.from_pandas(
             df.groupby(key_col, sort=False).head(n), preserve_index=False
         )
@@ -223,6 +227,6 @@ def cap_per_key(ds, *, key_col: str = "source", id_col: str = "doc_id",
 
     def merge(group: "pd.DataFrame") -> "pd.DataFrame":
         g = group.sort_values(["h", id_col]).head(n)
-        return g[[key_col, id_col]]
+        return g[[key_col, id_col] + carry]
 
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")

@@ -234,3 +234,18 @@ def test_quantize_embeddings(ray_session):
             continue
         deq = rows["q"].to_numpy() * s / 127.0
         assert np.abs(deq - np.array(vec, np.float32)).max() <= s / 127.0
+
+
+def test_cap_per_key_carry_cols(ray_session):
+    from schisma_ray.stages.corpus import cap_per_key
+
+    rows = [(i, f"text-{i}", ["a", "b"][i % 2]) for i in range(40)]
+    ds = _ds(rows).map_batches(
+        lambda t: t.rename_columns(["doc_id", "text", "source"]),
+        batch_format="pyarrow",
+    )
+    out = cap_per_key(ds, key_col="source", n=3, carry_cols=("text",)).to_pandas()
+    assert sorted(out.columns) == ["doc_id", "source", "text"]
+    assert len(out) == 6
+    for _, r in out.iterrows():
+        assert r["text"] == f"text-{r['doc_id']}"  # carried faithfully
