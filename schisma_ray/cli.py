@@ -5,6 +5,7 @@ owns a Ray session).
     python -m schisma_ray.cli conform   --table DIR --out DIR
     python -m schisma_ray.cli generate  --rows N [--px LO,HI]
     python -m schisma_ray.cli report    --out DIR        (checkpoint summary)
+    python -m schisma_ray.cli infer     --table PATH     (schema literal from data)
 """
 
 from __future__ import annotations
@@ -50,6 +51,9 @@ def main(argv=None) -> int:
     g.add_argument("--rows", type=int, required=True)
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--px", default="8,33")
+
+    i = sub.add_parser("infer")
+    i.add_argument("--table", required=True)
 
     r = sub.add_parser("report")
     r.add_argument("--out", required=True)
@@ -107,6 +111,12 @@ def main(argv=None) -> int:
             from schisma_ray.pipelines import conform_images
 
             conform_images(args.table).write_parquet(args.out)
+        elif args.cmd == "infer":
+            from schisma_ray.schema.infer import infer_schema_literal, literal_repr
+            from schisma_ray.sources.reader import read_table
+
+            lit = infer_schema_literal(read_table(args.table))
+            print(json.dumps({k: literal_repr(v) for k, v in lit.items()}))
     finally:
         ray.shutdown()
     return 0

@@ -23,12 +23,27 @@ except ImportError:
 
 def read_table(path: str | Path, columns: list[str] | None = None,
                override_num_blocks: int | None = None):
-    """Read a dataset directory: `.lance` via read_lance when available,
-    else parquet fragments (one block per file unless overridden)."""
+    """Read a dataset directory or file by format:
+
+    * ``.lance`` dataset via ``read_lance`` when the dependency exists
+    * parquet fragments (one block per file unless overridden — the
+      bytes-heavy-block countermeasure, see NOTES.md)
+    * ``.csv`` via ``read_csv``; ``.json``/``.jsonl`` via ``read_json``
+      (ingest formats for raw drops; projection happens post-read via
+      ``select_columns`` since text readers can't prune at the scan)
+    """
     path = Path(path)
     if HAVE_LANCE and (path.suffix == ".lance" or (path / "_versions").exists()):
         return rd.read_lance(str(path), columns=columns)  # pragma: no cover
+    if path.suffix == ".csv":
+        ds = rd.read_csv(str(path))
+        return ds.select_columns(columns) if columns else ds
+    if path.suffix in (".json", ".jsonl"):
+        ds = rd.read_json(str(path))
+        return ds.select_columns(columns) if columns else ds
     if path.is_dir():
+        csvs = sorted(str(p) for p in path.glob("*.csv"))
+        jsons = sorted(str(p) for p in path.glob("*.json*"))
         files = sorted(str(p) for p in path.glob("*.parquet"))
         if files:
             return rd.read_parquet(
@@ -36,5 +51,11 @@ def read_table(path: str | Path, columns: list[str] | None = None,
                 columns=columns,
                 override_num_blocks=override_num_blocks or len(files),
             )
+        if csvs:
+            ds = rd.read_csv(csvs)
+            return ds.select_columns(columns) if columns else ds
+        if jsons:
+            ds = rd.read_json(jsons)
+            return ds.select_columns(columns) if columns else ds
     return rd.read_parquet(str(path), columns=columns,
                            override_num_blocks=override_num_blocks)

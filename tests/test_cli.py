@@ -33,3 +33,12 @@ def test_cli_generate_validate_report(tmp_path):
     # resume: second run does nothing
     val2 = _run("validate", "--table", table_dir, "--out", str(out), "--resumable")
     assert json.loads(val2.stdout.strip().splitlines()[-1])["partitions_run"] == 0
+
+
+def test_cli_infer():
+    res = _run("infer", "--table", "/root/testdata/sf0.001/events.parquet")
+    assert res.returncode == 0, res.stderr[-2000:]
+    lit = json.loads(res.stdout.strip().splitlines()[-1])
+    assert lit["event_type"] == "String"
+    assert lit["value"] == "Number"
+    assert lit["event_id"] == "BigInt"

@@ -249,3 +249,54 @@ def test_cap_per_key_carry_cols(ray_session):
     assert len(out) == 6
     for _, r in out.iterrows():
         assert r["text"] == f"text-{r['doc_id']}"  # carried faithfully
+
+
+# ---------------------------------------------------------- infer/reader
+def test_infer_schema_literal_and_roundtrip(ray_session):
+    import ray.data as rd
+    from schisma_ray.schema import BigInt, Boolean, Number, String
+    from schisma_ray.schema.infer import infer_schema, infer_schema_literal
+
+    t = pa.table(
+        {
+            "s": pa.array(["a"]),
+            "i": pa.array([1], pa.int64()),
+            "f": pa.array([1.5], pa.float64()),
+            "b": pa.array([True]),
+            "ls": pa.array([["x"]], pa.list_(pa.string())),
+            "st": pa.array([{"k": 2}], pa.struct([("k", pa.int32())])),
+        }
+    )
+    lit = infer_schema_literal(t)
+    assert lit == {
+        "s": String, "i": BigInt, "f": Number, "b": Boolean,
+        "ls": [String], "st": {"k": BigInt},
+    }
+    node = infer_schema(t)
+    assert node.validate({"s": "x", "i": 3, "f": 0.5, "b": False,
+                          "ls": ["y"], "st": {"k": 7}}) == []
+    bad = node.validate({"s": 1, "i": 3, "f": 0.5, "b": False,
+                         "ls": ["y"], "st": {"k": 7}})
+    assert len(bad) == 1 and bad[0].where == "s"
+
+    # Dataset metadata path (no scan)
+    ds = rd.from_arrow(t)
+    assert infer_schema_literal(ds) == lit
+
+
+def test_read_table_csv_and_jsonl(ray_session, tmp_path):
+    import json
+
+    from schisma_ray.sources.reader import read_table
+
+    csv = tmp_path / "t.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    out = read_table(csv).to_pandas()
+    assert sorted(out["a"]) == [1, 2]
+
+    jl = tmp_path / "t.json"
+    with jl.open("w") as f:
+        for i in range(3):
+            f.write(json.dumps({"a": i, "b": f"v{i}"}) + "\n")
+    out = read_table(jl, columns=["a"]).to_pandas()
+    assert sorted(out.columns) == ["a"] and len(out) == 3
