@@ -127,6 +127,20 @@ def q_image_phash_duplicates(sf_dir: str):
     )
 
 
+def q_image_phash_duplicates_bloom(sf_dir: str):
+    """Uniqueness through the counting-Bloom prefilter strategy — the
+    extreme-cardinality path (per-batch singleton keys never leave the
+    node as rows; a fixed-size bit vector rides back instead)."""
+    ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
+    vio = uniqueness_violations(ds, "phash", id_column="image_id",
+                                strategy="bloom")
+    return vio.map_batches(
+        lambda t: t.select(["row_ref", "path", "code", "expected"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_image_phash_duplicates_join(sf_dir: str):
     """Uniqueness through the semi-join strategy: the duplicate-key set
     stays a Dataset (the duplicate-heavy-table path; no broadcast)."""
@@ -1358,6 +1372,12 @@ SELECT image_id AS row_ref, 'phash' AS path, 'invalid' AS code, 'unique' AS expe
   FROM im
  WHERE phash IN (SELECT phash FROM im GROUP BY phash HAVING count(*) > 1)
 """,
+        "image_phash_duplicates_bloom": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'phash' AS path, 'invalid' AS code, 'unique' AS expected
+  FROM im
+ WHERE phash IN (SELECT phash FROM im GROUP BY phash HAVING count(*) > 1)
+""",
         "image_phash_duplicates_join": f"""
 WITH im AS (SELECT * FROM {img})
 SELECT image_id AS row_ref, 'phash' AS path, 'invalid' AS code, 'unique' AS expected
@@ -1974,6 +1994,7 @@ QUERIES = {
     "image_decode_violations": q_image_decode_violations,
     "image_validate_full": q_image_validate_full,
     "image_phash_duplicates": q_image_phash_duplicates,
+    "image_phash_duplicates_bloom": q_image_phash_duplicates_bloom,
     "image_phash_duplicates_join": q_image_phash_duplicates_join,
     "image_referential_orphans": q_image_referential_orphans,
     "image_referential_orphans_shuffle": q_image_referential_orphans_shuffle,

@@ -94,6 +94,127 @@ def duplicate_keys(ds, column: str, *, driver_merge_limit: int = 2_000_000) -> p
     return merged.filter(pc.greater(merged["partial"], 1))
 
 
+def _bloom_positions(arr, bits: int, n_hashes: int):
+    """n_hashes position arrays via double hashing from ONE hash_array
+    call: pos_i = (h + i * step) % bits with an odd step derived from
+    the high bits (hash_key only affects object dtypes in pandas, so
+    per-seed re-hashing would silently degenerate for numeric keys)."""
+    import numpy as np
+    import pandas as pd
+
+    h = pd.util.hash_array(arr).astype(np.uint64)
+    step = (h >> np.uint64(32)) | np.uint64(1)
+    return [
+        ((h + np.uint64(i) * step) % np.uint64(bits)).astype(np.int64)
+        for i in range(n_hashes)
+    ]
+
+
+def duplicate_keys_bloom(ds, column: str, *, bits: int = 1 << 22,
+                         n_hashes: int = 3) -> pa.Table:
+    """Counting-Bloom prefilter for duplicate detection at extreme key
+    cardinality — the path when even one (key, partial) row per distinct
+    key per batch is too much shuffle/driver traffic (10^12
+    mostly-unique keys; see DESIGN.md).
+
+    Pass 1 per batch: keys duplicated WITHIN the batch are emitted
+    exactly (they never reach >=2 distinct bloom contributions); for the
+    singleton majority only a ``bits``-wide bit vector rides back — the
+    driver SUMS the per-batch vectors into position counts, O(bits)
+    memory regardless of key count. A key seen in >= 2 batches has every
+    hash position count >= 2; so may a false positive, which the exact
+    pass kills.
+
+    Pass 2: re-scan partials, keep only candidate keys (counting test
+    OR in-batch-definite), exact Ray groupby over that small subset.
+    Output matches ``duplicate_keys``: a small (key, partial=n>1) table.
+    """
+    import numpy as np
+    import pandas as pd
+
+    nbytes = bits >> 3
+
+    def pass1(batch: pa.Table) -> pa.Table:
+        t = batch.select([column]).group_by(column).aggregate([(column, "count")])
+        t = t.rename_columns([column, "partial"])
+        definite = t.filter(pc.greater(t["partial"], 1))
+        vec = np.zeros(nbytes, dtype=np.uint8)
+        arr = t[column].combine_chunks().to_numpy(zero_copy_only=False)
+        for pos in _bloom_positions(arr, bits, n_hashes):
+            np.bitwise_or.at(
+                vec, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+            )
+        key_type = t.schema.field(column).type
+        keys = pa.concat_arrays(
+            [definite[column].combine_chunks(), pa.array([None], key_type)]
+        )
+        partials = pa.concat_arrays(
+            [
+                pc.cast(definite["partial"], pa.int64()).combine_chunks(),
+                pa.array([None], pa.int64()),
+            ]
+        )
+        blooms = pa.array(
+            [None] * definite.num_rows + [vec.tobytes()], pa.large_binary()
+        )
+        return pa.table({column: keys, "partial": partials, "bloom": blooms})
+
+    scan = ds.map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True)
+
+    counts = np.zeros(bits, dtype=np.uint16)
+    definite_parts: list[pa.Array] = []
+    for t in scan.iter_batches(batch_format="pyarrow", batch_size=None):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_batches([t])
+        bloom_valid = t.filter(pc.is_valid(t["bloom"]))
+        for buf in bloom_valid["bloom"].to_pylist():
+            counts = np.minimum(  # saturate at 2: immune to wraparound
+                counts
+                + np.unpackbits(np.frombuffer(buf, np.uint8), bitorder="little"),
+                2,
+            ).astype(np.uint16)
+        defs = t.filter(pc.is_valid(t[column]))
+        if defs.num_rows:
+            definite_parts.append(defs[column].combine_chunks())
+    definite_keys = (
+        pc.unique(pa.concat_arrays(definite_parts))
+        if definite_parts
+        else None
+    )
+
+    counts_ref = ray.put(counts.astype(np.uint8))
+    def_ref = ray.put(definite_keys)
+
+    def pass2(batch: pa.Table) -> pa.Table:
+        t = batch.select([column]).group_by(column).aggregate([(column, "count")])
+        t = t.rename_columns([column, "partial"])
+        c = ray.get(counts_ref)
+        arr = t[column].combine_chunks().to_numpy(zero_copy_only=False)
+        ok = np.ones(len(arr), dtype=bool)
+        for pos in _bloom_positions(arr, bits, n_hashes):
+            ok &= c[pos] >= 2
+        dkeys = ray.get(def_ref)
+        if dkeys is not None:
+            ok |= pc.is_in(
+                t[column].combine_chunks(), value_set=dkeys
+            ).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ok))
+
+    cand = ds.map_batches(pass2, batch_format="pyarrow", zero_copy_batch=True)
+    totals = cand.groupby(column).sum("partial")
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in totals.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    if not parts:
+        return pa.table({column: pa.array([]), "partial": pa.array([], pa.int64())})
+    merged = pa.concat_tables(parts).rename_columns([column, "partial"])
+    merged = merged.set_column(
+        1, "partial", pc.cast(merged["partial"], pa.int64())
+    )
+    return merged.filter(pc.greater(merged["partial"], 1))
+
+
 def duplicate_keys_ds(ds, column: str):
     """Dataset of (column, n) for keys appearing more than once — the
     never-materialize variant of ``duplicate_keys``: per-batch partials
@@ -121,6 +242,9 @@ def uniqueness_violations(ds, column: str, id_column: str = "image_id",
     * ``join``: the duplicate keys stay a DATASET and semi-join the
       input via Ray's native hash-shuffle join — the path for
       duplicate-heavy tables where the dup-key set outgrows a broadcast.
+    * ``bloom``: counting-Bloom prefilter (``duplicate_keys_bloom``) —
+      the extreme-cardinality path where even per-batch partials are too
+      much traffic; exact after the second pass.
     """
     if strategy == "join":
         # materialize the (bounded: distinct duplicated keys) dup set:
@@ -159,7 +283,10 @@ def uniqueness_violations(ds, column: str, id_column: str = "image_id",
         return hit.map_batches(emit_rows, batch_format="pyarrow",
                                zero_copy_batch=True)
 
-    dup = duplicate_keys(ds, column)
+    if strategy == "bloom":
+        dup = duplicate_keys_bloom(ds, column)
+    else:
+        dup = duplicate_keys(ds, column)
     if dup.num_rows == 0:
         import ray.data as rd
 

@@ -300,3 +300,44 @@ def test_read_table_csv_and_jsonl(ray_session, tmp_path):
             f.write(json.dumps({"a": i, "b": f"v{i}"}) + "\n")
     out = read_table(jl, columns=["a"]).to_pandas()
     assert sorted(out.columns) == ["a"] and len(out) == 3
+
+
+# ------------------------------------------------------- bloom uniqueness
+@pytest.mark.parametrize("bits", [1 << 8, 1 << 16])  # tiny filter -> FP pressure
+def test_duplicate_keys_bloom_matches_exact(ray_session, bits):
+    import ray.data as rd
+    from schisma_ray.stages.uniqueness import duplicate_keys, duplicate_keys_bloom
+
+    # cross-batch dups (same key in different blocks) + in-batch dups +
+    # a large unique majority; 16 blocks so singletons split across batches
+    keys = (
+        [f"dup-cross-{i}" for i in range(10)] * 2
+        + ["dup-inbatch"] * 3
+        + [f"uniq-{i}" for i in range(500)]
+    )
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(16)
+    exact = duplicate_keys(ds, "k")
+    bloom = duplicate_keys_bloom(ds, "k", bits=bits)
+    want = sorted(zip(exact["k"].to_pylist(), exact["partial"].to_pylist()))
+    got = sorted(zip(bloom["k"].to_pylist(), bloom["partial"].to_pylist()))
+    assert got == want
+    assert ("dup-inbatch", 3) in got and ("dup-cross-0", 2) in got
+
+
+def test_duplicate_keys_bloom_int_keys_and_no_dups(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.uniqueness import duplicate_keys_bloom
+
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(list(range(300)), pa.int64())})
+    ).repartition(8)
+    out = duplicate_keys_bloom(ds, "k", bits=1 << 12)
+    assert out.num_rows == 0  # FPs must die in the exact pass
+
+    ds2 = rd.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3, 2, 1, 4], pa.int64())})
+    ).repartition(3)
+    out2 = duplicate_keys_bloom(ds2, "k", bits=1 << 12)
+    assert sorted(zip(out2["k"].to_pylist(), out2["partial"].to_pylist())) == [
+        (1, 2), (2, 2)
+    ]
