@@ -759,6 +759,44 @@ def q_orders_enriched_shuffle(sf_dir: str):
     return out.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
 
 
+CAMPAIGN_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
+N_CAMPAIGNS = 25
+
+
+def _campaign_intervals() -> pa.Table:
+    """Deterministic campaign-period dimension: 25 half-open 30h windows
+    starting every 24h from 2024-01-01 (adjacent windows overlap 6h, so
+    some events legitimately match two campaigns)."""
+    ids = list(range(N_CAMPAIGNS))
+    start = [CAMPAIGN_EPOCH_US + i * 24 * 3600 * 1_000_000 for i in ids]
+    end = [s + 30 * 3600 * 1_000_000 for s in start]
+    return pa.table(
+        {
+            "campaign_id": pa.array(ids, pa.int64()),
+            "start_us": pa.array(start, pa.int64()),
+            "end_us": pa.array(end, pa.int64()),
+        }
+    )
+
+
+def q_events_in_campaigns(sf_dir: str):
+    """Range join without an equi key: every (event, campaign) pair
+    where the event timestamp falls in the campaign's half-open window
+    (bucketed point-in-interval join; intervals broadcast once)."""
+    from ..stages.join import range_join
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    out = range_join(
+        ds, _campaign_intervals(), ts_col="ts",
+        start_col="start_us", end_col="end_us",
+    )
+    return out.map_batches(
+        lambda t: t.select(["event_id", "campaign_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_top_users_per_event_type(sf_dir: str):
     """Grouped top-k: 3 heaviest users per event type (combiner-first)."""
     from ..stages.topk import grouped_count_topk
@@ -1015,6 +1053,15 @@ def q_embedding_quantized(sf_dir: str):
     from ..stages.similarity import quantize_embeddings
 
     return quantize_embeddings(_t(sf_dir, "embeddings"))
+
+
+def q_tfidf_top_terms(sf_dir: str):
+    """Corpus keyword profile: top-5 TF-IDF terms per language (one
+    vectorized explode + combiner per batch; the shuffle carries
+    collapsed (lang, word) partials only)."""
+    from ..stages.text import tfidf_top_terms
+
+    return tfidf_top_terms(_t(sf_dir, "documents"), k=5)
 
 
 def q_corpus_prepare(sf_dir: str):
@@ -1657,6 +1704,15 @@ SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
+        "events_in_campaigns": """
+WITH camp AS (
+  SELECT CAST(i AS BIGINT) AS campaign_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(24 * i) AS start_ts,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(24 * i + 30) AS end_ts
+    FROM unnest(range(0, 25)) AS t(i))
+SELECT e.event_id, c.campaign_id
+  FROM events e JOIN camp c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+""",
         "top_users_per_event_type": """
 SELECT event_type, user_id, n FROM (
   SELECT event_type, user_id, count(*) AS n,
@@ -1773,6 +1829,19 @@ SELECT * FROM documents
 SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
        substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
   FROM documents, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
+""",
+        "tfidf_top_terms": """
+WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+             FROM documents),
+agg AS (SELECT lang, word, CAST(count(*) AS DOUBLE) AS tf,
+               CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+          FROM w GROUP BY 1, 2),
+nl AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n_docs FROM documents GROUP BY 1),
+sc AS (SELECT agg.lang, agg.word, ROUND(agg.tf * ln(nl.n_docs / agg.df), 6) AS score
+         FROM agg JOIN nl USING (lang)),
+r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY score DESC, word) AS rn FROM sc)
+SELECT lang, word, score FROM r WHERE rn <= 5
 """,
         "doc_cap_per_source": """
 WITH r AS (
@@ -2028,6 +2097,7 @@ QUERIES = {
     "orders_enriched": q_orders_enriched,
     "orders_enriched_shuffle": q_orders_enriched_shuffle,
     "top_users_per_event_type": q_top_users_per_event_type,
+    "events_in_campaigns": q_events_in_campaigns,
     "documents_conform_diff": q_documents_conform_diff,
     "profile_images": q_profile_images,
     "lineitem_quantiles": q_lineitem_quantiles,
@@ -2055,6 +2125,7 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_chunks": q_doc_chunks,
     "doc_pii_redacted": q_doc_pii_redacted,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "doc_cap_per_source": q_doc_cap_per_source,
     "top_event_types_per_window": q_top_event_types_per_window,
     "embedding_quantized": q_embedding_quantized,

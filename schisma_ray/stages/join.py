@@ -67,3 +67,89 @@ def shuffle_hash_join(ds, ref, on: str, right_on: str | None = None,
         on=(on,),
         right_on=(right_on or on,),
     )
+
+
+def range_join(ds, intervals, *, ts_col: str, start_col: str, end_col: str,
+               bucket_s: int | None = None, max_bucket: int = 100_000):
+    """Interval/range join WITHOUT an equi key: pair every left row with
+    every interval whose half-open [start, end) contains its timestamp.
+    (The equi-keyed flavor — "same user within a window" — is just an
+    equi-join plus a filter; this operator covers the genuinely hard
+    case: point-in-interval against an interval table.)
+
+    Bucketed shape (the documented partitioning assumption): time is
+    cut into ``bucket_s``-wide buckets (default: the longest interval,
+    so an interval spans <= 2 buckets); left rows land in ONE bucket,
+    intervals replicate to every bucket they overlap, and the join
+    runs per bucket as one vectorized point-in-interval test against
+    only that bucket's candidate intervals — never a global cross
+    product. Work per batch is rows x (intervals overlapping their
+    buckets); ``max_bucket`` documents the skew bound on that factor.
+
+    ``intervals`` is an Arrow table or small Dataset (campaign periods,
+    maintenance windows, holiday calendars — dimension-sized by
+    nature); it is broadcast via one ``ray.put``. Timestamps are int64
+    epoch-us columns on both sides.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    it = _as_arrow(intervals)
+    if it is None or it.num_rows == 0:
+        return ds.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow", zero_copy_batch=True
+        )
+    starts = pc.cast(it[start_col], pa.int64()).to_numpy()
+    ends = pc.cast(it[end_col], pa.int64()).to_numpy()
+    if bucket_s is None:
+        width_us = int((ends - starts).max())
+    else:
+        width_us = bucket_s * 1_000_000
+    width_us = max(width_us, 1)
+
+    # interval replication: (bucket -> rows of `it`) index, built once
+    order = np.argsort(starts, kind="stable")
+    it_sorted = it.take(pa.array(order))
+    s_sorted, e_sorted = starts[order], ends[order]
+    buckets: dict[int, np.ndarray] = {}
+    lo_b = s_sorted // width_us
+    hi_b = (np.maximum(e_sorted - 1, s_sorted)) // width_us
+    for i in range(len(s_sorted)):
+        for b in range(int(lo_b[i]), int(hi_b[i]) + 1):
+            buckets.setdefault(b, []).append(i)
+    buckets = {b: np.asarray(v, dtype=np.int64) for b, v in buckets.items()}
+    bref = ray.put((it_sorted, s_sorted, e_sorted, buckets))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        it_s, ss, es, bk = ray.get(bref)
+        ts = pc.cast(batch[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        row_idx_parts, int_idx_parts = [], []
+        bvals = ts // width_us
+        for b in np.unique(bvals):
+            cand = bk.get(int(b))
+            if cand is None:
+                continue
+            rows = np.nonzero(bvals == b)[0]
+            t_here = ts[rows]
+            # vectorized point-in-interval over the bucket's candidates
+            hit = (t_here[:, None] >= ss[cand][None, :]) & (
+                t_here[:, None] < es[cand][None, :]
+            )
+            r, c = np.nonzero(hit)
+            row_idx_parts.append(rows[r])
+            int_idx_parts.append(cand[c])
+        if not row_idx_parts:
+            left = batch.slice(0, 0)
+            right = it_s.slice(0, 0)
+        else:
+            ridx = np.concatenate(row_idx_parts)
+            iidx = np.concatenate(int_idx_parts)
+            left = batch.take(pa.array(ridx))
+            right = it_s.take(pa.array(iidx))
+        cols = {name: left[name] for name in left.column_names}
+        for name in right.column_names:
+            if name not in cols:
+                cols[name] = right[name]
+        return pa.table(cols)
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)

@@ -266,3 +266,70 @@ def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms(ds, *, k: int = 5, col: str = "text",
+                    lang_col: str = "lang", id_col: str = "doc_id"):
+    """(lang, word, score): the k highest-TF-IDF terms per language —
+    corpus keyword profiling. tf = term occurrences within the
+    language, df = docs of that language containing the term,
+    score = round(tf * ln(n_docs_lang / df), 6); ties break word-asc.
+
+    Combiner-first and fully vectorized: each batch explodes its text
+    ONCE via Arrow list kernels (split -> flatten + parent indices; no
+    Python per row/token) and pre-aggregates (lang, word) -> (tf, df)
+    — df partials sum exactly because a document lives in exactly one
+    batch. The only shuffle carries those collapsed partials; the
+    per-language doc totals are a 5-row fold.
+    """
+    import pandas as pd
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col].combine_chunks(), " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        tri = pa.table(
+            {
+                lang_col: t[lang_col].combine_chunks().take(parent),
+                "word": flat,
+                id_col: t[id_col].combine_chunks().take(parent),
+            }
+        )
+        agg = tri.group_by([lang_col, "word"]).aggregate(
+            [([], "count_all"), (id_col, "count_distinct")]
+        )
+        return agg.rename_columns([lang_col, "word", "tf", "df"])
+
+    partials = ds.map_batches(
+        explode_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = partials.groupby([lang_col, "word"]).sum(["tf", "df"])
+
+    # per-language doc totals: one combiner pass -> 5-row driver fold
+    def lang_counts(t: pa.Table) -> pa.Table:
+        agg = t.select([lang_col]).group_by(lang_col).aggregate([([], "count_all")])
+        return agg.rename_columns([lang_col, "n"])
+
+    n_docs: dict = {}
+    for t in ds.map_batches(
+        lang_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_batches([t])
+        for lang, n in zip(t[lang_col].to_pylist(), t["n"].to_pylist()):
+            n_docs[lang] = n_docs.get(lang, 0) + n
+
+    def topk(group: "pd.DataFrame") -> "pd.DataFrame":
+        lang = group[lang_col].iloc[0]
+        n = float(n_docs.get(lang, 1))
+        score = np.round(
+            group["sum(tf)"].to_numpy(np.float64)
+            * np.log(n / group["sum(df)"].to_numpy(np.float64)),
+            6,
+        )
+        g = pd.DataFrame(
+            {lang_col: group[lang_col], "word": group["word"], "score": score}
+        )
+        return g.sort_values(["score", "word"], ascending=[False, True]).head(k)
+
+    return totals.groupby(lang_col).map_groups(topk, batch_format="pandas")

@@ -341,3 +341,92 @@ def test_duplicate_keys_bloom_int_keys_and_no_dups(ray_session):
     assert sorted(zip(out2["k"].to_pylist(), out2["partial"].to_pylist())) == [
         (1, 2), (2, 2)
     ]
+
+
+# -------------------------------------------------------- range join
+def test_range_join_half_open_and_overlaps(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.join import range_join
+
+    intervals = pa.table(
+        {
+            "iv": pa.array([0, 1, 2], pa.int64()),
+            "s": pa.array([0, 50, 200], pa.int64()),
+            "e": pa.array([100, 150, 300], pa.int64()),
+        }
+    )
+    # ts 75 -> both iv0 and iv1; 100 -> iv1 only (half-open); 150 -> none;
+    # 299 -> iv2; 300 -> none (half-open end)
+    events = pa.table(
+        {
+            "eid": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "ts": pa.array([75, 100, 150, 299, 300], pa.int64()),
+        }
+    )
+    out = range_join(
+        rd.from_arrow(events).repartition(3), intervals,
+        ts_col="ts", start_col="s", end_col="e",
+    ).to_pandas()
+    got = sorted(map(tuple, out[["eid", "iv"]].values.tolist()))
+    assert got == [(1, 0), (1, 1), (2, 1), (4, 2)]
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from schisma_ray.stages.join import range_join
+
+    rng = np.random.default_rng(7)
+    ts = rng.integers(0, 10_000, size=400)
+    starts = rng.integers(0, 9_000, size=30)
+    lengths = rng.integers(1, 2_000, size=30)
+    ends = starts + lengths
+    intervals = pa.table(
+        {
+            "iv": pa.array(range(30), pa.int64()),
+            "s": pa.array(starts, pa.int64()),
+            "e": pa.array(ends, pa.int64()),
+        }
+    )
+    events = pa.table(
+        {
+            "eid": pa.array(range(400), pa.int64()),
+            "ts": pa.array(ts, pa.int64()),
+        }
+    )
+    out = range_join(
+        rd.from_arrow(events).repartition(8), intervals,
+        ts_col="ts", start_col="s", end_col="e",
+    ).to_pandas()
+    got = sorted(map(tuple, out[["eid", "iv"]].values.tolist()))
+    want = sorted(
+        (int(e), int(i))
+        for e in range(400)
+        for i in range(30)
+        if starts[i] <= ts[e] < ends[i]
+    )
+    assert got == want
+
+
+def test_tfidf_top_terms(ray_session):
+    from schisma_ray.stages.text import tfidf_top_terms
+
+    # en: 'cat' in 2/3 docs (tf=3), 'dog' in 1/3 (tf=2); fr: one doc
+    docs = _ds(
+        [
+            (1, "cat cat dog", "en"),
+            (2, "cat fish", "en"),
+            (3, "bird bird bird", "en"),
+            (4, "chat chien", "fr"),
+        ]
+    )
+    out = tfidf_top_terms(docs, k=2).to_pandas()
+    import math
+
+    en = out[out.lang == "en"].sort_values("score", ascending=False)
+    # scores: bird tf=3 df=1 -> 3*ln(3)=3.295837; cat tf=3 df=2 -> 3*ln(1.5)
+    assert list(en["word"]) == ["bird", "cat"]
+    assert abs(en["score"].iloc[0] - round(3 * math.log(3), 6)) < 1e-9
+    fr = out[out.lang == "fr"]
+    assert sorted(fr["word"]) == ["chat", "chien"]
+    assert (fr["score"] == 0.0).all()  # df == n_docs -> ln(1) = 0
