@@ -797,6 +797,18 @@ def q_events_in_campaigns(sf_dir: str):
     )
 
 
+def q_heavy_event_users_cm(sf_dir: str):
+    """Top-10 heaviest users by event count via the Count-Min sketch
+    (constant state at unbounded cardinality). At this scale / width the
+    deterministic sketch is collision-free, so the exact SQL top-10 is
+    a valid oracle; at higher load factors the estimate overcounts by
+    <= 2N/w (accuracy pinned in tests)."""
+    from ..stages.stats import heavy_hitters_cm
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return heavy_hitters_cm(ds, "user_id", k=10, w=1 << 16, d=4)
+
+
 def q_top_users_per_event_type(sf_dir: str):
     """Grouped top-k: 3 heaviest users per event type (combiner-first)."""
     from ..stages.topk import grouped_count_topk
@@ -1704,6 +1716,10 @@ SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
+        "heavy_event_users_cm": """
+WITH c AS (SELECT user_id, count(*) AS est_n FROM events GROUP BY user_id)
+SELECT user_id, est_n FROM c ORDER BY est_n DESC, user_id LIMIT 10
+""",
         "events_in_campaigns": """
 WITH camp AS (
   SELECT CAST(i AS BIGINT) AS campaign_id,
@@ -2098,6 +2114,7 @@ QUERIES = {
     "orders_enriched_shuffle": q_orders_enriched_shuffle,
     "top_users_per_event_type": q_top_users_per_event_type,
     "events_in_campaigns": q_events_in_campaigns,
+    "heavy_event_users_cm": q_heavy_event_users_cm,
     "documents_conform_diff": q_documents_conform_diff,
     "profile_images": q_profile_images,
     "lineitem_quantiles": q_lineitem_quantiles,

@@ -256,3 +256,81 @@ def ks_drift(observed_hist: list[int], profile_freqs: list[float]) -> dict[str, 
     ref = ref / ref[-1]
     d = float(np.max(np.abs(ecdf - ref)))
     return {"statistic": d, "p_value": ks_pvalue(d, n), "n": int(n)}
+
+
+class CountMin(AggregateFn):
+    """Count-Min sketch: a (d x w) count matrix; row r increments
+    position h_r(key). Merge = elementwise sum (associative/commutative
+    -> tree-aggregable); point estimate = min over rows, which only
+    OVERcounts (by <= 2N/w with prob 1-2^-d). Constant memory no matter
+    the key cardinality — the frequency analogue of the HLL sketch."""
+
+    def __init__(self, on: str, w: int = 4096, d: int = 4,
+                 alias_name: str | None = None):
+        def accumulate_block(mat: np.ndarray, block) -> np.ndarray:
+            if isinstance(block, pd.DataFrame):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            h = _hash64(block[on])
+            if len(h) == 0:
+                return mat
+            mat = mat.copy()
+            step = (h >> np.uint64(32)) | np.uint64(1)  # double hashing
+            for r in range(d):
+                pos = ((h + np.uint64(r) * step) % np.uint64(w)).astype(np.int64)
+                np.add.at(mat[r], pos, 1)
+            return mat
+
+        super().__init__(
+            init=lambda k: np.zeros((d, w), dtype=np.int64),
+            merge=lambda a, b: a + b,
+            accumulate_block=accumulate_block,
+            finalize=lambda m: m,
+            name=alias_name or f"cm({on})",
+        )
+
+
+def cm_estimate(mat: np.ndarray, keys, w: int, d: int) -> np.ndarray:
+    """Point-estimate counts for an Arrow array of keys from a CountMin
+    matrix (vectorized min-over-rows)."""
+    h = _hash64(keys if isinstance(keys, (pa.Array, pa.ChunkedArray))
+                else pa.array(keys))
+    step = (h >> np.uint64(32)) | np.uint64(1)
+    ests = np.empty((d, len(h)), dtype=np.int64)
+    for r in range(d):
+        pos = ((h + np.uint64(r) * step) % np.uint64(w)).astype(np.int64)
+        ests[r] = mat[r][pos]
+    return ests.min(axis=0)
+
+
+def heavy_hitters_cm(ds, col: str, *, k: int = 10, w: int = 4096, d: int = 4,
+                     candidates_per_batch: int = 64) -> pa.Table:
+    """Approximate top-k frequent keys at unbounded cardinality:
+    Count-Min sketch (constant memory, tree-merged) + a bounded
+    candidate stream (each batch surfaces its local top
+    ``candidates_per_batch`` keys — any global heavy hitter is locally
+    frequent somewhere). Output (key, est_n), est desc / key asc;
+    estimates only overcount. The constant-state scale path next to the
+    exact ``grouped_count_topk`` (which shuffles every distinct key).
+    """
+    import pyarrow.compute as pc
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by(col).aggregate([([], "count_all")])
+        t = t.rename_columns([col, "n"])
+        return t.sort_by([("n", "descending")]).slice(0, candidates_per_batch)
+
+    cand_parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.map_batches(
+            local_top, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    cand_parts = [t for t in cand_parts if t.num_rows]
+    if not cand_parts:
+        return pa.table({col: pa.array([]), "est_n": pa.array([], pa.int64())})
+    cand = pc.unique(pa.concat_tables(cand_parts)[col].combine_chunks())
+
+    mat = np.asarray(ds.aggregate(CountMin(col, w=w, d=d, alias_name="cm"))["cm"])
+    est = cm_estimate(mat, cand, w, d)
+    out = pa.table({col: cand, "est_n": pa.array(est, pa.int64())})
+    return out.sort_by([("est_n", "descending"), (col, "ascending")]).slice(0, k)

@@ -430,3 +430,43 @@ def test_tfidf_top_terms(ray_session):
     fr = out[out.lang == "fr"]
     assert sorted(fr["word"]) == ["chat", "chien"]
     assert (fr["score"] == 0.0).all()  # df == n_docs -> ln(1) = 0
+
+
+# ---------------------------------------------------- count-min sketch
+def test_count_min_heavy_hitters(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from schisma_ray.stages.stats import heavy_hitters_cm
+
+    # zipf-ish: key-i appears (50 - i) * 10 times for i < 5, tail once
+    keys = []
+    for i in range(5):
+        keys += [f"hot-{i}"] * ((50 - i) * 10)
+    keys += [f"tail-{j}" for j in range(2000)]
+    rng = np.random.default_rng(3)
+    rng.shuffle(keys)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys)})).repartition(16)
+
+    out = heavy_hitters_cm(ds, "k", k=5, w=4096, d=4)
+    got = list(zip(out["k"].to_pylist(), out["est_n"].to_pylist()))
+    assert [k for k, _ in got] == [f"hot-{i}" for i in range(5)]
+    for i, (_, est) in enumerate(got):
+        true = (50 - i) * 10
+        assert est >= true            # CM only overcounts
+        assert est <= true + 10       # and tightly here (2N/w ~ 2)
+
+
+def test_count_min_merge_property(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from schisma_ray.stages.stats import CountMin, cm_estimate
+
+    vals = [f"v{i % 7}" for i in range(700)]
+    one = rd.from_arrow(pa.table({"k": pa.array(vals)}))
+    mat_1 = np.asarray(one.aggregate(CountMin("k", alias_name="cm"))["cm"])
+    mat_16 = np.asarray(
+        one.repartition(16).aggregate(CountMin("k", alias_name="cm"))["cm"]
+    )
+    assert (mat_1 == mat_16).all()  # tree merge == single accumulate
+    est = cm_estimate(mat_16, pa.array([f"v{i}" for i in range(7)]), 4096, 4)
+    assert (est == 100).all()
