@@ -881,6 +881,21 @@ def q_distinct_sources_by_lang(sf_dir: str):
     return grouped_distinct_count(docs, "lang", "source")
 
 
+def q_distinct_sources_by_lang_hll(sf_dir: str):
+    """Approximate distinct per group (per-group HLL registers, constant
+    state per group). Deterministic, and exact at this cardinality, so
+    the exact-SQL oracle holds; error bound (~1.6% at p=12) is pinned
+    separately in tests."""
+    from ..stages.topk import grouped_distinct_hll
+
+    docs = _t(sf_dir, "documents").map_batches(
+        lambda t: t.select(["lang", "source"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_distinct_hll(docs, "lang", "source")
+
+
 # ------------------------------------------------------------------ dedup
 def q_dedup_exact_documents(sf_dir: str):
     return exact_dedup_keep_first(_t(sf_dir, "documents"), key="text", id_col="doc_id")
@@ -1706,6 +1721,10 @@ SELECT t.q, o.v AS value
 SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
   FROM documents GROUP BY lang
 """,
+        "distinct_sources_by_lang_hll": """
+SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
+  FROM documents GROUP BY lang
+""",
         "orders_enriched": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
@@ -2120,6 +2139,7 @@ QUERIES = {
     "lineitem_quantiles": q_lineitem_quantiles,
     "lineitem_quantiles_approx": q_lineitem_quantiles_approx,
     "distinct_sources_by_lang": q_distinct_sources_by_lang,
+    "distinct_sources_by_lang_hll": q_distinct_sources_by_lang_hll,
     "event_sessions": q_event_sessions,
     "events_hopping": q_events_hopping,
     "documents_ranked": q_documents_ranked,

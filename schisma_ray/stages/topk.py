@@ -139,3 +139,27 @@ def grouped_distinct_count(ds, group_col: str, item_col: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def grouped_distinct_hll(ds, group_col: str, item_col: str, *, p: int = 12):
+    """(group, n_distinct): APPROXIMATE distinct items per group via a
+    per-group HyperLogLog — the constant-state-per-group scale path next
+    to the exact ``grouped_distinct_count`` (whose memory floor is the
+    distinct-pair count). Registers tree-merge by elementwise max inside
+    Ray's grouped aggregation; ~1.6% relative error at p=12.
+    """
+    from .stats import HLL
+
+    out = ds.groupby(group_col).aggregate(HLL(item_col, p=p, alias_name="n_distinct"))
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                group_col: t[group_col],
+                "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

@@ -470,3 +470,26 @@ def test_count_min_merge_property(ray_session):
     assert (mat_1 == mat_16).all()  # tree merge == single accumulate
     est = cm_estimate(mat_16, pa.array([f"v{i}" for i in range(7)]), 4096, 4)
     assert (est == 100).all()
+
+
+def test_grouped_distinct_hll_accuracy(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.topk import grouped_distinct_count, grouped_distinct_hll
+
+    # two groups: 1000 and 50 distinct items
+    rows = [("big", f"item-{i}") for i in range(1000)] + [
+        ("small", f"item-{i % 50}") for i in range(400)
+    ]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([g for g, _ in rows]),
+                "v": pa.array([v for _, v in rows]),
+            }
+        )
+    ).repartition(8)
+    exact = grouped_distinct_count(ds, "g", "v").to_pandas().set_index("g")["n_distinct"]
+    approx = grouped_distinct_hll(ds, "g", "v").to_pandas().set_index("g")["n_distinct"]
+    for g in ["big", "small"]:
+        rel = abs(approx[g] - exact[g]) / exact[g]
+        assert rel < 0.05, (g, approx[g], exact[g])
