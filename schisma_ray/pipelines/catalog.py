@@ -1345,6 +1345,17 @@ def q_minhash_dedup_groups(sf_dir: str):
     return _collect(near_dedup_survivors(docs, pairs, "doc_id"), ["doc_id"])
 
 
+def q_embedding_kmeans(sf_dir: str):
+    """Iterative distributed k-means over the embedding column (5 Lloyd
+    iterations; centroids broadcast per round, per-batch matmul assign +
+    k x d partials — no shuffle). Deterministic md5-order seeding, so
+    assignments are stable across runs and parallelism (rows-only
+    check: iterative, not SQL-expressible)."""
+    from ..stages.cluster import kmeans_assignments
+
+    return kmeans_assignments(_t(sf_dir, "embeddings"), k=8, iters=5)
+
+
 def q_embedding_near_dups(sf_dir: str):
     return cosine_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.9)
 
@@ -2174,6 +2185,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "minhash_dedup_groups": q_minhash_dedup_groups,
+    "embedding_kmeans": q_embedding_kmeans,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_seeded": q_embedding_near_dups_seeded,
     "embedding_dedup_survivors": q_embedding_dedup_survivors,

@@ -493,3 +493,56 @@ def test_grouped_distinct_hll_accuracy(ray_session):
     for g in ["big", "small"]:
         rel = abs(approx[g] - exact[g]) / exact[g]
         assert rel < 0.05, (g, approx[g], exact[g])
+
+
+# -------------------------------------------------------------- k-means
+def test_kmeans_separable_blobs(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from schisma_ray.stages.cluster import kmeans_assignments
+
+    rng = np.random.default_rng(11)
+    centers = np.array([[10.0, 0.0], [-10.0, 0.0], [0.0, 10.0]])
+    vecs, true = [], []
+    for ci, c in enumerate(centers):
+        for _ in range(60):
+            vecs.append((c + rng.normal(0, 0.5, 2)).tolist())
+            true.append(ci)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    ).repartition(6)
+    out = kmeans_assignments(ds, k=3, iters=6).to_pandas()
+    # blobs are well-separated: every true cluster maps to exactly one
+    # k-means label and vice versa
+    df = out.sort_values("vec_id")
+    df["true"] = true
+    mapping = df.groupby("true")["cluster"].nunique()
+    assert (mapping == 1).all()
+    assert df["cluster"].nunique() == 3
+
+
+def test_kmeans_parallelism_invariant(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from schisma_ray.stages.cluster import kmeans_assignments
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, (200, 8)).astype(np.float32)
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float32())),
+        }
+    )
+    a = kmeans_assignments(
+        rd.from_arrow(table), k=4, iters=3
+    ).to_pandas().sort_values("vec_id")["cluster"].tolist()
+    b = kmeans_assignments(
+        rd.from_arrow(table).repartition(16), k=4, iters=3
+    ).to_pandas().sort_values("vec_id")["cluster"].tolist()
+    assert a == b
