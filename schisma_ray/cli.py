@@ -6,6 +6,7 @@ owns a Ray session).
     python -m schisma_ray.cli generate  --rows N [--px LO,HI]
     python -m schisma_ray.cli report    --out DIR        (checkpoint summary)
     python -m schisma_ray.cli infer     --table PATH     (schema literal from data)
+    python -m schisma_ray.cli prepare   --docs P --out D (corpus prep -> chunk parquet)
 """
 
 from __future__ import annotations
@@ -54,6 +55,17 @@ def main(argv=None) -> int:
 
     i = sub.add_parser("infer")
     i.add_argument("--table", required=True)
+
+    p = sub.add_parser("prepare")
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--bench", default=None,
+                   help="held-out benchmark table for decontamination")
+    p.add_argument("--langs", default="en")
+    p.add_argument("--min-quality", type=float, default=0.5)
+    p.add_argument("--cap-per-source", type=int, default=0)
+    p.add_argument("--chunk-size", type=int, default=512)
+    p.add_argument("--chunk-stride", type=int, default=384)
 
     r = sub.add_parser("report")
     r.add_argument("--out", required=True)
@@ -111,6 +123,24 @@ def main(argv=None) -> int:
             from schisma_ray.pipelines import conform_images
 
             conform_images(args.table).write_parquet(args.out)
+        elif args.cmd == "prepare":
+            from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+            from schisma_ray.sources.reader import read_table
+
+            out = prepare_corpus(
+                read_table(args.docs),
+                bench=read_table(args.bench) if args.bench else None,
+                langs=tuple(args.langs.split(",")),
+                min_quality=args.min_quality,
+                cap_per_source=args.cap_per_source,
+                chunk_size=args.chunk_size,
+                chunk_stride=args.chunk_stride,
+            )
+            out.write_parquet(args.out)
+            import pyarrow.dataset as pads
+
+            n = pads.dataset(args.out).count_rows()
+            print(json.dumps({"chunks_written": n, "out": args.out}))
         elif args.cmd == "infer":
             from schisma_ray.schema.infer import infer_schema_literal, literal_repr
             from schisma_ray.sources.reader import read_table

@@ -1,0 +1,135 @@
+"""Production corpus-preparation pipeline (the CLI `prepare` surface).
+
+Same seven-stage shape as the oracled ``corpus_prepare`` catalog query,
+minus its test fixtures (no synthetic PII injection, benchmark set is a
+caller-supplied table instead of a doc_id residue class):
+
+    [optional] decontaminate vs a benchmark table (grams broadcast)
+    -> PII email redaction (RE2, in place)
+    -> language allow-list + quality threshold
+    -> exact dedup keep-first (survivor ids broadcast)
+    -> per-source cap (md5 order)
+    -> fixed-size context-window chunking
+
+One streaming DAG; the only driver folds are the two deliberately
+small sides (benchmark n-grams, survivor ids).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def prepare_corpus(
+    docs,
+    *,
+    bench=None,
+    ngram: int = 4,
+    langs: tuple = ("en",),
+    min_quality: float = 0.5,
+    cap_per_source: int = 0,
+    chunk_size: int = 512,
+    chunk_stride: int = 384,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+):
+    """documents Dataset -> (id, chunk_idx, chunk_text) Dataset."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.corpus import _word_ngrams, cap_per_key, chunk_text
+    from ..stages.dedup import exact_dedup_keep_first
+    from ..stages.text import quality_score_values
+
+    bench_ref = None
+    if bench is not None:
+        grams: set = set()
+        for b in bench.select_columns([text_col]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            for text in b[text_col].to_pylist():
+                if text:
+                    grams |= _word_ngrams(text, ngram)
+        bench_ref = ray.put(frozenset(grams))
+
+    lang_set = set(langs)
+
+    def prep(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], t.schema.field(id_col).type),
+                source_col: pa.array([], pa.string()),
+                text_col: pa.array([], pa.string()),
+            }
+        )
+        if bench_ref is not None:
+            bg = ray.get(bench_ref)
+            keep = pa.array(
+                [not (_word_ngrams(x or "", ngram) & bg)
+                 for x in t[text_col].to_pylist()]
+            )
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        text = pc.replace_substring_regex(
+            t[text_col].combine_chunks(), EMAIL_PATTERN, "[EMAIL]"
+        )
+        score = quality_score_values(text)
+        keep = pc.and_(
+            pc.fill_null(
+                pc.is_in(t[lang_col].combine_chunks(),
+                         value_set=pa.array(sorted(lang_set))),
+                False,
+            ),
+            pa.array(score >= min_quality),
+        )
+        out = pa.table(
+            {id_col: t[id_col], source_col: t[source_col], text_col: text}
+        )
+        return out.filter(keep)
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    kept_parts = []
+    for b in exact_dedup_keep_first(prepped, key=text_col, id_col=id_col).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows:
+            kept_parts.append(t[id_col].combine_chunks())
+    if not kept_parts:
+        return prepped.map_batches(
+            lambda t: pa.table(
+                {
+                    id_col: pa.array([], t.schema.field(id_col).type),
+                    "chunk_idx": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    kept_ref = ray.put(pa.concat_arrays(kept_parts))
+
+    def dedup_filter(t: pa.Table) -> pa.Table:
+        import ray
+
+        return t.filter(
+            pc.is_in(t[id_col].combine_chunks(), value_set=ray.get(kept_ref))
+        )
+
+    survivors = prepped.map_batches(
+        dedup_filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if cap_per_source > 0:
+        survivors = cap_per_key(
+            survivors, key_col=source_col, id_col=id_col,
+            n=cap_per_source, carry_cols=(text_col,),
+        )
+    return chunk_text(
+        survivors, size=chunk_size, stride=chunk_stride,
+        col=text_col, id_col=id_col,
+    )

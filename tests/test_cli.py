@@ -42,3 +42,20 @@ def test_cli_infer():
     assert lit["event_type"] == "String"
     assert lit["value"] == "Number"
     assert lit["event_id"] == "BigInt"
+
+
+def test_cli_prepare(tmp_path):
+    out = tmp_path / "chunks"
+    res = _run(
+        "prepare", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out), "--langs", "en", "--cap-per-source", "5",
+        "--chunk-size", "100", "--chunk-stride", "80",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["chunks_written"] > 0
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(str(out)).to_table()
+    assert sorted(t.column_names) == ["chunk_idx", "chunk_text", "doc_id"]
+    assert all(len(c) <= 100 for c in t["chunk_text"].to_pylist())
