@@ -38,17 +38,37 @@ def kmeans(ds, *, col: str = "embedding", id_col: str = "vec_id",
     """Returns (centroids ndarray (k, d), assign_fn) after ``iters``
     Lloyd iterations. ``assign_fn`` is a map_batches-ready closure
     producing (id, cluster) rows from the final centroids."""
-    # deterministic bounded sample: the sample_size lowest-md5 rows
+    # deterministic bounded sample: the sample_size lowest-md5 rows.
+    # Selection happens INSIDE map_batches (each batch ships only its
+    # local winners), so the driver folds sample_size x batches rows,
+    # never the corpus.
+    def sample_partial(t: pa.Table) -> pa.Table:
+        hexes = [
+            hashlib.md5(str(r).encode()).hexdigest()
+            for r in t[id_col].to_pylist()
+        ]
+        keep = np.argsort(np.asarray(hexes))[:sample_size]
+        m = pa.array(np.isin(np.arange(len(hexes)), keep))
+        kept = t.filter(m)
+        return pa.table(
+            {
+                "h": pa.array(
+                    [hexes[i] for i in sorted(keep.tolist())], pa.string()
+                ),
+                col: kept[col],
+            }
+        )
+
     seed_rows: list[tuple[str, np.ndarray]] = []
     for b in ds.map_batches(
         lambda t: t.select([id_col, col]), batch_format="pyarrow",
         zero_copy_batch=True,
+    ).map_batches(
+        sample_partial, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_format="pyarrow", batch_size=None):
         t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        ids = t[id_col].to_pylist()
         vecs = _batch_matrix(t, col)
-        for i, rid in enumerate(ids):
-            h = hashlib.md5(str(rid).encode()).hexdigest()
+        for i, h in enumerate(t["h"].to_pylist()):
             seed_rows.append((h, vecs[i]))
         seed_rows.sort(key=lambda x: x[0])
         del seed_rows[sample_size:]

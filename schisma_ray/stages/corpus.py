@@ -219,8 +219,11 @@ def cap_per_key(ds, *, key_col: str = "source", id_col: str = "doc_id",
         for c in carry:
             cols[c] = batch[c]
         df = pa.table(cols).to_pandas().sort_values([key_col, "h", id_col])
+        # dropna=False: a null key is its own partition (SQL PARTITION BY
+        # semantics) — pandas' default silently drops those rows
         return pa.Table.from_pandas(
-            df.groupby(key_col, sort=False).head(n), preserve_index=False
+            df.groupby(key_col, sort=False, dropna=False).head(n),
+            preserve_index=False,
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)

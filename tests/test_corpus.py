@@ -546,3 +546,63 @@ def test_kmeans_parallelism_invariant(ray_session):
         rd.from_arrow(table).repartition(16), k=4, iters=3
     ).to_pandas().sort_values("vec_id")["cluster"].tolist()
     assert a == b
+
+
+def test_new_ops_on_empty_input(ray_session):
+    """Empty datasets must flow through without schema-loss crashes
+    (Ray drops schemas on empty blocks — a documented sharp edge)."""
+    import ray.data as rd
+    from schisma_ray.stages.corpus import cap_per_key, chunk_text, sample_by_rate
+    from schisma_ray.stages.text import redact_regex, tfidf_top_terms
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+                "lang": pa.array([], pa.string()),
+                "source": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert chunk_text(empty).to_pandas().empty
+    assert sample_by_rate(empty, {"en": 0.5}).to_pandas().empty
+    assert redact_regex(empty, "x").to_pandas().empty
+    assert cap_per_key(empty, key_col="source", n=3).to_pandas().empty
+    assert tfidf_top_terms(empty).to_pandas().empty
+
+
+def test_range_join_empty_sides(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.join import range_join
+
+    events = pa.table(
+        {"eid": pa.array([1], pa.int64()), "ts": pa.array([5], pa.int64())}
+    )
+    no_intervals = pa.table(
+        {
+            "iv": pa.array([], pa.int64()),
+            "s": pa.array([], pa.int64()),
+            "e": pa.array([], pa.int64()),
+        }
+    )
+    out = range_join(
+        rd.from_arrow(events), no_intervals, ts_col="ts", start_col="s", end_col="e"
+    ).to_pandas()
+    assert out.empty
+
+
+def test_cap_per_key_null_keys_kept(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.corpus import cap_per_key
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "source": pa.array(["a"] * 4 + [None] * 6, pa.string()),
+        }
+    )
+    out = cap_per_key(rd.from_arrow(t), key_col="source", n=3).to_pandas()
+    # null keys form their own capped partition (SQL PARTITION BY)
+    assert len(out[out.source.isna()]) == 3
+    assert len(out[out.source == "a"]) == 3
