@@ -1290,6 +1290,56 @@ def q_knn_cosine(sf_dir: str):
     return knn_brute_force(ds, mat, ids, k=10)
 
 
+def q_knn_cosine_filtered(sf_dir: str):
+    """Filtered vector search: metadata predicate (label = 0) pushed
+    BEFORE the scan, then exact cosine top-k — the filtered-ANN shape
+    every production vector store needs (filter first, so k survivors
+    are guaranteed; post-filtering an ANN result can starve)."""
+    import pyarrow.compute as pc
+
+    mat, ids = _query_vectors(sf_dir)
+    ds = _t(sf_dir, "embeddings").map_batches(
+        lambda t: t.filter(pc.equal(t["label"].combine_chunks(), 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return knn_brute_force(ds, mat, ids, k=10)
+
+
+def q_cross_corpus_dups(sf_dir: str):
+    """Incremental dedup of a 'new crawl' (every 5th doc re-keyed, plus
+    near-miss rows with appended text) against the existing corpus —
+    base fingerprints broadcast once, new side streams."""
+    from ..stages.dedup import cross_corpus_duplicates
+
+    base = _t(sf_dir, "documents")
+
+    def synth_new(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ids = t["doc_id"].combine_chunks().to_numpy()
+        text = t["text"].combine_chunks()
+        dup_mask = ids % 5 == 0      # exact replicas (must be flagged)
+        miss_mask = ids % 5 == 1     # perturbed (must NOT be flagged)
+        keep = pa.array(dup_mask | miss_mask)
+        t2 = pa.table(
+            {
+                "doc_id": pa.array(ids + 100000, pa.int64()),
+                "text": pc.binary_join_element_wise(
+                    text,
+                    pa.array(
+                        ["" if d else " extra" for d in dup_mask], pa.string()
+                    ),
+                    "",
+                ),
+            }
+        ).filter(keep)
+        return t2
+
+    new = base.map_batches(synth_new, batch_format="pyarrow", zero_copy_batch=True)
+    return cross_corpus_duplicates(new, base)
+
+
 def q_ann_lsh(sf_dir: str):
     mat, ids = _query_vectors(sf_dir)
     ds = _t(sf_dir, "embeddings")
@@ -2088,7 +2138,29 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
              FROM e x JOIN e y ON x.vec_id < y.vec_id)
 SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
 """,
-        "knn_cosine": """
+        "knn_cosine_filtered": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+             FROM embeddings ORDER BY vec_id LIMIT 5),
+     s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                         CAST(e.embedding AS DOUBLE[])) AS sim
+             FROM q CROSS JOIN embeddings e WHERE e.label = 0)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+          FROM s)
+ WHERE rn <= 10
+""",
+    "cross_corpus_dups": """
+WITH new AS (
+  SELECT doc_id + 100000 AS doc_id,
+         CASE WHEN doc_id % 5 = 1 THEN text || ' extra' ELSE text END AS text
+    FROM documents WHERE doc_id % 5 IN (0, 1))
+SELECT n.doc_id, md5(n.text) AS fingerprint
+  FROM new n
+ WHERE md5(n.text) IN (SELECT md5(text) FROM documents)
+""",
+    "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
              FROM embeddings ORDER BY vec_id LIMIT 5),
      s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -2182,6 +2254,8 @@ QUERIES = {
     "corpus_clean_join": q_corpus_clean_join,
     "corpus_rejected": q_corpus_rejected,
     "knn_cosine": q_knn_cosine,
+    "knn_cosine_filtered": q_knn_cosine_filtered,
+    "cross_corpus_dups": q_cross_corpus_dups,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "minhash_dedup_groups": q_minhash_dedup_groups,

@@ -702,3 +702,41 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
         return empty
     return pa.table({"a": pa.array(a_out), "b": pa.array(b_out),
                      "hamming": pa.array(d_out, pa.int32())})
+
+
+def cross_corpus_duplicates(new_ds, base_ds, *, col: str = "text",
+                            id_col: str = "doc_id"):
+    """Incremental dedup: rows of ``new_ds`` whose content md5 already
+    exists in ``base_ds`` — the "dedup the new crawl against the
+    existing corpus" direction. The base side is reduced to its md5
+    fingerprint set (16 bytes/doc — a 10^9-doc corpus is ~16 GB, still
+    broadcastable; beyond that, the bucketed anti-join in
+    stages/referential.py is the same semi-join with sides swapped) and
+    ``ray.put`` once; the new corpus streams through one vectorized
+    ``is_in`` pass. Output: (id, fingerprint)."""
+    import pyarrow.compute as pc
+    import ray
+
+    base_fps: set = set()
+    for b in content_fingerprint(base_ds, col, id_col).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        base_fps.update(x for x in t["fingerprint"].to_pylist() if x)
+    fp_ref = ray.put(pa.array(sorted(base_fps), pa.string()))
+
+    def flag(t: pa.Table) -> pa.Table:
+        import hashlib as _h
+
+        fps = pa.array(
+            [
+                None if x is None else _h.md5(x.encode("utf-8")).hexdigest()
+                for x in t[col].to_pylist()
+            ],
+            pa.string(),
+        )
+        hit = pc.fill_null(pc.is_in(fps, value_set=ray.get(fp_ref)), False)
+        out = pa.table({id_col: t[id_col], "fingerprint": fps})
+        return out.filter(hit)
+
+    return new_ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)

@@ -606,3 +606,20 @@ def test_cap_per_key_null_keys_kept(ray_session):
     # null keys form their own capped partition (SQL PARTITION BY)
     assert len(out[out.source.isna()]) == 3
     assert len(out[out.source == "a"]) == 3
+
+
+def test_cross_corpus_duplicates(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.dedup import cross_corpus_duplicates
+
+    base = _ds([(1, "alpha", "en"), (2, "beta", "en"), (3, "gamma", "en")])
+    new = _ds(
+        [
+            (10, "beta", "en"),      # dup of base 2
+            (11, "delta", "en"),     # fresh
+            (12, "alpha", "en"),     # dup of base 1
+            (13, "beta extra", "en"),  # near miss
+        ]
+    )
+    out = cross_corpus_duplicates(new, base).to_pandas()
+    assert sorted(out["doc_id"]) == [10, 12]
