@@ -1340,10 +1340,80 @@ def q_cross_corpus_dups(sf_dir: str):
     return cross_corpus_duplicates(new, base)
 
 
+ANN_N_BITS = 6
+ANN_SEED = 7
+
+
+def _lsh_planes_file(dim: int) -> Path:
+    """Persist the (deterministic, seeded) LSH hyperplanes so the DuckDB
+    oracle can recompute bucket assignments with list_dot_product —
+    sign(dot) is normalization-invariant, so the oracle works on raw
+    embeddings. Cached per (dim, n_bits, seed)."""
+    from ..stages.similarity import _lsh_planes
+
+    out = Path(f"/tmp/schisma_ray_cache/lsh_planes_d{dim}_b{ANN_N_BITS}_s{ANN_SEED}.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        import pyarrow.parquet as pq
+
+        planes = _lsh_planes(dim, ANN_N_BITS, ANN_SEED)
+        pq.write_table(
+            pa.table(
+                {
+                    "bit": pa.array(range(ANN_N_BITS), pa.int64()),
+                    "vec": pa.array(
+                        [p.tolist() for p in planes], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            out,
+        )
+    return out
+
+
 def q_ann_lsh(sf_dir: str):
     mat, ids = _query_vectors(sf_dir)
     ds = _t(sf_dir, "embeddings")
-    return ann_lsh(ds, mat, ids, k=10, n_bits=6)
+    return ann_lsh(ds, mat, ids, k=10, n_bits=ANN_N_BITS, seed=ANN_SEED)
+
+
+def _ivf_centroids_file(sf_dir: str) -> Path:
+    """Persist the IVF coarse centroids (trained by the SAME seeded
+    routine ann_ivf uses, on the same file-order sample) so the oracle
+    can reproduce cell assignment with list_dot_product. argmax over
+    dot(norm(e), c) equals argmax over dot(e, c) — |e| is constant per
+    row — so the SQL needs no normalization."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import _normalize, ivf_train
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    tag = _h.md5(str(src).encode()).hexdigest()[:10]
+    out = Path(f"/tmp/schisma_ray_cache/ivf_cents_{tag}_c16_i5_s13.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        emb = pq.read_table(src)
+        train = _normalize(
+            np.stack(
+                [np.asarray(v, np.float64)
+                 for v in emb["embedding"].to_pylist()[:2048]]
+            )
+        )
+        cents = ivf_train(train, 16, 5, 13)
+        pq.write_table(
+            pa.table(
+                {
+                    "cid": pa.array(range(len(cents)), pa.int64()),
+                    "vec": pa.array(
+                        [c.tolist() for c in cents], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            out,
+        )
+    return out
 
 
 def q_ann_ivf(sf_dir: str):
@@ -2159,6 +2229,67 @@ WITH new AS (
 SELECT n.doc_id, md5(n.text) AS fingerprint
   FROM new n
  WHERE md5(n.text) IN (SELECT md5(text) FROM documents)
+""",
+    # the ANN pipeline is fully deterministic (seeded hyperplanes,
+    # persisted for SQL; sign(dot) is normalization-invariant; the
+    # global probe set is shared across queries, mirroring the Ray
+    # implementation); float behavior checked: bucket signs and ROUND-6
+    # sims agree between numpy and DuckDB on this fixed input
+    "ann_lsh": f"""
+WITH planes AS (SELECT bit, vec FROM read_parquet('{_lsh_planes_file(64)}')),
+emb_bits AS (
+  SELECT e.vec_id, p.bit,
+         CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]), p.vec) > 0
+              THEN CAST(1 AS BIGINT) << p.bit ELSE 0 END AS bv
+    FROM embeddings e CROSS JOIN planes p),
+buckets AS (SELECT vec_id, CAST(SUM(bv) AS BIGINT) AS bucket FROM emb_bits GROUP BY vec_id),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+qb AS (SELECT b.bucket FROM q JOIN buckets b ON b.vec_id = q.query_id),
+probes AS (
+  SELECT bucket AS pb FROM qb
+  UNION
+  SELECT xor(qb.bucket, CAST(1 AS BIGINT) << CAST(t.i AS INTEGER))
+    FROM qb, unnest(range(0, {ANN_N_BITS})) t(i)),
+cand AS (
+  SELECT DISTINCT e.vec_id AS neighbor_id, e.embedding
+    FROM probes pr JOIN buckets b ON b.bucket = pr.pb
+    JOIN embeddings e ON e.vec_id = b.vec_id),
+s AS (SELECT q.query_id, c.neighbor_id,
+             list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        FROM cand c CROSS JOIN q)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+ WHERE rn <= 10
+""",
+    "ann_ivf": f"""
+WITH cents AS (SELECT cid, vec FROM read_parquet('{_ivf_centroids_file(ORACLE_SF_DIR)}')),
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), c.vec) DESC,
+                                       c.cid) AS rn
+      FROM embeddings e CROSS JOIN cents c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings ORDER BY vec_id LIMIT 5),
+qprobe AS (
+  SELECT DISTINCT cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(CAST(q.qe AS DOUBLE[]), c.vec) DESC,
+                                       c.cid) AS rn
+      FROM q CROSS JOIN cents c) WHERE rn <= 4),
+cand AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding
+    FROM cells JOIN qprobe USING (cid)
+    JOIN embeddings e ON e.vec_id = cells.vec_id),
+s AS (SELECT q.query_id, c.neighbor_id,
+             list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) AS sim
+        FROM cand c CROSS JOIN q)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn FROM s)
+ WHERE rn <= 10
 """,
     "knn_cosine": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe

@@ -147,6 +147,24 @@ def ann_lsh(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
     return locals_.groupby("query_id").map_groups(global_topk, batch_format="pandas")
 
 
+def ivf_train(train: np.ndarray, n_centroids: int, iters: int,
+              seed: int) -> np.ndarray:
+    """Seeded spherical k-means over a (normalized) training sample —
+    shared by ``ann_ivf`` and the oracle's centroid fixture so both
+    sides see bit-identical centroids."""
+    rng = np.random.default_rng(seed)
+    centroids = train[rng.choice(len(train), size=min(n_centroids, len(train)),
+                                 replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(train @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
 def ann_ivf(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
             id_col: str = "vec_id", k: int = 10, n_centroids: int = 16,
             n_probe: int = 4, kmeans_iters: int = 5, sample_rows: int = 2048,
@@ -163,16 +181,7 @@ def ann_ivf(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
     train = _normalize(
         np.stack([np.asarray(r[col], dtype=np.float64) for r in sample])
     )
-    rng = np.random.default_rng(seed)
-    centroids = train[rng.choice(len(train), size=min(n_centroids, len(train)),
-                                 replace=False)]
-    for _ in range(kmeans_iters):
-        assign = np.argmax(train @ centroids.T, axis=1)
-        for c in range(len(centroids)):
-            members = train[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _normalize(centroids)
+    centroids = ivf_train(train, n_centroids, kmeans_iters, seed)
 
     qmat = np.asarray(queries, dtype=np.float64)
     qn = _normalize(qmat)
