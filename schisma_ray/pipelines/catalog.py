@@ -897,6 +897,20 @@ def q_distinct_sources_by_lang_hll(sf_dir: str):
 
 
 # ------------------------------------------------------------------ dedup
+def q_lineitem_zscore(sf_dir: str):
+    """Per-group standardization (z = (v - mean_g) / std_g, rounded):
+    grouped moment combiner -> tiny broadcast -> streaming apply."""
+    from ..stages.stats import zscore_by_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    )
+    return zscore_by_group(
+        ds, "l_quantity", "l_returnflag", ["l_orderkey", "l_linenumber"]
+    )
+
+
 def q_dedup_exact_documents(sf_dir: str):
     return exact_dedup_keep_first(_t(sf_dir, "documents"), key="text", id_col="doc_id")
 
@@ -1852,6 +1866,14 @@ SELECT t.q, o.v AS value
 SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
   FROM documents GROUP BY lang
 """,
+        "lineitem_zscore": """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       ROUND(CASE WHEN stddev_samp(l_quantity) OVER w > 0
+                  THEN (l_quantity - AVG(l_quantity) OVER w)
+                       / (stddev_samp(l_quantity) OVER w)
+                  ELSE 0 END, 6) AS z
+  FROM lineitem WINDOW w AS (PARTITION BY l_returnflag)
+""",
         "distinct_sources_by_lang_hll": """
 SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
   FROM documents GROUP BY lang
@@ -2360,6 +2382,7 @@ QUERIES = {
     "top_duplicated_phashes": q_top_duplicated_phashes,
     "fmt_stats_salted": q_fmt_stats_salted,
     "violation_summary": q_violation_summary,
+    "lineitem_zscore": q_lineitem_zscore,
     "dedup_exact_documents": q_dedup_exact_documents,
     "doc_fingerprints": q_doc_fingerprints,
     "doc_winnow_overlap": q_doc_winnow_overlap,

@@ -334,3 +334,71 @@ def heavy_hitters_cm(ds, col: str, *, k: int = 10, w: int = 4096, d: int = 4,
     est = cm_estimate(mat, cand, w, d)
     out = pa.table({col: cand, "est_n": pa.array(est, pa.int64())})
     return out.sort_by([("est_n", "descending"), (col, "ascending")]).slice(0, k)
+
+
+def zscore_by_group(ds, value_col: str, group_col: str, id_cols: list,
+                    *, ddof: int = 1):
+    """(ids..., group, z): per-group standardization of a numeric column
+    — the feature-engineering normalize step. Two passes, zero large
+    shuffles: a grouped (count, sum, sum-of-squares) combiner produces
+    one tiny (groups x 3) table that is broadcast; the second streaming
+    pass computes z = round((v - mean) / std, 6) per batch. Groups with
+    std == 0 (or a single row) emit z = 0, matching SQL's NULL-guarded
+    oracle convention.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    def partial(batch) -> pa.Table:
+        t = pa.table(
+            {
+                group_col: batch[group_col],
+                "v": pc.cast(batch[value_col], pa.float64()),
+            }
+        )
+        agg = t.group_by(group_col).aggregate(
+            [([], "count_all"), ("v", "sum"),]
+        )
+        sq = t.set_column(1, "v", pc.multiply(t["v"], t["v"]))
+        agg2 = sq.group_by(group_col).aggregate([("v", "sum")])
+        out = agg.rename_columns([group_col, "n", "s"])
+        out2 = agg2.rename_columns([group_col, "ss"])
+        return out.join(out2, keys=group_col)
+
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    merged = (
+        pa.concat_tables(parts)
+        .group_by(group_col)
+        .aggregate([("n", "sum"), ("s", "sum"), ("ss", "sum")])
+    )
+    stats = {}
+    for g, n, s, ss in zip(
+        merged[group_col].to_pylist(), merged["n_sum"].to_pylist(),
+        merged["s_sum"].to_pylist(), merged["ss_sum"].to_pylist(),
+    ):
+        mean = s / n
+        var = (ss - n * mean * mean) / (n - ddof) if n > ddof else 0.0
+        std = var ** 0.5 if var > 0 else 0.0
+        stats[g] = (mean, std)
+    stats_ref = ray.put(stats)
+
+    def apply(batch) -> pa.Table:
+        st = ray.get(stats_ref)
+        groups = batch[group_col].to_pylist()
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        means = np.fromiter((st.get(g, (0.0, 0.0))[0] for g in groups),
+                            dtype=np.float64, count=len(groups))
+        stds = np.fromiter((st.get(g, (0.0, 0.0))[1] for g in groups),
+                           dtype=np.float64, count=len(groups))
+        z = np.where(stds > 0, (v - means) / np.where(stds > 0, stds, 1.0), 0.0)
+        cols = {c: batch[c] for c in id_cols}
+        cols[group_col] = batch[group_col]
+        cols["z"] = pa.array(np.round(z, 6), pa.float64())
+        return pa.table(cols)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)

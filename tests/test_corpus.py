@@ -623,3 +623,32 @@ def test_cross_corpus_duplicates(ray_session):
     )
     out = cross_corpus_duplicates(new, base).to_pandas()
     assert sorted(out["doc_id"]) == [10, 12]
+
+
+def test_zscore_by_group(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from schisma_ray.stages.stats import zscore_by_group
+
+    rng = np.random.default_rng(2)
+    vals = np.concatenate([rng.normal(10, 3, 200), rng.normal(-5, 0.5, 100),
+                           np.full(50, 7.0)])  # constant group -> z = 0
+    groups = ["a"] * 200 + ["b"] * 100 + ["c"] * 50
+    t = pa.table(
+        {
+            "rid": pa.array(range(len(vals)), pa.int64()),
+            "g": pa.array(groups),
+            "v": pa.array(vals, pa.float64()),
+        }
+    )
+    out = (
+        zscore_by_group(rd.from_arrow(t).repartition(8), "v", "g", ["rid"])
+        .to_pandas()
+        .sort_values("rid")
+    )
+    for g, sl in [("a", slice(0, 200)), ("b", slice(200, 300))]:
+        v = vals[sl]
+        want = np.round((v - v.mean()) / v.std(ddof=1), 6)
+        got = out[out.g == g].sort_values("rid")["z"].to_numpy()
+        assert np.allclose(got, want, atol=1e-6)
+    assert (out[out.g == "c"]["z"] == 0).all()
