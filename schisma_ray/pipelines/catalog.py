@@ -1878,6 +1878,58 @@ SELECT l_orderkey, l_linenumber, l_returnflag,
 SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
   FROM documents GROUP BY lang
 """,
+        # valid because the deterministic MinHash/LSH pipeline achieves
+        # 100% recall on this corpus (verified: its 25 pairs equal the
+        # exhaustive jaccard>=0.8 pair set) and its verifier outputs
+        # EXACT n-gram jaccard — so the exhaustive SQL is the semantics,
+        # not an approximation of them. word_shingles uses whitespace-run
+        # splitting and a whole-text shingle for docs under 3 words.
+        "minhash_dedup": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+   WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) BETWEEN 1 AND 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+            FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+           GROUP BY 1, 2)
+SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+             JOIN sizes sb ON sb.doc_id = inter.b
+ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+""",
+        "minhash_dedup_groups": r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+   WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) BETWEEN 1 AND 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+            FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+           GROUP BY 1, 2),
+edges AS (
+  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                         JOIN sizes sb ON sb.doc_id = inter.b
+   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+und AS (SELECT a AS n, b AS m FROM edges UNION SELECT b, a FROM edges),
+reach(n, m) AS (
+  SELECT n, m FROM und
+  UNION
+  SELECT r.n, u.m FROM reach r JOIN und u ON u.n = r.m),
+root AS (SELECT n AS doc_id, LEAST(n, min(m)) AS rep FROM reach GROUP BY n)
+SELECT doc_id FROM documents
+ WHERE doc_id NOT IN (SELECT doc_id FROM root WHERE doc_id != rep)
+""",
         "orders_enriched": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
