@@ -2275,6 +2275,18 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
             WHERE list_cosine_similarity(x.v, y.v) >= 0.9)
 SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT b FROM p)
 """,
+        # valid for the same reason as the seeded variant: the LSH
+        # pipeline's recall is certified against this exhaustive SQL by
+        # the seeded fixture; on the base table both sides agree there
+        # are NO pairs at the threshold — an oracled 0=0, not a vacuous
+        # rows-only pass
+        "embedding_near_dups": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+                  list_cosine_similarity(x.v, y.v) AS sim
+             FROM e x JOIN e y ON x.vec_id < y.vec_id)
+SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
+""",
         "embedding_near_dups_seeded": f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
      p AS (SELECT x.vec_id AS a, y.vec_id AS b,
