@@ -897,6 +897,21 @@ def q_distinct_sources_by_lang_hll(sf_dir: str):
 
 
 # ------------------------------------------------------------------ dedup
+def q_lineitem_ntile(sf_dir: str):
+    """Equal-frequency binning + CDF features: NTILE(100) and
+    percent_rank over a global (value, id) order — distributed rank
+    machinery, buckets assigned per block."""
+    from ..stages.rank import ntile_pct_rank
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    return ntile_pct_rank(
+        ds, ["l_extendedprice", "l_orderkey", "l_linenumber"], k=100
+    )
+
+
 def q_lineitem_zscore(sf_dir: str):
     """Per-group standardization (z = (v - mean_g) / std_g, rounded):
     grouped moment combiner -> tiny broadcast -> streaming apply."""
@@ -1866,6 +1881,13 @@ SELECT t.q, o.v AS value
 SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
   FROM documents GROUP BY lang
 """,
+        "lineitem_ntile": """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       CAST(NTILE(100) OVER w AS BIGINT) AS ntile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank
+  FROM lineitem
+WINDOW w AS (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+""",
         "lineitem_zscore": """
 SELECT l_orderkey, l_linenumber, l_returnflag,
        ROUND(CASE WHEN stddev_samp(l_quantity) OVER w > 0
@@ -2446,6 +2468,7 @@ QUERIES = {
     "top_duplicated_phashes": q_top_duplicated_phashes,
     "fmt_stats_salted": q_fmt_stats_salted,
     "violation_summary": q_violation_summary,
+    "lineitem_ntile": q_lineitem_ntile,
     "lineitem_zscore": q_lineitem_zscore,
     "dedup_exact_documents": q_dedup_exact_documents,
     "doc_fingerprints": q_doc_fingerprints,

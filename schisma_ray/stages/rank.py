@@ -143,3 +143,46 @@ def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
             "value": pa.array([float(v) for v in out], pa.float64()),
         }
     )
+
+
+def ntile_pct_rank(ds, sort_keys: list[str], *, k: int = 100,
+                   keep_cols: list[str] | None = None):
+    """Distributed NTILE(k) + percent_rank over a global order — the
+    quantile-bucketing / CDF-feature step (equal-frequency binning,
+    percentile features). Rides the zip-with-index plan: one sort
+    shuffle, O(blocks) driver ints, bucket/pct assigned per block.
+
+    Output: keep_cols + ``ntile`` (1..k, SQL NTILE sizing: the first
+    n % k buckets get the extra row) + ``pct_rank``
+    (= round((rank-1)/(n-1), 6); 0.0 for n == 1).
+    """
+    import pyarrow.compute as pc
+
+    with_rank = ranked(ds, sort_keys, index_col="__rank")
+    n = with_rank.count()
+    if n == 0:
+        return with_rank
+    size = n // k
+    rem = n % k
+    # rank r (1-based) -> bucket: first rem buckets hold size+1 rows
+    cut = rem * (size + 1)
+
+    def assign(t: pa.Table) -> pa.Table:
+        r = t["__rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        big = r <= cut
+        if size > 0:
+            bucket = np.where(
+                big,
+                (r - 1) // (size + 1) + 1,
+                rem + (r - cut - 1) // size + 1,
+            )
+        else:
+            bucket = r  # n < k: one row per bucket
+        pct = np.zeros(len(r)) if n == 1 else (r - 1) / (n - 1)
+        cols = {c: t[c] for c in (keep_cols or t.column_names) if c != "__rank"}
+        cols["ntile"] = pa.array(bucket.astype(np.int64))
+        cols["pct_rank"] = pa.array(np.round(pct, 6), pa.float64())
+        return pa.table(cols)
+
+    return with_rank.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True)

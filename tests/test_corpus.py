@@ -652,3 +652,37 @@ def test_zscore_by_group(ray_session):
         got = out[out.g == g].sort_values("rid")["z"].to_numpy()
         assert np.allclose(got, want, atol=1e-6)
     assert (out[out.g == "c"]["z"] == 0).all()
+
+
+def test_ntile_pct_rank_sizing(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from schisma_ray.stages.rank import ntile_pct_rank
+
+    # n=10, k=3 -> bucket sizes 4,3,3 (SQL NTILE rule)
+    t = pa.table(
+        {
+            "rid": pa.array(range(10), pa.int64()),
+            "v": pa.array([float(9 - i) for i in range(10)], pa.float64()),
+        }
+    )
+    out = (
+        ntile_pct_rank(rd.from_arrow(t).repartition(4), ["v", "rid"], k=3)
+        .to_pandas()
+        .sort_values(["v", "rid"])
+    )
+    assert out["ntile"].tolist() == [1, 1, 1, 1, 2, 2, 2, 3, 3, 3]
+    assert out["pct_rank"].iloc[0] == 0.0
+    assert out["pct_rank"].iloc[-1] == 1.0
+    assert np.isclose(out["pct_rank"].iloc[1], round(1 / 9, 6))
+
+    # n < k: one row per bucket
+    small = pa.table(
+        {"rid": pa.array([1, 2], pa.int64()), "v": pa.array([2.0, 1.0])}
+    )
+    o2 = (
+        ntile_pct_rank(rd.from_arrow(small), ["v", "rid"], k=5)
+        .to_pandas()
+        .sort_values("v")
+    )
+    assert o2["ntile"].tolist() == [1, 2]
