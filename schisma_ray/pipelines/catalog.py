@@ -656,6 +656,17 @@ def q_documents_ranked(sf_dir: str):
     return ranked(ds, ["n_chars", "doc_id"], index_col="rank")
 
 
+def q_event_session_ids(sf_dir: str):
+    """Per-event session assignment (feature generation): every event
+    labeled with its 1-based session index within its user."""
+    from ..stages.window import session_ids
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return session_ids(ds)
+
+
 def q_event_sessions(sf_dir: str):
     """Sessionization per user (30-minute inactivity gap)."""
     from ..stages.window import session_agg
@@ -1109,6 +1120,48 @@ def q_embedding_quantized(sf_dir: str):
     from ..stages.similarity import quantize_embeddings
 
     return quantize_embeddings(_t(sf_dir, "embeddings"))
+
+
+PHONE_PATTERN = r"\b\d{3}-\d{4}\b"
+IP_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_doc_pii_multi(sf_dir: str):
+    """Multi-class PII scrub: emails, phone numbers and IPv4 addresses
+    injected deterministically (every 7th/5th/4th doc), each class
+    counted on the original text and redacted with its own token."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import redact_all
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        parts = []
+        for i in ids:
+            s = ""
+            if i % 7 == 0:
+                s += f" contact: user{i}@example.com"
+            if i % 5 == 0:
+                s += f" call 555-{1000 + i % 9000}"
+            if i % 4 == 0:
+                s += f" from 10.0.{i % 256}.{i % 100}"
+            parts.append(s)
+        text = pc.binary_join_element_wise(
+            t["text"].combine_chunks(), pa.array(parts, pa.string()), ""
+        )
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
+
+    docs = _t(sf_dir, "documents").map_batches(
+        inject, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return redact_all(
+        docs,
+        [
+            ("email", EMAIL_PATTERN, "[EMAIL]"),
+            ("phone", PHONE_PATTERN, "[PHONE]"),
+            ("ip", IP_PATTERN, "[IP]"),
+        ],
+    )
 
 
 def q_tfidf_top_terms(sf_dir: str):
@@ -1832,6 +1885,19 @@ SELECT doc_id, n_chars,
        row_number() OVER (ORDER BY n_chars, doc_id) AS rank
   FROM documents
 """,
+        "event_session_ids": """
+WITH o AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+    FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT event_id, user_id,
+       CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o
+""",
         "event_sessions": """
 WITH o AS (
   SELECT user_id, ts,
@@ -2104,6 +2170,33 @@ sc AS (SELECT agg.lang, agg.word, ROUND(agg.tf * ln(nl.n_docs / agg.df), 6) AS s
 r AS (SELECT *, row_number() OVER (PARTITION BY lang
                                    ORDER BY score DESC, word) AS rn FROM sc)
 SELECT lang, word, score FROM r WHERE rn <= 5
+""",
+        "doc_pii_multi": r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END AS text
+    FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+           '\b\d{3}-\d{4}\b', '[PHONE]', 'g'),
+         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+  FROM aug
 """,
         "doc_cap_per_source": """
 WITH r AS (
@@ -2463,6 +2556,7 @@ QUERIES = {
     "distinct_sources_by_lang": q_distinct_sources_by_lang,
     "distinct_sources_by_lang_hll": q_distinct_sources_by_lang_hll,
     "event_sessions": q_event_sessions,
+    "event_session_ids": q_event_session_ids,
     "events_hopping": q_events_hopping,
     "documents_ranked": q_documents_ranked,
     "top_duplicated_phashes": q_top_duplicated_phashes,
@@ -2486,6 +2580,7 @@ QUERIES = {
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_chunks": q_doc_chunks,
     "doc_pii_redacted": q_doc_pii_redacted,
+    "doc_pii_multi": q_doc_pii_multi,
     "tfidf_top_terms": q_tfidf_top_terms,
     "doc_cap_per_source": q_doc_cap_per_source,
     "top_event_types_per_window": q_top_event_types_per_window,

@@ -333,3 +333,26 @@ def tfidf_top_terms(ds, *, k: int = 5, col: str = "text",
         return g.sort_values(["score", "word"], ascending=[False, True]).head(k)
 
     return totals.groupby(lang_col).map_groups(topk, batch_format="pandas")
+
+
+def redact_all(ds, patterns, *, col: str = "text", id_col: str = "doc_id"):
+    """Multi-class PII scrubbing in one vectorized pass:
+    ``patterns`` is a list of (name, regex, token). Output:
+    (id, redacted, n_<name>...) — counts are taken on the ORIGINAL
+    text (classes don't mask each other's counts); replacements apply
+    sequentially in list order. All Arrow RE2 kernels, DuckDB-parity
+    (nested regexp_replace + regexp_extract_all)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch[col].combine_chunks()
+        cols = {id_col: batch[id_col]}
+        red = text
+        for name, pat, token in patterns:
+            cols[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pat), pa.int64()
+            )
+            red = pc.replace_substring_regex(red, pat, token)
+        cols["redacted"] = red
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

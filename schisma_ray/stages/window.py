@@ -209,3 +209,74 @@ def windowed_topk(
 
     buckets = ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
     return grouped_count_topk(buckets, "window_start", item_col, k=k)
+
+
+def session_ids(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+    gap_s: int = 1800,
+    num_buckets: int = 64,
+):
+    """Per-EVENT session assignment: (event_id, key, session_id) where
+    session_id is the 1-based index of the session within its key (the
+    feature-generation variant of ``session_agg`` — every event gets its
+    session, instead of per-key aggregates).
+
+    Same scale shape as ``session_agg``: one shuffle carrying
+    (event_id, key, ts), hash-bucket groups, and a segmented cumulative
+    sum over each bucket's (key, ts)-sorted frame — session boundary =
+    key change OR gap > gap_s, session_id = running boundary count
+    within the key. Matches SQL
+    ``1 + SUM(gap-break) OVER (PARTITION BY key ORDER BY ts, id)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = t[key_col].combine_chunks()
+        bucket = pc.cast(
+            pc.bit_wise_and(pc.cast(key, pa.int64()), num_buckets - 1), pa.int32()
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                key_col: key,
+                "ts_us": pc.cast(t[ts_col], pa.int64()),
+                "bucket": bucket,
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "ts_us", id_col])
+        k = g[key_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        new_s = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same_key = k[1:] == k[:-1]
+            small_gap = (ts[1:] - ts[:-1]) <= gap_us
+            new_s[1:] = (~(same_key & small_gap)).astype(np.int64)
+        # running session index within each key: cumsum of breaks,
+        # reset at key change (new_s is 1 at every key start)
+        total = np.cumsum(new_s)
+        key_start = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            key_start[1:] = k[1:] != k[:-1]
+        base = total[key_start]  # cumulative count at each key's first row
+        key_idx = np.cumsum(key_start) - 1
+        session_id = total - base[key_idx] + 1
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: k,
+                "session_id": session_id,
+            }
+        )
+
+    return narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")

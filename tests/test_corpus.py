@@ -686,3 +686,42 @@ def test_ntile_pct_rank_sizing(ray_session):
         .sort_values("v")
     )
     assert o2["ntile"].tolist() == [1, 2]
+
+
+def test_session_ids_per_event(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.window import session_ids
+
+    # user 1: events at 0s, 100s (same session), 4000s (new session)
+    # user 2: single event
+    rows = [(1, 1, 0), (2, 1, 100), (3, 1, 4000), (4, 2, 50)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] * 1_000_000 for r in rows], pa.int64()),
+            }
+        )
+    )
+    out = session_ids(ds, gap_s=1800).to_pandas().set_index("event_id")
+    assert out.loc[1, "session_id"] == 1
+    assert out.loc[2, "session_id"] == 1
+    assert out.loc[3, "session_id"] == 2
+    assert out.loc[4, "session_id"] == 1
+
+
+def test_redact_all_counts_on_original(ray_session):
+    from schisma_ray.stages.text import redact_all
+
+    ds = _ds([(1, "mail a@b.io call 555-1234 from 10.0.0.1", "en")])
+    out = redact_all(
+        ds,
+        [
+            ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+            ("phone", r"\b\d{3}-\d{4}\b", "[PHONE]"),
+            ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+        ],
+    ).to_pandas().iloc[0]
+    assert out["redacted"] == "mail [EMAIL] call [PHONE] from [IP]"
+    assert (out["n_email"], out["n_phone"], out["n_ip"]) == (1, 1, 1)
