@@ -872,8 +872,12 @@ def q_lineitem_quantiles(sf_dir: str):
 def q_lineitem_quantiles_approx(sf_dir: str):
     """Mergeable-histogram approximate quantiles (two streaming passes,
     constant state — the no-sort path; error bounded by one bin width).
-    No SQL oracle (approximate by design); accuracy pinned vs
-    exact_quantiles in tests/test_round2_property.py."""
+    Oracled: the sketch is deterministic, so the SQL reproduces the
+    histogram itself (np.histogram's edge-comparison binning via an
+    edges join, identical linspace arithmetic) and interpolates with
+    the same term order — bit-exact, not approximate-vs-exact.
+    Accuracy vs exact_quantiles additionally pinned in
+    tests/test_round2_property.py."""
     from ..stages.rank import approx_quantiles
 
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
@@ -1946,6 +1950,42 @@ SELECT t.q, o.v AS value
         "distinct_sources_by_lang": """
 SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
   FROM documents GROUP BY lang
+""",
+        # reproduces the deterministic histogram sketch bit-for-bit:
+        # same linspace edge arithmetic, np.histogram edge-comparison
+        # binning (edges join, not the floor formula — they differ at
+        # edge ulps), same cumsum/interpolation term order
+        "lineitem_quantiles_approx": """
+WITH b AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+                  CAST(count(l_extendedprice) AS DOUBLE) AS n FROM lineitem),
+edges AS (
+  SELECT CAST(t.i AS BIGINT) AS i,
+         b.lo + CAST(t.i AS DOUBLE) * ((b.hi - b.lo) / 4096) AS edge
+    FROM b, unnest(range(0, 4097)) t(i)),
+binned AS (
+  SELECT LEAST((SELECT max(e.i) FROM edges e
+                 WHERE e.edge <= GREATEST(LEAST(v.l_extendedprice, b.hi), b.lo)),
+               4095) AS bin
+    FROM lineitem v, b WHERE v.l_extendedprice IS NOT NULL),
+hist AS (
+  SELECT t.i AS bin, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+    FROM unnest(range(0, 4096)) t(i)
+    LEFT JOIN (SELECT bin, count(*) AS cnt FROM binned GROUP BY bin) c ON c.bin = t.i),
+cdf AS (
+  SELECT bin, SUM(cnt) OVER (ORDER BY bin) / b.n AS c
+    FROM hist, b),
+qs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(q)),
+pick AS (
+  SELECT q.q, min(cdf.bin) AS b0 FROM qs q JOIN cdf ON cdf.c >= q.q GROUP BY q.q)
+SELECT p.q,
+       e0.edge + ((p.q - COALESCE(cp.c, 0.0))
+                  / GREATEST(cb.c - COALESCE(cp.c, 0.0), 1e-300))
+                 * (e1.edge - e0.edge) AS value
+  FROM pick p
+  JOIN edges e0 ON e0.i = p.b0
+  JOIN edges e1 ON e1.i = p.b0 + 1
+  JOIN cdf cb ON cb.bin = p.b0
+  LEFT JOIN cdf cp ON cp.bin = p.b0 - 1
 """,
         "lineitem_ntile": """
 SELECT l_orderkey, l_linenumber, l_extendedprice,
