@@ -1101,6 +1101,42 @@ def q_doc_pii_redacted(sf_dir: str):
     return redact_regex(docs, EMAIL_PATTERN, "[EMAIL]")
 
 
+def q_doc_splits(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10 by md5 bucket)
+    — disjoint and exhaustive by construction, parallelism-invariant."""
+    from ..stages.corpus import split_assign
+
+    return split_assign(
+        _t(sf_dir, "documents"), {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+def q_events_since_last_purchase(sf_dir: str):
+    """As-of join with a staleness tolerance: for every event, the
+    timestamp of the same user's latest 'purchase' event no older than
+    2 hours (the classic time-since-last-X feature)."""
+    from ..stages.asof import asof_join_latest
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def purchases(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(
+            pc.equal(t["event_type"].combine_chunks(), "purchase")
+        ).select(["ts", "user_id"])
+
+    right = events.map_batches(
+        purchases, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return asof_join_latest(
+        events, right, key="user_id", left_id="event_id", tolerance_s=7200
+    )
+
+
 def q_doc_cap_per_source(sf_dir: str):
     """Per-domain cap (training-mix guard): at most 10 docs per source,
     chosen by md5(doc_id) order — stable across runs and parallelism."""
@@ -2238,6 +2274,22 @@ SELECT doc_id,
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
   FROM aug
 """,
+        "doc_splits": """
+SELECT *, CASE
+            WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
+            WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 9000 THEN 'val'
+            ELSE 'test' END AS split
+  FROM documents
+""",
+        "events_since_last_purchase": """
+SELECT e.event_id AS row_id, e.user_id AS k,
+       (SELECT max(epoch_us(p.ts)) FROM events p
+         WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+           AND p.ts <= e.ts
+           AND epoch_us(e.ts) - epoch_us(p.ts) <= 7200000000) // 1000000
+         AS asof_epoch_s
+  FROM events e
+""",
         "doc_cap_per_source": """
 WITH r AS (
   SELECT source, doc_id,
@@ -2622,6 +2674,8 @@ QUERIES = {
     "doc_pii_redacted": q_doc_pii_redacted,
     "doc_pii_multi": q_doc_pii_multi,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "doc_splits": q_doc_splits,
+    "events_since_last_purchase": q_events_since_last_purchase,
     "doc_cap_per_source": q_doc_cap_per_source,
     "top_event_types_per_window": q_top_event_types_per_window,
     "embedding_quantized": q_embedding_quantized,

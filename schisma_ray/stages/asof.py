@@ -29,9 +29,14 @@ def asof_join_latest(
     left_ts: str = "ts",
     right_ts: str = "ts",
     left_id: str = "event_id",
+    tolerance_s: int | None = None,
 ):
-    """(left_id, key, asof_ts) — asof_ts = max right ts <= left ts, or null."""
+    """(left_id, key, asof_ts) — asof_ts = max right ts <= left ts, or
+    null. ``tolerance_s`` bounds staleness (pandas ``merge_asof``
+    tolerance semantics): a match older than the tolerance is treated
+    as no match."""
     right_key = right_key or key
+    tol_us = None if tolerance_s is None else tolerance_s * 1_000_000
 
     def prep_left(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -64,8 +69,11 @@ def asof_join_latest(
         if len(rt) == 0:
             asof = np.full(len(lf), np.nan)
         else:
-            idx = np.searchsorted(rt, lf["ts_us"].to_numpy(), side="right") - 1
+            lts = lf["ts_us"].to_numpy()
+            idx = np.searchsorted(rt, lts, side="right") - 1
             asof = np.where(idx >= 0, rt[np.clip(idx, 0, None)], np.nan)
+            if tol_us is not None:
+                asof = np.where(lts - asof <= tol_us, asof, np.nan)
         out = pd.DataFrame(
             {
                 "row_id": lf["row_id"].to_numpy(),

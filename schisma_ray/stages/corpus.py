@@ -233,3 +233,32 @@ def cap_per_key(ds, *, key_col: str = "source", id_col: str = "doc_id",
         return g[[key_col, id_col] + carry]
 
     return partials.groupby(key_col).map_groups(merge, batch_format="pandas")
+
+
+def split_assign(ds, fractions: dict, *, id_col: str = "doc_id",
+                 split_col: str = "split"):
+    """Deterministic train/val/test assignment: every row gets a split
+    label by md5 bucket (cumulative fraction thresholds in dict order).
+    The canonical ML split — process-, parallelism- and restart-
+    invariant, and disjoint/exhaustive by construction (unlike
+    per-split sampling, which can double-assign). Fractions must sum
+    to 1 (+-1e-9). Rows pass through with the label appended.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    bounds = []
+    acc = 0.0
+    for name in names:
+        acc += fractions[name]
+        bounds.append(int(round(acc * 10000)))
+    bounds[-1] = 10000  # close the last bucket exactly
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = _md5_bucket(batch[id_col].to_pylist())
+        idx = np.searchsorted(np.asarray(bounds), b, side="right")
+        labels = pa.array([names[i] for i in idx], pa.string())
+        return batch.append_column(split_col, labels)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -725,3 +725,55 @@ def test_redact_all_counts_on_original(ray_session):
     ).to_pandas().iloc[0]
     assert out["redacted"] == "mail [EMAIL] call [PHONE] from [IP]"
     assert (out["n_email"], out["n_phone"], out["n_ip"]) == (1, 1, 1)
+
+
+def test_split_assign_disjoint_exhaustive(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.corpus import split_assign
+
+    rows = [(i, f"t{i}", "en") for i in range(1000)]
+    out = split_assign(
+        _ds(rows), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).to_pandas()
+    assert len(out) == 1000  # exhaustive: every row labeled
+    counts = out["split"].value_counts().to_dict()
+    assert set(counts) <= {"train", "val", "test"}
+    assert 700 < counts["train"] < 900  # md5 buckets approximate 80/10/10
+    # parallelism-invariant
+    out2 = split_assign(
+        _ds(rows).repartition(16), {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).to_pandas()
+    a = out.sort_values("doc_id")["split"].tolist()
+    b = out2.sort_values("doc_id")["split"].tolist()
+    assert a == b
+
+    with pytest.raises(ValueError):
+        split_assign(_ds(rows), {"train": 0.8, "val": 0.1})
+
+
+def test_asof_tolerance(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.asof import asof_join_latest
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "user_id": pa.array([5, 5], pa.int64()),
+                "ts": pa.array([100 * 10**6, 10_000 * 10**6], pa.int64()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([5], pa.int64()),
+                "ts": pa.array([50 * 10**6], pa.int64()),
+            }
+        )
+    )
+    out = asof_join_latest(
+        left, right, key="user_id", left_id="event_id", tolerance_s=1000
+    ).to_pandas().set_index("row_id")
+    assert out.loc[1, "asof_epoch_s"] == 50       # 50s old: within tolerance
+    assert out.loc[2, "asof_epoch_s"] is None or out.loc[2].isna()["asof_epoch_s"]
