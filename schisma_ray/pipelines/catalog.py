@@ -1101,6 +1101,20 @@ def q_doc_pii_redacted(sf_dir: str):
     return redact_regex(docs, EMAIL_PATTERN, "[EMAIL]")
 
 
+def q_orders_high_value(sf_dir: str):
+    """Predicate pushdown at the scan: the row filter rides into
+    read_parquet (pyarrow dataset expression), so row groups that
+    cannot match never leave storage — only the 3 needed columns and
+    the qualifying rows are materialized."""
+    import pyarrow.dataset as pads
+
+    return rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderpriority"],
+        filter=(pads.field("o_totalprice") > 350000.0),
+    )
+
+
 def q_doc_splits(sf_dir: str):
     """Deterministic train/val/test assignment (80/10/10 by md5 bucket)
     — disjoint and exhaustive by construction, parallelism-invariant."""
@@ -2274,6 +2288,10 @@ SELECT doc_id,
          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
   FROM aug
 """,
+        "orders_high_value": """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_totalprice > 350000.0
+""",
         "doc_splits": """
 SELECT *, CASE
             WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 < 8000 THEN 'train'
@@ -2674,6 +2692,7 @@ QUERIES = {
     "doc_pii_redacted": q_doc_pii_redacted,
     "doc_pii_multi": q_doc_pii_multi,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "orders_high_value": q_orders_high_value,
     "doc_splits": q_doc_splits,
     "events_since_last_purchase": q_events_since_last_purchase,
     "doc_cap_per_source": q_doc_cap_per_source,
