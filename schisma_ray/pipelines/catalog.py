@@ -272,6 +272,35 @@ def q_image_conform_full(sf_dir: str):
     )
 
 
+def q_image_conform_selective(sf_dir: str):
+    """Selective repair — the production cost shape: validate every row
+    (cheap, vectorized), but run the expensive conform (including the
+    decode/re-encode path) ONLY on rows with violations; clean rows
+    pass through untouched. Must produce byte-identical metadata to the
+    full conform (oracled against the same expected_conform fixture),
+    proving conform is the identity on already-valid rows."""
+    from .validate_pipeline import FusedConformer, FusedValidator, read_images
+
+    validator = FusedValidator()
+    conformer = FusedConformer()
+    out_cols = ["image_id", "w", "h", "fmt", "caption", "phash"]
+
+    def selective(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vio = validator(t)
+        bad_ids = pc.unique(vio["row_ref"].combine_chunks())
+        ids_str = pc.cast(t["image_id"].combine_chunks(), pa.string())
+        bad = pc.fill_null(pc.is_in(ids_str, value_set=bad_ids), False)
+        clean = t.filter(pc.invert(bad)).select(out_cols)
+        repaired = conformer(t.filter(bad)).select(out_cols)
+        return pa.concat_tables([clean, repaired])
+
+    return read_images(_img_dir(sf_dir)).map_batches(
+        selective, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_image_features(sf_dir: str):
     """Decode -> dense feature vector per image (model-stage plumbing)."""
     from ..stages.multimodal import ImageFeatures
@@ -1700,6 +1729,9 @@ SELECT image_id, w, h, fmt FROM {img}
         "image_conform_full": f"""
 SELECT image_id, w, h, fmt, caption, phash FROM {expconf}
 """,
+        "image_conform_selective": f"""
+SELECT image_id, w, h, fmt, caption, phash FROM {expconf}
+""",
         "image_decode_violations": f"""
 SELECT row_ref, path, code, expected, received
   FROM {expviol} WHERE "check" = 'decode'
@@ -2642,6 +2674,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frame_explode": q_video_frame_explode,
     "image_conform_full": q_image_conform_full,
+    "image_conform_selective": q_image_conform_selective,
     "validate_documents": q_validate_documents,
     "conform_documents": q_conform_documents,
     "stats_lineitem": q_stats_lineitem,
