@@ -291,7 +291,12 @@ def q_image_conform_selective(sf_dir: str):
         vio = validator(t)
         bad_ids = pc.unique(vio["row_ref"].combine_chunks())
         ids_str = pc.cast(t["image_id"].combine_chunks(), pa.string())
-        bad = pc.fill_null(pc.is_in(ids_str, value_set=bad_ids), False)
+        # null ids can't be matched against row_refs — route them to the
+        # conformer unconditionally (conservative: never skip a repair)
+        bad = pc.or_(
+            pc.fill_null(pc.is_in(ids_str, value_set=bad_ids), False),
+            pc.is_null(ids_str),
+        )
         clean = t.filter(pc.invert(bad)).select(out_cols)
         repaired = conformer(t.filter(bad)).select(out_cols)
         return pa.concat_tables([clean, repaired])
@@ -1555,7 +1560,9 @@ def _ivf_centroids_file(sf_dir: str) -> Path:
     from ..stages.similarity import _normalize, ivf_train
 
     src = Path(sf_dir) / "embeddings.parquet"
-    tag = _h.md5(str(src).encode()).hexdigest()[:10]
+    # content-keyed cache: path alone would serve stale centroids if the
+    # embeddings file were regenerated in place
+    tag = _h.md5(src.read_bytes()).hexdigest()[:10]
     out = Path(f"/tmp/schisma_ray_cache/ivf_cents_{tag}_c16_i5_s13.parquet")
     if not out.exists():
         out.parent.mkdir(parents=True, exist_ok=True)
@@ -2436,8 +2443,7 @@ red AS (
 m AS (
   SELECT *, CAST(length(text) AS DOUBLE) AS n_chars,
          CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
-         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper,
-         min(doc_id) OVER (PARTITION BY text) AS keeper
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
     FROM red),
 s AS (
   SELECT *, ROUND(
@@ -2448,7 +2454,14 @@ s AS (
                   THEN 1.0 ELSE 0.0 END)
     + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END), 6) AS score
     FROM m),
-surv AS (SELECT * FROM s WHERE lang = 'en' AND score >= 0.5 AND doc_id = keeper),
+-- dedup runs AFTER the lang/quality filter (matching the Ray DAG:
+-- exact_dedup_keep_first over the prepped survivors) — the keeper of a
+-- text is the min doc_id among rows that PASSED the filters
+filt AS (SELECT * FROM s WHERE lang = 'en' AND score >= 0.5),
+surv AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper FROM filt)
+   WHERE doc_id = keeper),
 capped AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY source

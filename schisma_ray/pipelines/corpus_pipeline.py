@@ -66,11 +66,16 @@ def prepare_corpus(
                 text_col: pa.array([], pa.string()),
             }
         )
+        if t.num_rows == 0:
+            return empty
         if bench_ref is not None:
             bg = ray.get(bench_ref)
+            # explicit bool type: pa.array([]) from an empty list is
+            # null-typed and Table.filter rejects it
             keep = pa.array(
                 [not (_word_ngrams(x or "", ngram) & bg)
-                 for x in t[text_col].to_pylist()]
+                 for x in t[text_col].to_pylist()],
+                pa.bool_(),
             )
             t = t.filter(keep)
         if t.num_rows == 0:

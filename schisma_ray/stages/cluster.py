@@ -118,8 +118,11 @@ def kmeans(ds, *, col: str = "embedding", id_col: str = "vec_id",
                 }
             )
 
-        acc_sum = np.zeros_like(centroids)
-        acc_n = np.zeros(len(centroids), dtype=np.int64)
+        # collect all partial rows FIRST, then fold in a deterministic
+        # sorted order: iter_batches arrival order is not guaranteed and
+        # float addition is non-associative, which would make centroids
+        # (and near-tie assignments) parallelism-dependent
+        rows: list[tuple] = []
         for b in ds.map_batches(
             partial, batch_format="pyarrow", zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow", batch_size=None):
@@ -127,8 +130,13 @@ def kmeans(ds, *, col: str = "embedding", id_col: str = "vec_id",
             for ci, vs, n in zip(
                 t["cluster"].to_pylist(), t["vsum"].to_pylist(), t["n"].to_pylist()
             ):
-                acc_sum[ci] += np.asarray(vs)
-                acc_n[ci] += n
+                rows.append((ci, n, tuple(vs)))
+        rows.sort()
+        acc_sum = np.zeros_like(centroids)
+        acc_n = np.zeros(len(centroids), dtype=np.int64)
+        for ci, n, vs in rows:
+            acc_sum[ci] += np.asarray(vs)
+            acc_n[ci] += n
         nonempty = acc_n > 0
         centroids = centroids.copy()
         centroids[nonempty] = acc_sum[nonempty] / acc_n[nonempty, None]

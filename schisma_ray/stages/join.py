@@ -95,9 +95,22 @@ def range_join(ds, intervals, *, ts_col: str, start_col: str, end_col: str,
     import pyarrow.compute as pc
 
     it = _as_arrow(intervals)
-    if it is None or it.num_rows == 0:
+    if it is None:
+        raise ValueError("intervals side has no schema (empty Dataset); "
+                         "pass an Arrow table so the joined schema is known")
+    if it.num_rows == 0:
+        # keep the JOINED schema (left + interval columns) so downstream
+        # projections of interval columns still work on the empty result
+        def empty_join(t: pa.Table) -> pa.Table:
+            left = t.slice(0, 0)
+            cols = {name: left[name] for name in left.column_names}
+            for name in it.column_names:
+                if name not in cols:
+                    cols[name] = it.slice(0, 0)[name]
+            return pa.table(cols)
+
         return ds.map_batches(
-            lambda t: t.slice(0, 0), batch_format="pyarrow", zero_copy_batch=True
+            empty_join, batch_format="pyarrow", zero_copy_batch=True
         )
     starts = pc.cast(it[start_col], pa.int64()).to_numpy()
     ends = pc.cast(it[end_col], pa.int64()).to_numpy()
@@ -118,6 +131,13 @@ def range_join(ds, intervals, *, ts_col: str, start_col: str, end_col: str,
         for b in range(int(lo_b[i]), int(hi_b[i]) + 1):
             buckets.setdefault(b, []).append(i)
     buckets = {b: np.asarray(v, dtype=np.int64) for b, v in buckets.items()}
+    worst = max((len(v) for v in buckets.values()), default=0)
+    if worst > max_bucket:
+        raise ValueError(
+            f"a time bucket holds {worst} intervals (> max_bucket="
+            f"{max_bucket}); widen bucket_s or raise max_bucket — the "
+            "per-batch work factor is rows x bucket-local intervals"
+        )
     bref = ray.put((it_sorted, s_sorted, e_sorted, buckets))
 
     def probe(batch: pa.Table) -> pa.Table:

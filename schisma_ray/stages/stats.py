@@ -315,7 +315,10 @@ def heavy_hitters_cm(ds, col: str, *, k: int = 10, w: int = 4096, d: int = 4,
     import pyarrow.compute as pc
 
     def local_top(batch: pa.Table) -> pa.Table:
-        t = batch.select([col]).group_by(col).aggregate([([], "count_all")])
+        # null keys are excluded (the CM hash drops nulls, and SQL
+        # GROUP BY semantics for the oracle count them separately)
+        t = batch.select([col]).filter(pc.is_valid(batch[col].combine_chunks()))
+        t = t.group_by(col).aggregate([([], "count_all")])
         t = t.rename_columns([col, "n"])
         return t.sort_by([("n", "descending")]).slice(0, candidates_per_batch)
 
@@ -356,6 +359,9 @@ def zscore_by_group(ds, value_col: str, group_col: str, id_cols: list,
                 "v": pc.cast(batch[value_col], pa.float64()),
             }
         )
+        # null values don't contribute to the moments (SQL AVG/STDDEV
+        # semantics); their rows are dropped from the output too
+        t = t.filter(pc.is_valid(t["v"]))
         agg = t.group_by(group_col).aggregate(
             [([], "count_all"), ("v", "sum"),]
         )
@@ -389,6 +395,9 @@ def zscore_by_group(ds, value_col: str, group_col: str, id_cols: list,
 
     def apply(batch) -> pa.Table:
         st = ray.get(stats_ref)
+        batch = batch.filter(
+            pc.is_valid(pc.cast(batch[value_col], pa.float64()))
+        )
         groups = batch[group_col].to_pylist()
         v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
         means = np.fromiter((st.get(g, (0.0, 0.0))[0] for g in groups),

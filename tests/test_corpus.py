@@ -777,3 +777,86 @@ def test_asof_tolerance(ray_session):
     ).to_pandas().set_index("row_id")
     assert out.loc[1, "asof_epoch_s"] == 50       # 50s old: within tolerance
     assert out.loc[2, "asof_epoch_s"] is None or out.loc[2].isna()["asof_epoch_s"]
+
+
+# ------------------------------------------------- review-fix regressions
+def test_prepare_corpus_with_bench_and_empty_blocks(ray_session):
+    import ray.data as rd
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+
+    docs = _ds(
+        [(1, "alpha beta gamma delta epsilon words here", "en"),
+         (2, "totally different content in this document", "en")]
+    ).map_batches(
+        lambda t: t.append_column("source", pa.array(["s"] * t.num_rows)),
+        batch_format="pyarrow",
+    ).repartition(8)  # forces empty blocks through prep
+    bench = _ds([(9, "alpha beta gamma delta", "en")])
+    out = prepare_corpus(docs, bench=bench, ngram=4, langs=("en",),
+                         min_quality=0.0, chunk_size=30, chunk_stride=25)
+    df = out.to_pandas()
+    assert set(df["doc_id"]) == {2}  # doc 1 decontaminated away
+
+
+def test_zscore_ignores_null_values(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.stats import zscore_by_group
+
+    t = pa.table(
+        {
+            "rid": pa.array([1, 2, 3], pa.int64()),
+            "g": pa.array(["a", "a", "a"]),
+            "v": pa.array([10.0, 10.0, None], pa.float64()),
+        }
+    )
+    out = zscore_by_group(rd.from_arrow(t), "v", "g", ["rid"]).to_pandas()
+    assert sorted(out["rid"]) == [1, 2]  # null row dropped
+    assert (out["z"] == 0).all()  # std of [10, 10] is 0 -> z = 0
+
+
+def test_heavy_hitters_null_keys(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.stats import heavy_hitters_cm
+
+    t = pa.table({"k": pa.array(["a", "a", None, "b", None, None])})
+    out = heavy_hitters_cm(rd.from_arrow(t), "k", k=5)
+    got = dict(zip(out["k"].to_pylist(), out["est_n"].to_pylist()))
+    assert got == {"a": 2, "b": 1}  # nulls excluded, no crash
+
+
+def test_range_join_empty_intervals_keeps_joined_schema(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.join import range_join
+
+    events = pa.table(
+        {"eid": pa.array([1], pa.int64()), "ts": pa.array([5], pa.int64())}
+    )
+    empty_iv = pa.table(
+        {"iv": pa.array([], pa.int64()), "s": pa.array([], pa.int64()),
+         "e": pa.array([], pa.int64())}
+    )
+    out = range_join(rd.from_arrow(events), empty_iv,
+                     ts_col="ts", start_col="s", end_col="e")
+    # projecting an interval column on the empty result must not crash
+    df = out.map_batches(
+        lambda t: t.select(["eid", "iv"]), batch_format="pyarrow"
+    ).to_pandas()
+    assert df.empty
+
+
+def test_range_join_max_bucket_guard(ray_session):
+    import ray.data as rd
+    from schisma_ray.stages.join import range_join
+
+    intervals = pa.table(
+        {"iv": pa.array(range(10), pa.int64()),
+         "s": pa.array([0] * 10, pa.int64()),
+         "e": pa.array([100] * 10, pa.int64())}
+    )
+    events = rd.from_arrow(
+        pa.table({"eid": pa.array([1], pa.int64()),
+                  "ts": pa.array([5], pa.int64())})
+    )
+    with pytest.raises(ValueError):
+        range_join(events, intervals, ts_col="ts", start_col="s",
+                   end_col="e", max_bucket=5)
