@@ -1064,7 +1064,7 @@ def q_doc_repetition(sf_dir: str):
     return repetition_metrics(_t(sf_dir, "documents"))
 
 
-EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+from .corpus_pipeline import EMAIL_PATTERN  # single source of truth
 MIXTURE_RATES = {"en": 0.5, "de": 0.25}
 DECONTAM_MOD = 11  # benchmark side = doc_id % 11 == 0
 
@@ -1262,60 +1262,38 @@ def q_tfidf_top_terms(sf_dir: str):
 
 
 def q_corpus_prepare(sf_dir: str):
-    """Flagship end-to-end LLM corpus preparation, composed as one
-    streaming DAG over the documents table:
+    """Flagship end-to-end LLM corpus preparation — ONE code path with
+    the production CLI pipeline (pipelines/corpus_pipeline.prepare_corpus):
 
       benchmark holdout (doc_id % 11) -> 4-gram decontamination (bench
       grams broadcast once) -> PII injection fixture + email redaction
-      -> lang filter + quality >= 0.5 -> exact dedup keep-first
-      (survivor ids broadcast, like corpus_clean) -> per-source cap of
+      -> lang filter + quality >= 0.5 -> exact dedup keep-first among
+      survivors (id broadcast, like corpus_clean) -> per-source cap of
       10 (md5 order, combiner-first) -> 80/60 context-window chunking.
 
-    Output: (doc_id, chunk_idx, chunk_text). Every stage is vectorized
-    in map_batches or a combiner-first shuffle; the only driver folds
-    are the two deliberately-small sides (bench n-grams, dedup-survivor
-    ids — corpus_clean_join shows the join-strategy alternative when
-    even those outgrow the object store)."""
+    The injection fixture (mirrored in the oracle) is applied before
+    the shared pipeline; decontamination then runs on injected text,
+    which is equivalent to running it on raw text because injection
+    only APPENDS words ('contact:', the email) that no benchmark doc
+    contains — no existing gram is removed and no new bench-matching
+    gram can appear. Output: (doc_id, chunk_idx, chunk_text)."""
     import pyarrow.compute as pc
-    import ray
 
-    from ..stages.corpus import _word_ngrams, cap_per_key, chunk_text
-    from ..stages.text import quality_score_values
+    from .corpus_pipeline import prepare_corpus
 
     docs = _t(sf_dir, "documents")
 
-    # benchmark side: tiny by construction (the eval set), fold + broadcast
-    bench_grams: set = set()
-    for b in docs.select_columns(["doc_id", "text"]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for rid, text in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            if rid % DECONTAM_MOD == 0 and text:
-                bench_grams |= _word_ngrams(text, 4)
-    bench_ref = ray.put(frozenset(bench_grams))
+    def side(is_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy()
+            mask = (ids % DECONTAM_MOD == 0) if is_bench else (ids % DECONTAM_MOD != 0)
+            return t.filter(pa.array(mask))
 
-    def prep(t: pa.Table) -> pa.Table:
-        ids_np = t["doc_id"].combine_chunks().to_numpy()
-        t = t.filter(pa.array(ids_np % DECONTAM_MOD != 0))
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "source": pa.array([], pa.string()),
-                "text": pa.array([], pa.string()),
-            }
-        )
-        if t.num_rows == 0:
-            return empty
-        bench = ray.get(bench_ref)
-        ids = t["doc_id"].to_pylist()
-        texts = t["text"].to_pylist()
-        uncontaminated = pa.array(
-            [not (_word_ngrams(x or "", 4) & bench) for x in texts]
-        )
-        t = t.filter(uncontaminated)
-        if t.num_rows == 0:
-            return empty
-        # PII injection fixture (mirrored in the oracle) + redaction
+        return fn
+
+    bench = docs.map_batches(side(True), batch_format="pyarrow", zero_copy_batch=True)
+
+    def inject(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
         suffix = pa.array(
             [
@@ -1325,34 +1303,15 @@ def q_corpus_prepare(sf_dir: str):
             pa.string(),
         )
         text = pc.binary_join_element_wise(t["text"].combine_chunks(), suffix, "")
-        text = pc.replace_substring_regex(text, EMAIL_PATTERN, "[EMAIL]")
-        score = quality_score_values(text)
-        keep = pc.and_(
-            pc.fill_null(pc.equal(t["lang"].combine_chunks(), "en"), False),
-            pa.array(score >= 0.5),
-        )
-        out = pa.table(
-            {"doc_id": t["doc_id"], "source": t["source"], "text": text}
-        )
-        return out.filter(keep)
+        return t.set_column(t.schema.get_field_index("text"), "text", text)
 
-    prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    kept_ref = ray.put(
-        _small_ids(exact_dedup_keep_first(prepped, key="text", id_col="doc_id"))
+    corpus = docs.map_batches(
+        side(False), batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return prepare_corpus(
+        corpus, bench=bench, ngram=4, langs=("en",), min_quality=0.5,
+        cap_per_source=10, chunk_size=80, chunk_stride=60,
     )
-
-    def dedup_filter(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.is_in(t["doc_id"].combine_chunks(), value_set=ray.get(kept_ref))
-        )
-
-    survivors = prepped.map_batches(
-        dedup_filter, batch_format="pyarrow", zero_copy_batch=True
-    )
-    capped = cap_per_key(
-        survivors, key_col="source", n=10, carry_cols=("text",)
-    )
-    return chunk_text(capped, size=80, stride=60)
 
 
 def q_corpus_clean(sf_dir: str):
