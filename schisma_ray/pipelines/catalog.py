@@ -1791,10 +1791,10 @@ WITH c AS (SELECT fmt, CAST(count(*) AS DOUBLE) AS cnt FROM {img} GROUP BY fmt),
      n AS (SELECT sum(cnt) AS total FROM c),
      e AS (SELECT bucket AS fmt, freq FROM {refprof} WHERE "column" = 'fmt'),
      terms AS (
-  SELECT (GREATEST(COALESCE(c.cnt, 0) / n.total, 1e-6) - GREATEST(e.freq, 1e-6))
-         * ln(GREATEST(COALESCE(c.cnt, 0) / n.total, 1e-6) / GREATEST(e.freq, 1e-6)) AS term,
+  SELECT (GREATEST(COALESCE(c.cnt, 0) / n.total, 1e-6) - GREATEST(COALESCE(e.freq, 0), 1e-6))
+         * ln(GREATEST(COALESCE(c.cnt, 0) / n.total, 1e-6) / GREATEST(COALESCE(e.freq, 0), 1e-6)) AS term,
          n.total
-    FROM e CROSS JOIN n LEFT JOIN c ON c.fmt = e.fmt)
+    FROM e FULL JOIN c ON c.fmt = e.fmt CROSS JOIN n)
 SELECT ROUND(SUM(term), 6) AS statistic, CAST(total AS BIGINT) AS n,
        (SUM(term) > 0.25) AS shifted
   FROM terms GROUP BY total

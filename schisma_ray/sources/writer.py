@@ -27,8 +27,10 @@ def write_partitioned(ds, out_dir: str | Path, *, partition_cols: list[str],
 
     out_dir = Path(out_dir)
     tmp = out_dir.with_name(out_dir.name + ".inprogress")
-    if tmp.exists():
-        shutil.rmtree(tmp)
+    old = out_dir.with_name(out_dir.name + ".replaced")
+    for stale in (tmp, old):
+        if stale.exists():
+            shutil.rmtree(stale)
     ds.write_parquet(
         str(tmp),
         partition_cols=partition_cols,
@@ -40,9 +42,15 @@ def write_partitioned(ds, out_dir: str | Path, *, partition_cols: list[str],
     (tmp / "_MANIFEST.json").write_text(
         json.dumps({"partition_cols": partition_cols, "partitions": parts}, indent=1)
     )
+    # replacement keeps a valid dataset visible at all times: move the
+    # previous output ASIDE (rename, atomic), move the new one in, THEN
+    # delete the old copy — a crash between steps leaves either the old
+    # or the new dataset at out_dir, never nothing
     if out_dir.exists():
-        shutil.rmtree(out_dir)
+        os.rename(out_dir, old)
     os.rename(tmp, out_dir)
+    if old.exists():
+        shutil.rmtree(old)
     return out_dir
 
 

@@ -140,6 +140,9 @@ class AudioFeatures:
     def features_of(self, samples: "np.ndarray", sr: int) -> "np.ndarray":
         mono = samples.astype(np.float32).mean(axis=1) / 32768.0
         n = len(mono)
+        if n == 0:
+            # a zero-sample clip is validly encoded; rfft([]) raises
+            return np.zeros(self.dim, np.float32)
         duration = n / max(1, sr)
         rms = float(np.sqrt(np.mean(mono**2))) if n else 0.0
         zcr = float(np.mean(np.abs(np.diff(np.signbit(mono))))) if n > 1 else 0.0

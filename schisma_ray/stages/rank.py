@@ -44,7 +44,17 @@ def zip_with_index(ds, *, index_col: str = "rank", start: int = 1):
             refs.append(block_ref)
             counts.append(meta.num_rows)
     if not refs:
-        return mat
+        # keep the empty-input schema identical to non-empty outputs
+        # (downstream projections of index_col must not fail)
+        schema = mat.schema()
+        base = getattr(schema, "base_schema", None) if schema is not None else None
+        cols = (
+            {n: pa.array([], t) for n, t in zip(base.names, base.types)}
+            if base is not None
+            else {}
+        )
+        cols[index_col] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
     offsets = start + np.concatenate([[0], np.cumsum(counts[:-1])])
     out = [
         _add_index.remote(r, index_col, int(o)) for r, o in zip(refs, offsets)

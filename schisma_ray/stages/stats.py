@@ -209,8 +209,12 @@ def psi_drift(observed: dict[str, int], profile: dict[str, float],
     """Population Stability Index vs a frequency profile.
 
     PSI = sum over buckets (p_obs - p_ref) * ln(p_obs / p_ref), with the
-    conventional epsilon floor for empty buckets. Common monitoring
-    thresholds: < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 major.
+    conventional epsilon floor for empty buckets. Buckets observed but
+    absent from the reference profile contribute terms with p_ref
+    floored at eps — novel-category mass is a canonical drift signal
+    (same stance as categorical_drift's unseen-category handling).
+    Common monitoring thresholds: < 0.1 stable, 0.1-0.25 moderate
+    shift, > 0.25 major.
     """
     import math
 
@@ -220,6 +224,11 @@ def psi_drift(observed: dict[str, int], profile: dict[str, float],
         p_obs = max(observed.get(b, 0) / n if n else 0.0, eps)
         p_ref = max(ref, eps)
         stat += (p_obs - p_ref) * math.log(p_obs / p_ref)
+    for b, cnt in observed.items():
+        if b == "__null__" or b in profile:
+            continue
+        p_obs = max(cnt / n if n else 0.0, eps)
+        stat += (p_obs - eps) * math.log(p_obs / eps)
     return {"statistic": stat, "n": n,
             "shifted": stat > 0.25}
 

@@ -17,6 +17,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _key_bucket(key: pa.Array, num_buckets: int) -> pa.Array:
+    """Type-agnostic hash bucket for a key column (int, string, UUID...).
+
+    pandas hash_array works on any dtype (object included), unlike an
+    int64 cast which rejects strings and silently *parses* numeric
+    strings. Identical values always co-locate, which is all the
+    segmented per-bucket scans need."""
+    import numpy as np
+    import pandas as pd
+
+    h = pd.util.hash_array(key.to_numpy(zero_copy_only=False))
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+
+
 def session_agg(
     ds,
     *,
@@ -42,14 +56,11 @@ def session_agg(
 
     def prep(t: pa.Table) -> pa.Table:
         key = t[key_col].combine_chunks()
-        bucket = pc.cast(
-            pc.bit_wise_and(pc.cast(key, pa.int64()), num_buckets - 1), pa.int32()
-        )
         return pa.table(
             {
                 key_col: key,
                 "ts_us": pc.cast(t[ts_col], pa.int64()),
-                "bucket": bucket,
+                "bucket": _key_bucket(key, num_buckets),
             }
         )
 
@@ -239,15 +250,12 @@ def session_ids(
 
     def prep(t: pa.Table) -> pa.Table:
         key = t[key_col].combine_chunks()
-        bucket = pc.cast(
-            pc.bit_wise_and(pc.cast(key, pa.int64()), num_buckets - 1), pa.int32()
-        )
         return pa.table(
             {
                 id_col: t[id_col],
                 key_col: key,
                 "ts_us": pc.cast(t[ts_col], pa.int64()),
-                "bucket": bucket,
+                "bucket": _key_bucket(key, num_buckets),
             }
         )
 

@@ -1,0 +1,99 @@
+"""Regression tests for the round-3 ADVICE fixes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def test_session_agg_string_keys(ray_session):
+    """Non-integer user ids must bucket (hash) instead of raising
+    ArrowInvalid from an int64 cast — ADVICE r2 (window.py)."""
+    from schisma_ray.stages.window import session_agg
+
+    rows = []
+    for uid in ("alice", "bob-7f3a", "c3de4567-e89b"):
+        for i in range(3):
+            rows.append({"user_id": uid, "ts": i * 10_000_000})  # one session
+        rows.append({"user_id": uid, "ts": 10_000_000_000})  # gap -> new session
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = session_agg(ds, gap_s=1800).to_pandas().set_index("user_id")
+    assert sorted(out.index) == ["alice", "bob-7f3a", "c3de4567-e89b"]
+    assert (out["n_sessions"] == 2).all()
+    assert (out["n_events"] == 4).all()
+
+
+def test_session_ids_string_keys(ray_session):
+    from schisma_ray.stages.window import session_ids
+
+    rows = [
+        {"event_id": 1, "user_id": "u-a", "ts": 0},
+        {"event_id": 2, "user_id": "u-a", "ts": 10_000_000_000},
+        {"event_id": 3, "user_id": "u-b", "ts": 5},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = session_ids(ds, gap_s=1800).to_pandas().set_index("event_id")
+    assert out.loc[1, "session_id"] == 1
+    assert out.loc[2, "session_id"] == 2
+    assert out.loc[3, "session_id"] == 1
+
+
+def test_audio_features_zero_sample_clip(ray_session):
+    """A validly-encoded 0-sample clip must yield a zero feature vector,
+    not kill the task with an uncaught ValueError — ADVICE r2."""
+    from schisma_ray.sources.av_codec import encode_audio
+    from schisma_ray.stages.multimodal import AudioFeatures
+
+    blob = encode_audio(np.zeros((0, 1), np.int16), 16000)
+    batch = pa.table({"audio_id": pa.array([1], pa.int64()),
+                      "bytes": pa.array([blob], pa.binary())})
+    out = AudioFeatures(id_col="audio_id")(batch)
+    feats = out["features"].to_pylist()[0]
+    assert feats is not None
+    assert all(f == 0.0 for f in feats)
+
+
+def test_psi_novel_category_counts():
+    """Categories observed but absent from the profile must contribute
+    drift mass (p_ref floored at eps) — ADVICE r2 (stats.py)."""
+    from schisma_ray.stages.stats import psi_drift
+
+    profile = {"png": 0.5, "jpeg": 0.5}
+    baseline = psi_drift({"png": 50, "jpeg": 50}, profile)
+    novel = psi_drift({"png": 50, "jpeg": 25, "webp": 25}, profile)
+    assert baseline["statistic"] == pytest.approx(0.0, abs=1e-9)
+    # the webp mass alone contributes ~0.25*ln(0.25/1e-6) ≈ 3.1
+    assert novel["statistic"] > 1.0
+    assert novel["shifted"]
+
+
+def test_write_partitioned_replacement_keeps_old_on_failure(ray_session, tmp_path):
+    """Replacement renames the old output aside before swapping — at no
+    point is out_dir absent, and the old data survives until the new one
+    is in place — ADVICE r2 (writer.py)."""
+    from schisma_ray.sources.writer import read_partitioned, write_partitioned
+
+    out = tmp_path / "out"
+    ds1 = rd.from_arrow(pa.table({"k": ["a", "b"], "v": [1, 2]}))
+    write_partitioned(ds1, out, partition_cols=["k"])
+    ds2 = rd.from_arrow(pa.table({"k": ["a", "c"], "v": [10, 30]}))
+    write_partitioned(ds2, out, partition_cols=["k"])
+    got = read_partitioned(out).to_pandas().sort_values("v")
+    assert got["v"].tolist() == [10, 30]
+    assert not (tmp_path / "out.replaced").exists()
+    assert not (tmp_path / "out.inprogress").exists()
+
+
+def test_zip_with_index_empty_keeps_schema(ray_session):
+    """Empty input must still carry the index column — ADVICE r2 (rank.py)."""
+    from schisma_ray.stages.rank import zip_with_index
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())})).filter(
+        lambda r: False
+    )
+    out = zip_with_index(empty, index_col="rank")
+    schema = out.schema()
+    assert "rank" in schema.names
+    assert out.count() == 0
+    # projecting the index column must not fail
+    assert out.select_columns(["rank"]).count() == 0
