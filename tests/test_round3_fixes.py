@@ -1,6 +1,7 @@
 """Regression tests for the round-3 ADVICE fixes."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -97,3 +98,41 @@ def test_zip_with_index_empty_keeps_schema(ray_session):
     assert out.count() == 0
     # projecting the index column must not fail
     assert out.select_columns(["rank"]).count() == 0
+
+
+def test_asof_segmented_key_boundary_and_ties(ray_session):
+    """Segmented as-of (one scan per bucket): a right row must not leak
+    across a key boundary, and an equal-timestamp right row matches."""
+    from schisma_ray.stages.asof import asof_join_latest
+
+    left = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 2, 2], pa.int64()),
+        "ts": pa.array([50_000_000, 10_000_000, 40_000_000], pa.int64()),
+        "event_id": pa.array([100, 200, 201], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "user_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array([50_000_000, 30_000_000], pa.int64()),
+    }))
+    out = (
+        asof_join_latest(left, right, key="user_id", num_buckets=4)
+        .to_pandas()
+        .set_index("row_id")
+    )
+    # tie: right ts == left ts counts (at-or-before)
+    assert out.loc[100, "asof_epoch_s"] == 50
+    # key 2's first event precedes its only right row -> no match; and
+    # key 1's right row must not leak into key 2's segment
+    assert pd.isna(out.loc[200, "asof_epoch_s"])
+    assert out.loc[201, "asof_epoch_s"] == 30
+
+
+def test_asof_no_per_key_groupby():
+    """The as-of source must group by hash bucket, not by raw key."""
+    import inspect
+
+    from schisma_ray.stages import asof
+
+    src = inspect.getsource(asof)
+    assert 'groupby("bucket")' in src
+    assert 'groupby("k")' not in src
