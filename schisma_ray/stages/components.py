@@ -32,6 +32,29 @@ import numpy as np
 import pyarrow as pa
 
 
+def derive_join_partitions(*datasets) -> int:
+    """Partition count for Ray's native hash-shuffle join, derived from
+    the larger side's known block count when available (materialized
+    inputs), else from cluster CPUs — never a hardcoded constant, so
+    the same call site works at sf0.01 and at 40x without retuning."""
+    best = 0
+    for ds in datasets:
+        try:
+            n = ds.num_blocks()
+        except Exception:
+            n = None
+        if n:
+            best = max(best, int(n))
+    if not best:
+        try:
+            import ray
+
+            best = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            best = 8
+    return max(2, min(256, best))
+
+
 def _union_find(edges: list[tuple]) -> dict:
     parent: dict = {}
     nodes: set = set()
@@ -247,15 +270,21 @@ def components_from_pairs(pairs: pa.Table, *, driver_limit: int = 10_000_000) ->
     return tbl.sort_by("node")
 
 
-def near_dedup_survivors(ds, pairs: pa.Table, id_col: str,
+def near_dedup_survivors(ds, pairs, id_col: str,
                          *, driver_limit: int = 10_000_000,
                          strategy: str = "broadcast"):
     """Dataset of surviving ids: every id minus non-keeper dup-group members.
+
+    ``pairs`` may be a driver pa.Table or a pair DATASET (the output of
+    ``minhash_dedup_pairs(as_dataset=True)`` etc.) — with a Dataset the
+    pair rows never land on the driver under either strategy.
 
     * ``broadcast`` (default): the non-survivor set (group members that
       are not the minimum id) is broadcast and filtered out in one
       vectorized pass — the corpus never shuffles. Right while the
       non-survivor set fits the object store (low duplicate rates).
+      With Dataset pairs, components run distributed and only the
+      non-keeper LABEL ids (small by construction) are collected.
     * ``join``: the labels stay a DATASET end-to-end — the distributed
       component labels are filtered to non-keepers and anti-joined
       against the corpus via Ray's native hash-shuffle join (left outer
@@ -265,8 +294,9 @@ def near_dedup_survivors(ds, pairs: pa.Table, id_col: str,
     import pyarrow.compute as pc
     import ray
 
+    pairs_is_table = isinstance(pairs, pa.Table)
     if strategy == "join":
-        if pairs.num_rows == 0:
+        if pairs_is_table and pairs.num_rows == 0:
             return ds.map_batches(
                 lambda t: t.select([id_col]),
                 batch_format="pyarrow", zero_copy_batch=True,
@@ -287,7 +317,8 @@ def near_dedup_survivors(ds, pairs: pa.Table, id_col: str,
             batch_format="pyarrow", zero_copy_batch=True,
         )
         joined = narrow.join(
-            drop_ds, join_type="left_outer", num_partitions=16,
+            drop_ds, join_type="left_outer",
+            num_partitions=derive_join_partitions(narrow, drop_ds),
             on=(id_col,), right_on=("node",),
         )
         return joined.map_batches(
@@ -296,10 +327,35 @@ def near_dedup_survivors(ds, pairs: pa.Table, id_col: str,
             zero_copy_batch=True,
         )
 
-    comp = components_from_pairs(pairs, driver_limit=driver_limit)
-    keep_mask = pc.equal(comp["node"], comp["component"])
-    drop_tbl = comp.filter(pc.invert(keep_mask))
-    drop_ref = ray.put(drop_tbl["node"].combine_chunks())
+    if pairs_is_table:
+        comp = components_from_pairs(pairs, driver_limit=driver_limit)
+        keep_mask = pc.equal(comp["node"], comp["component"])
+        drop_tbl = comp.filter(pc.invert(keep_mask))
+        drop_nodes = drop_tbl["node"].combine_chunks()
+    else:
+        # Dataset pairs: components run distributed; collect only the
+        # non-keeper label ids (never the pair rows)
+        labels = components_distributed(pairs)
+        non_keepers = labels.map_batches(
+            lambda t: pa.table(
+                {"node": t.filter(
+                    pc.invert(pc.equal(t["node"], t["component"]))
+                )["node"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        parts = [
+            (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
+            for b in non_keepers.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        parts = [t for t in parts if t.num_rows]
+        drop_nodes = (
+            pa.concat_tables(parts)["node"].combine_chunks()
+            if parts
+            else pa.array([], pa.int64())
+        )
+    drop_ref = ray.put(drop_nodes)
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()

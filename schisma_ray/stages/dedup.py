@@ -290,15 +290,30 @@ def _band_rows(batch: pa.Table, id_col: str, bands: int, rows_per_band: int) -> 
     )
 
 
+def _fold_pairs(pairs_ds) -> pa.Table:
+    """Driver fold of a PAIR dataset -> pa.Table. Every driver hop for
+    candidate/verified pair tables in this module goes through here, so
+    tests can disable it outright and prove the ``as_dataset`` chain
+    never collects pairs (VERDICT r2 #1)."""
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    return pa.concat_tables(parts) if parts else None
+
+
 def minhash_candidate_pairs(ds, col: str, id_col: str, *, num_perm: int = 64,
                             bands: int = 16, shingle: int = 3, seed: int = 1234,
-                            max_bucket: int = 1000, actor_pool: bool = False):
+                            max_bucket: int = 1000, actor_pool: bool = False,
+                            as_dataset: bool = False):
     """LSH candidate pairs (a < b) from banded MinHash signatures.
 
     Default is task mode (the signature stage fuses into the read; the
     permutation table costs microseconds to build). ``actor_pool=True``
     switches to an autoscaling pool — the right shape if the hasher ever
-    grows heavy state (e.g. a tokenizer model).
+    grows heavy state (e.g. a tokenizer model). ``as_dataset=True``
+    returns the pair Dataset without any driver fold (the 100-TB path).
     """
     rows_per_band = num_perm // bands
     if actor_pool:
@@ -320,18 +335,46 @@ def minhash_candidate_pairs(ds, col: str, id_col: str, *, num_perm: int = 64,
         batch_format="pyarrow",
     )
 
-    return _bucket_pairs(band_rows, ["band", "band_hash"], id_col, max_bucket)
+    return _bucket_pairs(band_rows, ["band", "band_hash"], id_col, max_bucket,
+                         as_dataset=as_dataset)
 
 
 def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
-                  max_bucket: int, driver_limit: int = 5_000_000) -> pa.Table:
+                  max_bucket: int, driver_limit: int = 5_000_000,
+                  as_dataset: bool = False):
     """(a, b) id pairs per bucket, a < b.
 
-    Small banded sets (<= driver_limit rows) fold on the driver with a
-    pandas groupby — Ray's sort shuffle has seconds of fixed cost that
-    dwarfs corpora below millions of rows. Larger sets go through the
-    scalable ``groupby(bucket).map_groups`` path. Buckets larger than
-    ``max_bucket`` are truncated (degenerate all-identical content)."""
+    ``as_dataset=True`` returns the ``groupby(bucket).map_groups`` pair
+    Dataset directly — no driver hop at any size (the end-to-end
+    Dataset chain). Otherwise, small banded sets (<= driver_limit rows)
+    fold on the driver with a pandas groupby — Ray's sort shuffle has
+    seconds of fixed cost that dwarfs corpora below millions of rows —
+    and larger sets run the scalable path and fold only the (bounded)
+    pair set. Buckets larger than ``max_bucket`` are truncated
+    (degenerate all-identical content)."""
+
+    def emit_pairs(ids: list) -> tuple[list, list]:
+        ids = sorted(ids)[:max_bucket]
+        a_out, b_out = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_out.append(ids[i])
+                b_out.append(ids[j])
+        return a_out, b_out
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_pylist()
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        a_out, b_out = emit_pairs(ids)
+        return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})
+
+    if as_dataset:
+        return banded_ds.groupby(group_cols).map_groups(
+            pairs, batch_format="pyarrow"
+        )
+
     collected: list[pa.Table] = []
     total = 0
     overflow = False
@@ -342,15 +385,6 @@ def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
         if total > driver_limit:
             overflow = True
             break
-
-    def emit_pairs(ids: list) -> tuple[list, list]:
-        ids = sorted(ids)[:max_bucket]
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return a_out, b_out
 
     if not overflow:
         if not collected:
@@ -366,30 +400,19 @@ def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
             b_all.extend(b_out)
         return pa.table({"a": pa.array(a_all), "b": pa.array(b_all)})
 
-    def pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        a_out, b_out = emit_pairs(ids)
-        return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})
-
     cand = banded_ds.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
     # fold the (bounded: <= max_bucket^2/2 per bucket) pair set as Arrow —
     # no pandas round-trip of the candidate table
-    parts = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in cand.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    parts = [t for t in parts if t.num_rows]
-    if not parts:
+    folded = _fold_pairs(cand)
+    if folded is None:
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
-    return pa.concat_tables(parts)
+    return folded
 
 
-def _verify_pairs_bucketed(ds, cand: pa.Table, col: str, id_col: str,
-                           verify_fn, *, num_buckets: int = 64):
+def _verify_pairs_bucketed(ds, cand, col: str, id_col: str,
+                           verify_fn, *, num_buckets: int = 64,
+                           as_dataset: bool = False):
     """Distributed pair verification: attach both payloads of every
     candidate pair via two bucketed shuffles over CANDIDATE-sized data,
     then run ``verify_fn(payload_a, payload_b)`` inside buckets.
@@ -405,41 +428,91 @@ def _verify_pairs_bucketed(ds, cand: pa.Table, col: str, id_col: str,
     3. slot rows re-bucket by pair_id; each pair's two rows meet in one
        bucket where ``verify_fn`` runs.
 
-    Returns an Arrow table (a, b, metric) with metric = verify_fn output
-    (unfiltered — the caller applies its threshold).
+    ``cand`` may be a driver pa.Table or a pair DATASET; with
+    ``as_dataset=True`` the (a, b, metric) result is returned as a
+    Dataset too — the only driver-resident state on that path is the
+    distinct candidate-ID array broadcast for the corpus prune (ids,
+    never pairs and never payloads). Metric is unfiltered — the caller
+    applies its threshold.
     """
     import ray.data as rd
-
-    n = cand.num_rows
-    id_type = cand["a"].type
-    empty = pa.table({"a": pa.array([], id_type),
-                      "b": pa.array([], id_type),
-                      "metric": pa.array([], pa.float64())})
-    if n == 0:
-        return empty
 
     def id_bucket(arr: pa.Array) -> np.ndarray:
         # works for int AND string ids
         h = pd.util.hash_array(arr.to_numpy(zero_copy_only=False))
         return (h % num_buckets).astype(np.int32)
 
-    a = cand["a"].combine_chunks() if isinstance(cand["a"], pa.ChunkedArray) else cand["a"]
-    b = cand["b"].combine_chunks() if isinstance(cand["b"], pa.ChunkedArray) else cand["b"]
-    pair_id = np.arange(n, dtype=np.int64)
-    ids = pa.concat_arrays([a, b])
-    slot_tbl = pa.table(
-        {
-            "bucket": pa.array(id_bucket(ids), pa.int32()),
-            "id": ids,
-            "pair_id": pa.array(np.concatenate([pair_id, pair_id]), pa.int64()),
-            "slot": pa.array(
-                np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
-                pa.int8(),
-            ),
-            "payload": pa.array([None] * (2 * n), pa.string()),
-        }
-    )
-    need_ref = ray.put(pc.unique(ids))
+    if isinstance(cand, pa.Table):
+        n = cand.num_rows
+        id_type = cand["a"].type
+        empty = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type),
+                          "metric": pa.array([], pa.float64())})
+        if n == 0:
+            return rd.from_arrow(empty) if as_dataset else empty
+        a = cand["a"].combine_chunks() if isinstance(cand["a"], pa.ChunkedArray) else cand["a"]
+        b = cand["b"].combine_chunks() if isinstance(cand["b"], pa.ChunkedArray) else cand["b"]
+        pair_id = np.arange(n, dtype=np.int64)
+        ids = pa.concat_arrays([a, b])
+        slot_tbl = pa.table(
+            {
+                "bucket": pa.array(id_bucket(ids), pa.int32()),
+                "id": ids,
+                "pair_id": pa.array(np.concatenate([pair_id, pair_id]), pa.int64()),
+                "slot": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                    pa.int8(),
+                ),
+                "payload": pa.array([None] * (2 * n), pa.string()),
+            }
+        )
+        slots = rd.from_arrow(slot_tbl)
+        need = pc.unique(ids)
+    else:
+        from .rank import zip_with_index
+
+        empty = None
+        # pair_id = global ordinal via block-offset prefix sums (rows
+        # never touch the driver); materialized once, read twice below
+        indexed = zip_with_index(cand, index_col="pair_id", start=0)
+        id_type = _pair_id_type(indexed)
+        need = _distinct_pair_ids(indexed)
+
+        def make_slots(t: pa.Table) -> pa.Table:
+            if "a" not in t.column_names or t.num_rows == 0:
+                return pa.table(
+                    {
+                        "bucket": pa.array([], pa.int32()),
+                        "id": pa.array([], id_type),
+                        "pair_id": pa.array([], pa.int64()),
+                        "slot": pa.array([], pa.int8()),
+                        "payload": pa.array([], pa.string()),
+                    }
+                )
+            a = t["a"].combine_chunks()
+            b = t["b"].combine_chunks()
+            pid = t["pair_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            n = t.num_rows
+            ids = pa.concat_arrays([a, b])
+            return pa.table(
+                {
+                    "bucket": pa.array(id_bucket(ids), pa.int32()),
+                    "id": ids,
+                    "pair_id": pa.array(
+                        np.concatenate([pid, pid]).astype(np.int64), pa.int64()
+                    ),
+                    "slot": pa.array(
+                        np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                        pa.int8(),
+                    ),
+                    "payload": pa.array([None] * (2 * n), pa.string()),
+                }
+            )
+
+        slots = indexed.map_batches(
+            make_slots, batch_format="pyarrow", zero_copy_batch=True
+        )
+    need_ref = ray.put(need)
 
     def project(t: pa.Table) -> pa.Table:
         idc = pc.cast(t[id_col].combine_chunks(), id_type)
@@ -472,7 +545,7 @@ def _verify_pairs_bucketed(ds, cand: pa.Table, col: str, id_col: str,
             }
         )
 
-    attached = rd.from_arrow(slot_tbl).union(payloads).groupby("bucket").map_groups(
+    attached = slots.union(payloads).groupby("bucket").map_groups(
         attach, batch_format="pandas"
     )
 
@@ -493,12 +566,62 @@ def _verify_pairs_bucketed(ds, cand: pa.Table, col: str, id_col: str,
         )
 
     out = attached.groupby("bucket").map_groups(verify, batch_format="pandas")
+    if as_dataset:
+        return out
+    folded = _fold_pairs(out)
+    return folded if folded is not None else empty
+
+
+def _distinct_pairs_ds(pairs_ds):
+    """Distributed distinct over (a, b) — one aggregate row per pair
+    (a proper shuffle aggregate, NOT a per-pair map_groups)."""
+    counted = pairs_ds.groupby(["a", "b"]).count()
+    return counted.map_batches(
+        lambda t: t.select(["a", "b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _pair_id_type(pairs_ds) -> pa.DataType:
+    schema = pairs_ds.schema()
+    base = getattr(schema, "base_schema", schema)
+    # an empty upstream map_groups can surface its INPUT schema; pairs
+    # default to int64 ids in that case
+    if base is None or "a" not in base.names:
+        return pa.int64()
+    return base.field("a").type
+
+
+def _distinct_pair_ids(pairs_ds) -> pa.Array:
+    """Distinct ids appearing in a pair Dataset — the broadcast side of
+    the corpus prune. This collects IDS (O(distinct candidate ids), the
+    same scale class as a survivor broadcast), never pair rows."""
+    id_type = _pair_id_type(pairs_ds)
+
+    def block_ids(t: pa.Table) -> pa.Table:
+        if "a" not in t.column_names or t.num_rows == 0:
+            return pa.table({"id": pa.array([], id_type)})
+        return pa.table(
+            {
+                "id": pc.unique(
+                    pa.concat_arrays(
+                        [t["a"].combine_chunks(), t["b"].combine_chunks()]
+                    )
+                )
+            }
+        )
+
+    per_block = pairs_ds.map_batches(
+        block_ids, batch_format="pyarrow", zero_copy_batch=True
+    )
     parts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in out.iter_batches(batch_format="pyarrow", batch_size=None)
+        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))["id"]
+        for b in per_block.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
-    parts = [t for t in parts if t.num_rows]
-    return pa.concat_tables(parts) if parts else empty
+    if not parts:
+        return pa.array([], id_type)
+    return pc.unique(pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]))
 
 
 def jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
@@ -514,18 +637,51 @@ def jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
 def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
                         num_perm: int = 64, bands: int = 16, shingle: int = 3,
                         seed: int = 1234,
-                        verify_driver_limit: int = 100_000) -> pa.Table:
+                        verify_driver_limit: int = 100_000,
+                        as_dataset: bool = False):
     """Verified near-duplicate pairs (a, b, jaccard >= threshold).
 
-    Candidates come from LSH banding. Verification has two shapes:
+    Candidates come from LSH banding. Verification has three shapes:
 
-    * up to ``verify_driver_limit`` candidate pairs (the common case —
-      the pair set is small by construction): the candidate texts are
-      fetched with one broadcast-filtered scan and verified locally;
+    * ``as_dataset=True`` — the whole chain stays a Dataset: banded
+      pairs -> distributed distinct -> ``_verify_pairs_bucketed``
+      Dataset output. No pair row ever lands on the driver (feedable
+      straight into ``components_distributed`` /
+      ``near_dedup_survivors(strategy="join")``);
+    * up to ``verify_driver_limit`` candidate pairs (the common
+      driver-Table case — the pair set is small by construction): the
+      candidate texts are fetched with one broadcast-filtered scan and
+      verified locally;
     * beyond it, ``_verify_pairs_bucketed`` joins texts to pairs with
       two candidate-sized bucketed shuffles — texts never accumulate on
-      the driver (the 100-TB path; force with verify_driver_limit=0).
+      the driver (force with verify_driver_limit=0).
     """
+    if as_dataset:
+        cand_ds = minhash_candidate_pairs(
+            ds, col, id_col, num_perm=num_perm, bands=bands,
+            shingle=shingle, seed=seed, as_dataset=True,
+        )
+        distinct = _distinct_pairs_ds(cand_ds)
+        verified = _verify_pairs_bucketed(
+            ds, distinct, col, id_col,
+            lambda ta, tb: jaccard(ta, tb, shingle),
+            as_dataset=True,
+        )
+
+        def thresh(t: pa.Table) -> pa.Table:
+            hit = t.filter(pc.greater_equal(t["metric"], threshold))
+            return pa.table(
+                {
+                    "a": hit["a"],
+                    "b": hit["b"],
+                    "jaccard": pc.round(hit["metric"], ndigits=6),
+                }
+            )
+
+        return verified.map_batches(
+            thresh, batch_format="pyarrow", zero_copy_batch=True
+        )
+
     cand_tbl = minhash_candidate_pairs(
         ds, col, id_col, num_perm=num_perm, bands=bands, shingle=shingle, seed=seed
     )
@@ -620,13 +776,15 @@ def _hamming64(a: int, b: int) -> int:
 
 
 def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
-                      verify_driver_limit: int = 100_000) -> pa.Table:
+                      verify_driver_limit: int = 100_000,
+                      as_dataset: bool = False):
     """Near-dup pairs by SimHash banding (4 x 16-bit) + Hamming verify.
 
-    Verification mirrors minhash: a driver lookup of the (small) int64
-    signature map below ``verify_driver_limit`` candidates, the bucketed
-    pair-join (`_verify_pairs_bucketed` over stringified signatures)
-    beyond it.
+    Verification mirrors minhash: ``as_dataset=True`` keeps the whole
+    chain a Dataset (no pair row on the driver); otherwise a driver
+    lookup of the (small) int64 signature map below
+    ``verify_driver_limit`` candidates, the bucketed pair-join
+    (`_verify_pairs_bucketed` over stringified signatures) beyond it.
 
     Signatures are used twice (banding, then verification lookup), so
     the narrow (id, int64) signature table is materialized once instead
@@ -656,6 +814,29 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
     banded = sigs.map_batches(bands, batch_format="pyarrow")
     empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                       "hamming": pa.array([], pa.int32())})
+    if as_dataset:
+        cand_ds = _bucket_pairs(
+            banded, ["band", "key"], id_col, max_bucket=1000, as_dataset=True
+        )
+        verified = _verify_pairs_bucketed(
+            sigs, _distinct_pairs_ds(cand_ds), "simhash", id_col,
+            lambda sa, sb: float(_hamming64(int(sa or 0), int(sb or 0))),
+            as_dataset=True,
+        )
+
+        def thresh(t: pa.Table) -> pa.Table:
+            hit = t.filter(pc.less_equal(t["metric"], float(max_hamming)))
+            return pa.table(
+                {
+                    "a": hit["a"],
+                    "b": hit["b"],
+                    "hamming": pc.cast(hit["metric"], pa.int32()),
+                }
+            )
+
+        return verified.map_batches(
+            thresh, batch_format="pyarrow", zero_copy_batch=True
+        )
     cand = _bucket_pairs(banded, ["band", "key"], id_col, max_bucket=1000)
     if cand.num_rows == 0:
         return empty

@@ -54,16 +54,20 @@ def broadcast_hash_join(ds, ref, on: str, right_on: str | None = None,
 
 
 def shuffle_hash_join(ds, ref, on: str, right_on: str | None = None,
-                      *, how: str = "inner", num_partitions: int = 32):
-    """Hash-shuffle equi-join via Ray Data's native ``Dataset.join``."""
+                      *, how: str = "inner", num_partitions: int | None = None):
+    """Hash-shuffle equi-join via Ray Data's native ``Dataset.join``.
+    ``num_partitions=None`` derives the shuffle width from input blocks
+    / cluster CPUs instead of a hardcoded constant."""
     import ray.data as rd
+
+    from .components import derive_join_partitions
 
     if not hasattr(ref, "join"):
         ref = rd.from_arrow(ref)
     return ds.join(
         ref,
         join_type=("left_outer" if how == "left outer" else how),
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or derive_join_partitions(ds, ref),
         on=(on,),
         right_on=(right_on or on,),
     )

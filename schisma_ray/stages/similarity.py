@@ -234,7 +234,7 @@ def ann_ivf(ds, queries: np.ndarray, query_ids: list, *, col: str = "embedding",
 def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
                           threshold: float = 0.95, n_bits: int = 10,
                           n_tables: int = 4, seed: int = 7,
-                          max_bucket: int = 1000) -> pa.Table:
+                          max_bucket: int = 1000, as_dataset: bool = False):
     """Pairs (a, b, sim >= threshold) via MULTI-TABLE LSH bucketing +
     in-bucket verify.
 
@@ -301,6 +301,17 @@ def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
     pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
         verify, batch_format="pyarrow"
     )
+    if as_dataset:
+        # the same pair can surface in several tables — a distributed
+        # max(sim) groupby dedupes without any driver hop
+        deduped = pairs.groupby(["a", "b"]).max("sim")
+        return deduped.map_batches(
+            lambda t: pa.table(
+                {"a": t["a"], "b": t["b"], "sim": t["max(sim)"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     parts = [
         t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
         for t in pairs.iter_batches(batch_format="pyarrow", batch_size=None)

@@ -260,7 +260,10 @@ def uniqueness_violations(ds, column: str, id_column: str = "image_id",
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        hit = narrow.join(dup_ds, join_type="inner", num_partitions=16,
+        from .components import derive_join_partitions
+
+        hit = narrow.join(dup_ds, join_type="inner",
+                          num_partitions=derive_join_partitions(narrow, dup_ds),
                           on=(column,))
 
         def emit_rows(t: pa.Table) -> pa.Table:
