@@ -1437,38 +1437,51 @@ def q_knn_cosine_filtered(sf_dir: str):
     return knn_brute_force(ds, mat, ids, k=10)
 
 
+def _synth_new_crawl(t: pa.Table) -> pa.Table:
+    """A synthetic 'new crawl': every 5th doc re-keyed verbatim (exact
+    replicas, must be flagged) plus near-miss rows with appended text
+    (must NOT be flagged)."""
+    import pyarrow.compute as pc
+
+    ids = t["doc_id"].combine_chunks().to_numpy()
+    text = t["text"].combine_chunks()
+    dup_mask = ids % 5 == 0
+    miss_mask = ids % 5 == 1
+    keep = pa.array(dup_mask | miss_mask)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids + 100000, pa.int64()),
+            "text": pc.binary_join_element_wise(
+                text,
+                pa.array(
+                    ["" if d else " extra" for d in dup_mask], pa.string()
+                ),
+                "",
+            ),
+        }
+    ).filter(keep)
+
+
 def q_cross_corpus_dups(sf_dir: str):
-    """Incremental dedup of a 'new crawl' (every 5th doc re-keyed, plus
-    near-miss rows with appended text) against the existing corpus —
-    base fingerprints broadcast once, new side streams."""
+    """Incremental dedup of a 'new crawl' against the existing corpus —
+    base fingerprints broadcast once (Arrow fold), new side streams."""
     from ..stages.dedup import cross_corpus_duplicates
 
     base = _t(sf_dir, "documents")
-
-    def synth_new(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ids = t["doc_id"].combine_chunks().to_numpy()
-        text = t["text"].combine_chunks()
-        dup_mask = ids % 5 == 0      # exact replicas (must be flagged)
-        miss_mask = ids % 5 == 1     # perturbed (must NOT be flagged)
-        keep = pa.array(dup_mask | miss_mask)
-        t2 = pa.table(
-            {
-                "doc_id": pa.array(ids + 100000, pa.int64()),
-                "text": pc.binary_join_element_wise(
-                    text,
-                    pa.array(
-                        ["" if d else " extra" for d in dup_mask], pa.string()
-                    ),
-                    "",
-                ),
-            }
-        ).filter(keep)
-        return t2
-
-    new = base.map_batches(synth_new, batch_format="pyarrow", zero_copy_batch=True)
+    new = base.map_batches(_synth_new_crawl, batch_format="pyarrow",
+                           zero_copy_batch=True)
     return cross_corpus_duplicates(new, base)
+
+
+def q_cross_corpus_dups_shuffle(sf_dir: str):
+    """Same incremental dedup through the bucketed semi-join shuffle —
+    the path for base corpora too big to broadcast; same oracle."""
+    from ..stages.dedup import cross_corpus_duplicates
+
+    base = _t(sf_dir, "documents")
+    new = base.map_batches(_synth_new_crawl, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return cross_corpus_duplicates(new, base, strategy="shuffle")
 
 
 ANN_N_BITS = 6
@@ -2739,6 +2752,7 @@ QUERIES = {
     "knn_cosine": q_knn_cosine,
     "knn_cosine_filtered": q_knn_cosine_filtered,
     "cross_corpus_dups": q_cross_corpus_dups,
+    "cross_corpus_dups_shuffle": q_cross_corpus_dups_shuffle,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "minhash_dedup_groups": q_minhash_dedup_groups,
@@ -2756,5 +2770,6 @@ def oracle_sql() -> dict[str, str]:
     # the Dataset-chain variants compute the same mathematical result
     # as their driver-path twins — identical oracles
     out["minhash_dedup_ds"] = out["minhash_dedup"]
+    out["cross_corpus_dups_shuffle"] = out["cross_corpus_dups"]
     out["minhash_dedup_groups_ds"] = out["minhash_dedup_groups"]
     return out

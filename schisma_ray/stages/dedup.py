@@ -886,38 +886,129 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
 
 
 def cross_corpus_duplicates(new_ds, base_ds, *, col: str = "text",
-                            id_col: str = "doc_id"):
+                            id_col: str = "doc_id",
+                            strategy: str = "broadcast",
+                            num_buckets: int = 64):
     """Incremental dedup: rows of ``new_ds`` whose content md5 already
     exists in ``base_ds`` — the "dedup the new crawl against the
-    existing corpus" direction. The base side is reduced to its md5
-    fingerprint set (16 bytes/doc — a 10^9-doc corpus is ~16 GB, still
-    broadcastable; beyond that, the bucketed anti-join in
-    stages/referential.py is the same semi-join with sides swapped) and
-    ``ray.put`` once; the new corpus streams through one vectorized
-    ``is_in`` pass. Output: (id, fingerprint)."""
+    existing corpus" direction. Output: (id, fingerprint).
+
+    * ``broadcast`` (default): the base side is reduced to its DISTINCT
+      md5 fingerprints (per-batch ``pc.unique`` partials, one Arrow
+      concat+unique fold — never Python objects; 16 bytes/doc means a
+      10^9-doc corpus is ~16 GB, still broadcastable) and ``ray.put``
+      once; the new corpus streams through one vectorized ``is_in``.
+    * ``shuffle``: for base corpora too big to broadcast — both sides'
+      fingerprints hash-bucket, and each bucket runs one vectorized
+      semi-join (``is_in`` against the bucket's distinct base set).
+      One all-to-all over (id, fingerprint) narrow rows only.
+    """
     import pyarrow.compute as pc
     import ray
 
-    base_fps: set = set()
-    for b in content_fingerprint(base_ds, col, id_col).iter_batches(
-        batch_format="pyarrow", batch_size=None
-    ):
-        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        base_fps.update(x for x in t["fingerprint"].to_pylist() if x)
-    fp_ref = ray.put(pa.array(sorted(base_fps), pa.string()))
+    new_fp = content_fingerprint(new_ds, col, id_col)
 
-    def flag(t: pa.Table) -> pa.Table:
-        import hashlib as _h
+    def batch_unique(t: pa.Table) -> pa.Table:
+        fp = t["fingerprint"].combine_chunks().drop_null()
+        return pa.table({"fingerprint": pc.unique(fp)})
 
-        fps = pa.array(
-            [
-                None if x is None else _h.md5(x.encode("utf-8")).hexdigest()
-                for x in t[col].to_pylist()
-            ],
-            pa.string(),
+    base_fp = content_fingerprint(base_ds, col, id_col).map_batches(
+        batch_unique, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    if strategy == "broadcast":
+        parts = [
+            (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))[
+                "fingerprint"
+            ].combine_chunks()
+            for b in base_fp.iter_batches(batch_format="pyarrow", batch_size=None)
+        ]
+        parts = [p for p in parts if len(p)]
+        fps_all = (
+            pc.unique(pa.concat_arrays(parts)) if parts
+            else pa.array([], pa.string())
         )
-        hit = pc.fill_null(pc.is_in(fps, value_set=ray.get(fp_ref)), False)
-        out = pa.table({id_col: t[id_col], "fingerprint": fps})
-        return out.filter(hit)
+        fp_ref = ray.put(fps_all)
 
-    return new_ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        def flag(t: pa.Table) -> pa.Table:
+            fps = t["fingerprint"].combine_chunks()
+            hit = pc.fill_null(pc.is_in(fps, value_set=ray.get(fp_ref)), False)
+            return t.filter(hit)
+
+        return new_fp.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+    if strategy == "shuffle":
+        def fp_bucket(fp: pa.Array) -> pa.Array:
+            h = pd.util.hash_array(fp.to_numpy(zero_copy_only=False))
+            return pa.array((h % num_buckets).astype(np.int32), pa.int32())
+
+        # the two sides union, so base rows need a typed null id column
+        schema = new_fp.schema()
+        base_schema = getattr(schema, "base_schema", schema)
+        id_type = base_schema.field(id_col).type
+
+        def tag_new(t: pa.Table) -> pa.Table:
+            fp = t["fingerprint"].combine_chunks()
+            keep = pc.is_valid(fp)
+            t = pa.table({id_col: t[id_col], "fingerprint": fp}).filter(keep)
+            fp = t["fingerprint"].combine_chunks()
+            return pa.table(
+                {
+                    "bucket": fp_bucket(fp),
+                    id_col: t[id_col],
+                    "fingerprint": fp,
+                    "side": pa.array(
+                        np.ones(t.num_rows, np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        def tag_base(t: pa.Table) -> pa.Table:
+            fp = t["fingerprint"].combine_chunks()
+            return pa.table(
+                {
+                    "bucket": fp_bucket(fp),
+                    id_col: pa.array([None] * len(fp), id_type),
+                    "fingerprint": fp,
+                    "side": pa.array(np.zeros(len(fp), np.int8), pa.int8()),
+                }
+            )
+
+        tagged_new = new_fp.map_batches(
+            tag_new, batch_format="pyarrow", zero_copy_batch=True
+        )
+        tagged_base = base_fp.map_batches(
+            tag_base, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def semi(group: pa.Table) -> pa.Table:
+            is_new = pc.equal(group["side"], 1)
+            new_rows = group.filter(is_new)
+            if new_rows.num_rows == 0:
+                return pa.table(
+                    {
+                        id_col: pa.array([], group.schema.field(id_col).type),
+                        "fingerprint": pa.array([], pa.string()),
+                    }
+                )
+            base_keys = pc.unique(
+                group.filter(pc.invert(is_new))["fingerprint"].combine_chunks()
+            )
+            hit = pc.fill_null(
+                pc.is_in(
+                    new_rows["fingerprint"].combine_chunks(), value_set=base_keys
+                ),
+                False,
+            )
+            out = new_rows.filter(hit)
+            return pa.table(
+                {id_col: out[id_col], "fingerprint": out["fingerprint"]}
+            )
+
+        return (
+            tagged_new.union(tagged_base)
+            .groupby("bucket")
+            .map_groups(semi, batch_format="pyarrow")
+        )
+
+    raise ValueError(f"unknown strategy {strategy!r}")

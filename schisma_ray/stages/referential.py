@@ -128,17 +128,31 @@ class BloomFilter:
     anti-join prefilter needs (an absent key is *definitely* an orphan).
     """
 
-    def __init__(self, values, n_bits: int = 1 << 22, k: int = 5):
+    @staticmethod
+    def _set_bits(bits, values, n_bits: int, k: int):
         import numpy as np
         import pandas as pd
+
+        arr = np.asarray(values, dtype=object)
+        for salt in range(k):
+            h = pd.util.hash_array(arr, hash_key=f"{salt:016d}") % n_bits
+            np.bitwise_or.at(bits, h // 8, (1 << (h % 8)).astype(np.uint8))
+
+    def __init__(self, values, n_bits: int = 1 << 22, k: int = 5):
+        import numpy as np
 
         self.n_bits = n_bits
         self.k = k
         self.bits = np.zeros(n_bits // 8, dtype=np.uint8)
-        arr = np.asarray(values, dtype=object)
-        for salt in range(k):
-            h = pd.util.hash_array(arr, hash_key=f"{salt:016d}") % n_bits
-            np.bitwise_or.at(self.bits, h // 8, (1 << (h % 8)).astype(np.uint8))
+        self._set_bits(self.bits, values, n_bits, k)
+
+    @classmethod
+    def from_bits(cls, bits, n_bits: int, k: int = 5) -> "BloomFilter":
+        obj = cls.__new__(cls)
+        obj.n_bits = n_bits
+        obj.k = k
+        obj.bits = bits
+        return obj
 
     def maybe_contains(self, values) -> "np.ndarray":
         import numpy as np
@@ -150,6 +164,41 @@ class BloomFilter:
             h = pd.util.hash_array(arr, hash_key=f"{salt:016d}") % self.n_bits
             out &= (self.bits[h // 8] & (1 << (h % 8)).astype(np.uint8)) != 0
         return out
+
+
+class BloomBits:
+    """Mergeable Bloom bit array as a Ray ``AggregateFn``: each block
+    contributes a partial bit array, partials OR-merge through the
+    aggregation tree (associative + commutative, the HLL pattern) — the
+    reference id set never exists on the driver; only the fixed-size
+    bit array (n_bits/8 bytes) does. Keys are cast to string before
+    hashing so the probe side (which stringifies) always agrees."""
+
+    def __new__(cls, on: str, n_bits: int = 1 << 22, k: int = 5,
+                alias_name: str | None = None):
+        import numpy as np
+        import pandas as pd
+        from ray.data.aggregate import AggregateFn
+
+        def accumulate_block(bits, block):
+            if isinstance(block, pd.DataFrame):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            col = pc.cast(block[on].combine_chunks(), pa.string()).drop_null()
+            if len(col) == 0:
+                return bits
+            bits = bits.copy()
+            BloomFilter._set_bits(
+                bits, col.to_numpy(zero_copy_only=False), n_bits, k
+            )
+            return bits
+
+        return AggregateFn(
+            init=lambda _: np.zeros(n_bits // 8, dtype=np.uint8),
+            merge=np.bitwise_or,
+            accumulate_block=accumulate_block,
+            finalize=lambda b: b,
+            name=alias_name or f"bloom({on})",
+        )
 
 
 def referential_violations_bloom(
@@ -168,29 +217,35 @@ def referential_violations_bloom(
     "maybe present" keys (members + false positives) through the
     bucketed shuffle anti-join — the shuffle now carries only that
     residual instead of every row. The two violation streams union.
+
+    The Bloom bits are BUILT distributed (``BloomBits`` mergeable
+    aggregate) — the reference side may be a Dataset that is never
+    collected; a pa.Table/Array reference is wrapped into one.
     """
     import numpy as np
     import ray.data as rd
 
-    if hasattr(reference_ids, "to_pandas") and not isinstance(
-        reference_ids, (pa.Table, pa.Array, pa.ChunkedArray)
-    ):
-        reference_ids = pa.Table.from_pandas(reference_ids.to_pandas())
-    if isinstance(reference_ids, pa.Table):
-        ref_arr = reference_ids.column(0).combine_chunks()
-    else:
-        ref_arr = reference_ids
-    bloom = BloomFilter(ref_arr.to_pylist(), n_bits=n_bits)
+    if not hasattr(reference_ids, "map_batches"):
+        tbl = (
+            reference_ids
+            if isinstance(reference_ids, pa.Table)
+            else pa.table({column: reference_ids})
+        )
+        reference_ids = rd.from_arrow(tbl)
+    ref_schema = reference_ids.schema()
+    ref_col = getattr(ref_schema, "names", [column])[0]
+    bits = reference_ids.aggregate(BloomBits(ref_col, n_bits=n_bits, alias_name="b"))["b"]
+    bloom = BloomFilter.from_bits(bits, n_bits=n_bits)
     bloom_ref = ray.put(bloom)
 
     def split(batch: pa.Table) -> pa.Table:
         bf = ray.get(bloom_ref)
         col = pc.cast(batch[column].combine_chunks(), pa.string())
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-        vals = col.to_pylist()
+        vals = col.to_numpy(zero_copy_only=False)
         maybe = np.zeros(len(vals), dtype=bool)
         if valid.any():
-            arr = np.array(["" if v is None else v for v in vals], dtype=object)
+            arr = np.where(valid, vals, "").astype(object)
             maybe = bf.maybe_contains(arr) & valid
         certain_orphan = valid & ~maybe
         return pa.table(
@@ -217,10 +272,15 @@ def referential_violations_bloom(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    ref_for_exact = reference_ids.map_batches(
+        lambda t: pa.table({column: t[ref_col]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
     exact = referential_violations(
         residual,
         column,
-        rd.from_arrow(pa.table({column: ref_arr})),
+        ref_for_exact,
         strategy="shuffle",
         num_buckets=num_buckets,
     )

@@ -136,3 +136,51 @@ def test_asof_no_per_key_groupby():
     src = inspect.getsource(asof)
     assert 'groupby("bucket")' in src
     assert 'groupby("k")' not in src
+
+
+def test_referential_bloom_distributed_build(ray_session):
+    """Bloom bits build via a mergeable aggregate — the reference side is
+    a Dataset never collected, and int keys stringify consistently on
+    both build and probe sides (previously int refs hashed as ints but
+    probes as strings)."""
+    import inspect
+
+    from schisma_ray.stages import referential
+    from schisma_ray.stages.referential import referential_violations_bloom
+
+    src = inspect.getsource(referential.referential_violations_bloom)
+    assert "to_pylist" not in src and "to_pandas" not in src
+
+    ids = rd.from_arrow(pa.table({"k": pa.array(range(100), pa.int64())}))
+    ref = rd.from_arrow(
+        pa.table({"k": pa.array(range(0, 100, 2), pa.int64())})
+    ).repartition(4)
+    out = referential_violations_bloom(ids, "k", ref, n_bits=1 << 14).to_pandas()
+    assert set(out["row_ref"]) == {str(i) for i in range(1, 100, 2)}
+
+
+def test_cross_corpus_duplicates_strategies_parity(ray_session):
+    """Arrow-native broadcast fold vs bucketed semi-join shuffle: same
+    duplicate set; no Python-set fold anywhere (VERDICT r2 #4)."""
+    import inspect
+
+    from schisma_ray.stages import dedup as dd
+
+    src = inspect.getsource(dd.cross_corpus_duplicates)
+    assert "set(" not in src and "to_pylist" not in src
+
+    base = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), pa.int64()),
+        "text": pa.array([f"document body {i}" for i in range(20)], pa.string()),
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(100, 110), pa.int64()),
+        # 5 exact dups of base docs 0..4, 5 fresh docs
+        "text": pa.array(
+            [f"document body {i}" for i in range(5)]
+            + [f"fresh content {i}" for i in range(5)], pa.string()),
+    })).repartition(3)
+    b = dd.cross_corpus_duplicates(new, base).to_pandas()
+    s = dd.cross_corpus_duplicates(new, base, strategy="shuffle").to_pandas()
+    assert sorted(b["doc_id"]) == sorted(s["doc_id"]) == list(range(100, 105))
+    assert sorted(b["fingerprint"]) == sorted(s["fingerprint"])
