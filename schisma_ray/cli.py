@@ -66,6 +66,9 @@ def main(argv=None) -> int:
     p.add_argument("--cap-per-source", type=int, default=0)
     p.add_argument("--chunk-size", type=int, default=512)
     p.add_argument("--chunk-stride", type=int, default=384)
+    p.add_argument("--dedup", default="broadcast", choices=["broadcast", "join"],
+                   help="survivor attachment: broadcast ids once, or "
+                        "hash-shuffle semi-join for corpus-sized survivor sets")
 
     r = sub.add_parser("report")
     r.add_argument("--out", required=True)
@@ -135,6 +138,7 @@ def main(argv=None) -> int:
                 cap_per_source=args.cap_per_source,
                 chunk_size=args.chunk_size,
                 chunk_stride=args.chunk_stride,
+                dedup=args.dedup,
             )
             out.write_parquet(args.out)
             import pyarrow.dataset as pads

@@ -36,8 +36,20 @@ def prepare_corpus(
     text_col: str = "text",
     lang_col: str = "lang",
     source_col: str = "source",
+    dedup: str = "broadcast",
 ):
-    """documents Dataset -> (id, chunk_idx, chunk_text) Dataset."""
+    """documents Dataset -> (id, chunk_idx, chunk_text) Dataset.
+
+    ``dedup`` picks the exact-dedup survivor attachment:
+
+    * ``broadcast`` (default) — survivor ids fold on the driver and
+      broadcast once; right while the survivor set fits the object
+      store (low duplicate rates, modest corpora).
+    * ``join`` — the survivor-id Dataset semi-joins the corpus through
+      Ray's native hash-shuffle join; the path for corpora whose
+      survivor set is itself corpus-sized (at 100 TB, most texts are
+      unique, so O(distinct texts) ids can't broadcast).
+    """
     import pyarrow.compute as pc
     import ray
 
@@ -98,6 +110,28 @@ def prepare_corpus(
         return out.filter(keep)
 
     prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    if dedup == "join":
+        from ..stages.components import derive_join_partitions
+
+        kept = exact_dedup_keep_first(prepped, key=text_col, id_col=id_col)
+        survivors = prepped.join(
+            kept,
+            join_type="inner",
+            num_partitions=derive_join_partitions(prepped, kept),
+            on=(id_col,),
+        )
+        if cap_per_source > 0:
+            survivors = cap_per_key(
+                survivors, key_col=source_col, id_col=id_col,
+                n=cap_per_source, carry_cols=(text_col,),
+            )
+        return chunk_text(
+            survivors, size=chunk_size, stride=chunk_stride,
+            col=text_col, id_col=id_col,
+        )
+    if dedup != "broadcast":
+        raise ValueError(f"unknown dedup strategy {dedup!r}")
 
     kept_parts = []
     for b in exact_dedup_keep_first(prepped, key=text_col, id_col=id_col).iter_batches(
