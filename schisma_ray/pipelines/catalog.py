@@ -1484,6 +1484,75 @@ def q_cross_corpus_dups_shuffle(sf_dir: str):
     return cross_corpus_duplicates(new, base, strategy="shuffle")
 
 
+def _simhash_sigs_file(sf_dir: str) -> Path:
+    """Persist the (doc_id, simhash) signature table computed by the
+    SAME deterministic kernel the pipeline uses (simhash64_batch), so
+    the DuckDB oracle reproduces banding (4 x 16-bit keys via >>/&) and
+    Hamming verification (bit_count(xor)) in SQL — the proven
+    model-artifact technique from the ANN oracles. Content-keyed cache."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import simhash64_batch
+
+    src = Path(sf_dir) / "documents.parquet"
+    tag = _h.md5(src.read_bytes()).hexdigest()[:10]
+    out = Path(f"/tmp/schisma_ray_cache/simhash_sigs_{tag}.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        docs = pq.read_table(src, columns=["doc_id", "text"])
+        sigs = simhash64_batch(docs["text"].to_pylist())
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": docs["doc_id"],
+                    "simhash": pa.array(sigs, pa.int64()),
+                }
+            ),
+            out,
+        )
+    return out
+
+
+def _winnow_fps_file(sf_dir: str, k: int = 12, window: int = 6) -> Path:
+    """Persist the exploded (doc_id, fingerprint) winnow table computed
+    by the SAME deterministic kernel the pipeline uses
+    (winnow_fingerprints_one), so the overlap-pair query becomes plain
+    SQL (self-join on fingerprint, HAVING count >= min_shared).
+    Content-keyed cache."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from ..stages.dedup import winnow_fingerprints_one
+
+    src = Path(sf_dir) / "documents.parquet"
+    tag = _h.md5(src.read_bytes()).hexdigest()[:10]
+    out = Path(f"/tmp/schisma_ray_cache/winnow_fps_{tag}_k{k}_w{window}.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        docs = pq.read_table(src, columns=["doc_id", "text"])
+        ids_out, fps_out = [], []
+        for rid, text in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+            fps = winnow_fingerprints_one(text or "", k, window)
+            ids_out.extend([rid] * len(fps))
+            fps_out.append(fps)
+        flat = (
+            np.concatenate(fps_out) if fps_out else np.empty(0, np.uint64)
+        ).view(np.int64)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids_out, pa.int64()),
+                    "fingerprint": pa.array(flat, pa.int64()),
+                }
+            ),
+            out,
+        )
+    return out
+
+
 ANN_N_BITS = 6
 ANN_SEED = 7
 
@@ -2577,6 +2646,36 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim
                                      ORDER BY sim DESC, neighbor_id) AS rn
           FROM s)
  WHERE rn <= 10
+""",
+    # simhash signatures are a persisted deterministic artifact (the
+    # ANN-oracle technique): SQL reproduces the 4 x 16-bit banding with
+    # >>/& (verified to match two's-complement uint64 semantics) and the
+    # Hamming verification with bit_count(xor()) — logic independently
+    # re-derived, values pinned end-to-end
+    "simhash_dedup": f"""
+WITH sig AS (SELECT doc_id, simhash FROM read_parquet('{_simhash_sigs_file(ORACLE_SF_DIR)}')),
+bands AS (
+  SELECT doc_id, simhash, t.b AS band, ((simhash >> (16 * t.b)) & 65535) AS key
+    FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS sa, y.simhash AS sb
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+  FROM cand
+ WHERE bit_count(xor(sa, sb)) <= 3
+""",
+    # winnow fingerprints likewise persist as the deterministic artifact;
+    # the overlap query is then exact SQL (self-join + HAVING)
+    "doc_winnow_overlap": f"""
+WITH fp AS (SELECT DISTINCT doc_id, fingerprint
+              FROM read_parquet('{_winnow_fps_file(ORACLE_SF_DIR)}')),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+    FROM fp x JOIN fp y
+      ON x.fingerprint = y.fingerprint AND x.doc_id < y.doc_id
+   GROUP BY 1, 2)
+SELECT a, b, shared FROM pairs WHERE shared >= 5
 """,
     "cross_corpus_dups": """
 WITH new AS (
