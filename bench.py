@@ -140,6 +140,14 @@ def run_bench() -> dict:
             out["scaling"] = json.loads(scaling_file.read_text())
         except Exception:
             pass
+    # fresh per-round measurements (kept separate from the best-ever
+    # pairs so each round's record carries its own evidence)
+    fresh_file = Path(__file__).parent / "BENCH_SCALING_R3.json"
+    if fresh_file.exists():
+        try:
+            out["scaling_fresh_r3"] = json.loads(fresh_file.read_text())
+        except Exception:
+            pass
     ray.shutdown()
     return out
 
