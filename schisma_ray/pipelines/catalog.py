@@ -127,6 +127,33 @@ def q_image_phash_duplicates(sf_dir: str):
     )
 
 
+def q_image_phash_near_dups(sf_dir: str):
+    """NEAR-duplicate images by perceptual-hash Hamming distance <= 3:
+    4 x 16-bit banding over the stored phash column + exact
+    bit_count(xor) verify — the generalized SimHash machinery
+    (stages/dedup.hamming_near_dup_pairs) applied to a stored 64-bit
+    signature. Fully SQL-oracled (no artifacts: phash is in the table).
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import hamming_near_dup_pairs
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
+    sigs = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_valid(t["image_id"].combine_chunks()),
+                pc.is_valid(t["phash"].combine_chunks()),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    return hamming_near_dup_pairs(
+        sigs, sig_col="phash", id_col="image_id", max_hamming=3
+    )
+
+
 def q_image_phash_duplicates_bloom(sf_dir: str):
     """Uniqueness through the counting-Bloom prefilter strategy — the
     extreme-cardinality path (per-batch singleton keys never leave the
@@ -1680,6 +1707,35 @@ def q_minhash_dedup_groups(sf_dir: str):
     return _collect(near_dedup_survivors(docs, pairs, "doc_id"), ["doc_id"])
 
 
+BM25_TERMS = ("shuffle", "vector", "merge")
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 lexical retrieval: top-10 documents for a fixed bag of query
+    terms (idf+1 variant, k1=1.5, b=0.75) — oracled against the full
+    BM25 formula spelled out in SQL."""
+    from ..stages.text import bm25_topk
+
+    return bm25_topk(_t(sf_dir, "documents"), BM25_TERMS, k=10)
+
+
+def q_events_rolling_mean(sf_dir: str):
+    """Per-user moving average of event value over the last 3 events
+    (segmented per-bucket scan; oracled against a SQL window AVG)."""
+    from ..stages.window import grouped_rolling_mean
+
+    return grouped_rolling_mean(_t(sf_dir, "events"), window=3)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-split sequence packing (GPT training layout): global
+    token prefix sums via one remote sum per block + driver prefix over
+    O(blocks) ints; oracled against a SQL window sum."""
+    from ..stages.corpus import pack_sequences
+
+    return pack_sequences(_t(sf_dir, "documents"), seq_len=512)
+
+
 def q_minhash_dedup_ds(sf_dir: str):
     """minhash_dedup through the end-to-end DATASET chain (banded pairs
     -> distributed distinct -> bucketed verify, no pair row ever folded
@@ -1815,6 +1871,23 @@ SELECT row_ref, path, code, expected, received
 """,
         "image_validate_full": f"""
 SELECT row_ref, path, code, expected, received FROM {expviol}
+""",
+        # phash near-dups: same >>/& banding + bit_count(xor) Hamming
+        # reproduction as simhash_dedup, but with zero artifacts — the
+        # signature IS a stored column
+        "image_phash_near_dups": f"""
+WITH sig AS (SELECT image_id, phash FROM {img}
+              WHERE image_id IS NOT NULL AND phash IS NOT NULL),
+bands AS (
+  SELECT image_id, phash, t.b AS band, ((phash >> (16 * t.b)) & 65535) AS key
+    FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+cand AS (
+  SELECT DISTINCT x.image_id AS a, y.image_id AS b, x.phash AS sa, y.phash AS sb
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.image_id < y.image_id)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+  FROM cand
+ WHERE bit_count(xor(sa, sb)) <= 3
 """,
         "image_phash_duplicates": f"""
 WITH im AS (SELECT * FROM {img})
@@ -2677,6 +2750,54 @@ pairs AS (
    GROUP BY 1, 2)
 SELECT a, b, shared FROM pairs WHERE shared >= 5
 """,
+    "bm25_topk": """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+    FROM documents WHERE text IS NOT NULL),
+lens AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+tf AS (
+  SELECT doc_id, t.tok AS term, CAST(count(*) AS DOUBLE) AS tf
+    FROM toks, unnest(w) AS t(tok)
+   WHERE t.tok IN ('shuffle', 'vector', 'merge')
+   GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY term),
+sc AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                   * tf.tf * 2.5
+                   / (tf.tf + 1.5 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))), 6)
+           AS score
+    FROM tf JOIN df USING (term)
+            JOIN lens l ON l.doc_id = tf.doc_id
+            CROSS JOIN stats s
+   GROUP BY tf.doc_id)
+SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10
+""",
+    "events_rolling_mean": """
+SELECT event_id, user_id,
+       ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS rolling_mean
+  FROM events
+""",
+    "pack_sequences": """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+    FROM documents WHERE text IS NOT NULL),
+cum AS (
+  SELECT doc_id, tokens,
+         CAST(COALESCE(SUM(tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_offset
+    FROM toks)
+SELECT doc_id, tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id,
+       CAST(start_offset % 512 AS BIGINT) AS offset_in_pack,
+       CAST((start_offset + tokens - 1) // 512 - start_offset // 512 + 1
+            AS BIGINT) AS n_packs
+  FROM cum
+""",
     "cross_corpus_dups": """
 WITH new AS (
   SELECT doc_id + 100000 AS doc_id,
@@ -2768,6 +2889,7 @@ QUERIES = {
     "image_decode_violations": q_image_decode_violations,
     "image_validate_full": q_image_validate_full,
     "image_phash_duplicates": q_image_phash_duplicates,
+    "image_phash_near_dups": q_image_phash_near_dups,
     "image_phash_duplicates_bloom": q_image_phash_duplicates_bloom,
     "image_phash_duplicates_join": q_image_phash_duplicates_join,
     "image_referential_orphans": q_image_referential_orphans,
@@ -2855,6 +2977,9 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "minhash_dedup_groups": q_minhash_dedup_groups,
+    "bm25_topk": q_bm25_topk,
+    "events_rolling_mean": q_events_rolling_mean,
+    "pack_sequences": q_pack_sequences,
     "minhash_dedup_ds": q_minhash_dedup_ds,
     "minhash_dedup_groups_ds": q_minhash_dedup_groups_ds,
     "embedding_kmeans": q_embedding_kmeans,

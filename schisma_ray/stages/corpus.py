@@ -262,3 +262,58 @@ def split_assign(ds, fractions: dict, *, id_col: str = "doc_id",
         return batch.append_column(split_col, labels)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_sequences(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                   seq_len: int = 2048):
+    """Concat-and-split sequence-packing assignment (the GPT-style
+    training layout): documents are conceptually concatenated in
+    ``id_col`` order and split every ``seq_len`` tokens; each doc gets
+    its global ``start_offset``, the ``pack_id`` it starts in, its
+    ``offset_in_pack`` and how many packs it spans. Null-text rows are
+    excluded (they contribute no tokens).
+
+    Distributed shape: token counts per batch (vectorized split), sort
+    by id, then ``zip_with_cumsum`` — one tiny remote sum per block +
+    a driver prefix-sum over O(num_blocks) ints; the assignment itself
+    is per-row arithmetic. Token definition = single-space fields,
+    matching SQL ``len(string_split(text, ' '))``.
+    """
+    import pyarrow.compute as pc
+
+    from .rank import zip_with_cumsum
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        text = batch[text_col].combine_chunks()
+        t = pa.table(
+            {
+                id_col: batch[id_col],
+                "tokens": pc.cast(
+                    pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+                ),
+            }
+        )
+        return t.filter(pc.is_valid(text))
+
+    counted = ds.map_batches(tokens, batch_format="pyarrow", zero_copy_batch=True)
+    offset = zip_with_cumsum(counted.sort(id_col), "tokens",
+                             offset_col="start_offset")
+
+    def assign(t: pa.Table) -> pa.Table:
+        start = t["start_offset"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = t["tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        pack = start // seq_len
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "tokens": t["tokens"],
+                "start_offset": t["start_offset"],
+                "pack_id": pa.array(pack, pa.int64()),
+                "offset_in_pack": pa.array(start % seq_len, pa.int64()),
+                "n_packs": pa.array(
+                    (start + n - 1) // seq_len - pack + 1, pa.int64()
+                ),
+            }
+        )
+
+    return offset.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -792,22 +792,47 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
     resident (spills at extreme scale rather than re-hashing the corpus).
     """
     sigs = simhash_signatures(ds, col, id_col).materialize()
+    return hamming_near_dup_pairs(
+        sigs, sig_col="simhash", id_col=id_col, max_hamming=max_hamming,
+        verify_driver_limit=verify_driver_limit, as_dataset=as_dataset,
+    )
+
+
+def hamming_near_dup_pairs(sigs, *, sig_col: str, id_col: str,
+                           max_hamming: int = 3, max_bucket: int = 1000,
+                           verify_driver_limit: int = 100_000,
+                           as_dataset: bool = False):
+    """Near-dup pairs among 64-bit signatures by 4 x 16-bit banding +
+    exact Hamming verify — the generalized core behind SimHash text
+    dedup AND stored-hash near-dup detection (e.g. an image table's
+    perceptual ``phash`` column). Pigeonhole: any pair within Hamming
+    distance 3 differs in <= 3 bands, so >= 1 of the 4 band keys is
+    intact and the pair always surfaces as a candidate.
+
+    ``sigs``: Dataset of (id_col, sig_col int64). Banding is fully
+    vectorized (numpy shifts, no per-row loop). Verification mirrors
+    minhash: ``as_dataset=True`` keeps the whole chain a Dataset; else
+    a driver signature lookup below ``verify_driver_limit`` candidates
+    and the bucketed pair-join beyond it.
+    """
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids, band_ids, keys, full = [], [], [], []
-        for rid, sh in zip(batch[id_col].to_pylist(), batch["simhash"].to_pylist()):
-            u = sh & ((1 << 64) - 1)
-            for b in range(4):
-                ids.append(rid)
-                band_ids.append(b)
-                keys.append((u >> (16 * b)) & 0xFFFF)
-                full.append(sh)
+        ids = batch[id_col].combine_chunks()
+        sig = batch[sig_col].combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        u = sig.view(np.uint64)
+        n = len(u)
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))[:, None]
+        keys = ((u[None, :] >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table(
             {
-                id_col: pa.array(ids),
-                "band": pa.array(band_ids, pa.int32()),
-                "key": pa.array(keys, pa.int32()),
-                "simhash": pa.array(full, pa.int64()),
+                id_col: pa.concat_arrays([ids] * 4),
+                "band": pa.array(
+                    np.repeat(np.arange(4, dtype=np.int32), n), pa.int32()
+                ),
+                "key": pa.array(keys.reshape(-1), pa.int32()),
+                sig_col: pa.array(np.tile(sig, 4), pa.int64()),
             }
         )
 
@@ -816,10 +841,11 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
                       "hamming": pa.array([], pa.int32())})
     if as_dataset:
         cand_ds = _bucket_pairs(
-            banded, ["band", "key"], id_col, max_bucket=1000, as_dataset=True
+            banded, ["band", "key"], id_col, max_bucket=max_bucket,
+            as_dataset=True,
         )
         verified = _verify_pairs_bucketed(
-            sigs, _distinct_pairs_ds(cand_ds), "simhash", id_col,
+            sigs, _distinct_pairs_ds(cand_ds), sig_col, id_col,
             lambda sa, sb: float(_hamming64(int(sa or 0), int(sb or 0))),
             as_dataset=True,
         )
@@ -837,14 +863,14 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
         return verified.map_batches(
             thresh, batch_format="pyarrow", zero_copy_batch=True
         )
-    cand = _bucket_pairs(banded, ["band", "key"], id_col, max_bucket=1000)
+    cand = _bucket_pairs(banded, ["band", "key"], id_col, max_bucket=max_bucket)
     if cand.num_rows == 0:
         return empty
     cand = cand.group_by(["a", "b"]).aggregate([])
 
     if cand.num_rows > verify_driver_limit:
         verified = _verify_pairs_bucketed(
-            sigs, cand, "simhash", id_col,
+            sigs, cand, sig_col, id_col,
             lambda sa, sb: float(_hamming64(int(sa or 0), int(sb or 0))),
         )
         hit = verified.filter(
@@ -860,7 +886,7 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
             }
         ).sort_by([("a", "ascending"), ("b", "ascending")])
 
-    # Hamming verification: look up the simhash of candidate ids only
+    # Hamming verification: look up the signature of candidate ids only
     need = set(cand["a"].to_pylist()) | set(cand["b"].to_pylist())
     need_arr = pa.array(sorted(need))
     sig_map: dict = {}
@@ -870,7 +896,7 @@ def simhash_dup_pairs(ds, col: str, id_col: str, *, max_hamming: int = 3,
         zero_copy_batch=True,
     )
     for batch in filtered.iter_batches(batch_format="pyarrow"):
-        for rid, sh in zip(batch[id_col].to_pylist(), batch["simhash"].to_pylist()):
+        for rid, sh in zip(batch[id_col].to_pylist(), batch[sig_col].to_pylist()):
             sig_map[rid] = sh
     a_out, b_out, d_out = [], [], []
     for a, b in zip(cand["a"].to_pylist(), cand["b"].to_pylist()):

@@ -62,6 +62,56 @@ def zip_with_index(ds, *, index_col: str = "rank", start: int = 1):
     return rd.from_arrow_refs(out)
 
 
+@ray.remote
+def _block_sum(block, column: str) -> int:
+    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+    import pyarrow.compute as pc
+
+    s = pc.sum(t[column])
+    return int(s.as_py() or 0)
+
+
+@ray.remote
+def _add_offsets(block, column: str, offset_col: str, offset: int):
+    t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+    vals = t[column].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+    excl = offset + np.concatenate([[0], np.cumsum(vals[:-1])]) if len(vals) else (
+        np.empty(0, np.int64)
+    )
+    return t.append_column(offset_col, pa.array(excl, pa.int64()))
+
+
+def zip_with_cumsum(ds, value_col: str, *, offset_col: str = "offset",
+                    start: int = 0):
+    """Append the EXCLUSIVE running sum of ``value_col`` in dataset
+    order (SQL ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING AND
+    1 PRECEDING)``) — the zip_with_index recipe generalized from counts
+    to value prefix sums: one tiny remote sum per block, a driver
+    prefix-sum over O(num_blocks) ints, then an embarrassingly parallel
+    per-block cumsum task. Rows never touch the driver."""
+    mat = ds.materialize()
+    refs: list = []
+    for bundle in mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    if not refs:
+        schema = mat.schema()
+        base = getattr(schema, "base_schema", None) if schema is not None else None
+        cols = (
+            {n: pa.array([], t) for n, t in zip(base.names, base.types)}
+            if base is not None
+            else {}
+        )
+        cols[offset_col] = pa.array([], pa.int64())
+        return rd.from_arrow(pa.table(cols))
+    sums = ray.get([_block_sum.remote(r, value_col) for r in refs])
+    offsets = start + np.concatenate([[0], np.cumsum(sums[:-1])])
+    out = [
+        _add_offsets.remote(r, value_col, offset_col, int(o))
+        for r, o in zip(refs, offsets)
+    ]
+    return rd.from_arrow_refs(out)
+
+
 def ranked(ds, sort_keys: list[str], *, index_col: str = "rank"):
     """Global sort + rank: ``ds.sort(sort_keys)`` then zip-with-index."""
     return zip_with_index(ds.sort(sort_keys), index_col=index_col)

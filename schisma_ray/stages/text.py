@@ -356,3 +356,104 @@ def redact_all(ds, patterns, *, col: str = "text", id_col: str = "doc_id"):
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
+              b: float = 0.75, col: str = "text", id_col: str = "doc_id"):
+    """BM25 document retrieval for a bag of query terms -> top-k
+    (doc_id, score) — the classic lexical-search scorer (Robertson/
+    Sparck Jones; the +1 idf variant so idf is always positive).
+
+    Distributed shape (one narrow corpus pass + one tiny aggregate):
+
+    1. per batch, explode tokens with Arrow list kernels, filter to the
+       broadcast query terms, pre-aggregate (doc, term) -> tf and carry
+       the doc length; a doc lives in one batch so tf/doclen are exact
+       per batch — the shuffle carries only docs containing >= 1 query
+       term;
+    2. corpus N and average doc length come from a constant-size
+       aggregate over per-batch (docs, tokens) partials;
+    3. df per term = distinct docs per term over the (small) matched
+       table; idf + the BM25 kernel are vectorized numpy; top-k is a
+       driver sort of the per-doc scores (candidate-sized, not corpus).
+
+    Token = single-space field (SQL ``string_split(text, ' ')`` parity).
+    Score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1), rounded to 6dp.
+    """
+    import pandas as pd
+    import ray
+
+    terms = sorted(set(query_terms))
+    terms_ref = ray.put(pa.array(terms, pa.string()))
+
+    def matches(t: pa.Table) -> pa.Table:
+        text = t[col].combine_chunks()
+        valid = pc.is_valid(text)
+        t = pa.table({id_col: t[id_col], col: text}).filter(valid)
+        text = t[col].combine_chunks()
+        words = pc.split_pattern(text, " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        dl = pc.cast(pc.list_value_length(words), pa.int64())
+        tri = pa.table(
+            {
+                id_col: t[id_col].combine_chunks().take(parent),
+                "term": flat,
+                "dl": dl.take(parent),
+            }
+        ).filter(pc.is_in(flat, value_set=ray.get(terms_ref)))
+        agg = tri.group_by([id_col, "term", "dl"]).aggregate([([], "count_all")])
+        return agg.rename_columns([id_col, "term", "dl", "tf"])
+
+    matched = ds.map_batches(
+        matches, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def corpus_partial(t: pa.Table) -> pa.Table:
+        text = t[col].combine_chunks()
+        valid = pc.is_valid(text)
+        words = pc.split_pattern(text.filter(valid), " ")
+        n_tok = pc.sum(pc.list_value_length(words)).as_py() or 0
+        return pa.table(
+            {
+                "docs": pa.array([int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)], pa.int64()),
+                "tokens": pa.array([int(n_tok)], pa.int64()),
+            }
+        )
+
+    stats = ds.map_batches(
+        corpus_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    n_docs = stats.sum("docs")
+    n_tokens = stats.sum("tokens")
+    if not n_docs:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = n_tokens / n_docs
+
+    # df per term over the matched (candidate-sized) table, then the
+    # vectorized BM25 kernel per (doc, term) row and a per-doc sum
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in matched.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    m = pa.concat_tables(parts).to_pandas()
+    df = m.groupby("term")[id_col].nunique()
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    m = m.sort_values([id_col, "term"], kind="stable")
+    tf = m["tf"].to_numpy(np.float64)
+    dl = m["dl"].to_numpy(np.float64)
+    term_idf = idf.reindex(m["term"]).to_numpy(np.float64)
+    m["part"] = term_idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    scores = m.groupby(id_col, sort=True)["part"].sum().round(6)
+    top = scores.sort_values(ascending=False, kind="stable").head(k)
+    # ties at equal score break by ascending doc id (stable sort on the
+    # id-sorted frame), matching ORDER BY score DESC, doc_id
+    out = top.reset_index()
+    return pa.table({id_col: pa.array(out[id_col].tolist()),
+                     "score": pa.array(out["part"].tolist(), pa.float64())})

@@ -288,3 +288,67 @@ def session_ids(
         )
 
     return narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def grouped_rolling_mean(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 3,
+    num_buckets: int = 64,
+):
+    """Per-key moving average over the last ``window`` events (inclusive,
+    ordered by ts then id) — SQL ``AVG(v) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.
+
+    Same scale shape as session_ids: one shuffle carrying
+    (id, key, ts, value), hash buckets, and a segmented shifted-add scan
+    per bucket — lag-k contributions masked at key boundaries (rows are
+    key-contiguous after the in-bucket sort). One Python call per
+    bucket, never per key.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = t[key_col].combine_chunks()
+        return pa.table(
+            {
+                id_col: t[id_col],
+                key_col: key,
+                "ts_us": pc.cast(t[ts_col], pa.int64()),
+                value_col: pc.cast(t[value_col], pa.float64()),
+                "bucket": _key_bucket(key, num_buckets),
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "ts_us", id_col])
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy(dtype=np.float64)
+        n = len(g)
+        # oldest-first accumulation mirrors the SQL frame sum order
+        total = np.zeros(n, np.float64)
+        cnt = np.zeros(n, np.int64)
+        for lag in range(window - 1, -1, -1):
+            if lag >= n:
+                continue
+            valid = np.zeros(n, bool)
+            valid[lag:] = k[lag:] == k[: n - lag] if lag else True
+            total[valid] += np.concatenate([np.zeros(lag), v[: n - lag]])[valid]
+            cnt[valid] += 1
+        mean = np.round(total / np.maximum(cnt, 1), 6)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: k,
+                "rolling_mean": mean,
+            }
+        )
+
+    return narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")

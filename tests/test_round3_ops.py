@@ -1,0 +1,134 @@
+"""Unit tests for the round-3 operator additions: stored-hash near-dups,
+sequence packing, rolling means, BM25 retrieval."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def test_hamming_near_dup_pairs_stored_column(ray_session):
+    """Banding over a stored int64 signature column: pairs within
+    Hamming<=3 always share a band (pigeonhole) and are found; far
+    pairs are not."""
+    from schisma_ray.stages.dedup import hamming_near_dup_pairs
+
+    def s64(u: int) -> int:
+        u &= (1 << 64) - 1
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    base = 0x0123456789ABCDEF
+    sigs = pa.table({
+        "image_id": pa.array(["a", "b", "c", "d"], pa.string()),
+        "phash": pa.array(
+            [base,
+             base ^ 0b111,          # hamming 3 from a
+             s64(base ^ ((1 << 63) | (1 << 2) | (1 << 40) | (1 << 20))),  # hamming 4
+             s64(0xFFFFFFFFFFFFFFFF)],
+            pa.int64()),
+    })
+    out = hamming_near_dup_pairs(
+        rd.from_arrow(sigs), sig_col="phash", id_col="image_id", max_hamming=3
+    )
+    got = sorted(zip(out["a"].to_pylist(), out["b"].to_pylist(),
+                     out["hamming"].to_pylist()))
+    assert got == [("a", "b", 3)]
+
+
+def test_hamming_banding_vectorized_matches_python(ray_session):
+    """The vectorized numpy banding must equal the definitional
+    per-value band keys for negative signatures."""
+    from schisma_ray.stages.dedup import hamming_near_dup_pairs
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(-(2**63), 2**63 - 1, size=50, dtype=np.int64)
+    # two planted twins
+    vals[10] = vals[0]
+    vals[11] = vals[1] ^ 1
+    sigs = pa.table({"id": pa.array(range(50), pa.int64()),
+                     "sig": pa.array(vals, pa.int64())})
+    out = hamming_near_dup_pairs(
+        rd.from_arrow(sigs), sig_col="sig", id_col="id", max_hamming=3
+    )
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert (0, 10) in pairs and (1, 11) in pairs
+
+
+def test_zip_with_cumsum(ray_session):
+    from schisma_ray.stages.rank import zip_with_cumsum
+
+    t = pa.table({"k": pa.array([1, 2, 3, 4], pa.int64()),
+                  "v": pa.array([5, 0, 7, 3], pa.int64())})
+    out = (
+        zip_with_cumsum(rd.from_arrow(t).repartition(2).sort("k"), "v",
+                        offset_col="off")
+        .to_pandas()
+        .sort_values("k")
+    )
+    assert out["off"].tolist() == [0, 5, 5, 12]
+
+
+def test_pack_sequences_semantics(ray_session):
+    """Concat-and-split: offsets are global exclusive prefix sums in id
+    order; pack ids/offsets are plain arithmetic; docs straddling a
+    boundary span 2 packs."""
+    from schisma_ray.stages.corpus import pack_sequences
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b c", "d e f g", "h i"], pa.string()),
+    })).repartition(2)
+    out = (
+        pack_sequences(docs, seq_len=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    assert out.loc[1].tolist() == [3, 0, 0, 0, 1]      # tokens,start,pack,off,n
+    assert out.loc[2].tolist() == [4, 3, 0, 3, 2]      # straddles packs 0-1
+    assert out.loc[3].tolist() == [2, 7, 1, 2, 1]
+
+
+def test_grouped_rolling_mean(ray_session):
+    from schisma_ray.stages.window import grouped_rolling_mean
+
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": 1_000_000, "value": 2.0},
+        {"event_id": 2, "user_id": 1, "ts": 2_000_000, "value": 4.0},
+        {"event_id": 3, "user_id": 1, "ts": 3_000_000, "value": 6.0},
+        {"event_id": 4, "user_id": 1, "ts": 4_000_000, "value": 8.0},
+        {"event_id": 5, "user_id": 2, "ts": 1_500_000, "value": 10.0},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = (
+        grouped_rolling_mean(ds, window=3)
+        .to_pandas()
+        .set_index("event_id")["rolling_mean"]
+    )
+    assert out.loc[1] == 2.0
+    assert out.loc[2] == 3.0          # (2+4)/2
+    assert out.loc[3] == 4.0          # (2+4+6)/3
+    assert out.loc[4] == 6.0          # (4+6+8)/3 — window slides
+    assert out.loc[5] == 10.0         # other key unaffected
+
+
+def test_bm25_ranks_term_frequency_and_rarity(ray_session):
+    from schisma_ray.stages.text import bm25_topk
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "rare rare common filler filler",
+            "common filler filler filler filler",
+            "filler filler filler filler filler",
+            None,
+        ], pa.string()),
+    }))
+    out = bm25_topk(docs, ["rare", "common"], k=3)
+    ids = out["doc_id"].to_pylist()
+    scores = out["score"].to_pylist()
+    # doc 1 has the rare term twice + common -> highest; doc 3 matches
+    # nothing and doc 4 is null -> absent
+    assert ids[0] == 1
+    assert set(ids) == {1, 2}
+    assert scores == sorted(scores, reverse=True)
