@@ -1707,6 +1707,15 @@ def q_minhash_dedup_groups(sf_dir: str):
     return _collect(near_dedup_survivors(docs, pairs, "doc_id"), ["doc_id"])
 
 
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted sample of 50 docs (Efraimidis-Spirakis with md5
+    uniforms — deterministic, parallelism-invariant), oracled against
+    the same formula in SQL."""
+    from ..stages.corpus import weighted_sample
+
+    return weighted_sample(_t(sf_dir, "documents"), weight_col="n_chars", n=50)
+
+
 BM25_TERMS = ("shuffle", "vector", "merge")
 
 
@@ -2750,6 +2759,18 @@ pairs AS (
    GROUP BY 1, 2)
 SELECT a, b, shared FROM pairs WHERE shared >= 5
 """,
+    "weighted_sample": """
+WITH u AS (
+  SELECT doc_id, n_chars,
+         (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) + 0.5) / 4294967296.0 AS uu
+    FROM documents
+   WHERE n_chars IS NOT NULL AND n_chars > 0)
+SELECT doc_id, ROUND(ln(uu) / n_chars, 6) AS key
+  FROM u
+ ORDER BY ln(uu) / n_chars DESC, doc_id
+ LIMIT 50
+""",
     "bm25_topk": """
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS w
@@ -2977,6 +2998,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "minhash_dedup_groups": q_minhash_dedup_groups,
+    "weighted_sample": q_weighted_sample,
     "bm25_topk": q_bm25_topk,
     "events_rolling_mean": q_events_rolling_mean,
     "pack_sequences": q_pack_sequences,

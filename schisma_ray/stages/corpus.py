@@ -317,3 +317,59 @@ def pack_sequences(ds, *, text_col: str = "text", id_col: str = "doc_id",
         )
 
     return offset.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
+                    n: int = 100):
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-ES): each row draws u from its md5-uniform
+    (process/parallelism-invariant, like sample_by_rate) and the n rows
+    with the largest u^(1/w) — equivalently largest ln(u)/w — win.
+    Inclusion probability is proportional to weight, exactly the
+    quality-weighted / temperature-sampling primitive a corpus mix
+    needs, with zero randomness state to checkpoint.
+
+    Shape: per-batch vectorized keys + local top-n, driver merge of
+    n x blocks candidate rows, never the corpus. Rows with weight <= 0
+    or null are excluded. Output: (id, key) with key rounded to 6dp
+    (SQL-mirrorable: ln of the md5 uniform over the weight).
+    """
+    import pyarrow.compute as pc
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        w = batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
+        w = np.asarray(w, np.float64)
+        u32 = np.empty(len(ids), np.int64)
+        for i, v in enumerate(ids):
+            u32[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        u = (u32 + 0.5) / 4294967296.0
+        ok = np.isfinite(w) & (w > 0)
+        key = np.where(ok, np.log(u) / np.maximum(w, 1e-300), -np.inf)
+        order = np.argsort(-key, kind="stable")[: min(n, len(ids))]
+        order = order[np.isfinite(key[order])]
+        return pa.table(
+            {
+                id_col: pa.array([ids[i] for i in order]),
+                "key": pa.array(np.round(key[order], 6), pa.float64()),
+            }
+        )
+
+    locals_ds = ds.map_batches(local_top, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in locals_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "key": pa.array([], pa.float64())})
+    import pandas as pd
+
+    merged = pa.concat_tables(parts).to_pandas()
+    merged = merged.sort_values(id_col, kind="stable").sort_values(
+        "key", ascending=False, kind="stable"
+    ).head(n)
+    return pa.table({id_col: pa.array(merged[id_col].tolist()),
+                     "key": pa.array(merged["key"].tolist(), pa.float64())})

@@ -432,28 +432,68 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
                          "score": pa.array([], pa.float64())})
     avgdl = n_tokens / n_docs
 
-    # df per term over the matched (candidate-sized) table, then the
-    # vectorized BM25 kernel per (doc, term) row and a per-doc sum
+    # df per term: per-batch count_distinct partials sum exactly (a doc
+    # lives in exactly one matched batch); the fold is |terms| rows
+    def df_partial(t: pa.Table) -> pa.Table:
+        agg = t.select(["term", id_col]).group_by("term").aggregate(
+            [(id_col, "count_distinct")]
+        )
+        return agg.rename_columns(["term", "df"])
+
+    df: dict = {}
+    for t in matched.map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_batches([t])
+        for term, n in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+            df[term] = df.get(term, 0) + n
+    if not df:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    idf = {
+        t: float(np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0))
+        for t, d in df.items()
+    }
+    idf_ref = ray.put(idf)
+
+    # score pass: vectorized BM25 kernel per (doc, term) row, per-doc
+    # sums exact within the batch, then a bounded local-top-k per block
+    # — the driver folds k rows per block, never the matched table
+    def score_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        m = t.to_pandas().sort_values([id_col, "term"], kind="stable")
+        lut = ray.get(idf_ref)
+        tf = m["tf"].to_numpy(np.float64)
+        dl = m["dl"].to_numpy(np.float64)
+        term_idf = np.fromiter(
+            (lut.get(x, 0.0) for x in m["term"]), np.float64, count=len(m)
+        )
+        m["part"] = term_idf * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl / avgdl)
+        )
+        scores = m.groupby(id_col, sort=True)["part"].sum().round(6)
+        top = scores.sort_values(ascending=False, kind="stable").head(k)
+        out = top.reset_index()
+        return pa.table({id_col: pa.array(out[id_col].tolist()),
+                         "score": pa.array(out["part"].tolist(), pa.float64())})
+
+    locals_ds = matched.map_batches(
+        score_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
     parts = [
         t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in matched.iter_batches(batch_format="pyarrow", batch_size=None)
+        for t in locals_ds.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     parts = [t for t in parts if t.num_rows]
     if not parts:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    m = pa.concat_tables(parts).to_pandas()
-    df = m.groupby("term")[id_col].nunique()
-    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-    m = m.sort_values([id_col, "term"], kind="stable")
-    tf = m["tf"].to_numpy(np.float64)
-    dl = m["dl"].to_numpy(np.float64)
-    term_idf = idf.reindex(m["term"]).to_numpy(np.float64)
-    m["part"] = term_idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
-    scores = m.groupby(id_col, sort=True)["part"].sum().round(6)
-    top = scores.sort_values(ascending=False, kind="stable").head(k)
-    # ties at equal score break by ascending doc id (stable sort on the
-    # id-sorted frame), matching ORDER BY score DESC, doc_id
-    out = top.reset_index()
-    return pa.table({id_col: pa.array(out[id_col].tolist()),
-                     "score": pa.array(out["part"].tolist(), pa.float64())})
+    merged = pa.concat_tables(parts).to_pandas()
+    merged = merged.sort_values(id_col, kind="stable").sort_values(
+        "score", ascending=False, kind="stable"
+    ).head(k)
+    return pa.table({id_col: pa.array(merged[id_col].tolist()),
+                     "score": pa.array(merged["score"].tolist(), pa.float64())})

@@ -132,3 +132,32 @@ def test_bm25_ranks_term_frequency_and_rarity(ray_session):
     assert ids[0] == 1
     assert set(ids) == {1, 2}
     assert scores == sorted(scores, reverse=True)
+
+
+def test_weighted_sample_properties(ray_session):
+    """Deterministic, parallelism-invariant, weight-proportional-ish:
+    the same rows win at any block count, and heavily-weighted rows win
+    far more often than light ones."""
+    from schisma_ray.stages.corpus import weighted_sample
+
+    t = pa.table({
+        "doc_id": pa.array(range(400), pa.int64()),
+        # first 100 rows carry 50x the weight of the rest
+        "w": pa.array([50.0] * 100 + [1.0] * 300, pa.float64()),
+    })
+    a = weighted_sample(rd.from_arrow(t), weight_col="w", n=40)
+    b = weighted_sample(rd.from_arrow(t).repartition(7), weight_col="w", n=40)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    heavy = sum(1 for i in a["doc_id"].to_pylist() if i < 100)
+    assert heavy >= 25  # 50x weight on 1/4 of rows dominates the sample
+
+
+def test_weighted_sample_excludes_nonpositive(ray_session):
+    from schisma_ray.stages.corpus import weighted_sample
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "w": pa.array([1.0, 0.0, None], pa.float64()),
+    })
+    out = weighted_sample(rd.from_arrow(t), weight_col="w", n=10)
+    assert out["doc_id"].to_pylist() == [1]
