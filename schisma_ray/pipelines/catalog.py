@@ -154,6 +154,36 @@ def q_image_phash_near_dups(sf_dir: str):
     )
 
 
+def q_image_near_dedup_survivors(sf_dir: str):
+    """Image-side dedup flagship composite: phash Hamming pairs ->
+    connected components -> surviving image_ids (every valid id minus
+    non-keeper group members; keeper = lexicographic-min id). Oracled
+    end-to-end with a recursive-CTE min-label in SQL."""
+    import pyarrow.compute as pc
+
+    from ..stages.components import near_dedup_survivors
+    from ..stages.dedup import hamming_near_dup_pairs
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
+    sigs = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_valid(t["image_id"].combine_chunks()),
+                pc.is_valid(t["phash"].combine_chunks()),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    pairs = hamming_near_dup_pairs(
+        sigs, sig_col="phash", id_col="image_id", max_hamming=3
+    )
+    return _collect(
+        near_dedup_survivors(sigs, pairs.select(["a", "b"]), "image_id"),
+        ["image_id"],
+    )
+
+
 def q_image_phash_duplicates_bloom(sf_dir: str):
     """Uniqueness through the counting-Bloom prefilter strategy — the
     extreme-cardinality path (per-batch singleton keys never leave the
@@ -1898,6 +1928,26 @@ SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
   FROM cand
  WHERE bit_count(xor(sa, sb)) <= 3
 """,
+        "image_near_dedup_survivors": f"""
+WITH RECURSIVE sig AS (SELECT image_id, phash FROM {img}
+              WHERE image_id IS NOT NULL AND phash IS NOT NULL),
+bands AS (
+  SELECT image_id, phash, t.b AS band, ((phash >> (16 * t.b)) & 65535) AS key
+    FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+edges AS (
+  SELECT DISTINCT x.image_id AS a, y.image_id AS b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.image_id < y.image_id
+   WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+und AS (SELECT a AS n, b AS m FROM edges UNION SELECT b, a FROM edges),
+reach(n, m) AS (
+  SELECT n, m FROM und
+  UNION
+  SELECT r.n, u.m FROM reach r JOIN und u ON u.n = r.m),
+root AS (SELECT n AS image_id, LEAST(n, min(m)) AS rep FROM reach GROUP BY n)
+SELECT image_id FROM sig
+ WHERE image_id NOT IN (SELECT image_id FROM root WHERE image_id != rep)
+""",
         "image_phash_duplicates": f"""
 WITH im AS (SELECT * FROM {img})
 SELECT image_id AS row_ref, 'phash' AS path, 'invalid' AS code, 'unique' AS expected
@@ -2911,6 +2961,7 @@ QUERIES = {
     "image_validate_full": q_image_validate_full,
     "image_phash_duplicates": q_image_phash_duplicates,
     "image_phash_near_dups": q_image_phash_near_dups,
+    "image_near_dedup_survivors": q_image_near_dedup_survivors,
     "image_phash_duplicates_bloom": q_image_phash_duplicates_bloom,
     "image_phash_duplicates_join": q_image_phash_duplicates_join,
     "image_referential_orphans": q_image_referential_orphans,
