@@ -1145,6 +1145,34 @@ def q_doc_decontaminate(sf_dir: str):
     return decontaminate(corpus, bench, n=4)
 
 
+def q_decontam_attribution(sf_dir: str):
+    """Contamination audit pairs: which held-out (doc_id % 11 == 0) doc
+    each contaminated corpus doc shares a 4-gram with."""
+    from ..stages.corpus import decontam_attribution
+
+    def side(is_bench: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy()
+            mask = (ids % DECONTAM_MOD == 0) if is_bench else (ids % DECONTAM_MOD != 0)
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    docs = _t(sf_dir, "documents")
+    bench = docs.map_batches(side(True), batch_format="pyarrow", zero_copy_batch=True)
+    corpus = docs.map_batches(side(False), batch_format="pyarrow", zero_copy_batch=True)
+    return decontam_attribution(corpus, bench, n=4)
+
+
+def q_event_funnel(sf_dir: str):
+    """Ordered view -> click -> purchase funnel over the events table
+    (users reaching each step strictly after their previous step's
+    first event)."""
+    from ..stages.window import funnel_counts
+
+    return funnel_counts(_t(sf_dir, "events"), ("view", "click", "purchase"))
+
+
 def q_doc_mixture_sample(sf_dir: str):
     """Deterministic corpus-mixture sampling: md5-hash each doc_id and
     keep per-language rates (en 0.5, de 0.25, others 0.1) — the
@@ -2479,6 +2507,31 @@ SELECT g.doc_id, CAST(count(DISTINCT g.g) AS BIGINT) AS n_hits
  WHERE g.doc_id % 11 != 0
  GROUP BY g.doc_id
 """,
+        "decontam_attribution": """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-3, 0)+1)) AS t(i)
+)
+SELECT DISTINCT c.doc_id, b.doc_id AS bench_id
+  FROM grams c JOIN grams b USING (g)
+ WHERE c.doc_id % 11 != 0 AND b.doc_id % 11 = 0
+""",
+        "event_funnel": """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+             WHERE event_type = 'view' GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.ts) AS t
+         FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.ts) AS t
+         FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+SELECT 1 AS step, 'view' AS step_name, CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT 2, 'click', count(*) FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM s3
+""",
         "doc_mixture_sample": """
 SELECT * FROM documents
  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000
@@ -3027,6 +3080,8 @@ QUERIES = {
     "docs_regex_filtered": q_docs_regex_filtered,
     "doc_repetition": q_doc_repetition,
     "doc_decontaminate": q_doc_decontaminate,
+    "decontam_attribution": q_decontam_attribution,
+    "event_funnel": q_event_funnel,
     "doc_mixture_sample": q_doc_mixture_sample,
     "doc_chunks": q_doc_chunks,
     "doc_pii_redacted": q_doc_pii_redacted,

@@ -373,3 +373,57 @@ def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
     ).head(n)
     return pa.table({id_col: pa.array(merged[id_col].tolist()),
                      "key": pa.array(merged["key"].tolist(), pa.float64())})
+
+
+def decontam_attribution(corpus, bench, *, n: int = 4, col: str = "text",
+                         id_col: str = "doc_id"):
+    """(doc_id, bench_id) distinct pairs: WHICH held-out document each
+    contaminated corpus document shares a word n-gram with — the audit
+    companion to ``decontaminate`` (a filter tells you *that* a doc is
+    contaminated; compliance review asks *by what*).
+
+    Same broadcast shape: the bench side folds to a gram -> bench-ids
+    inverted index (benchmarks are MBs; the corpus is the 100-TB side)
+    and ships once; the corpus streams through one actor-pool pass.
+    """
+    import ray
+
+    index: dict = {}
+    for b in bench.select_columns([col, id_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for rid, text in zip(b[id_col].to_pylist(), b[col].to_pylist()):
+            if not text:
+                continue
+            for g in _word_ngrams(text, n):
+                index.setdefault(g, set()).add(rid)
+    index_ref = ray.put({g: tuple(sorted(v)) for g, v in index.items()})
+
+    class Attributor:
+        def __init__(self):
+            self.index = ray.get(index_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids_out, bench_out = [], []
+            for rid, text in zip(batch[id_col].to_pylist(),
+                                 batch[col].to_pylist()):
+                if not text:
+                    continue
+                hits: set = set()
+                for g in _word_ngrams(text, n) & self.index.keys():
+                    hits.update(self.index[g])
+                for bid in sorted(hits):
+                    ids_out.append(rid)
+                    bench_out.append(bid)
+            id_type = batch[id_col].type
+            return pa.table(
+                {
+                    id_col: pa.array(ids_out, id_type),
+                    "bench_id": pa.array(bench_out, id_type),
+                }
+            )
+
+    return corpus.map_batches(
+        Attributor, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

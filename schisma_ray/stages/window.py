@@ -352,3 +352,83 @@ def grouped_rolling_mean(
         )
 
     return narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def funnel_counts(
+    ds,
+    steps: tuple,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+):
+    """Ordered funnel conversion: how many users performed step 1, then
+    step 2 strictly after their first step-1 event, then step 3 after
+    that, ... (the product-analytics funnel; SQL = a chain of
+    min-ts-after-previous-step joins).
+
+    Shape: events filter to funnel types at the read (narrow rows), one
+    hash-bucket shuffle co-locating each user's rows, and a per-bucket
+    pandas pass whose per-step work is groupby-min + merge (vectorized,
+    one Python call per bucket). The per-bucket step counts sum in a
+    3-row groupby. Output: (step, step_name, users).
+    """
+    import numpy as np
+    import pandas as pd
+
+    step_set = pa.array(list(steps), pa.string())
+
+    def prep(t: pa.Table) -> pa.Table:
+        typ = t[type_col].combine_chunks()
+        keep = pc.fill_null(pc.is_in(typ, value_set=step_set), False)
+        t = pa.table(
+            {
+                key_col: t[key_col],
+                "ts_us": pc.cast(t[ts_col], pa.int64()),
+                type_col: typ,
+            }
+        ).filter(keep)
+        key = t[key_col].combine_chunks()
+        return t.append_column("bucket", _key_bucket(key, num_buckets))
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        out_step, out_name, out_users = [], [], []
+        prev = None  # DataFrame(key, t_prev)
+        for i, s in enumerate(steps):
+            sub = group[group[type_col] == s][[key_col, "ts_us"]]
+            if i == 0:
+                t = sub.groupby(key_col)["ts_us"].min()
+            else:
+                m = sub.merge(
+                    prev.rename("t_prev"), left_on=key_col, right_index=True
+                )
+                m = m[m["ts_us"] > m["t_prev"]]
+                t = m.groupby(key_col)["ts_us"].min()
+            out_step.append(i + 1)
+            out_name.append(s)
+            out_users.append(len(t))
+            prev = t
+        return pd.DataFrame(
+            {
+                "step": np.asarray(out_step, np.int64),
+                "step_name": out_name,
+                "users": np.asarray(out_users, np.int64),
+            }
+        )
+
+    per = narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+    total = per.groupby(["step", "step_name"]).sum("users")
+    return total.map_batches(
+        lambda t: pa.table(
+            {
+                "step": t["step"],
+                "step_name": t["step_name"],
+                "users": t["sum(users)"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

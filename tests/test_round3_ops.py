@@ -161,3 +161,51 @@ def test_weighted_sample_excludes_nonpositive(ray_session):
     })
     out = weighted_sample(rd.from_arrow(t), weight_col="w", n=10)
     assert out["doc_id"].to_pylist() == [1]
+
+
+def test_funnel_counts_ordering(ray_session):
+    """Funnel requires strict ordering: a click BEFORE the first view
+    must not count toward step 2."""
+    from schisma_ray.stages.window import funnel_counts
+
+    rows = [
+        # user 1 converts fully: view(10) click(20) purchase(30)
+        {"event_id": 1, "user_id": 1, "ts": 10, "event_type": "view"},
+        {"event_id": 2, "user_id": 1, "ts": 20, "event_type": "click"},
+        {"event_id": 3, "user_id": 1, "ts": 30, "event_type": "purchase"},
+        # user 2 clicked before viewing -> stops at step 1
+        {"event_id": 4, "user_id": 2, "ts": 5, "event_type": "click"},
+        {"event_id": 5, "user_id": 2, "ts": 10, "event_type": "view"},
+        # user 3 never viewed -> no steps
+        {"event_id": 6, "user_id": 3, "ts": 7, "event_type": "purchase"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = (
+        funnel_counts(ds, ("view", "click", "purchase"))
+        .to_pandas()
+        .set_index("step")["users"]
+    )
+    assert out.loc[1] == 2   # users 1 and 2 viewed
+    assert out.loc[2] == 1   # only user 1 clicked after viewing
+    assert out.loc[3] == 1
+
+
+def test_decontam_attribution_pairs(ray_session):
+    from schisma_ray.stages.corpus import decontam_attribution
+
+    bench = rd.from_arrow(pa.table({
+        "doc_id": pa.array([100, 101], pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon",
+                          "one two three four five"], pa.string()),
+    }))
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "x alpha beta gamma delta y",          # shares 4-gram with 100
+            "zero one two three four end",          # shares 4-gram with 101
+            "nothing shared here at all now",
+        ], pa.string()),
+    }))
+    out = decontam_attribution(corpus, bench, n=4).to_pandas()
+    pairs = sorted(zip(out["doc_id"], out["bench_id"]))
+    assert pairs == [(1, 100), (2, 101)]
