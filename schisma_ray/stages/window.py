@@ -402,9 +402,9 @@ def funnel_counts(
             if i == 0:
                 t = sub.groupby(key_col)["ts_us"].min()
             else:
-                m = sub.merge(
-                    prev.rename("t_prev"), left_on=key_col, right_index=True
-                )
+                prev_df = prev.rename("t_prev").reset_index()
+                prev_df.columns = [key_col, "t_prev"]
+                m = sub.merge(prev_df, on=key_col)
                 m = m[m["ts_us"] > m["t_prev"]]
                 t = m.groupby(key_col)["ts_us"].min()
             out_step.append(i + 1)
