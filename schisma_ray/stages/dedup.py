@@ -272,20 +272,42 @@ class MinHasher:
 
 
 def _band_rows(batch: pa.Table, id_col: str, bands: int, rows_per_band: int) -> pa.Table:
-    ids, band_ids, band_hashes = [], [], []
-    for rid, sig in zip(batch[id_col].to_pylist(), batch["signature"].to_pylist()):
-        sig = np.asarray(sig, dtype=np.uint64)
-        for b in range(bands):
-            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-            digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).digest()
-            ids.append(rid)
-            band_ids.append(b)
-            band_hashes.append(int.from_bytes(digest, "little", signed=True))
+    """Banded LSH rows, fully vectorized: the (n, bands, rows_per_band)
+    signature tensor folds to one 64-bit band hash via an FNV-1a-style
+    word fold (rows_per_band numpy iterations over the whole batch — no
+    per-row Python, no per-band digest calls). LSH recall depends only
+    on chunk EQUALITY (equal chunks -> equal hash, guaranteed by any
+    deterministic fold); collisions at 2^-64 are as negligible as the
+    blake2b digests this replaces."""
+    n = batch.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.int64()),
+            }
+        )
+    sig_col = batch["signature"].combine_chunks()
+    flat = sig_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
+    arr = flat.reshape(n, bands, rows_per_band)
+    h = np.full((n, bands), np.uint64(0xCBF29CE484222325), np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for r in range(rows_per_band):
+        # fold each 64-bit word in two 32-bit halves (FNV-1a shape)
+        w = arr[:, :, r]
+        h = (h ^ (w & np.uint64(0xFFFFFFFF))) * prime
+        h = (h ^ (w >> np.uint64(32))) * prime
+    ids = batch[id_col].combine_chunks()
     return pa.table(
         {
-            id_col: pa.array(ids),
-            "band": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes, pa.int64()),
+            id_col: pa.concat_arrays([ids] * bands),
+            "band": pa.array(
+                np.repeat(np.arange(bands, dtype=np.int32), n), pa.int32()
+            ),
+            "band_hash": pa.array(
+                h.T.reshape(-1).view(np.int64), pa.int64()
+            ),
         }
     )
 
