@@ -127,19 +127,13 @@ def q_image_phash_duplicates(sf_dir: str):
     )
 
 
-def q_image_phash_near_dups(sf_dir: str):
-    """NEAR-duplicate images by perceptual-hash Hamming distance <= 3:
-    4 x 16-bit banding over the stored phash column + exact
-    bit_count(xor) verify — the generalized SimHash machinery
-    (stages/dedup.hamming_near_dup_pairs) applied to a stored 64-bit
-    signature. Fully SQL-oracled (no artifacts: phash is in the table).
-    """
+def _phash_sigs(sf_dir: str):
+    """Materialized (image_id, phash) rows with both columns valid — the
+    shared signature input for the phash near-dup queries."""
     import pyarrow.compute as pc
 
-    from ..stages.dedup import hamming_near_dup_pairs
-
     ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
-    sigs = ds.map_batches(
+    return ds.map_batches(
         lambda t: t.filter(
             pc.and_(
                 pc.is_valid(t["image_id"].combine_chunks()),
@@ -149,6 +143,18 @@ def q_image_phash_near_dups(sf_dir: str):
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+
+
+def q_image_phash_near_dups(sf_dir: str):
+    """NEAR-duplicate images by perceptual-hash Hamming distance <= 3:
+    4 x 16-bit banding over the stored phash column + exact
+    bit_count(xor) verify — the generalized SimHash machinery
+    (stages/dedup.hamming_near_dup_pairs) applied to a stored 64-bit
+    signature. Fully SQL-oracled (no artifacts: phash is in the table).
+    """
+    from ..stages.dedup import hamming_near_dup_pairs
+
+    sigs = _phash_sigs(sf_dir)
     return hamming_near_dup_pairs(
         sigs, sig_col="phash", id_col="image_id", max_hamming=3
     )
@@ -159,22 +165,10 @@ def q_image_near_dedup_survivors(sf_dir: str):
     connected components -> surviving image_ids (every valid id minus
     non-keeper group members; keeper = lexicographic-min id). Oracled
     end-to-end with a recursive-CTE min-label in SQL."""
-    import pyarrow.compute as pc
-
     from ..stages.components import near_dedup_survivors
     from ..stages.dedup import hamming_near_dup_pairs
 
-    ds = read_images(_img_dir(sf_dir), ["image_id", "phash"])
-    sigs = ds.map_batches(
-        lambda t: t.filter(
-            pc.and_(
-                pc.is_valid(t["image_id"].combine_chunks()),
-                pc.is_valid(t["phash"].combine_chunks()),
-            )
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
+    sigs = _phash_sigs(sf_dir)
     pairs = hamming_near_dup_pairs(
         sigs, sig_col="phash", id_col="image_id", max_hamming=3
     )
@@ -2058,7 +2052,8 @@ SELECT ROUND(SUM(POWER(c.cnt - 0.2 * n.total, 2) / (0.2 * n.total)), 6) AS stati
   FROM c CROSS JOIN n GROUP BY n.k, n.total
 """,
         "image_drift_psi": f"""
-WITH c AS (SELECT fmt, CAST(count(*) AS DOUBLE) AS cnt FROM {img} GROUP BY fmt),
+WITH c AS (SELECT fmt, CAST(count(*) AS DOUBLE) AS cnt FROM {img}
+            WHERE fmt IS NOT NULL GROUP BY fmt),
      n AS (SELECT sum(cnt) AS total FROM c),
      e AS (SELECT bucket AS fmt, freq FROM {refprof} WHERE "column" = 'fmt'),
      terms AS (

@@ -16,10 +16,14 @@ def write_partitioned(ds, out_dir: str | Path, *, partition_cols: list[str],
                       min_rows_per_file: int | None = None) -> Path:
     """Write ``ds`` as hive-partitioned parquet; returns the output dir.
 
-    Atomic: data lands in ``{out_dir}.inprogress`` and is renamed into
-    place with a ``_MANIFEST.json`` of partition directories — readers
-    never observe a half-written output, and a crashed attempt's temp
-    dir is replaced on retry (same contract as state/checkpoint).
+    Data lands in ``{out_dir}.inprogress`` and is renamed into place
+    with a ``_MANIFEST.json`` of partition directories — readers never
+    observe a HALF-WRITTEN output (out_dir always holds a complete
+    dataset when present; it is briefly absent during the two-rename
+    swap, which POSIX cannot make atomic for directories), a crash at
+    any point is recovered losslessly on the next call, and a crashed
+    attempt's temp dir is replaced on retry (same contract as
+    state/checkpoint).
     """
     import json
     import os
@@ -28,6 +32,12 @@ def write_partitioned(ds, out_dir: str | Path, *, partition_cols: list[str],
     out_dir = Path(out_dir)
     tmp = out_dir.with_name(out_dir.name + ".inprogress")
     old = out_dir.with_name(out_dir.name + ".replaced")
+    # crash recovery: a previous attempt that died between the two
+    # renames leaves the only good copy at .replaced with out_dir
+    # absent — restore it BEFORE clearing stale state, so the prior
+    # output is never lost
+    if old.exists() and not out_dir.exists():
+        os.rename(old, out_dir)
     for stale in (tmp, old):
         if stale.exists():
             shutil.rmtree(stale)
@@ -42,10 +52,12 @@ def write_partitioned(ds, out_dir: str | Path, *, partition_cols: list[str],
     (tmp / "_MANIFEST.json").write_text(
         json.dumps({"partition_cols": partition_cols, "partitions": parts}, indent=1)
     )
-    # replacement keeps a valid dataset visible at all times: move the
-    # previous output ASIDE (rename, atomic), move the new one in, THEN
-    # delete the old copy — a crash between steps leaves either the old
-    # or the new dataset at out_dir, never nothing
+    # replacement: move the previous output ASIDE (rename, atomic), move
+    # the new one in, THEN delete the old copy. POSIX cannot swap two
+    # directories atomically, so out_dir is absent for the instant
+    # between the renames; a crash there is recovered losslessly by the
+    # restore-from-.replaced step above on the next call, and at every
+    # other point a complete dataset sits at out_dir
     if out_dir.exists():
         os.rename(out_dir, old)
     os.rename(tmp, out_dir)

@@ -13,6 +13,9 @@ same shape as session_agg (window.py): 10^9 distinct keys cost
 ``num_buckets`` group tasks, not 10^9.
 
 The shuffle carries only (key, ts, side, id) — never the wide payloads.
+NULL keys follow SQL equi-join semantics: a null never matches anything
+(each null row is its own segment in the scan), unlike the pre-round-3
+per-key groupby which co-grouped nulls.
 Partitioning assumption: one BUCKET (≈ total_rows / num_buckets, both
 sides) fits a group task; raise ``num_buckets`` for bigger inputs.
 """

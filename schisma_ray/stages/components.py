@@ -33,10 +33,12 @@ import pyarrow as pa
 
 
 def derive_join_partitions(*datasets) -> int:
-    """Partition count for Ray's native hash-shuffle join, derived from
-    the larger side's known block count when available (materialized
-    inputs), else from cluster CPUs — never a hardcoded constant, so
-    the same call site works at sf0.01 and at 40x without retuning."""
+    """Partition count for Ray's native hash-shuffle join. Materialized
+    inputs contribute their known block count; LAZY inputs raise inside
+    num_blocks() and fall back to cluster CPUs — still per-cluster-size
+    rather than a hardcoded constant, so the same call site works at
+    sf0.01 and at 40x without retuning. (Most call sites pass lazy
+    datasets, so CPU count is the common path.)"""
     best = 0
     for ds in datasets:
         try:
@@ -260,13 +262,12 @@ def components_from_pairs(pairs: pa.Table, *, driver_limit: int = 10_000_000) ->
                 "component": pa.array([labels[n] for n in nodes]),
             }
         )
-    out = components_distributed(pairs)
-    parts = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    parts = [t for t in parts if t.num_rows]
-    tbl = pa.concat_tables(parts)
+    from ._fold import fold_table
+
+    tbl = fold_table(components_distributed(pairs))
+    if tbl is None:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "component": pa.array([], pa.int64())})
     return tbl.sort_by("node")
 
 
@@ -345,14 +346,12 @@ def near_dedup_survivors(ds, pairs, id_col: str,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        parts = [
-            (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))
-            for b in non_keepers.iter_batches(batch_format="pyarrow", batch_size=None)
-        ]
-        parts = [t for t in parts if t.num_rows]
+        from ._fold import fold_table
+
+        folded = fold_table(non_keepers)
         drop_nodes = (
-            pa.concat_tables(parts)["node"].combine_chunks()
-            if parts
+            folded["node"].combine_chunks()
+            if folded is not None
             else pa.array([], pa.int64())
         )
     drop_ref = ray.put(drop_nodes)

@@ -351,28 +351,31 @@ def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
         return pa.table(
             {
                 id_col: pa.array([ids[i] for i in order]),
-                "key": pa.array(np.round(key[order], 6), pa.float64()),
+                # UNROUNDED key end-to-end: the selection (local cut AND
+                # driver merge) must rank exactly like the SQL oracle's
+                # ORDER BY — rounding before ranking would both diverge
+                # from the oracle near the boundary and make the result
+                # depend on batch boundaries
+                "key": pa.array(key[order], pa.float64()),
             }
         )
 
     locals_ds = ds.map_batches(local_top, batch_format="pyarrow",
                                zero_copy_batch=True)
-    parts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in locals_ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    parts = [t for t in parts if t.num_rows]
-    if not parts:
+    from ._fold import fold_table
+
+    folded = fold_table(locals_ds)
+    if folded is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "key": pa.array([], pa.float64())})
-    import pandas as pd
-
-    merged = pa.concat_tables(parts).to_pandas()
+    merged = folded.to_pandas()
     merged = merged.sort_values(id_col, kind="stable").sort_values(
         "key", ascending=False, kind="stable"
     ).head(n)
     return pa.table({id_col: pa.array(merged[id_col].tolist()),
-                     "key": pa.array(merged["key"].tolist(), pa.float64())})
+                     "key": pa.array(np.round(
+                         merged["key"].to_numpy(np.float64), 6
+                     ), pa.float64())})
 
 
 def decontam_attribution(corpus, bench, *, n: int = 4, col: str = "text",

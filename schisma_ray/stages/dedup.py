@@ -317,12 +317,9 @@ def _fold_pairs(pairs_ds) -> pa.Table:
     candidate/verified pair tables in this module goes through here, so
     tests can disable it outright and prove the ``as_dataset`` chain
     never collects pairs (VERDICT r2 #1)."""
-    parts = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in pairs_ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    parts = [t for t in parts if t.num_rows]
-    return pa.concat_tables(parts) if parts else None
+    from ._fold import fold_table
+
+    return fold_table(pairs_ds)
 
 
 def minhash_candidate_pairs(ds, col: str, id_col: str, *, num_perm: int = 64,
@@ -637,13 +634,12 @@ def _distinct_pair_ids(pairs_ds) -> pa.Array:
     per_block = pairs_ds.map_batches(
         block_ids, batch_format="pyarrow", zero_copy_batch=True
     )
-    parts = [
-        (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))["id"]
-        for b in per_block.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    if not parts:
+    from ._fold import fold_table
+
+    folded = fold_table(per_block)
+    if folded is None:
         return pa.array([], id_type)
-    return pc.unique(pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in parts]))
+    return pc.unique(folded["id"].combine_chunks())
 
 
 def jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
@@ -965,15 +961,12 @@ def cross_corpus_duplicates(new_ds, base_ds, *, col: str = "text",
     )
 
     if strategy == "broadcast":
-        parts = [
-            (b if isinstance(b, pa.Table) else pa.Table.from_batches([b]))[
-                "fingerprint"
-            ].combine_chunks()
-            for b in base_fp.iter_batches(batch_format="pyarrow", batch_size=None)
-        ]
-        parts = [p for p in parts if len(p)]
+        from ._fold import fold_table
+
+        folded = fold_table(base_fp)
         fps_all = (
-            pc.unique(pa.concat_arrays(parts)) if parts
+            pc.unique(folded["fingerprint"].combine_chunks())
+            if folded is not None
             else pa.array([], pa.string())
         )
         fp_ref = ray.put(fps_all)

@@ -312,15 +312,12 @@ def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-    parts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in pairs.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    parts = [t for t in parts if t.num_rows]
-    if not parts:
+    from ._fold import fold_table
+
+    tbl = fold_table(pairs)
+    if tbl is None:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                          "sim": pa.array([], pa.float64())})
-    tbl = pa.concat_tables(parts)
     # the same pair can surface in several tables — max(sim) dedupes
     # (sims are identical across tables; max is just the dedup fold)
     return tbl.group_by(["a", "b"]).aggregate([("sim", "max")]).rename_columns(

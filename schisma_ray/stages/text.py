@@ -364,18 +364,18 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
     (doc_id, score) — the classic lexical-search scorer (Robertson/
     Sparck Jones; the +1 idf variant so idf is always positive).
 
-    Distributed shape (one narrow corpus pass + one tiny aggregate):
+    Distributed shape (ONE tokenizing pass over the corpus):
 
-    1. per batch, explode tokens with Arrow list kernels, filter to the
-       broadcast query terms, pre-aggregate (doc, term) -> tf and carry
-       the doc length; a doc lives in one batch so tf/doclen are exact
-       per batch — the shuffle carries only docs containing >= 1 query
-       term;
-    2. corpus N and average doc length come from a constant-size
-       aggregate over per-batch (docs, tokens) partials;
-    3. df per term = distinct docs per term over the (small) matched
-       table; idf + the BM25 kernel are vectorized numpy; top-k is a
-       driver sort of the per-doc scores (candidate-sized, not corpus).
+    1. per batch, explode tokens with Arrow list kernels ONCE, filter
+       to the broadcast query terms, pre-aggregate (doc, term) -> tf
+       carrying the doc length, and append one marker row holding the
+       batch's (doc count, token total) — corpus N / avgdl ride the
+       same pass instead of re-splitting the corpus; a doc lives in
+       one batch so tf/doclen/df partials are exact per batch;
+    2. df per term = count_distinct partials over the (small) matched
+       table; idf broadcasts; the BM25 kernel is vectorized numpy and
+       each block emits only its local top-k — the driver folds k rows
+       per block, never the matched table.
 
     Token = single-space field (SQL ``string_split(text, ' ')`` parity).
     Score = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
@@ -388,6 +388,7 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
     terms_ref = ray.put(pa.array(terms, pa.string()))
 
     def matches(t: pa.Table) -> pa.Table:
+        id_type = t.schema.field(id_col).type
         text = t[col].combine_chunks()
         valid = pc.is_valid(text)
         t = pa.table({id_col: t[id_col], col: text}).filter(valid)
@@ -404,25 +405,37 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
             }
         ).filter(pc.is_in(flat, value_set=ray.get(terms_ref)))
         agg = tri.group_by([id_col, "term", "dl"]).aggregate([([], "count_all")])
-        return agg.rename_columns([id_col, "term", "dl", "tf"])
+        agg = agg.rename_columns([id_col, "term", "dl", "tf"])
+        agg = agg.append_column(
+            "stats", pa.array(np.zeros(agg.num_rows, np.int8), pa.int8())
+        )
+        # marker row: this batch's corpus totals (token count in dl,
+        # doc count in tf) — N/avgdl ride the single tokenizing pass
+        marker = pa.table(
+            {
+                id_col: pa.array([None], id_type),
+                "term": pa.array([""], pa.string()),
+                "dl": pa.array([int(pc.sum(dl).as_py() or 0)], pa.int64()),
+                "tf": pa.array([t.num_rows], pa.int64()),
+                "stats": pa.array([1], pa.int8()),
+            }
+        )
+        return pa.concat_tables([agg, marker])
 
     matched = ds.map_batches(
         matches, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     def corpus_partial(t: pa.Table) -> pa.Table:
-        text = t[col].combine_chunks()
-        valid = pc.is_valid(text)
-        words = pc.split_pattern(text.filter(valid), " ")
-        n_tok = pc.sum(pc.list_value_length(words)).as_py() or 0
+        m = t.filter(pc.equal(t["stats"], 1))
         return pa.table(
             {
-                "docs": pa.array([int(pc.sum(pc.cast(valid, pa.int64())).as_py() or 0)], pa.int64()),
-                "tokens": pa.array([int(n_tok)], pa.int64()),
+                "docs": pa.array([int(pc.sum(m["tf"]).as_py() or 0)], pa.int64()),
+                "tokens": pa.array([int(pc.sum(m["dl"]).as_py() or 0)], pa.int64()),
             }
         )
 
-    stats = ds.map_batches(
+    stats = matched.map_batches(
         corpus_partial, batch_format="pyarrow", zero_copy_batch=True
     )
     n_docs = stats.sum("docs")
@@ -435,6 +448,7 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
     # df per term: per-batch count_distinct partials sum exactly (a doc
     # lives in exactly one matched batch); the fold is |terms| rows
     def df_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["stats"], 0))
         agg = t.select(["term", id_col]).group_by("term").aggregate(
             [(id_col, "count_distinct")]
         )
@@ -461,6 +475,7 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
     # sums exact within the batch, then a bounded local-top-k per block
     # — the driver folds k rows per block, never the matched table
     def score_topk(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["stats"], 0)).drop_columns(["stats"])
         if t.num_rows == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "score": pa.array([], pa.float64())})
@@ -483,15 +498,13 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
     locals_ds = matched.map_batches(
         score_topk, batch_format="pyarrow", zero_copy_batch=True
     )
-    parts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in locals_ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    parts = [t for t in parts if t.num_rows]
-    if not parts:
+    from ._fold import fold_table
+
+    folded = fold_table(locals_ds)
+    if folded is None:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "score": pa.array([], pa.float64())})
-    merged = pa.concat_tables(parts).to_pandas()
+    merged = folded.to_pandas()
     merged = merged.sort_values(id_col, kind="stable").sort_values(
         "score", ascending=False, kind="stable"
     ).head(k)

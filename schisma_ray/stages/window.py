@@ -332,7 +332,11 @@ def grouped_rolling_mean(
         k = g[key_col].to_numpy()
         v = g[value_col].to_numpy(dtype=np.float64)
         n = len(g)
-        # oldest-first accumulation mirrors the SQL frame sum order
+        # oldest-first accumulation mirrors the SQL frame sum order;
+        # null values occupy their frame SLOT but contribute neither to
+        # the sum nor the count (SQL AVG null semantics)
+        has_v = np.isfinite(v)
+        vfill = np.where(has_v, v, 0.0)
         total = np.zeros(n, np.float64)
         cnt = np.zeros(n, np.int64)
         for lag in range(window - 1, -1, -1):
@@ -340,9 +344,13 @@ def grouped_rolling_mean(
                 continue
             valid = np.zeros(n, bool)
             valid[lag:] = k[lag:] == k[: n - lag] if lag else True
-            total[valid] += np.concatenate([np.zeros(lag), v[: n - lag]])[valid]
-            cnt[valid] += 1
-        mean = np.round(total / np.maximum(cnt, 1), 6)
+            shifted_v = np.concatenate([np.zeros(lag), vfill[: n - lag]])
+            shifted_has = np.concatenate([np.zeros(lag, bool), has_v[: n - lag]])
+            contrib = valid & shifted_has
+            total[contrib] += shifted_v[contrib]
+            cnt[contrib] += 1
+        with np.errstate(invalid="ignore"):
+            mean = np.round(np.where(cnt > 0, total / np.maximum(cnt, 1), np.nan), 6)
         return pd.DataFrame(
             {
                 id_col: g[id_col].to_numpy(),
@@ -419,8 +427,22 @@ def funnel_counts(
             }
         )
 
+    import ray.data as rd
+
+    # zero-row baseline keeps the 3-step output shape even when no
+    # event matches any funnel type (SQL returns count 0, not no rows);
+    # pandas block type to match the map_groups output blocks
+    zeros = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                "step_name": list(steps),
+                "users": np.zeros(len(steps), np.int64),
+            }
+        )
+    )
     per = narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
-    total = per.groupby(["step", "step_name"]).sum("users")
+    total = per.union(zeros).groupby(["step", "step_name"]).sum("users")
     return total.map_batches(
         lambda t: pa.table(
             {
