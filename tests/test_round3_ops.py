@@ -209,3 +209,62 @@ def test_decontam_attribution_pairs(ray_session):
     out = decontam_attribution(corpus, bench, n=4).to_pandas()
     pairs = sorted(zip(out["doc_id"], out["bench_id"]))
     assert pairs == [(1, 100), (2, 101)]
+
+
+def test_rolling_mean_null_value_occupies_slot(ray_session):
+    """A null value takes its frame slot but contributes to neither the
+    sum nor the count (SQL AVG null semantics) — and must not poison
+    later windows with NaN."""
+    from schisma_ray.stages.window import grouped_rolling_mean
+
+    rows = [
+        {"event_id": 1, "user_id": 1, "ts": 1_000_000, "value": 2.0},
+        {"event_id": 2, "user_id": 1, "ts": 2_000_000, "value": None},
+        {"event_id": 3, "user_id": 1, "ts": 3_000_000, "value": 6.0},
+        {"event_id": 4, "user_id": 1, "ts": 4_000_000, "value": 8.0},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (
+        grouped_rolling_mean(ds, window=3)
+        .to_pandas()
+        .set_index("event_id")["rolling_mean"]
+    )
+    assert out.loc[1] == 2.0
+    assert out.loc[2] == 2.0          # AVG(2, NULL) = 2
+    assert out.loc[3] == 4.0          # AVG(2, NULL, 6) = 4
+    assert out.loc[4] == 7.0          # AVG(NULL, 6, 8) = 7 — no NaN leak
+
+
+def test_funnel_counts_empty_input_keeps_steps(ray_session):
+    from schisma_ray.stages.window import funnel_counts
+
+    rows = [{"event_id": 1, "user_id": 1, "ts": 10, "event_type": "error"}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (
+        funnel_counts(ds, ("view", "click", "purchase"))
+        .to_pandas()
+        .sort_values("step")
+    )
+    assert out["step"].tolist() == [1, 2, 3]
+    assert out["users"].tolist() == [0, 0, 0]
+
+
+def test_write_partitioned_crash_between_renames_recovers(ray_session, tmp_path):
+    """Simulate a crash after the old output was moved aside but before
+    the new one landed: the next write must restore the old data first
+    (never lose the only good copy)."""
+    import os
+
+    from schisma_ray.sources.writer import read_partitioned, write_partitioned
+
+    out = tmp_path / "out"
+    ds1 = rd.from_arrow(pa.table({"k": ["a"], "v": [1]}))
+    write_partitioned(ds1, out, partition_cols=["k"])
+    # simulate the crash window: out moved aside, new never arrived
+    os.rename(out, tmp_path / "out.replaced")
+    assert not out.exists()
+    ds2 = rd.from_arrow(pa.table({"k": ["b"], "v": [2]}))
+    write_partitioned(ds2, out, partition_cols=["k"])
+    got = read_partitioned(out).to_pandas()
+    assert got["v"].tolist() == [2]
+    assert not (tmp_path / "out.replaced").exists()
