@@ -1759,6 +1759,36 @@ def q_minhash_dedup_groups(sf_dir: str):
     return _collect(near_dedup_survivors(docs, pairs, "doc_id"), ["doc_id"])
 
 
+def q_retention_weekly(sf_dir: str):
+    """Weekly cohort retention over the events table: distinct active
+    users per week and how many return the following week."""
+    from ..stages.window import retention_cohorts
+
+    return retention_cohorts(_t(sf_dir, "events"))
+
+
+def q_doc_ntile_by_lang(sf_dir: str):
+    """Per-language length quartiles: NTILE(4) PARTITIONED BY lang —
+    grouped equal-frequency binning over the zip-with-index plan (one
+    sort; per-group offsets broadcast as an O(groups) dict)."""
+    import pyarrow.compute as pc
+
+    from ..stages.rank import grouped_ntile
+
+    docs = _t(sf_dir, "documents").map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_chars"]).filter(
+            pc.and_(
+                pc.is_valid(t["lang"].combine_chunks()),
+                pc.is_valid(t["n_chars"].combine_chunks()),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_ntile(docs, "lang", ["n_chars", "doc_id"], k=4,
+                         keep_cols=["doc_id", "lang"])
+
+
 def q_weighted_sample(sf_dir: str):
     """Length-weighted sample of 50 docs (Efraimidis-Spirakis with md5
     uniforms — deterministic, parallelism-invariant), oracled against
@@ -2857,6 +2887,24 @@ pairs AS (
    GROUP BY 1, 2)
 SELECT a, b, shared FROM pairs WHERE shared >= 5
 """,
+    "retention_weekly": """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800 AS week
+    FROM events)
+SELECT a.week, CAST(count(*) AS BIGINT) AS active_users,
+       CAST(count(b.user_id) AS BIGINT) AS retained_users
+  FROM uw a LEFT JOIN uw b
+    ON b.user_id = a.user_id AND b.week = a.week + 604800
+ GROUP BY a.week
+""",
+    "doc_ntile_by_lang": """
+SELECT doc_id, lang,
+       CAST(NTILE(4) OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+            AS BIGINT) AS ntile
+  FROM documents
+ WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+""",
     "weighted_sample": """
 WITH u AS (
   SELECT doc_id, n_chars,
@@ -3099,6 +3147,8 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "minhash_dedup_groups": q_minhash_dedup_groups,
+    "retention_weekly": q_retention_weekly,
+    "doc_ntile_by_lang": q_doc_ntile_by_lang,
     "weighted_sample": q_weighted_sample,
     "bm25_topk": q_bm25_topk,
     "events_rolling_mean": q_events_rolling_mean,

@@ -246,3 +246,74 @@ def ntile_pct_rank(ds, sort_keys: list[str], *, k: int = 100,
 
     return with_rank.map_batches(assign, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+def grouped_ntile(ds, group_col: str, sort_keys: list[str], *, k: int = 4,
+                  keep_cols: list[str] | None = None):
+    """NTILE(k) PARTITIONED BY a (low-cardinality) group column —
+    per-language quality quartiles, per-format size deciles, etc.
+
+    Rides the same zip-with-index plan as the global NTILE: ONE sort by
+    (group, *sort_keys), O(blocks) driver ints for the global ordinals,
+    plus one tiny combiner pass for per-group row counts. Each row's
+    within-group rank = global ordinal - its group's start offset (the
+    groups are contiguous after the sort), then the SQL NTILE sizing
+    rule per group. Broadcast state is O(groups) — the documented
+    assumption is group cardinality that fits a dict (languages,
+    formats, sources), NOT per-user grouping.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    # per-group counts: per-batch combiner partials -> tiny driver fold
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = t.select([group_col]).group_by(group_col).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "n"])
+
+    from ._fold import fold_table
+
+    folded = fold_table(
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        return ds
+    counts: dict = {}
+    for g, n in zip(folded[group_col].to_pylist(), folded["n"].to_pylist()):
+        counts[g] = counts.get(g, 0) + n
+    # group start offsets in (group, *sort_keys) sort order; None sorts
+    # first in Ray's sort, match that
+    ordered = sorted(counts, key=lambda x: (x is not None, x))
+    starts: dict = {}
+    acc = 0
+    for g in ordered:
+        starts[g] = acc
+        acc += counts[g]
+    state_ref = ray.put((starts, counts))
+
+    with_rank = ranked(ds, [group_col] + list(sort_keys), index_col="__rank")
+
+    def assign(t: pa.Table) -> pa.Table:
+        starts_, counts_ = ray.get(state_ref)
+        groups = t[group_col].to_pylist()
+        r = t["__rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        gstart = np.fromiter((starts_[g] for g in groups), np.int64, count=len(groups))
+        gn = np.fromiter((counts_[g] for g in groups), np.int64, count=len(groups))
+        wr = r - gstart  # 1-based within-group rank
+        size = gn // k
+        rem = gn % k
+        cut = rem * (size + 1)
+        bucket = np.where(
+            size > 0,
+            np.where(
+                wr <= cut,
+                (wr - 1) // np.maximum(size + 1, 1) + 1,
+                rem + (wr - cut - 1) // np.maximum(size, 1) + 1,
+            ),
+            wr,  # group smaller than k: one row per bucket
+        )
+        cols = {c: t[c] for c in (keep_cols or t.column_names) if c != "__rank"}
+        cols["ntile"] = pa.array(bucket.astype(np.int64))
+        return pa.table(cols)
+
+    return with_rank.map_batches(assign, batch_format="pyarrow",
+                                 zero_copy_batch=True)

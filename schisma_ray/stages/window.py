@@ -454,3 +454,94 @@ def funnel_counts(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def retention_cohorts(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    period_s: int = 604800,
+):
+    """Period-over-period retention: for each period (week by default),
+    how many distinct users were active, and how many of those were
+    also active in the NEXT period — the classic cohort-retention
+    curve's first step.
+
+    Shape: per-batch distinct (user, period) partials -> one distinct
+    groupby; each (user, period) row then emits itself as "active" and
+    its PREDECESSOR period as "retained-next" so the pairing needs only
+    a second (user, period) groupby of flag maxima — no self-join, no
+    per-user tasks; final per-period counts are a per-batch combiner +
+    a tiny groupby.
+    """
+    import numpy as np
+
+    period_us = period_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col].combine_chunks(), pa.int64()).to_numpy()
+        week = (ts // period_us) * period_s
+        out = pa.table(
+            {
+                key_col: t[key_col],
+                "week": pa.array(week, pa.int64()),
+            }
+        )
+        return out.group_by([key_col, "week"]).aggregate([])
+
+    uw = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = uw.groupby([key_col, "week"]).count()
+
+    def emit_flags(t: pa.Table) -> pa.Table:
+        user = t[key_col].combine_chunks()
+        week = t["week"].combine_chunks().to_numpy(zero_copy_only=False)
+        n = len(week)
+        return pa.table(
+            {
+                key_col: pa.concat_arrays([user, user]),
+                "week": pa.array(
+                    np.concatenate([week, week - period_s]), pa.int64()
+                ),
+                "is_active": pa.array(
+                    np.concatenate([np.ones(n, np.int8), np.zeros(n, np.int8)]),
+                    pa.int8(),
+                ),
+                "is_next": pa.array(
+                    np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]),
+                    pa.int8(),
+                ),
+            }
+        )
+
+    flags = distinct.map_batches(emit_flags, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    merged = flags.groupby([key_col, "week"]).max(["is_active", "is_next"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        active = pc.cast(t["max(is_active)"], pa.int64())
+        nxt = pc.cast(t["max(is_next)"], pa.int64())
+        both = pc.multiply(active, nxt)
+        out = pa.table(
+            {"week": t["week"], "active": active, "retained": both}
+        )
+        agg = out.group_by("week").aggregate([("active", "sum"), ("retained", "sum")])
+        return agg.rename_columns(["week", "active_users", "retained_users"])
+
+    partials = merged.map_batches(count_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    total = partials.groupby("week").sum(["active_users", "retained_users"])
+
+    def project(t: pa.Table) -> pa.Table:
+        # periods that only appeared as someone's "previous week" have
+        # zero active users — not real cohorts
+        out = pa.table(
+            {
+                "week": t["week"],
+                "active_users": t["sum(active_users)"],
+                "retained_users": t["sum(retained_users)"],
+            }
+        )
+        return out.filter(pc.greater(out["active_users"], 0))
+
+    return total.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

@@ -268,3 +268,52 @@ def test_write_partitioned_crash_between_renames_recovers(ray_session, tmp_path)
     got = read_partitioned(out).to_pandas()
     assert got["v"].tolist() == [2]
     assert not (tmp_path / "out.replaced").exists()
+
+
+def test_grouped_ntile_sizing(ray_session):
+    """SQL NTILE sizing per group: first n%k buckets get the extra row;
+    groups are independent."""
+    from schisma_ray.stages.rank import grouped_ntile
+
+    rows = []
+    for i in range(6):
+        rows.append({"doc_id": i, "lang": "en", "v": i})
+    for i in range(3):
+        rows.append({"doc_id": 100 + i, "lang": "de", "v": i})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = (
+        grouped_ntile(ds, "lang", ["v", "doc_id"], k=4,
+                      keep_cols=["doc_id", "lang"])
+        .to_pandas()
+        .set_index("doc_id")["ntile"]
+    )
+    # en: 6 rows, k=4 -> sizes 2,2,1,1
+    assert out.loc[[0, 1, 2, 3, 4, 5]].tolist() == [1, 1, 2, 2, 3, 4]
+    # de: 3 rows < k -> one per bucket
+    assert out.loc[[100, 101, 102]].tolist() == [1, 2, 3]
+
+
+def test_retention_cohorts(ray_session):
+    from schisma_ray.stages.window import retention_cohorts
+
+    w = 604800 * 1_000_000  # one week in us
+    rows = [
+        # user 1 active weeks 0 and 1 -> retained from week 0
+        {"user_id": 1, "ts": 10},
+        {"user_id": 1, "ts": w + 10},
+        # user 2 active week 0 only
+        {"user_id": 2, "ts": 20},
+        # user 3 active week 1 only
+        {"user_id": 3, "ts": w + 20},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = (
+        retention_cohorts(ds)
+        .to_pandas()
+        .sort_values("week")
+        .set_index("week")
+    )
+    assert out.loc[0, "active_users"] == 2
+    assert out.loc[0, "retained_users"] == 1
+    assert out.loc[604800, "active_users"] == 2
+    assert out.loc[604800, "retained_users"] == 0
