@@ -1759,6 +1759,26 @@ def q_minhash_dedup_groups(sf_dir: str):
     return _collect(near_dedup_survivors(docs, pairs, "doc_id"), ["doc_id"])
 
 
+def q_image_w_quantiles_by_fmt(sf_dir: str):
+    """Exact per-format width quartiles over the image table — grouped
+    order statistics via one (fmt, w) sort + per-group offsets."""
+    import pyarrow.compute as pc
+
+    from ..stages.rank import grouped_exact_quantiles
+
+    ds = read_images(_img_dir(sf_dir), ["fmt", "w"]).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.is_valid(t["fmt"].combine_chunks()),
+                pc.is_valid(t["w"].combine_chunks()),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_exact_quantiles(ds, "fmt", "w", [0.25, 0.5, 0.75])
+
+
 def q_retention_weekly(sf_dir: str):
     """Weekly cohort retention over the events table: distinct active
     users per week and how many return the following week."""
@@ -1999,6 +2019,17 @@ reach(n, m) AS (
 root AS (SELECT n AS image_id, LEAST(n, min(m)) AS rep FROM reach GROUP BY n)
 SELECT image_id FROM sig
  WHERE image_id NOT IN (SELECT image_id FROM root WHERE image_id != rep)
+""",
+        "image_w_quantiles_by_fmt": f"""
+WITH src AS (SELECT fmt, w FROM {img}
+              WHERE fmt IS NOT NULL AND w IS NOT NULL),
+r AS (SELECT fmt, w,
+             row_number() OVER (PARTITION BY fmt ORDER BY w) AS rn,
+             count(*) OVER (PARTITION BY fmt) AS n
+        FROM src)
+SELECT fmt, t.q, CAST(w AS DOUBLE) AS value
+  FROM r, unnest([0.25, 0.5, 0.75]) AS t(q)
+ WHERE rn = CAST(floor((n - 1) * t.q) AS BIGINT) + 1
 """,
         "image_phash_duplicates": f"""
 WITH im AS (SELECT * FROM {img})
@@ -3147,6 +3178,7 @@ QUERIES = {
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "minhash_dedup_groups": q_minhash_dedup_groups,
+    "image_w_quantiles_by_fmt": q_image_w_quantiles_by_fmt,
     "retention_weekly": q_retention_weekly,
     "doc_ntile_by_lang": q_doc_ntile_by_lang,
     "weighted_sample": q_weighted_sample,

@@ -317,3 +317,82 @@ def grouped_ntile(ds, group_col: str, sort_keys: list[str], *, k: int = 4,
 
     return with_rank.map_batches(assign, batch_format="pyarrow",
                                  zero_copy_batch=True)
+
+
+def grouped_exact_quantiles(ds, group_col: str, col: str,
+                            qs: list[float]) -> pa.Table:
+    """EXACT per-group quantiles (per-format width percentiles, per-
+    language length medians): ONE sort by (group, col) co-locates and
+    orders every group; per-group row counts (a tiny combiner fold,
+    O(groups)) turn each (group, q) into a single global row index via
+    the group's start offset, fetched from exactly one block — the
+    exact_quantiles order-statistics plan generalized with the
+    grouped_ntile offset trick. The driver touches O(blocks) counts and
+    O(groups x qs) scalar lookups; rank convention matches
+    ``floor((n_g - 1) * q) + 1`` so a SQL row_number oracle reproduces
+    it exactly. Group cardinality must fit a dict (formats, languages).
+    """
+    from ._fold import fold_table
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = t.select([group_col]).group_by(group_col).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "n"])
+
+    folded = fold_table(
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    empty = pa.table({group_col: pa.array([], pa.string()),
+                      "q": pa.array([], pa.float64()),
+                      "value": pa.array([], pa.float64())})
+    if folded is None:
+        return empty
+    counts: dict = {}
+    for g, n in zip(folded[group_col].to_pylist(), folded["n"].to_pylist()):
+        counts[g] = counts.get(g, 0) + n
+    ordered = sorted(counts, key=lambda x: (x is not None, x))
+    starts: dict = {}
+    acc = 0
+    for g in ordered:
+        starts[g] = acc
+        acc += counts[g]
+
+    mat = ds.sort([group_col, col]).materialize()
+    refs: list = []
+    block_counts: list[int] = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(block_ref)
+            block_counts.append(meta.num_rows)
+    if not refs:
+        return empty
+    offsets = np.concatenate([[0], np.cumsum(block_counts)])
+
+    @ray.remote
+    def pick(block, local_idx: list[int]):
+        t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+        return [t[col][i].as_py() for i in local_idx]
+
+    targets = []  # (group, q, global 0-based index)
+    for g in ordered:
+        for q in qs:
+            targets.append((g, q, starts[g] + int(np.floor((counts[g] - 1) * q))))
+    wanted: dict[int, list[tuple[int, int]]] = {}
+    for ti, (_, _, r) in enumerate(targets):
+        b = int(np.searchsorted(offsets, r, side="right")) - 1
+        wanted.setdefault(b, []).append((ti, r - int(offsets[b])))
+    out: list = [None] * len(targets)
+    futures = {
+        b: pick.remote(refs[b], [idx for _, idx in pairs])
+        for b, pairs in wanted.items()
+    }
+    for b, pairs in wanted.items():
+        vals = ray.get(futures[b])
+        for (ti, _), v in zip(pairs, vals):
+            out[ti] = v
+    return pa.table(
+        {
+            group_col: pa.array([g for g, _, _ in targets]),
+            "q": pa.array([q for _, q, _ in targets], pa.float64()),
+            "value": pa.array([float(v) for v in out], pa.float64()),
+        }
+    )

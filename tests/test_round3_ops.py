@@ -317,3 +317,18 @@ def test_retention_cohorts(ray_session):
     assert out.loc[0, "retained_users"] == 1
     assert out.loc[604800, "active_users"] == 2
     assert out.loc[604800, "retained_users"] == 0
+
+
+def test_grouped_exact_quantiles(ray_session):
+    from schisma_ray.stages.rank import grouped_exact_quantiles
+
+    rows = []
+    for i in range(1, 101):
+        rows.append({"g": "a", "v": i})
+    for i in range(1, 5):
+        rows.append({"g": "b", "v": i * 10})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = grouped_exact_quantiles(ds, "g", "v", [0.5]).to_pandas()
+    got = dict(zip(out["g"], out["value"]))
+    # rank floor((n-1)*q)+1: a -> rank 50 -> 50; b -> rank 2 -> 20
+    assert got == {"a": 50.0, "b": 20.0}
