@@ -1,0 +1,183 @@
+"""Property tests for round-3 kernels, brute-forced against definitional
+implementations on randomized inputs (seeded Ray-operator equivalences
+kept to a few fixed seeds like test_round2_property).
+
+* segmented as-of resolve == pandas merge_asof per random event streams
+* grouped_rolling_mean == pandas groupby.rolling (nulls included)
+* pack_sequences arithmetic == a plain Python cumsum
+* hamming banding recall: EVERY pair within distance 3 is found
+* funnel counts == a per-user brute-force scan
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_asof_matches_merge_asof(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n_l, n_r = 60, 40
+    left = pd.DataFrame({
+        "user_id": rng.integers(0, 8, n_l),
+        "ts": rng.integers(0, 10_000, n_l) * 1_000_000,
+        "event_id": np.arange(n_l),
+    })
+    right = pd.DataFrame({
+        "user_id": rng.integers(0, 8, n_r),
+        "ts": rng.integers(0, 10_000, n_r) * 1_000_000,
+    })
+    from schisma_ray.stages.asof import asof_join_latest
+
+    got = (
+        asof_join_latest(
+            rd.from_pandas(left).repartition(3),
+            rd.from_pandas(right).repartition(2),
+            key="user_id", num_buckets=4,
+        )
+        .to_pandas()
+        .set_index("row_id")["asof_epoch_s"]
+        .sort_index()
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts", kind="stable"),
+        right.sort_values("ts", kind="stable").assign(rts=lambda d: d["ts"]),
+        on="ts", by="user_id", direction="backward",
+    ).set_index("event_id")["rts"].sort_index()
+    for eid in left["event_id"]:
+        e = exp.loc[eid]
+        g = got.loc[eid]
+        if pd.isna(e):
+            assert pd.isna(g)
+        else:
+            assert g == e // 1_000_000
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_rolling_mean_matches_pandas(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = 80
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 6, n),
+        "ts": rng.choice(np.arange(n) * 1_000_000, n, replace=False),
+        "value": np.where(rng.random(n) < 0.15, np.nan,
+                          np.round(rng.random(n) * 100, 2)),
+    })
+    from schisma_ray.stages.window import grouped_rolling_mean
+
+    got = (
+        grouped_rolling_mean(rd.from_pandas(df).repartition(3), window=3,
+                             num_buckets=4)
+        .to_pandas()
+        .set_index("event_id")["rolling_mean"]
+        .sort_index()
+    )
+    exp = (
+        df.sort_values(["user_id", "ts", "event_id"])
+        .groupby("user_id")["value"]
+        .rolling(3, min_periods=1)
+        .mean()
+        .round(6)
+        .reset_index(level=0, drop=True)
+    )
+    exp.index = df.sort_values(["user_id", "ts", "event_id"])["event_id"].to_numpy()
+    exp = exp.sort_index()
+    for eid in df["event_id"]:
+        e, g = exp.loc[eid], got.loc[eid]
+        if pd.isna(e):
+            assert pd.isna(g)
+        else:
+            assert g == pytest.approx(e, abs=1e-9)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+       st.integers(min_value=2, max_value=17))
+def test_pack_arithmetic_brute_force(token_counts, seq_len):
+    # pure arithmetic check of the assignment formulas
+    start = 0
+    for n in token_counts:
+        pack = start // seq_len
+        off = start % seq_len
+        spans = (start + n - 1) // seq_len - pack + 1
+        # definitional: walk the tokens
+        first = start // seq_len
+        last = (start + n - 1) // seq_len
+        assert pack == first and spans == last - first + 1
+        assert 0 <= off < seq_len
+        start += n
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_hamming_banding_full_recall(ray_session, seed):
+    """Pigeonhole guarantee: every pair within Hamming distance 3 must
+    surface (4 bands x 16 bits, <=3 flipped bits leave >=1 band intact)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(-(2**63), 2**63 - 1, size=12, dtype=np.int64)
+    sigs, ids = [], []
+    for i, b in enumerate(base):
+        sigs.append(b)
+        ids.append(2 * i)
+        flip = rng.choice(64, size=rng.integers(0, 4), replace=False)
+        v = np.int64(base[i]).view(np.uint64)
+        for f in flip:
+            v = v ^ (np.uint64(1) << np.uint64(f))
+        sigs.append(np.int64(v.astype(np.uint64).view(np.int64)))
+        ids.append(2 * i + 1)
+    tbl = pa.table({"id": pa.array(ids, pa.int64()),
+                    "sig": pa.array([int(x) for x in sigs], pa.int64())})
+    from schisma_ray.stages.dedup import _hamming64, hamming_near_dup_pairs
+
+    got = hamming_near_dup_pairs(
+        rd.from_arrow(tbl), sig_col="sig", id_col="id", max_hamming=3
+    )
+    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+    # brute force ALL pairs
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = _hamming64(int(sigs[i]), int(sigs[j]))
+            if d <= 3:
+                assert (ids[i], ids[j]) in got_pairs
+            else:
+                assert (ids[i], ids[j]) not in got_pairs
+
+
+@pytest.mark.parametrize("seed", [11])
+def test_funnel_matches_brute_force(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    n = 120
+    steps = ("view", "click", "purchase")
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 15, n),
+        "ts": rng.choice(np.arange(10 * n) * 1_000_000, n, replace=False),
+        "event_type": rng.choice(["view", "click", "purchase", "error"], n),
+    })
+    from schisma_ray.stages.window import funnel_counts
+
+    got = (
+        funnel_counts(rd.from_pandas(df).repartition(4), steps, num_buckets=4)
+        .to_pandas()
+        .set_index("step")["users"]
+    )
+    exp = {1: 0, 2: 0, 3: 0}
+    for _, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        t_prev = None
+        for i, s in enumerate(steps):
+            sub = g[g["event_type"] == s]
+            if t_prev is not None:
+                sub = sub[sub["ts"] > t_prev]
+            if len(sub) == 0:
+                break
+            t_prev = sub["ts"].min()
+            exp[i + 1] += 1
+    for i in (1, 2, 3):
+        assert got.loc[i] == exp[i]
