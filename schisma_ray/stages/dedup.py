@@ -372,14 +372,13 @@ def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
     pair set. Buckets larger than ``max_bucket`` are truncated
     (degenerate all-identical content)."""
 
-    def emit_pairs(ids: list) -> tuple[list, list]:
-        ids = sorted(ids)[:max_bucket]
-        a_out, b_out = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-        return a_out, b_out
+    def emit_pairs(ids: list) -> tuple[np.ndarray, np.ndarray]:
+        # vectorized upper-triangle pairing: a bucket of m ids emits
+        # C(m,2) rows with zero per-pair Python (matters when duplicate-
+        # heavy content fills buckets to max_bucket)
+        ids = np.array(sorted(ids)[:max_bucket])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return ids[iu], ids[ju]
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = group[id_col].to_pylist()
@@ -415,9 +414,13 @@ def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
             if len(group) < 2:
                 continue
             a_out, b_out = emit_pairs(group[id_col].tolist())
-            a_all.extend(a_out)
-            b_all.extend(b_out)
-        return pa.table({"a": pa.array(a_all), "b": pa.array(b_all)})
+            a_all.append(a_out)
+            b_all.append(b_out)
+        if not a_all:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(a_all)),
+                         "b": pa.array(np.concatenate(b_all))})
 
     cand = banded_ds.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
     # fold the (bounded: <= max_bucket^2/2 per bucket) pair set as Arrow —
@@ -430,8 +433,9 @@ def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
 
 
 def _verify_pairs_bucketed(ds, cand, col: str, id_col: str,
-                           verify_fn, *, num_buckets: int = 64,
-                           as_dataset: bool = False):
+                           verify_fn=None, *, num_buckets: int = 64,
+                           as_dataset: bool = False,
+                           prepare_fn=None, pair_fn=None):
     """Distributed pair verification: attach both payloads of every
     candidate pair via two bucketed shuffles over CANDIDATE-sized data,
     then run ``verify_fn(payload_a, payload_b)`` inside buckets.
@@ -572,10 +576,32 @@ def _verify_pairs_bucketed(ds, cand, col: str, id_col: str,
         g = group.sort_values(["pair_id", "slot"]).reset_index(drop=True)
         g0 = g.iloc[0::2]
         g1 = g.iloc[1::2]
-        metric = [
-            verify_fn("" if pd.isna(ta) else ta, "" if pd.isna(tb) else tb)
-            for ta, tb in zip(g0["payload"], g1["payload"])
-        ]
+        if prepare_fn is not None:
+            # payload-level memoization: each DISTINCT payload in the
+            # bucket is prepared (tokenized/parsed) once, then pairs
+            # compare prepared objects — with duplicate-heavy content a
+            # payload appears in hundreds of pairs, so this turns the
+            # dominant cost from O(pairs) tokenizations into O(distinct
+            # payloads)
+            cache: dict = {}
+
+            def prep(p):
+                p = "" if pd.isna(p) else p
+                got = cache.get(p)
+                if got is None:
+                    got = prepare_fn(p)
+                    cache[p] = got
+                return got
+
+            metric = [
+                pair_fn(prep(ta), prep(tb))
+                for ta, tb in zip(g0["payload"], g1["payload"])
+            ]
+        else:
+            metric = [
+                verify_fn("" if pd.isna(ta) else ta, "" if pd.isna(tb) else tb)
+                for ta, tb in zip(g0["payload"], g1["payload"])
+            ]
         return pd.DataFrame(
             {
                 "a": g0["id"].to_numpy(),  # keeps int or string dtype
@@ -642,6 +668,14 @@ def _distinct_pair_ids(pairs_ds) -> pa.Array:
     return pc.unique(folded["id"].combine_chunks())
 
 
+def _jaccard_sets(sa: frozenset, sb: frozenset) -> float:
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    union = len(sa) + len(sb) - inter
+    return inter / union if union else 0.0
+
+
 def jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     sa = set(word_shingles(text_a, shingle))
     sb = set(word_shingles(text_b, shingle))
@@ -682,7 +716,8 @@ def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
         distinct = _distinct_pairs_ds(cand_ds)
         verified = _verify_pairs_bucketed(
             ds, distinct, col, id_col,
-            lambda ta, tb: jaccard(ta, tb, shingle),
+            prepare_fn=lambda t: frozenset(word_shingles(t, shingle)),
+            pair_fn=_jaccard_sets,
             as_dataset=True,
         )
 
@@ -714,7 +749,8 @@ def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
     if cand_tbl.num_rows > verify_driver_limit:
         verified = _verify_pairs_bucketed(
             ds, cand_tbl, col, id_col,
-            lambda ta, tb: jaccard(ta, tb, shingle),
+            prepare_fn=lambda t: frozenset(word_shingles(t, shingle)),
+            pair_fn=_jaccard_sets,
         )
         keep = pc.greater_equal(verified["metric"], threshold)
         hit = verified.filter(keep)
@@ -864,7 +900,8 @@ def hamming_near_dup_pairs(sigs, *, sig_col: str, id_col: str,
         )
         verified = _verify_pairs_bucketed(
             sigs, _distinct_pairs_ds(cand_ds), sig_col, id_col,
-            lambda sa, sb: float(_hamming64(int(sa or 0), int(sb or 0))),
+            prepare_fn=lambda s_: int(s_ or 0),
+            pair_fn=lambda a_, b_: float(_hamming64(a_, b_)),
             as_dataset=True,
         )
 
@@ -889,7 +926,8 @@ def hamming_near_dup_pairs(sigs, *, sig_col: str, id_col: str,
     if cand.num_rows > verify_driver_limit:
         verified = _verify_pairs_bucketed(
             sigs, cand, sig_col, id_col,
-            lambda sa, sb: float(_hamming64(int(sa or 0), int(sb or 0))),
+            prepare_fn=lambda s_: int(s_ or 0),
+            pair_fn=lambda a_, b_: float(_hamming64(a_, b_)),
         )
         hit = verified.filter(
             pc.less_equal(verified["metric"], float(max_hamming))
