@@ -1885,6 +1885,60 @@ def q_embedding_kmeans(sf_dir: str):
     return kmeans_assignments(_t(sf_dir, "embeddings"), k=8, iters=5)
 
 
+def _kmeans_centroids_file(sf_dir: str) -> Path:
+    """Persist deterministic k-means centroids (same md5-sample +
+    farthest-point seeding and Lloyd updates as the distributed stage)
+    so the SQL oracle can reproduce the nearest-centroid ASSIGNMENT —
+    the proven ANN-IVF artifact trick applied to clustering: training is
+    model-sized and driver-side, the corpus-sized assignment pass is
+    the distributed operator under test."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import kmeans_train_numpy
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    tag = _h.md5(src.read_bytes()).hexdigest()[:10]
+    out = Path(f"/tmp/schisma_ray_cache/kmeans_cents_{tag}_k8_i5.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        emb = pq.read_table(src)
+        x = np.stack(
+            [np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()]
+        )
+        cents = kmeans_train_numpy(
+            emb["vec_id"].to_pylist(), x, k=8, iters=5, sample_size=512
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "cid": pa.array(range(len(cents)), pa.int64()),
+                    "vec": pa.array(
+                        [c.tolist() for c in cents], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            out,
+        )
+    return out
+
+
+def q_embedding_kmeans_assign(sf_dir: str):
+    """Distributed nearest-centroid assignment against the persisted
+    deterministic centroids — the oracled member of the k-means family
+    (the iterative twin embedding_kmeans stays rows-only)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.cluster import assign_with_centroids
+
+    cents = pq.read_table(_kmeans_centroids_file(sf_dir))
+    c = np.stack(
+        [np.asarray(v, np.float64) for v in cents["vec"].to_pylist()]
+    )
+    return assign_with_centroids(_t(sf_dir, "embeddings"), c)
+
+
 def q_embedding_near_dups(sf_dir: str):
     return cosine_near_dup_pairs(_t(sf_dir, "embeddings"), threshold=0.9)
 
@@ -3037,6 +3091,24 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim
                                      ORDER BY sim DESC, neighbor_id) AS rn FROM s)
  WHERE rn <= 10
 """,
+    # nearest-centroid assignment vs the persisted deterministic k-means
+    # centroids; score = x.c - 0.5|c|^2 (same argmax as squared L2),
+    # ties (none observed on this input) break to the lowest cid on
+    # both sides
+    "embedding_kmeans_assign": f"""
+WITH cents AS (SELECT cid, vec FROM read_parquet('{_kmeans_centroids_file(ORACLE_SF_DIR)}')),
+sc AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), c.vec)
+         - 0.5 * list_dot_product(c.vec, c.vec) AS score
+    FROM embeddings e CROSS JOIN cents c)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster
+  FROM (SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY score DESC, cid) AS rn
+          FROM sc)
+ WHERE rn = 1
+""",
     "ann_ivf": f"""
 WITH cents AS (SELECT cid, vec FROM read_parquet('{_ivf_centroids_file(ORACLE_SF_DIR)}')),
 cells AS (
@@ -3188,6 +3260,7 @@ QUERIES = {
     "minhash_dedup_ds": q_minhash_dedup_ds,
     "minhash_dedup_groups_ds": q_minhash_dedup_groups_ds,
     "embedding_kmeans": q_embedding_kmeans,
+    "embedding_kmeans_assign": q_embedding_kmeans_assign,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_seeded": q_embedding_near_dups_seeded,
     "embedding_dedup_survivors": q_embedding_dedup_survivors,

@@ -170,3 +170,66 @@ def kmeans_assignments(ds, *, col: str = "embedding", id_col: str = "vec_id",
     """(id, cluster) Dataset: run k-means then one assignment pass."""
     _, assign_fn = kmeans(ds, col=col, id_col=id_col, k=k, iters=iters)
     return ds.map_batches(assign_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_train_numpy(ids, x: np.ndarray, *, k: int = 8, iters: int = 5,
+                       sample_size: int = 512) -> np.ndarray:
+    """Driver-side trainer with the SAME deterministic seeding as the
+    distributed ``kmeans`` (lowest-md5 sample in hex order, greedy
+    farthest-point seeds, Lloyd with empty clusters keeping their
+    previous centroid). Produces the centroid artifact that both the
+    distributed assignment pass and a SQL oracle consume — model-sized
+    training (k x d), corpus-sized assignment stays in Ray."""
+    x = np.asarray(x, np.float64)
+    hexes = np.asarray(
+        [hashlib.md5(str(r).encode()).hexdigest() for r in ids]
+    )
+    order = np.argsort(hexes, kind="stable")[:sample_size]
+    sample = x[order]
+    k = min(k, len(sample))
+    if k == 0:
+        raise ValueError("empty dataset")
+    chosen = [0]
+    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    centroids = sample[chosen]
+    for _ in range(iters):
+        scores = x @ centroids.T - 0.5 * (centroids * centroids).sum(axis=1)[None, :]
+        assign = np.argmax(scores, axis=1)
+        centroids = centroids.copy()
+        for ci in range(k):
+            m = assign == ci
+            if m.any():
+                centroids[ci] = x[m].mean(axis=0)
+    return centroids
+
+
+def assign_with_centroids(ds, centroids: np.ndarray, *,
+                          col: str = "embedding", id_col: str = "vec_id"):
+    """Distributed nearest-centroid assignment against a FIXED centroid
+    matrix: centroids broadcast once (``ray.put``), one streaming pass,
+    vectorized matmul per batch — zero shuffle, k x d wire cost."""
+    cref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign_fn(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _batch_matrix(batch, col)
+        if x.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch[id_col].type),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        scores = x @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(np.argmax(scores, axis=1).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(assign_fn, batch_format="pyarrow", zero_copy_batch=True)

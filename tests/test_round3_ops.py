@@ -332,3 +332,32 @@ def test_grouped_exact_quantiles(ray_session):
     got = dict(zip(out["g"], out["value"]))
     # rank floor((n-1)*q)+1: a -> rank 50 -> 50; b -> rank 2 -> 20
     assert got == {"a": 50.0, "b": 20.0}
+
+
+def test_assign_with_centroids_matches_numpy(ray_session):
+    import numpy as np
+
+    from schisma_ray.stages.cluster import (
+        assign_with_centroids,
+        kmeans_train_numpy,
+    )
+
+    rng = np.random.default_rng(3)
+    # three separable blobs
+    x = np.concatenate(
+        [rng.normal(c, 0.05, size=(40, 8)) for c in (0.0, 5.0, -5.0)]
+    )
+    ids = list(range(len(x)))
+    cents = kmeans_train_numpy(ids, x, k=3, iters=5)
+    # determinism: retraining yields byte-identical centroids
+    assert np.array_equal(cents, kmeans_train_numpy(ids, x, k=3, iters=5))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(x.tolist(), pa.list_(pa.float64()))})
+    ).repartition(4)
+    out = assign_with_centroids(ds, cents).to_pandas().sort_values("vec_id")
+    scores = x @ cents.T - 0.5 * (cents * cents).sum(axis=1)[None, :]
+    assert np.array_equal(out["cluster"].to_numpy(), np.argmax(scores, axis=1))
+    # each blob lands in exactly one cluster
+    assert len({tuple(sorted(set(out["cluster"][i * 40:(i + 1) * 40])))
+                for i in range(3)}) == 3
