@@ -1051,6 +1051,19 @@ def q_minhash_dedup(sf_dir: str):
     )
 
 
+def q_ngram_jaccard_dedup(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs without sketching: prefix-
+    filtered AllPairs candidates (100% recall by the prefix-filter
+    theorem — no probabilistic banding) + exact set-Jaccard verify. The
+    oracle is the exhaustive SQL pair set AS THE SEMANTICS, not a
+    recall-certified approximation of them."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(sf_dir, "documents"), col="text", id_col="doc_id", threshold=0.8
+    )
+
+
 def q_simhash_dedup(sf_dir: str):
     return simhash_dup_pairs(
         _t(sf_dir, "documents"), col="text", id_col="doc_id", max_hamming=3
@@ -3217,6 +3230,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "doc_winnow_overlap": q_doc_winnow_overlap,
     "minhash_dedup": q_minhash_dedup,
+    "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "simhash_dedup": q_simhash_dedup,
     "text_metrics": q_text_metrics,
     "token_count_by_lang": q_token_count_by_lang,
@@ -3272,6 +3286,9 @@ def oracle_sql() -> dict[str, str]:
     # the Dataset-chain variants compute the same mathematical result
     # as their driver-path twins — identical oracles
     out["minhash_dedup_ds"] = out["minhash_dedup"]
+    # exact AllPairs computes the same pair set the exhaustive SQL
+    # defines — shared oracle by construction, not by recall certificate
+    out["ngram_jaccard_dedup"] = out["minhash_dedup"]
     out["cross_corpus_dups_shuffle"] = out["cross_corpus_dups"]
     out["minhash_dedup_groups_ds"] = out["minhash_dedup_groups"]
     return out

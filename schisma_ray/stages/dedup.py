@@ -713,7 +713,27 @@ def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
             ds, col, id_col, num_perm=num_perm, bands=bands,
             shingle=shingle, seed=seed, as_dataset=True,
         )
-        distinct = _distinct_pairs_ds(cand_ds)
+    else:
+        cand_ds = minhash_candidate_pairs(
+            ds, col, id_col, num_perm=num_perm, bands=bands,
+            shingle=shingle, seed=seed,
+        )
+    return _verified_jaccard_pairs(
+        ds, cand_ds, col, id_col, threshold=threshold, shingle=shingle,
+        verify_driver_limit=verify_driver_limit, as_dataset=as_dataset,
+    )
+
+
+def _verified_jaccard_pairs(ds, cand, col: str, id_col: str, *,
+                            threshold: float, shingle: int,
+                            verify_driver_limit: int = 100_000,
+                            as_dataset: bool = False):
+    """Shared verification tail for candidate-pair producers whose
+    exact metric is n-gram Jaccard (MinHash LSH banding, prefix-filtered
+    AllPairs): distinct candidates -> exact set Jaccard (payloads
+    memoized per bucket) -> threshold -> (a, b, jaccard)."""
+    if as_dataset:
+        distinct = _distinct_pairs_ds(cand)
         verified = _verify_pairs_bucketed(
             ds, distinct, col, id_col,
             prepare_fn=lambda t: frozenset(word_shingles(t, shingle)),
@@ -735,9 +755,7 @@ def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
             thresh, batch_format="pyarrow", zero_copy_batch=True
         )
 
-    cand_tbl = minhash_candidate_pairs(
-        ds, col, id_col, num_perm=num_perm, bands=bands, shingle=shingle, seed=seed
-    )
+    cand_tbl = cand
     empty = pa.table({"a": pa.array([], pa.int64()),
                       "b": pa.array([], pa.int64()),
                       "jaccard": pa.array([], pa.float64())})
@@ -784,6 +802,112 @@ def minhash_dedup_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
             j_out.append(round(j, 6))
     return pa.table({"a": pa.array(a_out), "b": pa.array(b_out),
                      "jaccard": pa.array(j_out, pa.float64())})
+
+
+# ------------------------------------- exact n-gram Jaccard (AllPairs)
+def ngram_jaccard_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
+                        shingle: int = 3, num_buckets: int = 32,
+                        max_bucket: int = 1000,
+                        verify_driver_limit: int = 100_000,
+                        as_dataset: bool = False):
+    """Exact n-gram Jaccard near-dup pairs WITHOUT sketching — the
+    prefix-filtered AllPairs set-similarity join (Bayardo et al., WWW'07
+    "Scaling Up All Pairs Similarity Search"; public algorithm).
+
+    Candidate generation is deterministic and has 100% recall: order
+    every document's distinct shingles by global rarity (document
+    frequency asc, then shingle hash); a pair with J >= t MUST share a
+    shingle inside both docs' length-``n - ceil(t*n) + 1`` prefixes (the
+    globally-smallest shared shingle is in both, else either prefix
+    would exclude the whole intersection). Only prefix shingles — the
+    RAREST per doc — enter the pair-generating groupby, so hot shingles
+    never explode: a shingle shared by m docs generates pairs only if it
+    is rare enough to sit in prefixes, unlike a naive shared-shingle
+    self-join.
+
+    Scale shape: three bucketed shuffles over gram rows (global df per
+    gram via gram-hash buckets; per-doc prefix selection via doc-hash
+    buckets, one vectorized sort + cumcount per bucket; candidate
+    groupby over prefix grams), then the shared exact-Jaccard verify.
+    ``max_bucket`` caps degenerate all-identical groups exactly like the
+    MinHash path."""
+    nb = np.uint64(num_buckets)
+
+    def gram_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[col].to_pylist()
+        empty = pa.table(
+            {
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "gram": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "gb": pa.array([], pa.int32()),
+            }
+        )
+        if not texts:
+            return empty
+        all_sh: list[str] = []
+        offs = [0]
+        for t in texts:
+            all_sh.extend(word_shingles(t or "", shingle))
+            offs.append(len(all_sh))
+        hashes = _hash_tokens(all_sh)
+        per_doc: list[np.ndarray] = []
+        take_idx: list[int] = []
+        for i in range(len(texts)):
+            u = np.unique(hashes[offs[i]:offs[i + 1]])
+            if len(u):
+                per_doc.append(u)
+                take_idx.append(i)
+        if not per_doc:
+            return empty
+        grams = np.concatenate(per_doc)
+        lens = np.array([len(u) for u in per_doc], np.int64)
+        ids = batch[id_col].take(pa.array(np.repeat(take_idx, lens)))
+        return pa.table(
+            {
+                id_col: ids,
+                "gram": pa.array(grams.view(np.int64), pa.int64()),
+                "n": pa.array(np.repeat(lens, lens), pa.int64()),
+                "gb": pa.array((grams % nb).astype(np.int32), pa.int32()),
+            }
+        )
+
+    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    # all rows of one gram share a gb bucket, so the per-bucket count IS
+    # the global document frequency — df without a join
+    def annotate_df(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.copy()
+        group["df"] = group.groupby("gram")["gram"].transform("size")
+        group["db"] = (
+            pd.util.hash_array(group[id_col].to_numpy()) % num_buckets
+        ).astype(np.int32)
+        return group.drop(columns=["gb"])
+
+    with_df = grams.groupby("gb").map_groups(
+        annotate_df, batch_format="pandas"
+    )
+
+    # all rows of one doc share a db bucket: ONE vectorized sort +
+    # cumcount per bucket selects every doc's rarest-first prefix
+    def prefix(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, "df", "gram"], kind="mergesort")
+        pos = g.groupby(id_col, sort=False).cumcount().to_numpy()
+        n = g["n"].to_numpy()
+        # required overlap ceil(t*n), nudged DOWN so float error can only
+        # lengthen the prefix (never breaks recall)
+        req = np.ceil(threshold * n - 1e-9)
+        return g.loc[pos < (n - req + 1), [id_col, "gram"]]
+
+    pref = with_df.groupby("db").map_groups(prefix, batch_format="pandas")
+
+    cand = _bucket_pairs(pref, ["gram"], id_col, max_bucket,
+                         as_dataset=as_dataset)
+    return _verified_jaccard_pairs(
+        ds, cand, col, id_col, threshold=threshold, shingle=shingle,
+        verify_driver_limit=verify_driver_limit, as_dataset=as_dataset,
+    )
 
 
 # --------------------------------------------------------------- SimHash
