@@ -1051,6 +1051,14 @@ def q_minhash_dedup(sf_dir: str):
     )
 
 
+def q_inverted_index(sf_dir: str):
+    """Term -> (df, capped postings) index build over the documents
+    table — combiner-first explode, term-hash bucketed merge."""
+    from ..stages.text import inverted_index
+
+    return inverted_index(_t(sf_dir, "documents"))
+
+
 def q_ngram_jaccard_dedup(sf_dir: str):
     """Exact n-gram Jaccard near-dup pairs without sketching: prefix-
     filtered AllPairs candidates (100% recall by the prefix-filter
@@ -3072,6 +3080,20 @@ SELECT n.doc_id, md5(n.text) AS fingerprint
   FROM new n
  WHERE md5(n.text) IN (SELECT md5(text) FROM documents)
 """,
+    "inverted_index": r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term
+    FROM documents,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t(term)),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY term) AS df
+    FROM toks)
+SELECT term, CAST(df AS BIGINT) AS df,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM ranked WHERE rn <= 20 GROUP BY term, df
+""",
     # the ANN pipeline is fully deterministic (seeded hyperplanes,
     # persisted for SQL; sign(dot) is normalization-invariant; the
     # global probe set is shared across queries, mirroring the Ray
@@ -3231,6 +3253,7 @@ QUERIES = {
     "doc_winnow_overlap": q_doc_winnow_overlap,
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
+    "inverted_index": q_inverted_index,
     "simhash_dedup": q_simhash_dedup,
     "text_metrics": q_text_metrics,
     "token_count_by_lang": q_token_count_by_lang,

@@ -510,3 +510,62 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
     ).head(k)
     return pa.table({id_col: pa.array(merged[id_col].tolist()),
                      "score": pa.array(merged["score"].tolist(), pa.float64())})
+
+
+def inverted_index(ds, *, col: str = "text", id_col: str = "doc_id",
+                   max_postings: int = 20, num_buckets: int = 32):
+    """(term, df, postings): the search-infra build step — per term, the
+    global document frequency and the ``max_postings`` lowest doc ids as
+    a comma-joined posting string.
+
+    Combiner-first: each batch explodes its text ONCE via Arrow list
+    kernels and dedupes (term, doc) locally (a doc lives wholly in one
+    batch, so per-batch-distinct IS globally distinct); the shuffle
+    carries one row per (term, doc) bucketed by term hash, and the
+    per-bucket merge is one vectorized sort + cumcount (df from group
+    sizes, postings from the capped head). What changes first at
+    extreme scale: pre-cap the per-batch posting partials so the
+    shuffle carries (term, count, top-m) rather than every (term, doc)
+    row — the same trade tfidf_top_terms documents."""
+    import pandas as pd
+
+    def explode_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern(t[col].combine_chunks(), " ")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        tri = pa.table(
+            {
+                "term": flat,
+                id_col: t[id_col].combine_chunks().take(parent),
+            }
+        )
+        tri = tri.filter(pc.not_equal(tri["term"], ""))
+        distinct = tri.group_by(["term", id_col]).aggregate([])
+        h = pd.util.hash_array(
+            np.asarray(distinct["term"].to_pylist(), dtype=object)
+        )
+        return distinct.append_column(
+            "tb", pa.array((h % num_buckets).astype(np.int32), pa.int32())
+        )
+
+    partials = ds.map_batches(
+        explode_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["term", id_col], kind="mergesort")
+        rn = g.groupby("term", sort=False).cumcount()
+        df_per = g.groupby("term", sort=False)[id_col].transform("size")
+        capped = g[rn < max_postings].copy()
+        capped["_s"] = capped[id_col].astype(str)
+        postings = capped.groupby("term", sort=False)["_s"].agg(",".join)
+        df_map = df_per.groupby(g["term"], sort=False).first()
+        return pd.DataFrame(
+            {
+                "term": postings.index,
+                "df": df_map.loc[postings.index].to_numpy(np.int64),
+                "postings": postings.to_numpy(),
+            }
+        )
+
+    return partials.groupby("tb").map_groups(merge, batch_format="pandas")

@@ -361,3 +361,30 @@ def test_assign_with_centroids_matches_numpy(ray_session):
     # each blob lands in exactly one cluster
     assert len({tuple(sorted(set(out["cluster"][i * 40:(i + 1) * 40])))
                 for i in range(3)}) == 3
+
+
+def test_inverted_index_bruteforce(ray_session):
+    from collections import defaultdict
+
+    from schisma_ray.stages.text import inverted_index
+
+    docs = {
+        1: "a b c",
+        2: "b c d",
+        3: "c d e a",
+        4: "a a b",  # repeated term counts once
+    }
+    exp = defaultdict(list)
+    for d in sorted(docs):
+        for w in set(docs[d].split()):
+            exp[w].append(d)
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)])})
+    ).repartition(2)
+    out = inverted_index(ds, max_postings=2, num_buckets=4).to_pandas()
+    got = {r.term: (r.df, r.postings) for r in out.itertuples()}
+    assert got == {
+        w: (len(ids), ",".join(str(i) for i in sorted(ids)[:2]))
+        for w, ids in exp.items()
+    }
