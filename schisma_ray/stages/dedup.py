@@ -789,13 +789,15 @@ def _verified_jaccard_pairs(ds, cand, col: str, id_col: str, *,
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    texts = {}
+    # each candidate text is tokenized ONCE (ids appear in many pairs)
+    sets: dict = {}
     for batch in texts_ds.iter_batches(batch_format="pyarrow"):
         for rid, txt in zip(batch[id_col].to_pylist(), batch[col].to_pylist()):
-            texts[rid] = txt or ""
+            sets[rid] = frozenset(word_shingles(txt or "", shingle))
+    nothing: frozenset = frozenset()
     a_out, b_out, j_out = [], [], []
     for a, b in zip(cand_tbl["a"].to_pylist(), cand_tbl["b"].to_pylist()):
-        j = jaccard(texts.get(a, ""), texts.get(b, ""), shingle)
+        j = _jaccard_sets(sets.get(a, nothing), sets.get(b, nothing))
         if j >= threshold:
             a_out.append(a)
             b_out.append(b)
