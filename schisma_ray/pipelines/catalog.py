@@ -1562,6 +1562,69 @@ def _synth_new_crawl(t: pa.Table) -> pa.Table:
     ).filter(keep)
 
 
+def _synth_order_updates(t: pa.Table) -> pa.Table:
+    """Deterministic CDC update snapshot: every 7th order gets status
+    'U', +10.00 price, +30d date (mirrored exactly in the oracle)."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+
+    m = pc.equal(
+        pc.subtract(
+            t["o_orderkey"],
+            pc.multiply(pc.divide(t["o_orderkey"], 7), 7),
+        ),
+        0,
+    )
+    u = t.filter(m)
+    return pa.table(
+        {
+            "o_orderkey": u["o_orderkey"],
+            "o_custkey": u["o_custkey"],
+            "o_orderstatus": pa.array(["U"] * u.num_rows),
+            "o_totalprice": pc.add(u["o_totalprice"], 10.0),
+            "o_orderdate": pc.add(
+                u["o_orderdate"], pa.scalar(_dt.timedelta(days=30))
+            ),
+            "o_orderpriority": u["o_orderpriority"],
+        }
+    )
+
+
+def q_orders_upserted(sf_dir: str):
+    """Lakehouse MERGE/upsert compaction: a synthesized update snapshot
+    merged into the base orders snapshot, one key-hash bucketed shuffle,
+    latest row per key by (date, source). Prices carried as integer
+    cents to dodge float repr."""
+    from ..stages.join import upsert_compact
+
+    base = _t(sf_dir, "orders")
+    updates = base.map_batches(_synth_order_updates, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    merged = upsert_compact(base, updates, key="o_orderkey",
+                            ts_col="o_orderdate")
+
+    def to_cents(df):
+        df = df.copy()
+        df["total_cents"] = np.floor(
+            df.pop("o_totalprice") * 100 + 0.5
+        ).astype(np.int64)
+        return df
+
+    return merged.map_batches(to_cents, batch_format="pandas")
+
+
+def q_events_pivot(sf_dir: str):
+    """Per-user wide event-type count matrix (fixed category schema) —
+    the classic pivot/crosstab reshape, combiner-first."""
+    from ..stages.topk import pivot_counts
+
+    return pivot_counts(
+        _t(sf_dir, "events"), "user_id", "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def q_cross_corpus_dups(sf_dir: str):
     """Incremental dedup of a 'new crawl' against the existing corpus —
     base fingerprints broadcast once (Arrow fold), new side streams."""
@@ -3080,6 +3143,35 @@ SELECT n.doc_id, md5(n.text) AS fingerprint
   FROM new n
  WHERE md5(n.text) IN (SELECT md5(text) FROM documents)
 """,
+    "orders_upserted": """
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice,
+         o_orderdate + INTERVAL 30 DAY AS o_orderdate,
+         o_orderpriority
+    FROM orders WHERE o_orderkey % 7 = 0),
+u AS (
+  SELECT *, 0 AS src FROM orders
+  UNION ALL
+  SELECT *, 1 AS src FROM upd),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                               ORDER BY o_orderdate DESC, src DESC) AS rn
+    FROM u)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       o_orderdate, o_orderpriority
+  FROM r WHERE rn = 1
+""",
+    "events_pivot": """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+  FROM events GROUP BY user_id
+""",
     "inverted_index": r"""
 WITH toks AS (
   SELECT DISTINCT doc_id, t.term
@@ -3254,6 +3346,8 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
     "inverted_index": q_inverted_index,
+    "orders_upserted": q_orders_upserted,
+    "events_pivot": q_events_pivot,
     "simhash_dedup": q_simhash_dedup,
     "text_metrics": q_text_metrics,
     "token_count_by_lang": q_token_count_by_lang,

@@ -21,6 +21,7 @@ multiply rows), verified against DuckDB oracles.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import ray
 
@@ -177,3 +178,45 @@ def range_join(ds, intervals, *, ts_col: str, start_col: str, end_col: str,
         return pa.table(cols)
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def upsert_compact(base, updates, *, key: str, ts_col: str,
+                   num_buckets: int = 32):
+    """CDC snapshot compaction (lakehouse MERGE/upsert): one surviving
+    row per key — the latest version by (``ts_col``, source), updates
+    winning exact-timestamp ties against the base snapshot.
+
+    Scale shape: tag each side with a source priority, union, ONE
+    key-hash bucketed shuffle, then one vectorized sort +
+    drop-duplicates per bucket (no per-key group tasks). Both inputs
+    stream; nothing is broadcast, so base and updates may each be
+    corpus-sized. Equal (ts, source) ties within one side are not
+    ordered — feed deduplicated snapshots."""
+    import pandas as pd
+
+    def tag(src: int):
+        def fn(t: pa.Table) -> pa.Table:
+            h = pd.util.hash_array(
+                t[key].combine_chunks().to_numpy(zero_copy_only=False)
+            )
+            return t.append_column(
+                "_src", pa.array(np.full(t.num_rows, src, np.int8))
+            ).append_column(
+                "_kb", pa.array((h % num_buckets).astype(np.int32), pa.int32())
+            )
+
+        return fn
+
+    u = base.map_batches(tag(0), batch_format="pyarrow",
+                         zero_copy_batch=True).union(
+        updates.map_batches(tag(1), batch_format="pyarrow",
+                            zero_copy_batch=True)
+    )
+
+    def latest(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key, ts_col, "_src"],
+                              ascending=[True, False, False],
+                              kind="mergesort")
+        return g[~g.duplicated(key)].drop(columns=["_src", "_kb"])
+
+    return u.groupby("_kb").map_groups(latest, batch_format="pandas")

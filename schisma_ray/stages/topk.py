@@ -11,6 +11,7 @@ cardinality, small by definition for reporting).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -163,3 +164,44 @@ def grouped_distinct_hll(ds, group_col: str, item_col: str, *, p: int = 12):
         )
 
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(ds, row_key: str, col_key: str, categories: list[str], *,
+                 num_buckets: int = 32):
+    """Wide pivot table: one row per ``row_key`` value, one BIGINT count
+    column per category in the FIXED ``categories`` list (explicit so
+    the output schema is stable no matter which categories appear in
+    which bucket — dynamic pivot schemas don't distribute).
+
+    Combiner-first: each batch collapses to (row, col) partial counts
+    with one Arrow group_by; the shuffle carries those partials
+    bucketed by row-key hash; each bucket does one vectorized
+    pandas pivot + reindex."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (
+            t.select([row_key, col_key])
+            .group_by([row_key, col_key])
+            .aggregate([([], "count_all")])
+        )
+        agg = agg.rename_columns([row_key, col_key, "n"])
+        h = pd.util.hash_array(
+            agg[row_key].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return agg.append_column(
+            "_rb", pa.array((h % num_buckets).astype(np.int32), pa.int32())
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        wide = group.pivot_table(
+            index=row_key, columns=col_key, values="n",
+            aggfunc="sum", fill_value=0,
+        ).reindex(columns=categories, fill_value=0).astype(np.int64)
+        wide.columns = list(categories)
+        return wide.reset_index()
+
+    return partials.groupby("_rb").map_groups(merge, batch_format="pandas")

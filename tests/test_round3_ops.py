@@ -388,3 +388,49 @@ def test_inverted_index_bruteforce(ray_session):
         w: (len(ids), ",".join(str(i) for i in sorted(ids)[:2]))
         for w, ids in exp.items()
     }
+
+
+def test_upsert_compact_latest_wins(ray_session):
+    """One survivor per key: updates beat base on equal ts; newer ts
+    beats older regardless of source."""
+    import pandas as pd
+
+    from schisma_ray.stages.join import upsert_compact
+
+    base = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([10, 20, 30, 40], pa.int64()),
+        "v": pa.array(["b1", "b2", "b3", "b4"]),
+    })).repartition(2)
+    upd = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 5], pa.int64()),
+        "ts": pa.array([20, 25, 50], pa.int64()),  # tie on 2, older on 3
+        "v": pa.array(["u2", "u3", "u5"]),
+    })).repartition(2)
+    out = (upsert_compact(base, upd, key="k", ts_col="ts", num_buckets=4)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    exp = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "ts": [10, 20, 30, 40, 50],
+        # k=2: tie -> update wins; k=3: base ts newer -> base wins
+        "v": ["b1", "u2", "b3", "b4", "u5"],
+    })
+    pd.testing.assert_frame_equal(out[["k", "ts", "v"]], exp)
+    assert "_src" not in out.columns and "_kb" not in out.columns
+
+
+def test_pivot_counts_fixed_schema(ray_session):
+    """Every row carries every category column (0-filled), int64."""
+    from schisma_ray.stages.topk import pivot_counts
+
+    ds = rd.from_arrow(pa.table({
+        "u": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "e": pa.array(["a", "a", "b", "b", "zz", "a"]),  # zz not listed
+    })).repartition(3)
+    out = (pivot_counts(ds, "u", "e", ["a", "b", "c"], num_buckets=4)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert list(out.columns) == ["u", "a", "b", "c"]
+    assert out["a"].tolist() == [2, 0, 1]
+    assert out["b"].tolist() == [1, 1, 0]
+    assert out["c"].tolist() == [0, 0, 0]
+    assert all(out[c].dtype == "int64" for c in ("a", "b", "c"))
