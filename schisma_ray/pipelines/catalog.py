@@ -1976,15 +1976,20 @@ def _kmeans_centroids_file(sf_dir: str) -> Path:
     the proven ANN-IVF artifact trick applied to clustering: training is
     model-sized and driver-side, the corpus-sized assignment pass is
     the distributed operator under test."""
+    return _centroids_file_for(Path(sf_dir) / "embeddings.parquet")
+
+
+def _centroids_file_for(src: Path, *, k: int = 8, iters: int = 5) -> Path:
+    """The persisted-centroid artifact for ANY embedding parquet (the
+    base table or a seeded fixture), cache-keyed by file content."""
     import hashlib as _h
 
     import pyarrow.parquet as pq
 
     from ..stages.cluster import kmeans_train_numpy
 
-    src = Path(sf_dir) / "embeddings.parquet"
-    tag = _h.md5(src.read_bytes()).hexdigest()[:10]
-    out = Path(f"/tmp/schisma_ray_cache/kmeans_cents_{tag}_k8_i5.parquet")
+    tag = _h.md5(Path(src).read_bytes()).hexdigest()[:10]
+    out = Path(f"/tmp/schisma_ray_cache/kmeans_cents_{tag}_k{k}_i{iters}.parquet")
     if not out.exists():
         out.parent.mkdir(parents=True, exist_ok=True)
         emb = pq.read_table(src)
@@ -1992,7 +1997,7 @@ def _kmeans_centroids_file(sf_dir: str) -> Path:
             [np.asarray(v, np.float64) for v in emb["embedding"].to_pylist()]
         )
         cents = kmeans_train_numpy(
-            emb["vec_id"].to_pylist(), x, k=8, iters=5, sample_size=512
+            emb["vec_id"].to_pylist(), x, k=k, iters=iters, sample_size=512
         )
         pq.write_table(
             pa.table(
@@ -2053,12 +2058,65 @@ def q_embedding_near_dups_seeded(sf_dir: str):
     return cosine_near_dup_pairs(rd.read_parquet(str(path)), threshold=0.9)
 
 
+def q_semdedup_pairs(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): persisted-centroid assignment ->
+    within-cluster exact cosine pairs at >= 0.9, over the seeded
+    near-dup fixture (16 planted pairs make the check falsifiable).
+    The oracle reproduces the assignment from the SAME centroid
+    artifact and the within-cluster cross join in SQL, so the
+    cluster-partitioned semantics are pinned exactly — not certified
+    by recall like the LSH twin."""
+    import pyarrow.parquet as pq
+
+    from ..sources.embedding_fixture import seeded_near_dup_embeddings
+    from ..stages.similarity import semdedup_pairs
+
+    path = seeded_near_dup_embeddings(sf_dir)
+    cents = pq.read_table(_centroids_file_for(path))
+    c = np.stack([np.asarray(v, np.float64) for v in cents["vec"].to_pylist()])
+    return semdedup_pairs(rd.read_parquet(str(path)), c, threshold=0.9,
+                          max_cluster=None)
+
+
+def q_semdedup_survivors(sf_dir: str):
+    """SemDeDup end-to-end: within-cluster pairs -> connected components
+    -> keep-min-id survivors (the paper keeps one exemplar per semantic
+    duplicate group; min-id is the deterministic stand-in for its
+    random/centroid-distance choice). Pairs stay a Dataset into the
+    distributed components path — no driver hop."""
+    import pyarrow.parquet as pq
+
+    from ..sources.embedding_fixture import seeded_near_dup_embeddings
+    from ..stages.components import near_dedup_survivors
+    from ..stages.similarity import semdedup_pairs
+
+    path = seeded_near_dup_embeddings(sf_dir)
+    cents = pq.read_table(_centroids_file_for(path))
+    c = np.stack([np.asarray(v, np.float64) for v in cents["vec"].to_pylist()])
+    ds = rd.read_parquet(str(path))
+    pairs = semdedup_pairs(ds, c, threshold=0.9, max_cluster=None,
+                           as_dataset=True)
+    return _collect(
+        near_dedup_survivors(
+            ds, pairs.map_batches(
+                lambda t: t.select(["a", "b"]),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ),
+            "vec_id",
+        ),
+        ["vec_id"],
+    )
+
+
 # ------------------------------------------------------------------ oracle
 def _oracle_sql() -> dict[str, str]:
     from ..sources.embedding_fixture import seeded_near_dup_embeddings
 
     img = f"read_parquet('{image_table.generate_for_sf(ORACLE_SF_DIR) / 'images' / '*.parquet'}')"
     emb_seeded = f"read_parquet('{seeded_near_dup_embeddings(ORACLE_SF_DIR)}')"
+    semded_cents = (
+        f"read_parquet('{_centroids_file_for(seeded_near_dup_embeddings(ORACLE_SF_DIR))}')"
+    )
     # seeded-expectation table: the generator's independent bookkeeping of
     # every violation the pipeline must produce (sources/image_table.py
     # writes it alongside the corrupted rows) — the oracle for the checks
@@ -3013,6 +3071,52 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
              FROM e x JOIN e y ON x.vec_id < y.vec_id)
 SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
 """,
+        # SemDeDup: the persisted-centroid assignment is reproduced in
+        # SQL (row_number over score DESC, cid = numpy's first-max
+        # argmax), then pairs come from the within-cluster cross join —
+        # the exact cluster-partitioned semantics of the operator, not
+        # a recall certificate
+        "semdedup_pairs": f"""
+WITH cents AS (SELECT cid, vec FROM {semded_cents}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
+asg AS (
+  SELECT vec_id, cid AS cluster, v FROM (
+    SELECT e.vec_id, c.cid, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.vec)
+                                       - 0.5 * list_dot_product(c.vec, c.vec) DESC,
+                                       c.cid) AS rn
+      FROM e CROSS JOIN cents c) WHERE rn = 1),
+p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+             list_cosine_similarity(x.v, y.v) AS sim
+        FROM asg x JOIN asg y
+          ON x.cluster = y.cluster AND x.vec_id < y.vec_id)
+SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
+""",
+        "semdedup_survivors": f"""
+WITH RECURSIVE cents AS (SELECT cid, vec FROM {semded_cents}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
+asg AS (
+  SELECT vec_id, cid AS cluster, v FROM (
+    SELECT e.vec_id, c.cid, e.v,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_dot_product(e.v, c.vec)
+                                       - 0.5 * list_dot_product(c.vec, c.vec) DESC,
+                                       c.cid) AS rn
+      FROM e CROSS JOIN cents c) WHERE rn = 1),
+edges AS (SELECT x.vec_id AS a, y.vec_id AS b
+            FROM asg x JOIN asg y
+              ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+           WHERE list_cosine_similarity(x.v, y.v) >= 0.9),
+und AS (SELECT a AS n, b AS m FROM edges UNION SELECT b, a FROM edges),
+reach(n, m) AS (
+  SELECT n, m FROM und
+  UNION
+  SELECT r.n, u.m FROM reach r JOIN und u ON u.n = r.m),
+root AS (SELECT n AS vec_id, LEAST(n, min(m)) AS rep FROM reach GROUP BY n)
+SELECT vec_id FROM e
+ WHERE vec_id NOT IN (SELECT vec_id FROM root WHERE vec_id != rep)
+""",
         "knn_cosine_filtered": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe
              FROM embeddings ORDER BY vec_id LIMIT 5),
@@ -3395,6 +3499,8 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_near_dups_seeded": q_embedding_near_dups_seeded,
     "embedding_dedup_survivors": q_embedding_dedup_survivors,
+    "semdedup_pairs": q_semdedup_pairs,
+    "semdedup_survivors": q_semdedup_survivors,
 }
 
 

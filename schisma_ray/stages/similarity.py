@@ -325,6 +325,88 @@ def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
     )
 
 
+def semdedup_pairs(ds, centroids: np.ndarray, *, col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.95,
+                   max_cluster: int | None = 100_000,
+                   as_dataset: bool = False):
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): assign every vector to its nearest k-means
+    centroid, then compute exact pairwise cosine WITHIN each cluster
+    and emit pairs at or above ``threshold``.
+
+    Scale shape: the centroid matrix is broadcast once (``ray.put``);
+    assignment is a streaming matmul per batch (zero shuffle); the only
+    exchange is ONE ``groupby(cluster)`` whose per-group work is a
+    vectorized m x m matmul. Cross-cluster near-dups are invisible by
+    construction — that is SemDeDup's accepted approximation; pick
+    ``k ~ N / target_cluster_size`` so clusters stay matmul-sized, and
+    ``max_cluster`` guards a degenerate cluster (truncated on sorted
+    ids, the same skew cap as ``cosine_near_dup_pairs``).
+
+    Assignment uses ``argmax(x . c - 0.5 |c|^2)`` with numpy's
+    first-max (= lowest cid) tie-break — exactly reproducible in SQL
+    via ``row_number() OVER (ORDER BY score DESC, cid)``, which is how
+    the oracle checks it.
+
+    Unlike the LSH pair producer there is no cross-table dedup fold:
+    clusters PARTITION the corpus, so each pair appears at most once.
+    """
+    cref = ray.put(np.asarray(centroids, np.float64))
+
+    def assign_carry(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        mat = _batch_matrix(batch, col)
+        if mat.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    col: pa.array([], batch[col].type),
+                }
+            )
+        scores = mat @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "cluster": pa.array(np.argmax(scores, axis=1).astype(np.int64)),
+                col: batch[col],
+            }
+        )
+
+    assigned = ds.map_batches(assign_carry, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def verify(group: pa.Table) -> pa.Table:
+        if max_cluster is not None and group.num_rows > max_cluster:
+            group = group.sort_by(id_col).slice(0, max_cluster)
+        mat = _batch_matrix(group, col)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids)
+        mat, norms, ids = mat[order], norms[order], ids[order]
+        sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        iu, ju = iu[hit], ju[hit]
+        s = np.round(sims[iu, ju].astype(np.float64), 6)
+        return pa.table({"a": pa.array(ids[iu], pa.int64()),
+                         "b": pa.array(ids[ju], pa.int64()),
+                         "sim": pa.array(s, pa.float64())})
+
+    pairs = assigned.groupby("cluster").map_groups(verify, batch_format="pyarrow")
+    if as_dataset:
+        return pairs
+    from ._fold import fold_table
+
+    tbl = fold_table(pairs)
+    if tbl is None:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return tbl.sort_by([("a", "ascending"), ("b", "ascending")])
+
+
 def quantize_embeddings(ds, *, col: str = "embedding", id_col: str = "vec_id"):
     """Symmetric int8 quantization of an embedding column — the storage/
     bandwidth path for ANN at scale (4x smaller vectors, SIMD-friendly

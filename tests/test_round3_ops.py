@@ -434,3 +434,62 @@ def test_pivot_counts_fixed_schema(ray_session):
     assert out["b"].tolist() == [1, 1, 0]
     assert out["c"].tolist() == [0, 0, 0]
     assert all(out[c].dtype == "int64" for c in ("a", "b", "c"))
+
+
+def test_semdedup_pairs_bruteforce_within_clusters(ray_session):
+    """semdedup_pairs == brute-force within-cluster cosine pairs, and
+    never emits a cross-cluster pair even when one exists globally."""
+    from schisma_ray.stages.similarity import semdedup_pairs
+
+    rng = np.random.default_rng(11)
+    # two blobs + planted near-dups inside each blob
+    x = np.concatenate(
+        [rng.normal(c, 1.0, size=(30, 16)) for c in (4.0, -4.0)]
+    )
+    x[5] = x[4] + 0.001 * rng.standard_normal(16)      # dup in blob 0
+    x[40] = x[39] + 0.001 * rng.standard_normal(16)    # dup in blob 1
+    cents = np.stack([x[:30].mean(axis=0), x[30:].mean(axis=0)])
+    ids = np.arange(len(x))
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array(x.tolist(), pa.list_(pa.float64()))})
+    ).repartition(5)
+    got = semdedup_pairs(ds, cents, threshold=0.999, max_cluster=None)
+    got_pairs = set(zip(got["a"].to_pylist(), got["b"].to_pylist()))
+
+    # brute force with the operator's own cluster-partitioned semantics
+    n = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = n @ n.T
+    scores = x @ cents.T - 0.5 * (cents * cents).sum(axis=1)[None, :]
+    assign = np.argmax(scores, axis=1)
+    want = {
+        (i, j)
+        for i in range(len(x)) for j in range(i + 1, len(x))
+        if assign[i] == assign[j] and sims[i, j] >= 0.999
+    }
+    assert got_pairs == want
+    assert (4, 5) in got_pairs and (39, 40) in got_pairs
+
+
+def test_semdedup_survivors_drop_non_keepers(ray_session):
+    from schisma_ray.stages.components import near_dedup_survivors
+    from schisma_ray.stages.similarity import semdedup_pairs
+
+    rng = np.random.default_rng(13)
+    x = rng.normal(0.0, 1.0, size=(20, 8))
+    # chain of three near-identical vectors -> one component {2,3,4}
+    x[3] = x[2] + 1e-4 * rng.standard_normal(8)
+    x[4] = x[3] + 1e-4 * rng.standard_normal(8)
+    cents = x[:1].copy()  # single cluster: everything compared
+    ds = rd.from_arrow(
+        pa.table({"vec_id": pa.array(np.arange(20), pa.int64()),
+                  "embedding": pa.array(x.tolist(), pa.list_(pa.float64()))})
+    ).repartition(3)
+    pairs = semdedup_pairs(ds, cents, threshold=0.9999, max_cluster=None,
+                           as_dataset=True)
+    pairs = pairs.map_batches(lambda t: t.select(["a", "b"]),
+                              batch_format="pyarrow", zero_copy_batch=True)
+    kept = sorted(
+        near_dedup_survivors(ds, pairs, "vec_id").to_pandas()["vec_id"]
+    )
+    assert kept == [i for i in range(20) if i not in (3, 4)]
