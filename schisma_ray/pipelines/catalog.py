@@ -2108,6 +2108,34 @@ def q_semdedup_survivors(sf_dir: str):
     )
 
 
+def q_line_dedup_docs(sf_dir: str):
+    """CCNet-style line-level dedup over the seeded multi-line fixture
+    (planted shared header/footer + intra-doc repeats): drop every line
+    already seen earlier in the corpus (first occurrence by (doc_id,
+    pos) wins), rebuild documents from survivors. Exactly reproducible
+    in SQL, so fully oracled."""
+    from ..sources.line_fixture import line_documents
+    from ..stages.lines import line_dedup
+
+    path = line_documents(sf_dir)
+    return _collect(
+        line_dedup(rd.read_parquet(str(path))),
+        ["doc_id", "text", "n_kept", "n_total"],
+    )
+
+
+def q_duplicated_lines(sf_dir: str):
+    """The boilerplate report: every line occurring >= 2 times across
+    the corpus, with its global count."""
+    from ..sources.line_fixture import line_documents
+    from ..stages.lines import duplicated_lines
+
+    path = line_documents(sf_dir)
+    return _collect(
+        duplicated_lines(rd.read_parquet(str(path))), ["line", "n"]
+    )
+
+
 # ------------------------------------------------------------------ oracle
 def _oracle_sql() -> dict[str, str]:
     from ..sources.embedding_fixture import seeded_near_dup_embeddings
@@ -2117,6 +2145,9 @@ def _oracle_sql() -> dict[str, str]:
     semded_cents = (
         f"read_parquet('{_centroids_file_for(seeded_near_dup_embeddings(ORACLE_SF_DIR))}')"
     )
+    from ..sources.line_fixture import line_documents
+
+    line_docs = f"read_parquet('{line_documents(ORACLE_SF_DIR)}')"
     # seeded-expectation table: the generator's independent bookkeeping of
     # every violation the pipeline must produce (sources/image_table.py
     # writes it alongside the corrupted rows) — the oracle for the checks
@@ -3071,6 +3102,32 @@ WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {emb_seeded}),
              FROM e x JOIN e y ON x.vec_id < y.vec_id)
 SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
 """,
+        # line dedup: first occurrence by (doc_id, pos) wins; documents
+        # with zero surviving lines drop out of the GROUP BY on both
+        # sides (documented contract)
+        "line_dedup_docs": f"""
+WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {line_docs}),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line, len(ls) AS n_total
+    FROM l0, unnest(range(1, len(ls) + 1)) AS t(i)),
+firsts AS (
+  SELECT *, row_number() OVER (PARTITION BY line
+                               ORDER BY doc_id, pos) AS rn
+    FROM lines)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(n_total) AS BIGINT) AS n_total
+  FROM firsts WHERE rn = 1
+ GROUP BY doc_id
+""",
+        "duplicated_lines": f"""
+WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {line_docs}),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+    FROM l0, unnest(range(1, len(ls) + 1)) AS t(i))
+SELECT line, CAST(count(*) AS BIGINT) AS n
+  FROM lines GROUP BY line HAVING count(*) >= 2
+""",
         # SemDeDup: the persisted-centroid assignment is reproduced in
         # SQL (row_number over score DESC, cid = numpy's first-max
         # argmax), then pairs come from the within-cluster cross join —
@@ -3501,6 +3558,8 @@ QUERIES = {
     "embedding_dedup_survivors": q_embedding_dedup_survivors,
     "semdedup_pairs": q_semdedup_pairs,
     "semdedup_survivors": q_semdedup_survivors,
+    "line_dedup_docs": q_line_dedup_docs,
+    "duplicated_lines": q_duplicated_lines,
 }
 
 

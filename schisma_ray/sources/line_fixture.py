@@ -1,0 +1,80 @@
+"""Seeded multi-line document fixture for line-level (paragraph) dedup.
+
+The base ``documents.parquet`` testdata is single-line word streams, so
+a CCNet-style line dedup would pass vacuously. This companion table
+rewraps every document into newline-separated lines of
+``words_per_line`` words and deterministically plants the defects the
+operator exists to remove (the boilerplate motivation of CCNet,
+Wenzek et al. 2020, arXiv:1911.00359):
+
+* a shared HEADER line on every ``doc_id % 5 == 0`` document,
+* a shared FOOTER line on every ``doc_id % 7 == 0`` document,
+* an intra-document repeat (line 1 := line 0) on ``doc_id % 11 == 0``.
+
+Everything is a pure function of the base table; written atomically to
+the shared cache so the Ray pipeline and the DuckDB oracle read the
+identical file.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .image_table import CACHE_ROOT
+
+HEADER = "cookie notice please accept our terms of service"
+FOOTER = "copyright example-crawler all rights reserved"
+
+
+def line_documents(sf_dir: str, *, words_per_line: int = 8) -> Path:
+    """Generate (or reuse) the line-wrapped table; returns the parquet path."""
+    base_path = Path(sf_dir) / "documents.parquet"
+    tag = hashlib.md5(base_path.read_bytes()).hexdigest()[:10]
+    out_dir = CACHE_ROOT / f"line_docs_{tag}_w{words_per_line}"
+    out = out_dir / "line_documents.parquet"
+    if out.exists():
+        return out
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    base = pq.read_table(base_path, columns=["doc_id", "text", "lang", "source"])
+    doc_ids = base["doc_id"].to_pylist()
+    texts = base["text"].to_pylist()
+    out_texts = []
+    for doc_id, text in zip(doc_ids, texts):
+        words = text.split()
+        lines = [
+            " ".join(words[i:i + words_per_line])
+            for i in range(0, len(words), words_per_line)
+        ]
+        if not lines:
+            lines = [""]
+        if doc_id % 11 == 0 and len(lines) >= 2:
+            lines[1] = lines[0]
+        if doc_id % 5 == 0:
+            lines.insert(0, HEADER)
+        if doc_id % 7 == 0:
+            lines.append(FOOTER)
+        out_texts.append("\n".join(lines))
+
+    tbl = pa.table(
+        {
+            "doc_id": base["doc_id"],
+            "text": pa.array(out_texts, pa.string()),
+            "lang": base["lang"],
+            "source": base["source"],
+        }
+    )
+    pq.write_table(tbl, tmp_dir / "line_documents.parquet")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
+    return out

@@ -1,0 +1,120 @@
+"""Line-level (paragraph) dedup across a corpus — CCNet-style
+(Wenzek et al. 2020, arXiv:1911.00359): drop every line that already
+occurred earlier in the corpus (boilerplate headers/footers, repeated
+paragraphs), keeping the globally FIRST occurrence by (doc_id, pos),
+then reconstruct each document from its surviving lines.
+
+Scale shape: one explode pass (vectorized Arrow ``split_pattern`` +
+``list_flatten``), ONE ``groupby(line-hash bucket)`` — every occurrence
+of an identical line lands in the same bucket, so per-bucket
+``drop_duplicates(keep="first")`` on the exact line string is globally
+correct (the hash only routes; equality decides) — and ONE
+``groupby(doc-hash bucket)`` to reassemble documents. No driver hop;
+both shuffles carry only (id, pos, line) rows.
+
+Documents whose every line is dropped disappear from the output (same
+as the SQL ``GROUP BY`` over kept rows — documented contract).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _explode_fn(text_col: str, id_col: str, sep: str, num_buckets: int):
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks()
+        lines_list = pc.split_pattern(texts, sep)
+        flat = pc.list_flatten(lines_list)
+        parent = pc.list_parent_indices(lines_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lens = pc.list_value_length(lines_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        starts = np.zeros(len(lens), np.int64)
+        if len(lens) > 1:
+            starts[1:] = np.cumsum(lens)[:-1]
+        pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        bucket = (
+            pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
+            % num_buckets
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(parent)),
+                "pos": pa.array(pos, pa.int64()),
+                "line": flat,
+                "n_total": pa.array(lens[parent], pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    return explode
+
+
+def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               sep: str = "\n", num_buckets: int = 64):
+    """Dataset of (id, text, n_kept, n_total): each document rebuilt from
+    the lines whose globally-first occurrence (min (doc_id, pos)) it
+    owns. The per-doc string join is per-KEY CPU inside one bucket
+    task, never a per-key Ray task."""
+    exploded = ds.map_batches(
+        _explode_fn(text_col, id_col, sep, num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, "pos"], kind="stable")
+        return g.drop_duplicates(subset="line", keep="first")
+
+    kept = exploded.groupby("bucket").map_groups(keep_first, batch_format="pandas")
+
+    def doc_bucket(t: pa.Table) -> pa.Table:
+        h = (
+            pd.util.hash_array(t[id_col].to_numpy(zero_copy_only=False))
+            % num_buckets
+        ).astype(np.int64)
+        return t.set_column(
+            t.schema.get_field_index("bucket"), "bucket", pa.array(h, pa.int64())
+        )
+
+    rekeyed = kept.map_batches(doc_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_col, "pos"], kind="stable")
+        agg = g.groupby(id_col, sort=True).agg(
+            text=("line", sep.join),
+            n_kept=("line", "size"),
+            n_total=("n_total", "first"),
+        )
+        agg["n_kept"] = agg["n_kept"].astype("int64")
+        agg["n_total"] = agg["n_total"].astype("int64")
+        return agg.reset_index()
+
+    return rekeyed.groupby("bucket").map_groups(rebuild, batch_format="pandas")
+
+
+def duplicated_lines(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     sep: str = "\n", min_count: int = 2,
+                     num_buckets: int = 64):
+    """Dataset of (line, n): lines occurring >= min_count times across
+    the corpus (the boilerplate report). Per-bucket counts are globally
+    exact — identical lines co-locate by hash."""
+    exploded = ds.map_batches(
+        _explode_fn(text_col, id_col, sep, num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def count_lines(group: pd.DataFrame) -> pd.DataFrame:
+        n = group.groupby("line", sort=True).size()
+        n = n[n >= min_count]
+        return pd.DataFrame(
+            {"line": n.index.to_numpy(), "n": n.to_numpy().astype("int64")}
+        )
+
+    return exploded.groupby("bucket").map_groups(count_lines, batch_format="pandas")

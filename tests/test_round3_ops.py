@@ -493,3 +493,46 @@ def test_semdedup_survivors_drop_non_keepers(ray_session):
         near_dedup_survivors(ds, pairs, "vec_id").to_pandas()["vec_id"]
     )
     assert kept == [i for i in range(20) if i not in (3, 4)]
+
+
+def test_line_dedup_bruteforce(ray_session):
+    """line_dedup == brute-force first-occurrence filter; intra-doc
+    repeats drop, all-dropped docs disappear, num_buckets is routing
+    only (results identical at 1, 2 and 64 buckets)."""
+    from schisma_ray.stages.lines import duplicated_lines, line_dedup
+
+    docs = {
+        0: "header\nalpha beta\ngamma",
+        1: "header\ndelta",            # header dropped (doc 0 owns it)
+        2: "alpha beta\nalpha beta",   # 2nd line dropped (doc 0 owns 1st? no:
+                                       # doc 0 pos 1 owns "alpha beta")
+        3: "header",                   # all lines dropped -> doc vanishes
+        4: "unique line\ngamma",       # gamma dropped
+    }
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[k] for k in sorted(docs)])})
+
+    # brute force
+    seen, want = set(), {}
+    for did in sorted(docs):
+        kept = []
+        lines = docs[did].split("\n")
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        if kept:
+            want[did] = ("\n".join(kept), len(kept), len(lines))
+
+    for nb in (1, 2, 64):
+        ds = rd.from_arrow(tbl).repartition(3)
+        out = line_dedup(ds, num_buckets=nb).to_pandas().sort_values("doc_id")
+        got = {
+            int(r.doc_id): (r.text, int(r.n_kept), int(r.n_total))
+            for r in out.itertuples()
+        }
+        assert got == want, nb
+
+    dup = duplicated_lines(rd.from_arrow(tbl), num_buckets=2).to_pandas()
+    got_counts = dict(zip(dup["line"], dup["n"]))
+    assert got_counts == {"header": 3, "alpha beta": 3, "gamma": 2}
