@@ -2124,6 +2124,21 @@ def q_line_dedup_docs(sf_dir: str):
     )
 
 
+def q_c4_clean(sf_dir: str):
+    """The C4 cleaning rules (terminal-punctuation lines, >= 3 words,
+    no javascript lines; pages: no lorem ipsum, no curly braces, >= 5
+    surviving lines) over the seeded C4 fixture. Pure per-batch map —
+    zero shuffle — and exactly reproducible in SQL."""
+    from ..sources.line_fixture import c4_documents
+    from ..stages.lines import c4_clean
+
+    path = c4_documents(sf_dir)
+    return _collect(
+        c4_clean(rd.read_parquet(str(path))),
+        ["doc_id", "text", "n_kept", "n_total"],
+    )
+
+
 def q_duplicated_lines(sf_dir: str):
     """The boilerplate report: every line occurring >= 2 times across
     the corpus, with its global count."""
@@ -2145,9 +2160,10 @@ def _oracle_sql() -> dict[str, str]:
     semded_cents = (
         f"read_parquet('{_centroids_file_for(seeded_near_dup_embeddings(ORACLE_SF_DIR))}')"
     )
-    from ..sources.line_fixture import line_documents
+    from ..sources.line_fixture import c4_documents, line_documents
 
     line_docs = f"read_parquet('{line_documents(ORACLE_SF_DIR)}')"
+    c4_docs = f"read_parquet('{c4_documents(ORACLE_SF_DIR)}')"
     # seeded-expectation table: the generator's independent bookkeeping of
     # every violation the pipeline must produce (sources/image_table.py
     # writes it alongside the corrupted rows) — the oracle for the checks
@@ -3120,6 +3136,27 @@ SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
   FROM firsts WHERE rn = 1
  GROUP BY doc_id
 """,
+        "c4_clean": f"""
+WITH l0 AS (SELECT doc_id, text AS fulltext,
+                   string_split(text, chr(10)) AS ls FROM {c4_docs}),
+lines AS (
+  SELECT doc_id, i AS pos, ls[i] AS line
+    FROM l0, unnest(range(1, len(ls) + 1)) AS t(i)),
+kept AS (
+  SELECT doc_id, pos, line FROM lines
+   WHERE regexp_matches(line, '[.!?"]$')
+     AND len(list_filter(string_split_regex(line, '\\s+'), x -> x <> '')) >= 3
+     AND NOT contains(lower(line), 'javascript')),
+pages AS (
+  SELECT doc_id, len(ls) AS n_total FROM l0
+   WHERE NOT contains(lower(fulltext), 'lorem ipsum')
+     AND NOT contains(fulltext, '{{'))
+SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(min(p.n_total) AS BIGINT) AS n_total
+  FROM kept k JOIN pages p USING (doc_id)
+ GROUP BY k.doc_id HAVING count(*) >= 5
+""",
         "duplicated_lines": f"""
 WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {line_docs}),
 lines AS (
@@ -3560,6 +3597,7 @@ QUERIES = {
     "semdedup_survivors": q_semdedup_survivors,
     "line_dedup_docs": q_line_dedup_docs,
     "duplicated_lines": q_duplicated_lines,
+    "c4_clean": q_c4_clean,
 }
 
 

@@ -32,6 +32,66 @@ HEADER = "cookie notice please accept our terms of service"
 FOOTER = "copyright example-crawler all rights reserved"
 
 
+def c4_documents(sf_dir: str, *, words_per_line: int = 8) -> Path:
+    """Fixture for the C4 cleaning rules (Raffel et al. 2020 §2.2):
+    line-wrapped documents with a deterministic punctuation suffix on
+    ~80% of lines (period/bang/question/end-quote by
+    ``(doc_id * 31 + pos) % 5``; the remainder unpunctuated) plus the
+    planted page/line defects the filters exist to remove:
+
+    * ``doc_id % 17 == 0`` — a "lorem ipsum dolor sit amet." line,
+    * ``doc_id % 19 == 0`` — a line containing a curly brace,
+    * ``doc_id % 23 == 0`` — an "enable javascript ..." line.
+    """
+    base_path = Path(sf_dir) / "documents.parquet"
+    tag = hashlib.md5(base_path.read_bytes()).hexdigest()[:10]
+    out_dir = CACHE_ROOT / f"c4_docs_{tag}_w{words_per_line}"
+    out = out_dir / "c4_documents.parquet"
+    if out.exists():
+        return out
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    suffixes = [".", "!", "?", '"', ""]
+    base = pq.read_table(base_path, columns=["doc_id", "text", "lang", "source"])
+    out_texts = []
+    for doc_id, text in zip(base["doc_id"].to_pylist(), base["text"].to_pylist()):
+        words = text.split()
+        lines = [
+            " ".join(words[i:i + words_per_line])
+            for i in range(0, len(words), words_per_line)
+        ]
+        if not lines:
+            lines = [""]
+        lines = [
+            ln + suffixes[(doc_id * 31 + pos) % 5]
+            for pos, ln in enumerate(lines)
+        ]
+        if doc_id % 17 == 0:
+            lines.insert(len(lines) // 2, "lorem ipsum dolor sit amet.")
+        if doc_id % 19 == 0:
+            lines.insert(0, "window.dataLayer = { push: true }.")
+        if doc_id % 23 == 0:
+            lines.append("please enable javascript to view this page.")
+        out_texts.append("\n".join(lines))
+
+    tbl = pa.table(
+        {
+            "doc_id": base["doc_id"],
+            "text": pa.array(out_texts, pa.string()),
+            "lang": base["lang"],
+            "source": base["source"],
+        }
+    )
+    pq.write_table(tbl, tmp_dir / "c4_documents.parquet")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
+    return out
+
+
 def line_documents(sf_dir: str, *, words_per_line: int = 8) -> Path:
     """Generate (or reuse) the line-wrapped table; returns the parquet path."""
     base_path = Path(sf_dir) / "documents.parquet"

@@ -99,6 +99,71 @@ def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return rekeyed.groupby("bucket").map_groups(rebuild, batch_format="pandas")
 
 
+def c4_clean(ds, *, text_col: str = "text", id_col: str = "doc_id",
+             sep: str = "\n", min_words: int = 3, min_lines: int = 5):
+    """C4-style page cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2), the subset expressible without external word lists:
+
+    * keep only lines ending in terminal punctuation (``. ! ? "``),
+    * keep only lines with >= ``min_words`` words,
+    * drop lines containing "javascript" (case-insensitive),
+    * drop pages containing "lorem ipsum" (case-insensitive) or a
+      curly brace,
+    * drop pages with fewer than ``min_lines`` surviving lines.
+
+    Every rule is per-document, so this is ONE vectorized map_batches —
+    zero shuffle at any scale. Line checks run over the flattened line
+    array with Arrow compute kernels (RE2 regex, substring, count);
+    only the final per-doc string join is per-key CPU inside the batch.
+    """
+
+    def clean(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].combine_chunks()
+        low = pc.utf8_lower(texts)
+        page_ok = pc.and_(
+            pc.invert(pc.match_substring(low, "lorem ipsum")),
+            pc.invert(pc.match_substring(texts, "{")),
+        ).to_numpy(zero_copy_only=False)
+
+        lines_list = pc.split_pattern(texts, sep)
+        flat = lines_list.flatten()
+        parent = pc.list_parent_indices(lines_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lens = pc.list_value_length(lines_list).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+        keep = pc.and_(
+            pc.and_(
+                pc.match_substring_regex(flat, '[.!?"]$'),
+                pc.greater_equal(
+                    pc.count_substring_regex(flat, r"\S+"), min_words
+                ),
+            ),
+            pc.invert(pc.match_substring(pc.utf8_lower(flat), "javascript")),
+        ).to_numpy(zero_copy_only=False)
+
+        n_docs = len(texts)
+        kept_counts = np.bincount(parent[keep], minlength=n_docs)
+        doc_ok = page_ok & (kept_counts >= min_lines)
+        row_ok = keep & doc_ok[parent]
+
+        kept_lines = pd.Series(flat.filter(pa.array(row_ok)).to_pylist())
+        joined = kept_lines.groupby(parent[row_ok]).agg(sep.join)
+        doc_idx = joined.index.to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col].take(pa.array(doc_idx)),
+                text_col: pa.array(joined.to_numpy(), pa.string()),
+                "n_kept": pa.array(kept_counts[doc_idx], pa.int64()),
+                "n_total": pa.array(lens[doc_idx], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def duplicated_lines(ds, *, text_col: str = "text", id_col: str = "doc_id",
                      sep: str = "\n", min_count: int = 2,
                      num_buckets: int = 64):

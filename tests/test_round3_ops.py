@@ -536,3 +536,42 @@ def test_line_dedup_bruteforce(ray_session):
     dup = duplicated_lines(rd.from_arrow(tbl), num_buckets=2).to_pandas()
     got_counts = dict(zip(dup["line"], dup["n"]))
     assert got_counts == {"header": 3, "alpha beta": 3, "gamma": 2}
+
+
+def test_c4_clean_bruteforce(ray_session):
+    import re
+
+    from schisma_ray.stages.lines import c4_clean
+
+    docs = {
+        0: 'good line one here.\nbad\nanother fine line!\nquote line ok"\n'
+           'question line ok?\nfifth good line.',           # survives (5 kept)
+        1: 'good line one here.\ngood line two here.\ngood line three here.\n'
+           'good line four here.',                          # 4 kept -> dropped
+        2: 'lorem ipsum somewhere.\na.\nb.\nc.\nd.\ne.',    # page filter
+        3: 'has a { brace.\na.\nb.\nc.\nd.\ne.',            # page filter
+        4: 'enable javascript now ok.\nl one fine here.\nl two fine here.\n'
+           'l three fine here.\nl four fine here.\nl five fine here.',
+        5: 'no terminal punctuation here\n' * 6,            # 0 kept
+    }
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[k] for k in sorted(docs)])})
+
+    want = {}
+    for did, text in docs.items():
+        if "lorem ipsum" in text.lower() or "{" in text:
+            continue
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if re.search(r'[.!?"]$', ln) and len(ln.split()) >= 3
+            and "javascript" not in ln.lower()
+        ]
+        if len(kept) >= 5:
+            want[did] = ("\n".join(kept), len(kept), len(lines))
+
+    out = c4_clean(rd.from_arrow(tbl).repartition(3)).to_pandas()
+    got = {int(r.doc_id): (r.text, int(r.n_kept), int(r.n_total))
+           for r in out.itertuples()}
+    assert got == want
+    assert 0 in got and 4 in got and 1 not in got
