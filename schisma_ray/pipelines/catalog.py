@@ -2139,6 +2139,26 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_gopher_quality(sf_dir: str):
+    """Gopher word-statistics rules over the base documents table, with
+    corpus-scaled bounds so every rule fires both ways on this data
+    (the paper's defaults live on the operator): words in [30, 100000],
+    mean word length in [3.0, 4.5] (as e6 integers), >= 1 distinct
+    common stopword. One row per doc with per-rule booleans."""
+    from ..stages.text import gopher_quality
+
+    return _collect(
+        gopher_quality(
+            _t(sf_dir, "documents"),
+            min_words=30,
+            max_mean_len_e6=4_500_000,
+            min_distinct_stop=1,
+        ),
+        ["doc_id", "n_words", "mean_len_e6", "n_stop",
+         "pass_words", "pass_mean", "pass_stop", "passed"],
+    )
+
+
 def q_duplicated_lines(sf_dir: str):
     """The boilerplate report: every line occurring >= 2 times across
     the corpus, with its global count."""
@@ -3157,6 +3177,37 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "gopher_quality": r"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_words,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars,
+         CAST((CASE WHEN regexp_matches(text, '\bthe\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(text, '\bbe\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(text, '\bto\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(text, '\bof\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(text, '\band\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(text, '\bthat\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(text, '\bhave\b') THEN 1 ELSE 0 END
+             + CASE WHEN regexp_matches(text, '\bwith\b') THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_stop
+    FROM documents),
+e AS (
+  SELECT doc_id, n_words, n_stop,
+         CASE WHEN n_words = 0 THEN 0
+              ELSE CAST(FLOOR(CAST(n_chars AS DOUBLE) * 1000000.0
+                              / n_words + 0.5) AS BIGINT) END AS mean_len_e6
+    FROM m)
+SELECT doc_id, n_words, mean_len_e6, n_stop,
+       (n_words >= 30 AND n_words <= 100000) AS pass_words,
+       (mean_len_e6 >= 3000000 AND mean_len_e6 <= 4500000) AS pass_mean,
+       (n_stop >= 1) AS pass_stop,
+       ((n_words >= 30 AND n_words <= 100000)
+        AND (mean_len_e6 >= 3000000 AND mean_len_e6 <= 4500000)
+        AND n_stop >= 1) AS passed
+  FROM e
+""",
         "duplicated_lines": f"""
 WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {line_docs}),
 lines AS (
@@ -3598,6 +3649,7 @@ QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,
+    "gopher_quality": q_gopher_quality,
 }
 
 

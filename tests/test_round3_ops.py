@@ -575,3 +575,28 @@ def test_c4_clean_bruteforce(ray_session):
            for r in out.itertuples()}
     assert got == want
     assert 0 in got and 4 in got and 1 not in got
+
+
+def test_gopher_quality_rules(ray_session):
+    from schisma_ray.stages.text import gopher_quality
+
+    docs = {
+        0: "the quick brown fox jumps over the lazy dog " * 10,  # passes
+        1: "short the one",                                      # too few words
+        2: " ".join(["zz"] * 60),                                # no stopword, mean 2.0
+        3: " ".join(["the"] + ["pneumonoultramicroscopic"] * 59),  # mean too long
+    }
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[k] for k in sorted(docs)])})
+    out = gopher_quality(
+        rd.from_arrow(tbl).repartition(2),
+        min_words=50, min_distinct_stop=1,
+    ).to_pandas().set_index("doc_id").sort_index()
+
+    assert bool(out.loc[0, "passed"])
+    assert not out.loc[1, "pass_words"] and out.loc[1, "pass_stop"]
+    assert not out.loc[2, "pass_stop"] and not out.loc[2, "pass_mean"]
+    assert not out.loc[3, "pass_mean"] and out.loc[3, "pass_stop"]
+    # integer mean: doc 2 = 2.0 exactly
+    assert out.loc[2, "mean_len_e6"] == 2_000_000
+    assert int(out.loc[0, "n_stop"]) == 1  # only 'the' from the list
