@@ -2139,6 +2139,19 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_concat_chunks(sf_dir: str):
+    """GPT-style concat-and-chunk shards over the documents table:
+    docs concatenated in doc_id order with an <|eos|> separator, the
+    global token stream split every 256 tokens, chunk texts
+    reassembled distributed (pieces shuffled once by chunk bucket)."""
+    from ..stages.corpus import concat_chunks
+
+    return _collect(
+        concat_chunks(_t(sf_dir, "documents"), chunk_tokens=256),
+        ["chunk_id", "text", "n_tokens"],
+    )
+
+
 def q_gopher_quality(sf_dir: str):
     """Gopher word-statistics rules over the base documents table, with
     corpus-scaled bounds so every rule fires both ways on this data
@@ -3177,6 +3190,22 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "concat_chunks": r"""
+WITH d AS (
+  SELECT doc_id,
+         list_append(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> ''), '<|eos|>') AS w
+    FROM documents WHERE text IS NOT NULL),
+toks AS (
+  SELECT doc_id, i, w[i] AS tok
+    FROM d, unnest(range(1, len(w) + 1)) AS t(i)),
+ordered AS (
+  SELECT tok, row_number() OVER (ORDER BY doc_id, i) - 1 AS gidx FROM toks)
+SELECT gidx // 256 AS chunk_id,
+       string_agg(tok, ' ' ORDER BY gidx) AS text,
+       CAST(count(*) AS BIGINT) AS n_tokens
+  FROM ordered GROUP BY 1
+""",
         "gopher_quality": r"""
 WITH m AS (
   SELECT doc_id,
@@ -3650,6 +3679,7 @@ QUERIES = {
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
+    "concat_chunks": q_concat_chunks,
 }
 
 

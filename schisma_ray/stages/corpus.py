@@ -430,3 +430,77 @@ def decontam_attribution(corpus, bench, *, n: int = 4, col: str = "text",
         Attributor, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+def concat_chunks(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  chunk_tokens: int = 256, eos: str = "<|eos|>",
+                  num_buckets: int = 64):
+    """Materialized concat-and-chunk LM shards: documents concatenated
+    in ``id_col`` order with an ``eos`` token after each, the global
+    token stream split every ``chunk_tokens`` tokens, each chunk's TEXT
+    reassembled (``pack_sequences`` computes the assignment; this
+    produces the shards themselves). Tokens = whitespace fields.
+
+    Distributed shape: sort by id, ``zip_with_cumsum`` for global token
+    offsets (O(num_blocks) driver ints), then each doc emits one PIECE
+    row per chunk it intersects (almost always 1-2) and ONE
+    ``groupby(chunk-hash bucket)`` reassembles pieces — shuffle carries
+    each token exactly once. The final chunk may be short.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .rank import zip_with_cumsum
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        text = batch[text_col].combine_chunks()
+        n = pc.add(
+            pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64()), 1
+        )  # +1 for the eos token
+        return pa.table(
+            {id_col: batch[id_col], text_col: text, "n_tok": n}
+        ).filter(pc.is_valid(text))
+
+    base = ds.map_batches(tokens, batch_format="pyarrow",
+                          zero_copy_batch=True).sort(id_col)
+    off = zip_with_cumsum(base, "n_tok", offset_col="g_start")
+
+    def pieces(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        starts = batch["g_start"].to_numpy(zero_copy_only=False)
+        ntoks = batch["n_tok"].to_numpy(zero_copy_only=False)
+        c_ids, g_offs, p_texts, p_ns = [], [], [], []
+        for text, s, n in zip(texts, starts, ntoks):
+            words = text.split()
+            words.append(eos)
+            e = s + n
+            for k in range(int(s) // chunk_tokens, int(e - 1) // chunk_tokens + 1):
+                a = max(k * chunk_tokens, int(s))
+                b = min((k + 1) * chunk_tokens, int(e))
+                c_ids.append(k)
+                g_offs.append(a)
+                p_texts.append(" ".join(words[a - int(s):b - int(s)]))
+                p_ns.append(b - a)
+        bucket = (np.asarray(c_ids, np.int64) % num_buckets
+                  if c_ids else np.array([], np.int64))
+        return pa.table(
+            {
+                "chunk_id": pa.array(c_ids, pa.int64()),
+                "g_off": pa.array(g_offs, pa.int64()),
+                "piece": pa.array(p_texts, pa.string()),
+                "n": pa.array(p_ns, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    pcs = off.map_batches(pieces, batch_format="pyarrow", zero_copy_batch=True)
+
+    def assemble(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["chunk_id", "g_off"], kind="stable")
+        agg = g.groupby("chunk_id", sort=True).agg(
+            text=("piece", " ".join), n_tokens=("n", "sum")
+        )
+        agg["n_tokens"] = agg["n_tokens"].astype("int64")
+        return agg.reset_index()
+
+    return pcs.groupby("bucket").map_groups(assemble, batch_format="pandas")

@@ -600,3 +600,30 @@ def test_gopher_quality_rules(ray_session):
     # integer mean: doc 2 = 2.0 exactly
     assert out.loc[2, "mean_len_e6"] == 2_000_000
     assert int(out.loc[0, "n_stop"]) == 1  # only 'the' from the list
+
+
+def test_concat_chunks_bruteforce(ray_session):
+    from schisma_ray.stages.corpus import concat_chunks
+
+    docs = {i: " ".join([f"w{i}_{j}" for j in range(5 + 3 * i)])
+            for i in range(7)}
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[k] for k in sorted(docs)])})
+
+    stream = []
+    for did in sorted(docs):
+        stream.extend(docs[did].split())
+        stream.append("<|eos|>")
+    C = 16
+    want = {
+        k: (" ".join(stream[k * C:(k + 1) * C]),
+            len(stream[k * C:(k + 1) * C]))
+        for k in range((len(stream) + C - 1) // C)
+    }
+    out = concat_chunks(
+        rd.from_arrow(tbl).repartition(4), chunk_tokens=C, num_buckets=3
+    ).to_pandas()
+    got = {int(r.chunk_id): (r.text, int(r.n_tokens)) for r in out.itertuples()}
+    assert got == want
+    # every token exactly once, order preserved across chunk boundaries
+    assert " ".join(got[k][0] for k in sorted(got)) == " ".join(stream)
