@@ -2139,6 +2139,36 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_events_time_deduped(sf_dir: str):
+    """Time-window event dedup: drop events repeating the same
+    (user_id, event_type) within 600s of the previous one (lag-based,
+    at-least-once-delivery cleanup)."""
+    from ..stages.window import event_time_dedup
+
+    return _collect(
+        event_time_dedup(_t(sf_dir, "events"), min_gap_s=600),
+        ["event_id", "user_id", "event_type", "ts"],
+    )
+
+
+def q_docs_quality_top75(sf_dir: str):
+    """Two-pass global-threshold filter: exact P25 of the quality score
+    (distributed order statistic), threshold broadcast, keep docs with
+    score >= P25. The aggregate->broadcast->filter composite shape."""
+    import pyarrow.compute as _pc
+
+    from ..stages.rank import exact_quantiles
+    from ..stages.text import quality_score
+
+    scores = quality_score(_t(sf_dir, "documents"))
+    thr = exact_quantiles(scores, "score", [0.25])["value"][0].as_py()
+    kept = scores.map_batches(
+        lambda t: t.filter(_pc.greater_equal(t["score"], thr)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(kept, ["doc_id", "score"])
+
+
 def q_concat_chunks(sf_dir: str):
     """GPT-style concat-and-chunk shards over the documents table:
     docs concatenated in doc_id order with an <|eos|> separator, the
@@ -3190,6 +3220,41 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "events_time_deduped": """
+WITH x AS (
+  SELECT event_id, user_id, event_type, ts,
+         lag(ts) OVER (PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS prev_ts
+    FROM events)
+SELECT event_id, user_id, event_type, ts FROM x
+ WHERE prev_ts IS NULL
+    OR date_diff('microsecond', prev_ts, ts) > 600 * 1000000
+""",
+        "docs_quality_top75": """
+WITH m AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+    FROM documents),
+s AS (
+  SELECT doc_id,
+         ROUND(
+           0.4 * LEAST(1.0, n_words / 64.0)
+           + 0.3 * (CASE WHEN n_words > 0
+                          AND (n_chars - (n_words - 1)) / n_words >= 3
+                          AND (n_chars - (n_words - 1)) / n_words <= 12
+                         THEN 1.0 ELSE 0.0 END)
+           + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END)
+         , 6) AS score
+    FROM m),
+r AS (SELECT score, row_number() OVER (ORDER BY score) AS rn,
+             count(*) OVER () AS c
+        FROM s),
+thr AS (SELECT score AS v FROM r
+         WHERE rn = CAST(floor((c - 1) * 0.25) AS BIGINT) + 1)
+SELECT doc_id, score FROM s WHERE score >= (SELECT v FROM thr)
+""",
         "concat_chunks": r"""
 WITH d AS (
   SELECT doc_id,
@@ -3680,6 +3745,8 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "events_time_deduped": q_events_time_deduped,
+    "docs_quality_top75": q_docs_quality_top75,
 }
 
 

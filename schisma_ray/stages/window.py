@@ -751,3 +751,78 @@ def retention_cohorts(
         return out.filter(pc.greater(out["active_users"], 0))
 
     return total.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_time_dedup(
+    ds,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    key_cols: tuple = ("user_id", "event_type"),
+    min_gap_s: int = 600,
+    num_buckets: int = 64,
+):
+    """Time-window event dedup: drop an event when ANOTHER event with
+    the same key tuple occurred within the previous ``min_gap_s``
+    seconds (double-fire / at-least-once-delivery cleanup). Keep rule
+    is lag-based — an event survives iff it is the first of its key or
+    ``ts - prev_ts > min_gap_s`` with lag order (ts, id) — exactly
+    SQL's ``lag(ts) OVER (PARTITION BY keys ORDER BY ts, id)``.
+
+    One shuffle carrying (id, keys, ts): keys co-locate by hash bucket
+    (type-agnostic), each bucket runs ONE segmented numpy scan over all
+    its keys (sort by (keys, ts, id); keep = key change OR gap
+    exceeded) — per-bucket Python, never per-key tasks.
+    """
+    import numpy as np
+    import pandas as pd
+
+    gap_us = min_gap_s * 1_000_000
+    keys = list(key_cols)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import functools
+        import operator
+
+        hashes = [
+            pd.util.hash_array(t[k].combine_chunks().to_numpy(zero_copy_only=False))
+            for k in keys
+        ]
+        combined = functools.reduce(
+            operator.xor, (h * np.uint64(2 * i + 1) for i, h in enumerate(hashes))
+        )
+        cols = {id_col: t[id_col], "ts_us": pc.cast(t[ts_col], pa.int64())}
+        for k in keys:
+            cols[k] = t[k]
+        cols["bucket"] = pa.array(
+            (combined % np.uint64(num_buckets)).astype(np.int32), pa.int32()
+        )
+        return pa.table(cols)
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(keys + ["ts_us", id_col], kind="stable")
+        ts = g["ts_us"].to_numpy()
+        keep = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            same = np.ones(len(g) - 1, dtype=bool)
+            for k in keys:
+                col = g[k].to_numpy()
+                same &= col[1:] == col[:-1]
+            keep[1:] = ~same | ((ts[1:] - ts[:-1]) > gap_us)
+        out = g.loc[keep, [id_col] + keys + ["ts_us"]]
+        return out
+
+    deduped = narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def restore_ts(t: pa.Table) -> pa.Table:
+        cols = {
+            id_col: t[id_col],
+            **{k: t[k] for k in keys},
+            ts_col: pc.cast(t["ts_us"], pa.timestamp("us")),
+        }
+        return pa.table(cols)
+
+    return deduped.map_batches(restore_ts, batch_format="pyarrow",
+                               zero_copy_batch=True)

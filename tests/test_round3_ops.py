@@ -627,3 +627,32 @@ def test_concat_chunks_bruteforce(ray_session):
     assert got == want
     # every token exactly once, order preserved across chunk boundaries
     assert " ".join(got[k][0] for k in sorted(got)) == " ".join(stream)
+
+
+def test_event_time_dedup_lag_semantics(ray_session):
+    """Lag-based keep rule: each event compares to the immediately
+    previous event of its key, kept or not (chain of 3 events 400s
+    apart with a 600s gap drops BOTH followers). String keys work."""
+    from schisma_ray.stages.window import event_time_dedup
+
+    us = 1_000_000
+    rows = [
+        {"event_id": 1, "user_id": "u1", "event_type": "view", "ts": 0},
+        {"event_id": 2, "user_id": "u1", "event_type": "view", "ts": 400 * us},
+        {"event_id": 3, "user_id": "u1", "event_type": "view", "ts": 800 * us},
+        {"event_id": 4, "user_id": "u1", "event_type": "click", "ts": 100 * us},
+        {"event_id": 5, "user_id": "u2", "event_type": "view", "ts": 450 * us},
+        # exact tie: same key, same ts -> lower event_id wins
+        {"event_id": 7, "user_id": "u3", "event_type": "view", "ts": 9 * us},
+        {"event_id": 6, "user_id": "u3", "event_type": "view", "ts": 9 * us},
+    ]
+    t = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows]),
+        "event_type": pa.array([r["event_type"] for r in rows]),
+        "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+    })
+    out = event_time_dedup(
+        rd.from_arrow(t).repartition(3), min_gap_s=600, num_buckets=4
+    ).to_pandas()
+    assert sorted(out["event_id"]) == [1, 4, 5, 6]
