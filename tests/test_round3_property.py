@@ -246,3 +246,93 @@ def test_ngram_jaccard_dataset_chain_parity(ray_session):
     drv_pairs = set(zip(drv["a"].to_pylist(), drv["b"].to_pylist()))
     ct = chain.to_pandas()
     assert set(zip(ct["a"], ct["b"])) == drv_pairs
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_line_dedup_matches_bruteforce_random(ray_session, seed):
+    """Random corpora with a small line vocabulary (forcing heavy
+    cross-doc and intra-doc collisions): line_dedup == the sequential
+    first-occurrence scan, at several bucket counts."""
+    from schisma_ray.stages.lines import line_dedup
+
+    rng = np.random.default_rng(seed)
+    vocab = [f"line {i} text" for i in range(12)]
+    docs = {
+        did: "\n".join(rng.choice(vocab, size=rng.integers(1, 8)))
+        for did in range(25)
+    }
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[k] for k in sorted(docs)])})
+
+    seen, want = set(), {}
+    for did in sorted(docs):
+        lines = docs[did].split("\n")
+        kept = [ln for ln in lines if ln not in seen and not seen.add(ln)]
+        if kept:
+            want[did] = ("\n".join(kept), len(kept), len(lines))
+
+    out = line_dedup(
+        rd.from_arrow(tbl).repartition(4), num_buckets=5
+    ).to_pandas()
+    got = {int(r.doc_id): (r.text, int(r.n_kept), int(r.n_total))
+           for r in out.itertuples()}
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_concat_chunks_matches_bruteforce_random(ray_session, seed):
+    from schisma_ray.stages.corpus import concat_chunks
+
+    rng = np.random.default_rng(seed)
+    docs = {
+        did: " ".join(f"t{did}_{j}" for j in range(rng.integers(1, 40)))
+        for did in range(20)
+    }
+    tbl = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                    "text": pa.array([docs[k] for k in sorted(docs)])})
+    stream = []
+    for did in sorted(docs):
+        stream.extend(docs[did].split())
+        stream.append("<|eos|>")
+    C = int(rng.integers(5, 40))
+    want = {k: " ".join(stream[k * C:(k + 1) * C])
+            for k in range((len(stream) + C - 1) // C)}
+    out = concat_chunks(
+        rd.from_arrow(tbl).repartition(6), chunk_tokens=C, num_buckets=4
+    ).to_pandas()
+    got = dict(zip(out["chunk_id"].astype(int), out["text"]))
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_event_time_dedup_matches_bruteforce_random(ray_session, seed):
+    from schisma_ray.stages.window import event_time_dedup
+
+    rng = np.random.default_rng(seed)
+    n = 120
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 6, n),
+        "event_type": rng.choice(["a", "b"], n),
+        "ts_i": rng.integers(0, 3000, n) * 1_000_000,
+    })
+    gap_s = 600
+    # brute force: lag over (ts, event_id) within key
+    want = set()
+    for (_, _), g in df.groupby(["user_id", "event_type"]):
+        g = g.sort_values(["ts_i", "event_id"])
+        prev = None
+        for r in g.itertuples():
+            if prev is None or r.ts_i - prev > gap_s * 1_000_000:
+                want.add(r.event_id)
+            prev = r.ts_i
+    t = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "event_type": pa.array(df["event_type"]),
+        "ts": pa.array(df["ts_i"], pa.timestamp("us")),
+    })
+    out = event_time_dedup(
+        rd.from_arrow(t).repartition(5), min_gap_s=gap_s, num_buckets=4
+    ).to_pandas()
+    assert set(out["event_id"]) == want
