@@ -2139,6 +2139,34 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_clip_score_filter(sf_dir: str):
+    """CLIP-score-style image/caption alignment filter over the seeded
+    paired-embedding fixture (every 4th pair mis-captioned): keep pairs
+    with cosine >= 0.5. Row-local, zero shuffle."""
+    from ..sources.embedding_fixture import paired_caption_embeddings
+    from ..stages.similarity import paired_cosine_filter
+
+    path = paired_caption_embeddings(sf_dir)
+    return _collect(
+        paired_cosine_filter(rd.read_parquet(str(path)), threshold=0.5),
+        ["pair_id", "sim"],
+    )
+
+
+def q_clip_score_rejects(sf_dir: str):
+    """The reject stream of the alignment filter (mis-captioned pairs)."""
+    from ..sources.embedding_fixture import paired_caption_embeddings
+    from ..stages.similarity import paired_cosine_filter
+
+    path = paired_caption_embeddings(sf_dir)
+    return _collect(
+        paired_cosine_filter(
+            rd.read_parquet(str(path)), threshold=0.5, keep_below=True
+        ),
+        ["pair_id", "sim"],
+    )
+
+
 def q_events_time_deduped(sf_dir: str):
     """Time-window event dedup: drop events repeating the same
     (user_id, event_type) within 600s of the previous one (lag-based,
@@ -2223,7 +2251,10 @@ def _oracle_sql() -> dict[str, str]:
     semded_cents = (
         f"read_parquet('{_centroids_file_for(seeded_near_dup_embeddings(ORACLE_SF_DIR))}')"
     )
+    from ..sources.embedding_fixture import paired_caption_embeddings
     from ..sources.line_fixture import c4_documents, line_documents
+
+    pair_emb = f"read_parquet('{paired_caption_embeddings(ORACLE_SF_DIR)}')"
 
     line_docs = f"read_parquet('{line_documents(ORACLE_SF_DIR)}')"
     c4_docs = f"read_parquet('{c4_documents(ORACLE_SF_DIR)}')"
@@ -3220,6 +3251,20 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "clip_score_filter": f"""
+WITH p AS (SELECT pair_id,
+                  list_cosine_similarity(CAST(img_emb AS DOUBLE[]),
+                                         CAST(cap_emb AS DOUBLE[])) AS sim
+             FROM {pair_emb})
+SELECT pair_id, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.5
+""",
+        "clip_score_rejects": f"""
+WITH p AS (SELECT pair_id,
+                  list_cosine_similarity(CAST(img_emb AS DOUBLE[]),
+                                         CAST(cap_emb AS DOUBLE[])) AS sim
+             FROM {pair_emb})
+SELECT pair_id, ROUND(sim, 6) AS sim FROM p WHERE sim < 0.5
+""",
         "events_time_deduped": """
 WITH x AS (
   SELECT event_id, user_id, event_type, ts,
@@ -3745,6 +3790,8 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "clip_score_filter": q_clip_score_filter,
+    "clip_score_rejects": q_clip_score_rejects,
     "events_time_deduped": q_events_time_deduped,
     "docs_quality_top75": q_docs_quality_top75,
 }

@@ -71,3 +71,50 @@ def seeded_near_dup_embeddings(sf_dir: str, *, n_planted: int = 16,
         shutil.rmtree(out_dir)
     os.rename(tmp_dir, out_dir)
     return out
+
+
+def paired_caption_embeddings(sf_dir: str, *, mismatch_every: int = 4,
+                              eps: float = 0.15, seed: int = 41) -> Path:
+    """Image/caption embedding pairs for CLIP-score-style alignment
+    filtering: caption vectors are small perturbations of their image
+    vector (aligned, high cosine), except every ``mismatch_every``-th
+    pair whose caption embedding is an unrelated random vector (the
+    mis-captioned rows the filter exists to drop). Pure function of
+    (base table, seed); atomically cached for Ray + DuckDB parity."""
+    base_path = Path(sf_dir) / "embeddings.parquet"
+    base = pq.read_table(base_path)
+    out_dir = CACHE_ROOT / (
+        f"pair_emb_n{base.num_rows}_m{mismatch_every}_s{seed}"
+    )
+    out = out_dir / "paired_embeddings.parquet"
+    if out.exists():
+        return out
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    rng = np.random.default_rng([seed, base.num_rows])
+    img_vecs, cap_vecs = [], []
+    for i, v in enumerate(base["embedding"].to_pylist()):
+        v = np.asarray(v, dtype=np.float64)
+        if i % mismatch_every == 0:
+            cap = rng.standard_normal(len(v))
+        else:
+            noise = rng.standard_normal(len(v))
+            cap = v + eps * np.linalg.norm(v) * noise / np.linalg.norm(noise)
+        img_vecs.append(v.astype(np.float32).tolist())
+        cap_vecs.append(cap.astype(np.float32).tolist())
+
+    tbl = pa.table(
+        {
+            "pair_id": base["vec_id"],
+            "img_emb": pa.array(img_vecs, pa.list_(pa.float32())),
+            "cap_emb": pa.array(cap_vecs, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, tmp_dir / "paired_embeddings.parquet")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
+    return out

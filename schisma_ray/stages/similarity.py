@@ -407,6 +407,40 @@ def semdedup_pairs(ds, centroids: np.ndarray, *, col: str = "embedding",
     return tbl.sort_by([("a", "ascending"), ("b", "ascending")])
 
 
+def paired_cosine_filter(ds, *, col_a: str = "img_emb", col_b: str = "cap_emb",
+                         id_col: str = "pair_id", threshold: float = 0.5,
+                         keep_below: bool = False):
+    """CLIP-score-style alignment filter (the LAION/DataComp curation
+    step, Schuhmann et al. 2022): per-row cosine between two embedding
+    columns (image vs caption), keep rows at or above ``threshold``
+    (``keep_below`` inverts — the reject stream). Entirely row-local:
+    one vectorized map_batches, zero shuffle at any scale. Cosine is
+    dot/(|a||b|) with norms applied after the dot product, the same
+    arithmetic shape as SQL ``list_cosine_similarity``; emitted sims
+    are rounded to 6 dp."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a = _batch_matrix(batch, col_a)
+        b = _batch_matrix(batch, col_b)
+        if a.shape[0] == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        sims = (a * b).sum(axis=1) / (na * nb)
+        mask = sims < threshold if keep_below else sims >= threshold
+        return pa.table(
+            {
+                id_col: batch[id_col].filter(pa.array(mask)),
+                "sim": pa.array(np.round(sims[mask], 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def quantize_embeddings(ds, *, col: str = "embedding", id_col: str = "vec_id"):
     """Symmetric int8 quantization of an embedding column — the storage/
     bandwidth path for ANN at scale (4x smaller vectors, SIMD-friendly

@@ -656,3 +656,25 @@ def test_event_time_dedup_lag_semantics(ray_session):
         rd.from_arrow(t).repartition(3), min_gap_s=600, num_buckets=4
     ).to_pandas()
     assert sorted(out["event_id"]) == [1, 4, 5, 6]
+
+
+def test_paired_cosine_filter(ray_session):
+    from schisma_ray.stages.similarity import paired_cosine_filter
+
+    a = np.eye(4)[[0, 1, 2, 3]].astype(np.float64)
+    b = a.copy()
+    b[1] = [0, -1, 0, 0]          # anti-aligned
+    b[3] = [0.6, 0.8, 0, 0]       # partial (cos = 0 vs e3... actually 0)
+    b[3] = [0, 0, 0.8, 0.6]       # cos vs e3 = 0.6
+    t = pa.table({
+        "pair_id": pa.array([10, 11, 12, 13], pa.int64()),
+        "img_emb": pa.array(a.tolist(), pa.list_(pa.float32())),
+        "cap_emb": pa.array(b.tolist(), pa.list_(pa.float32())),
+    })
+    kept = paired_cosine_filter(rd.from_arrow(t).repartition(2),
+                                threshold=0.5).to_pandas()
+    rej = paired_cosine_filter(rd.from_arrow(t).repartition(2),
+                               threshold=0.5, keep_below=True).to_pandas()
+    assert sorted(kept["pair_id"]) == [10, 12, 13]
+    assert sorted(rej["pair_id"]) == [11]
+    assert dict(zip(kept["pair_id"], kept["sim"]))[13] == pytest.approx(0.6)
