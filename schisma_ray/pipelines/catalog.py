@@ -2139,6 +2139,19 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucket assignment over the image table
+    (column-pruned read: only id/w/h leave storage). Integer-exact
+    fixed-point AR distance, ties to the lower bucket index."""
+    from ..stages.multimodal import aspect_bucket_assign
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "w", "h"])
+    return _collect(
+        aspect_bucket_assign(ds),
+        ["image_id", "ar_e6", "bucket_w", "bucket_h"],
+    )
+
+
 def q_clip_score_filter(sf_dir: str):
     """CLIP-score-style image/caption alignment filter over the seeded
     paired-embedding fixture (every 4th pair mis-captioned): keep pairs
@@ -3251,6 +3264,28 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "aspect_buckets": f"""
+WITH b(bidx, bw, bh) AS (
+  SELECT * FROM (VALUES (0, 16, 32), (1, 16, 24), (2, 24, 24),
+                        (3, 24, 16), (4, 32, 16)) t),
+be AS (SELECT bidx, bw, bh,
+              CAST(FLOOR(CAST(bw AS DOUBLE) * 1000000.0 / bh + 0.5)
+                   AS BIGINT) AS b_e6
+         FROM b),
+im AS (SELECT image_id,
+              CAST(FLOOR(CAST(w AS DOUBLE) * 1000000.0 / h + 0.5)
+                   AS BIGINT) AS ar_e6
+         FROM {img}
+        WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0)
+SELECT image_id, ar_e6, CAST(bw AS BIGINT) AS bucket_w,
+       CAST(bh AS BIGINT) AS bucket_h
+  FROM (SELECT im.image_id, im.ar_e6, be.bw, be.bh,
+               row_number() OVER (PARTITION BY im.image_id
+                                  ORDER BY abs(im.ar_e6 - be.b_e6),
+                                           be.bidx) AS rn
+          FROM im CROSS JOIN be)
+ WHERE rn = 1
+""",
         "clip_score_filter": f"""
 WITH p AS (SELECT pair_id,
                   list_cosine_similarity(CAST(img_emb AS DOUBLE[]),
@@ -3790,6 +3825,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "aspect_buckets": q_aspect_buckets,
     "clip_score_filter": q_clip_score_filter,
     "clip_score_rejects": q_clip_score_rejects,
     "events_time_deduped": q_events_time_deduped,

@@ -282,3 +282,62 @@ def frame_sample(ds, every_k: int = 10, key_col: str = "image_id"):
         return batch.filter(mask)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+DEFAULT_AR_BUCKETS = ((16, 32), (16, 24), (24, 24), (24, 16), (32, 16))
+
+
+def aspect_bucket_assign(ds, *, w_col: str = "w", h_col: str = "h",
+                         id_col: str = "image_id",
+                         buckets: tuple = DEFAULT_AR_BUCKETS):
+    """SDXL-style aspect-ratio bucketing for multimodal training
+    batches: each image is assigned to the bucket whose aspect ratio is
+    closest to its own, so a training batch never mixes shapes.
+
+    The distance is integer-exact fixed-point: ``ar_e6 = floor(w * 1e6
+    / h + 0.5)`` for both image and bucket, argmin over
+    ``|ar_e6 - bucket_e6|`` with ties to the lower bucket index — so a
+    SQL oracle reproduces the assignment without float-repr drift.
+    Rows with null/non-positive dimensions are dropped (they belong to
+    the validation stream, not the batching plan). Row-local: one
+    vectorized map_batches, zero shuffle.
+    """
+    b_e6 = np.array(
+        [int(np.floor(bw * 1_000_000.0 / bh + 0.5)) for bw, bh in buckets],
+        np.int64,
+    )
+    b_w = np.array([b[0] for b in buckets], np.int64)
+    b_h = np.array([b[1] for b in buckets], np.int64)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch[w_col].combine_chunks()
+        h = batch[h_col].combine_chunks()
+        valid = pc.and_(
+            pc.and_(pc.is_valid(w), pc.is_valid(h)),
+            pc.and_(pc.greater(pc.fill_null(w, 0), 0),
+                    pc.greater(pc.fill_null(h, 0), 0)),
+        )
+        t = batch.filter(valid)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "ar_e6": pa.array([], pa.int64()),
+                             "bucket_w": pa.array([], pa.int64()),
+                             "bucket_h": pa.array([], pa.int64())})
+        wv = t[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hv = t[h_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ar = np.floor(wv * 1_000_000.0 / hv + 0.5).astype(np.int64)
+        # (n, k) distances; argmin takes the FIRST (lowest index) min
+        dist = np.abs(ar[:, None] - b_e6[None, :])
+        idx = np.argmin(dist, axis=1)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "ar_e6": pa.array(ar, pa.int64()),
+                "bucket_w": pa.array(b_w[idx], pa.int64()),
+                "bucket_h": pa.array(b_h[idx], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

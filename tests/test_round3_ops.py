@@ -678,3 +678,29 @@ def test_paired_cosine_filter(ray_session):
     assert sorted(kept["pair_id"]) == [10, 12, 13]
     assert sorted(rej["pair_id"]) == [11]
     assert dict(zip(kept["pair_id"], kept["sim"]))[13] == pytest.approx(0.6)
+
+
+def test_aspect_bucket_assign(ray_session):
+    from schisma_ray.stages.multimodal import aspect_bucket_assign
+
+    t = pa.table({
+        "image_id": pa.array(["sq", "wide", "tall", "between", "bad"]),
+        "w": pa.array([100, 200, 50, 20, None], pa.int32()),
+        "h": pa.array([100, 100, 100, 10, 5], pa.int32()),
+    })
+    out = aspect_bucket_assign(
+        rd.from_arrow(t).repartition(2)
+    ).to_pandas().set_index("image_id")
+    assert tuple(out.loc["sq", ["bucket_w", "bucket_h"]]) == (24, 24)
+    assert tuple(out.loc["wide", ["bucket_w", "bucket_h"]]) == (32, 16)
+    assert tuple(out.loc["tall", ["bucket_w", "bucket_h"]]) == (16, 32)
+    # ar=2.0 exactly -> (32,16); null dims dropped
+    assert tuple(out.loc["between", ["bucket_w", "bucket_h"]]) == (32, 16)
+    assert "bad" not in out.index
+    # tie semantics: ar midway between buckets 2 (1.0) and 3 (1.5) ->
+    # equidistant at 1.25 -> lower index wins
+    t2 = pa.table({"image_id": pa.array(["mid"]),
+                   "w": pa.array([125], pa.int32()),
+                   "h": pa.array([100], pa.int32())})
+    out2 = aspect_bucket_assign(rd.from_arrow(t2)).to_pandas()
+    assert tuple(out2.loc[0, ["bucket_w", "bucket_h"]]) == (24, 24)
