@@ -283,20 +283,18 @@ def cosine_near_dup_pairs(ds, *, col: str = "embedding", id_col: str = "vec_id",
         mat = _batch_matrix(group, col)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        ids = group[id_col].to_pylist()
-        sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
-        a_out, b_out, s_out = [], [], []
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
         order = np.argsort(ids)
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                if sims[i, j] >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    s_out.append(round(float(sims[i, j]), 6))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64()),
-                         "sim": pa.array(s_out, pa.float64())})
+        mat, norms, ids = mat[order], norms[order], ids[order]
+        sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        iu, ju = iu[hit], ju[hit]
+        return pa.table({"a": pa.array(ids[iu], pa.int64()),
+                         "b": pa.array(ids[ju], pa.int64()),
+                         "sim": pa.array(
+                             np.round(sims[iu, ju].astype(np.float64), 6),
+                             pa.float64())})
 
     pairs = bucketed.groupby(["table_id", "bucket"]).map_groups(
         verify, batch_format="pyarrow"
