@@ -69,6 +69,12 @@ def main(argv=None) -> int:
     p.add_argument("--dedup", default="broadcast", choices=["broadcast", "join"],
                    help="survivor attachment: broadcast ids once, or "
                         "hash-shuffle semi-join for corpus-sized survivor sets")
+    p.add_argument("--c4-min-lines", type=int, default=0,
+                   help="> 0 prepends C4 page cleaning with this "
+                        "surviving-line floor")
+    p.add_argument("--gopher", action="store_true",
+                   help="add the Gopher word-statistics filter "
+                        "(paper-default bounds)")
 
     r = sub.add_parser("report")
     r.add_argument("--out", required=True)
@@ -139,11 +145,17 @@ def main(argv=None) -> int:
                 chunk_size=args.chunk_size,
                 chunk_stride=args.chunk_stride,
                 dedup=args.dedup,
+                c4_min_lines=args.c4_min_lines,
+                gopher=args.gopher,
             )
             out.write_parquet(args.out)
             import pyarrow.dataset as pads
 
-            n = pads.dataset(args.out).count_rows()
+            try:
+                n = pads.dataset(args.out).count_rows()
+            except FileNotFoundError:
+                # an all-filtered corpus writes no files at all
+                n = 0
             print(json.dumps({"chunks_written": n, "out": args.out}))
         elif args.cmd == "infer":
             from schisma_ray.schema.infer import infer_schema_literal, literal_repr

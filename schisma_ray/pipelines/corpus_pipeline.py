@@ -37,8 +37,16 @@ def prepare_corpus(
     lang_col: str = "lang",
     source_col: str = "source",
     dedup: str = "broadcast",
+    c4_min_lines: int = 0,
+    gopher: bool = False,
 ):
     """documents Dataset -> (id, chunk_idx, chunk_text) Dataset.
+
+    ``c4_min_lines > 0`` prepends the C4 page-cleaning stage (line
+    rules + page rules; documents rewritten to their surviving lines,
+    pages below the line floor dropped). ``gopher=True`` adds the
+    Gopher word-statistics filter (paper-default bounds) after PII
+    redaction. Both are zero-shuffle per-batch stages.
 
     ``dedup`` picks the exact-dedup survivor attachment:
 
@@ -69,6 +77,14 @@ def prepare_corpus(
         bench_ref = ray.put(frozenset(grams))
 
     lang_set = set(langs)
+
+    if c4_min_lines > 0:
+        from ..stages.lines import c4_clean
+
+        docs = c4_clean(
+            docs, text_col=text_col, id_col=id_col,
+            min_lines=c4_min_lines, carry_cols=(lang_col, source_col),
+        )
 
     def prep(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -104,6 +120,16 @@ def prepare_corpus(
             ),
             pa.array(score >= min_quality),
         )
+        if gopher:
+            from ..stages.text import gopher_stats_values
+
+            words, mean_e6, n_stop = gopher_stats_values(text)
+            g_ok = (
+                (words >= 50) & (words <= 100_000)
+                & (mean_e6 >= 3_000_000) & (mean_e6 <= 10_000_000)
+                & (n_stop >= 2)
+            )
+            keep = pc.and_(keep, pa.array(g_ok))
         out = pa.table(
             {id_col: t[id_col], source_col: t[source_col], text_col: text}
         )

@@ -100,7 +100,8 @@ def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 
 def c4_clean(ds, *, text_col: str = "text", id_col: str = "doc_id",
-             sep: str = "\n", min_words: int = 3, min_lines: int = 5):
+             sep: str = "\n", min_words: int = 3, min_lines: int = 5,
+             carry_cols: tuple = ()):
     """C4-style page cleaning (Raffel et al. 2020, arXiv:1910.10683
     §2.2), the subset expressible without external word lists:
 
@@ -152,14 +153,16 @@ def c4_clean(ds, *, text_col: str = "text", id_col: str = "doc_id",
         kept_lines = pd.Series(flat.filter(pa.array(row_ok)).to_pylist())
         joined = kept_lines.groupby(parent[row_ok]).agg(sep.join)
         doc_idx = joined.index.to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                id_col: batch[id_col].take(pa.array(doc_idx)),
-                text_col: pa.array(joined.to_numpy(), pa.string()),
-                "n_kept": pa.array(kept_counts[doc_idx], pa.int64()),
-                "n_total": pa.array(lens[doc_idx], pa.int64()),
-            }
-        )
+        take = pa.array(doc_idx)
+        cols = {
+            id_col: batch[id_col].take(take),
+            text_col: pa.array(joined.to_numpy(), pa.string()),
+            "n_kept": pa.array(kept_counts[doc_idx], pa.int64()),
+            "n_total": pa.array(lens[doc_idx], pa.int64()),
+        }
+        for c in carry_cols:
+            cols[c] = batch[c].take(take)
+        return pa.table(cols)
 
     return ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
 

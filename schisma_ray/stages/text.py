@@ -574,6 +574,31 @@ def inverted_index(ds, *, col: str = "text", id_col: str = "doc_id",
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
+def gopher_stats_values(texts: pa.Array, stopwords: tuple = GOPHER_STOPWORDS):
+    """(n_words, mean_len_e6, n_distinct_stopwords) int64 arrays for one
+    Arrow string array — the word statistics behind the Gopher rules,
+    shared by the ``gopher_quality`` report stage and the corpus-prepare
+    filter. Mean word length is ``floor(chars * 1e6 / words + 0.5)`` so
+    downstream rule checks are integer-exact vs SQL."""
+    words = pc.count_substring_regex(texts, r"\S+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    chars = pc.utf8_length(
+        pc.replace_substring_regex(texts, r"\s+", "")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    safe_words = np.where(words == 0, 1, words)
+    mean_e6 = np.floor(
+        chars.astype(np.float64) * 1_000_000.0 / safe_words + 0.5
+    ).astype(np.int64)
+    mean_e6[words == 0] = 0
+    n_stop = np.zeros(len(texts), np.int64)
+    for sw in stopwords:
+        n_stop += pc.match_substring_regex(
+            texts, rf"\b{sw}\b"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+    return words, mean_e6, n_stop
+
+
 def gopher_quality(ds, *, col: str = "text", id_col: str = "doc_id",
                    min_words: int = 50, max_words: int = 100_000,
                    min_mean_len_e6: int = 3_000_000,
@@ -595,22 +620,7 @@ def gopher_quality(ds, *, col: str = "text", id_col: str = "doc_id",
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch[col].combine_chunks()
-        words = pc.count_substring_regex(texts, r"\S+").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        chars = pc.utf8_length(
-            pc.replace_substring_regex(texts, r"\s+", "")
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        safe_words = np.where(words == 0, 1, words)
-        mean_e6 = np.floor(
-            chars.astype(np.float64) * 1_000_000.0 / safe_words + 0.5
-        ).astype(np.int64)
-        mean_e6[words == 0] = 0
-        n_stop = np.zeros(len(texts), np.int64)
-        for sw in stopwords:
-            n_stop += pc.match_substring_regex(
-                texts, rf"\b{sw}\b"
-            ).to_numpy(zero_copy_only=False).astype(np.int64)
+        words, mean_e6, n_stop = gopher_stats_values(texts, stopwords)
         p_words = (words >= min_words) & (words <= max_words)
         p_mean = (mean_e6 >= min_mean_len_e6) & (mean_e6 <= max_mean_len_e6)
         p_stop = n_stop >= min_distinct_stop

@@ -212,3 +212,42 @@ def test_prepare_corpus_join_dedup_parity(ray_session):
     assert b[["doc_id", "chunk_idx", "chunk_text"]].equals(
         j[["doc_id", "chunk_idx", "chunk_text"]]
     )
+
+
+def test_prepare_corpus_c4_and_gopher_stages(ray_session):
+    """prepare_corpus with the C4 and Gopher knobs == the manual
+    composition (c4_clean -> base pipeline with an explicit gopher
+    pre-filter)."""
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+
+    good_body = " ".join(
+        f"the quick brown word{j} and that piece of text with have be to"
+        for j in range(8)
+    )
+    rows = []
+    for i in range(12):
+        if i % 4 == 0:
+            # fails C4: no terminal punctuation on any line
+            text = "\n".join(f"line {j} of doc {i} without punct" for j in range(6))
+        elif i % 4 == 1:
+            # passes C4 (6 good lines) but fails Gopher (few words kept? no:
+            # ensure enough words) -- make it fail gopher via NO stopwords
+            text = "\n".join(
+                " ".join(f"zz{i}_{j}_{k}" for k in range(10)) + "."
+                for j in range(6)
+            )
+        else:
+            text = "\n".join(
+                (good_body.split(" ", 1)[0] + f" {i} {j} " + good_body) + "."
+                for j in range(6)
+            )
+        rows.append({"doc_id": i, "text": text, "lang": "en",
+                     "source": f"s{i % 2}"})
+    docs = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = prepare_corpus(
+        docs, langs=("en",), min_quality=0.0, chunk_size=80,
+        chunk_stride=60, c4_min_lines=5, gopher=True,
+    ).to_pandas()
+    kept_ids = set(out["doc_id"])
+    # i%4==0 dropped by C4, i%4==1 dropped by gopher stopword rule
+    assert kept_ids == {i for i in range(12) if i % 4 >= 2}
