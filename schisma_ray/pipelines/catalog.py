@@ -2139,6 +2139,48 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def _bigram_lm_file(sf_dir: str) -> Path:
+    """Persist the char-bigram LM trained on the held-in reference slice
+    (doc_id % 10 == 0) — the KenLM-style artifact both the Ray scorer
+    and the SQL oracle consume. Integer log-probs frozen at train time,
+    so scoring is pure int summation on both sides."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from ..stages.text import train_char_bigram_lm
+
+    src = Path(sf_dir) / "documents.parquet"
+    tag = _h.md5(src.read_bytes()).hexdigest()[:10]
+    out = Path(f"/tmp/schisma_ray_cache/bigram_lm_{tag}.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        docs = pq.read_table(src, columns=["doc_id", "text"])
+        texts = [
+            t for i, t in zip(docs["doc_id"].to_pylist(),
+                              docs["text"].to_pylist())
+            if i % 10 == 0
+        ]
+        pq.write_table(train_char_bigram_lm(texts), out)
+    return out
+
+
+def q_lm_scores(sf_dir: str):
+    """CCNet/KenLM-style LM scoring: every document's total integer
+    log-prob + bigram count under the persisted reference char-bigram
+    model (perplexity-proxy quality filtering thresholds on
+    lp_e6 / n_bigrams downstream)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.text import lm_score
+
+    model = pq.read_table(_bigram_lm_file(sf_dir))
+    return _collect(
+        lm_score(_t(sf_dir, "documents"), model),
+        ["doc_id", "lp_e6", "n_bigrams"],
+    )
+
+
 def q_aspect_buckets(sf_dir: str):
     """SDXL-style aspect-ratio bucket assignment over the image table
     (column-pruned read: only id/w/h leave storage). Integer-exact
@@ -3264,6 +3306,23 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "lm_scores": f"""
+WITH m AS (SELECT bigram, lp_e6
+             FROM read_parquet('{_bigram_lm_file(ORACLE_SF_DIR)}')
+            WHERE bigram <> ''),
+flr AS (SELECT lp_e6 AS lp0
+          FROM read_parquet('{_bigram_lm_file(ORACLE_SF_DIR)}')
+         WHERE bigram = ''),
+d AS (SELECT doc_id, text FROM documents
+       WHERE text IS NOT NULL AND length(text) >= 2),
+bg AS (SELECT doc_id, substring(text, i, 2) AS b
+         FROM d, unnest(range(1, length(text))) AS t(i))
+SELECT bg.doc_id,
+       CAST(SUM(COALESCE(m.lp_e6, (SELECT lp0 FROM flr))) AS BIGINT) AS lp_e6,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+  FROM bg LEFT JOIN m ON bg.b = m.bigram
+ GROUP BY bg.doc_id
+""",
         "aspect_buckets": f"""
 WITH b(bidx, bw, bh) AS (
   SELECT * FROM (VALUES (0, 16, 32), (1, 16, 24), (2, 24, 24),
@@ -3825,6 +3884,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "lm_scores": q_lm_scores,
     "aspect_buckets": q_aspect_buckets,
     "clip_score_filter": q_clip_score_filter,
     "clip_score_rejects": q_clip_score_rejects,

@@ -638,3 +638,100 @@ def gopher_quality(ds, *, col: str = "text", id_col: str = "doc_id",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def train_char_bigram_lm(texts, *, add_k: int = 1) -> pa.Table:
+    """Driver-side character-bigram LM trainer (the model side of
+    CCNet/KenLM-style perplexity filtering, Wenzek et al. 2020 — a
+    bigram stand-in for the 5-gram KenLM this container can't host).
+    Model-sized by construction: at most 65536 rows.
+
+    Returns (bigram: 2-char string, lp_e6: int64) with add-k smoothing
+    over the 65536-bigram byte space, plus one sentinel row
+    (bigram = '') carrying the unseen-bigram log-prob. Log-probs are
+    FROZEN as ``floor(ln(p) * 1e6 + 0.5)`` integers at train time —
+    scoring on both the Ray and SQL side is pure integer summation, so
+    parity never passes through float repr or summation order."""
+    import math
+    from collections import Counter
+
+    counts: Counter = Counter()
+    for t in texts:
+        if not t or len(t) < 2:
+            continue
+        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        codes = b[:-1].astype(np.int64) * 256 + b[1:]
+        u, c = np.unique(codes, return_counts=True)
+        counts.update(dict(zip(u.tolist(), c.tolist())))
+    total = sum(counts.values())
+    denom = total + add_k * 65536
+
+    def lp_e6(c: int) -> int:
+        return int(math.floor(math.log((c + add_k) / denom) * 1e6 + 0.5))
+
+    bigrams = ["".join(chr(code // 256) + chr(code % 256)) for code in counts]
+    lps = [lp_e6(c) for c in counts.values()]
+    bigrams.append("")            # sentinel: unseen-bigram floor
+    lps.append(lp_e6(0))
+    return pa.table({"bigram": pa.array(bigrams, pa.string()),
+                     "lp_e6": pa.array(lps, pa.int64())})
+
+
+def lm_score(ds, model: pa.Table, *, col: str = "text",
+             id_col: str = "doc_id"):
+    """(id, lp_e6, n_bigrams) per document under a persisted char-bigram
+    LM: total integer log-prob and bigram count (callers derive the
+    per-bigram average / perplexity proxy and threshold on it). The
+    model broadcasts once (``ray.put``); ASCII texts score through a
+    65536-slot int64 table (fully vectorized per doc); docs with fewer
+    than 2 chars emit no row (no bigrams — same as the SQL GROUP BY).
+    Bigram semantics are 2-CHAR substrings (== SQL ``substring``),
+    which equals byte bigrams on the ASCII corpora this targets."""
+    import ray
+
+    table = np.full(65536, 0, np.int64)
+    floor_lp = 0
+    lut: dict = {}
+    for bg, lp in zip(model["bigram"].to_pylist(), model["lp_e6"].to_pylist()):
+        if bg == "":
+            floor_lp = lp
+        else:
+            lut[bg] = lp
+    table[:] = 0
+    for bg, lp in lut.items():
+        a, b = ord(bg[0]), ord(bg[1])
+        if a < 256 and b < 256:
+            table[a * 256 + b] = lp
+    # unseen slots carry the sentinel floor
+    mask = np.ones(65536, bool)
+    for bg in lut:
+        a, b = ord(bg[0]), ord(bg[1])
+        if a < 256 and b < 256:
+            mask[a * 256 + b] = False
+    table[mask] = floor_lp
+    model_ref = ray.put((table, floor_lp, lut))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        tab, f_lp, d = ray.get(model_ref)
+        ids, lps, ns = [], [], []
+        texts = batch[col].to_pylist()
+        for rid, t in zip(batch[id_col].to_pylist(), texts):
+            if not t or len(t) < 2:
+                continue
+            try:
+                b = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
+                codes = b[:-1].astype(np.int64) * 256 + b[1:]
+                s = int(tab[codes].sum())
+                n = len(codes)
+            except UnicodeEncodeError:
+                pairs = [t[i:i + 2] for i in range(len(t) - 1)]
+                s = sum(d.get(p, f_lp) for p in pairs)
+                n = len(pairs)
+            ids.append(rid)
+            lps.append(s)
+            ns.append(n)
+        return pa.table({id_col: pa.array(ids, batch[id_col].type),
+                         "lp_e6": pa.array(lps, pa.int64()),
+                         "n_bigrams": pa.array(ns, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

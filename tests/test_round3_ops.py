@@ -704,3 +704,32 @@ def test_aspect_bucket_assign(ray_session):
                    "h": pa.array([100], pa.int32())})
     out2 = aspect_bucket_assign(rd.from_arrow(t2)).to_pandas()
     assert tuple(out2.loc[0, ["bucket_w", "bucket_h"]]) == (24, 24)
+
+
+def test_lm_score_bruteforce(ray_session):
+    """lm_score == per-doc dict-lookup sum under the trained model; the
+    ascii fast path equals the string-pair fallback; unseen bigrams get
+    the sentinel floor."""
+    import math
+
+    from schisma_ray.stages.text import lm_score, train_char_bigram_lm
+
+    ref = ["abab", "abba"]
+    model = train_char_bigram_lm(ref)
+    lut = dict(zip(model["bigram"].to_pylist(), model["lp_e6"].to_pylist()))
+    floor = lut.pop("")
+    # trained mass: ab x3, ba x2, bb x1 -> total 6, denom 6 + 65536
+    assert lut["ab"] == math.floor(math.log(4 / 65542) * 1e6 + 0.5)
+    assert floor == math.floor(math.log(1 / 65542) * 1e6 + 0.5)
+
+    docs = {1: "abab", 2: "zq", 3: "a", 4: "caba"}
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)])})
+    out = lm_score(rd.from_arrow(t).repartition(2), model).to_pandas()
+    got = {int(r.doc_id): (int(r.lp_e6), int(r.n_bigrams))
+           for r in out.itertuples()}
+    def brute(s):
+        pairs = [s[i:i + 2] for i in range(len(s) - 1)]
+        return (sum(lut.get(p, floor) for p in pairs), len(pairs))
+    assert got == {1: brute("abab"), 2: brute("zq"), 4: brute("caba")}
+    assert 3 not in got  # single char -> no bigrams -> no row
