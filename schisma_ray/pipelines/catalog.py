@@ -2139,6 +2139,41 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_image_byte_dupes(sf_dir: str):
+    """Exact BYTE-level image dedup groups: md5(hex(bytes)) fingerprint
+    per image, groups with >= 2 identical encodings (the cheap
+    pre-phash dedup pass of a multimodal pipeline). The shuffle carries
+    only (fingerprint) after projection."""
+    import pyarrow.compute as _pc
+
+    from ..stages.dedup import binary_fingerprint
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "bytes"])
+    ds = ds.map_batches(
+        lambda t: t.filter(_pc.is_valid(t["bytes"])),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    fps = binary_fingerprint(ds, col="bytes", id_col="image_id")
+    counts = (
+        fps.map_batches(lambda t: t.select(["fingerprint"]),
+                        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fingerprint").count()
+    )
+    dupes = counts.map_batches(
+        lambda t: pa.table(
+            {"fp": t["fingerprint"], "n": pc_cast_i64(t["count()"])}
+        ).filter(_pc.greater_equal(t["count()"], 2)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(dupes, ["fp", "n"])
+
+
+def pc_cast_i64(arr):
+    import pyarrow.compute as _pc
+
+    return _pc.cast(arr, pa.int64())
+
+
 def _bigram_lm_file(sf_dir: str) -> Path:
     """Persist the char-bigram LM trained on the held-in reference slice
     (doc_id % 10 == 0) — the KenLM-style artifact both the Ray scorer
@@ -3306,6 +3341,11 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "image_byte_dupes": f"""
+SELECT md5(hex(bytes)) AS fp, CAST(count(*) AS BIGINT) AS n
+  FROM {img} WHERE bytes IS NOT NULL
+ GROUP BY 1 HAVING count(*) >= 2
+""",
         "lm_scores": f"""
 WITH m AS (SELECT bigram, lp_e6
              FROM read_parquet('{_bigram_lm_file(ORACLE_SF_DIR)}')
@@ -3884,6 +3924,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "image_byte_dupes": q_image_byte_dupes,
     "lm_scores": q_lm_scores,
     "aspect_buckets": q_aspect_buckets,
     "clip_score_filter": q_clip_score_filter,

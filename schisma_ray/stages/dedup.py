@@ -190,6 +190,28 @@ def content_fingerprint(ds, col: str, id_col: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def binary_fingerprint(ds, col: str, id_col: str):
+    """(id, fingerprint) for a BINARY column — md5 over the UPPERCASE
+    hex encoding of the payload, matching SQL ``md5(hex(bytes))``
+    (DuckDB's md5 only takes VARCHAR, so the hex round-trip is the
+    portable definition). The multimodal exact-dup key: identical
+    encoded images/audio collapse to one fingerprint. Null payloads
+    emit a null fingerprint."""
+    import binascii
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [
+            None if b is None
+            else hashlib.md5(binascii.hexlify(b).upper()).hexdigest()
+            for b in batch[col].to_pylist()
+        ]
+        return pa.table(
+            {id_col: batch[id_col], "fingerprint": pa.array(fps, pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # --------------------------------------------------------------- MinHash
 class MinHasher:
     """Actor-pool stage: per-row MinHash signature over word shingles.

@@ -733,3 +733,22 @@ def test_lm_score_bruteforce(ray_session):
         return (sum(lut.get(p, floor) for p in pairs), len(pairs))
     assert got == {1: brute("abab"), 2: brute("zq"), 4: brute("caba")}
     assert 3 not in got  # single char -> no bigrams -> no row
+
+
+def test_binary_fingerprint_matches_duckdb(ray_session):
+    import duckdb
+
+    from schisma_ray.stages.dedup import binary_fingerprint
+
+    payloads = [b"\x00\x01\xff", b"hello", None, b"", b"\x00\x01\xff"]
+    t = pa.table({"id": pa.array(range(5), pa.int64()),
+                  "bytes": pa.array(payloads, pa.binary())})
+    out = binary_fingerprint(
+        rd.from_arrow(t), col="bytes", id_col="id"
+    ).to_pandas().set_index("id")["fingerprint"]
+    want = duckdb.connect().execute(
+        "SELECT md5(hex(bytes)) FROM t ORDER BY id"
+    ).fetchall()
+    for i in range(5):
+        assert out.loc[i] == want[i][0]
+    assert out.loc[0] == out.loc[4] and out.loc[2] is None
