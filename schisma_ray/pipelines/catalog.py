@@ -823,6 +823,33 @@ def q_orders_enriched(sf_dir: str):
     return out.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_orders_left_enriched(sf_dir: str):
+    """LEFT OUTER enrichment: every order kept; customer name attached
+    only for BUILDING-segment customers (the filtered dimension makes
+    the null side falsifiable — inner-join parity would lose rows)."""
+    import pyarrow.compute as _pc
+
+    from ..stages.join import broadcast_hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.filter(
+            _pc.equal(t["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey", "c_name"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = broadcast_hash_join(
+        orders, customers, on="o_custkey", right_on="c_custkey",
+        how="left outer",
+    )
+    return _collect(out, ["o_orderkey", "o_custkey", "c_name"])
+
+
 def q_orders_enriched_shuffle(sf_dir: str):
     """Same join through Ray Data's native hash-shuffle Dataset.join —
     the path for a dimension side too big to broadcast."""
@@ -2865,6 +2892,12 @@ SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
+        "orders_left_enriched": """
+SELECT o.o_orderkey, o.o_custkey, c.c_name
+  FROM orders o LEFT JOIN (SELECT c_custkey, c_name FROM customer
+                            WHERE c_mktsegment = 'BUILDING') c
+    ON o.o_custkey = c.c_custkey
+""",
         "orders_enriched_shuffle": """
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
@@ -3843,6 +3876,7 @@ QUERIES = {
     "image_w_drift_ks": q_image_w_drift_ks,
     "events_last_order": q_events_last_order,
     "orders_enriched": q_orders_enriched,
+    "orders_left_enriched": q_orders_left_enriched,
     "orders_enriched_shuffle": q_orders_enriched_shuffle,
     "top_users_per_event_type": q_top_users_per_event_type,
     "events_in_campaigns": q_events_in_campaigns,
