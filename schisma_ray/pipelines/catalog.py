@@ -2166,6 +2166,71 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_lineitem_mad_outliers(sf_dir: str):
+    """Robust outlier detection via MAD (median absolute deviation):
+    exact distributed median of l_extendedprice (order statistic), then
+    exact median of |x - med| (second pass), flag rows with
+    |x - med| > 1.9 * MAD (fence scaled to this near-uniform price
+    distribution so it actually fires — spelled as the integer
+    comparison dev * 10 > 19 * MAD). Two sort-based aggregates + one
+    broadcast filter; all arithmetic on integer cents so SQL agrees
+    exactly."""
+    import pyarrow.compute as _pc
+
+    from ..stages.rank import exact_quantiles
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "cents": _pc.cast(
+                    _pc.round(_pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    cents = li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    med = int(exact_quantiles(cents, "cents", [0.5])["value"][0].as_py())
+
+    def abs_dev(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dev", _pc.abs(_pc.subtract(t["cents"], med))
+        )
+
+    devs = cents.map_batches(abs_dev, batch_format="pyarrow", zero_copy_batch=True)
+    mad = int(exact_quantiles(devs, "dev", [0.5])["value"][0].as_py())
+
+    out = devs.map_batches(
+        lambda t: t.filter(
+            _pc.greater(_pc.multiply(t["dev"], 10), 19 * mad)
+        ).select(
+            ["l_orderkey", "l_linenumber", "cents", "dev"]
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(out, ["l_orderkey", "l_linenumber", "cents", "dev"])
+
+
+def q_event_gaps(sf_dir: str):
+    """Telemetry gap detection: per-user consecutive-event gaps longer
+    than 6h — (user_id, gap_start_ts, gap_us). Same segmented-bucket
+    scan shape as sessionization; lag order (ts, event_id); gaps in
+    exact microseconds so SQL date_diff agrees."""
+    from ..stages.window import event_gaps
+
+    return _collect(
+        event_gaps(_t(sf_dir, "events"), min_gap_s=21600),
+        ["user_id", "gap_start_ts", "gap_us"],
+    )
+
+
 def q_image_byte_dupes(sf_dir: str):
     """Exact BYTE-level image dedup groups: md5(hex(bytes)) fingerprint
     per image, groups with >= 2 identical encodings (the cheap
@@ -3374,6 +3439,34 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "lineitem_mad_outliers": """
+WITH c AS (SELECT l_orderkey, l_linenumber,
+                  CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+             FROM lineitem),
+m AS (SELECT cents AS v FROM (
+        SELECT cents, row_number() OVER (ORDER BY cents) AS rn,
+               count(*) OVER () AS n FROM c)
+       WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1),
+d AS (SELECT l_orderkey, l_linenumber, cents,
+             abs(cents - (SELECT v FROM m)) AS dev FROM c),
+md AS (SELECT dev AS v FROM (
+         SELECT dev, row_number() OVER (ORDER BY dev) AS rn,
+                count(*) OVER () AS n FROM d)
+        WHERE rn = CAST(floor((n - 1) * 0.5) AS BIGINT) + 1)
+SELECT l_orderkey, l_linenumber, cents, dev
+  FROM d WHERE dev * 10 > 19 * (SELECT v FROM md)
+""",
+        "event_gaps": """
+WITH x AS (SELECT user_id, ts,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS nxt
+             FROM events)
+SELECT user_id, ts AS gap_start_ts,
+       CAST(date_diff('microsecond', ts, nxt) AS BIGINT) AS gap_us
+  FROM x
+ WHERE nxt IS NOT NULL
+   AND date_diff('microsecond', ts, nxt) > 21600000000
+""",
         "image_byte_dupes": f"""
 SELECT md5(hex(bytes)) AS fp, CAST(count(*) AS BIGINT) AS n
   FROM {img} WHERE bytes IS NOT NULL
@@ -3958,6 +4051,8 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "lineitem_mad_outliers": q_lineitem_mad_outliers,
+    "event_gaps": q_event_gaps,
     "image_byte_dupes": q_image_byte_dupes,
     "lm_scores": q_lm_scores,
     "aspect_buckets": q_aspect_buckets,

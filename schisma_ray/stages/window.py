@@ -826,3 +826,68 @@ def event_time_dedup(
 
     return deduped.map_batches(restore_ts, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def event_gaps(
+    ds,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    min_gap_s: int = 21600,
+    num_buckets: int = 64,
+):
+    """Telemetry gap report: per key, every consecutive-event gap longer
+    than ``min_gap_s`` as (key, gap_start_ts, gap_us) — the monitoring
+    question "which users went silent, when, for how long". Lag order is
+    (ts, id); gaps are exact microsecond diffs (== SQL
+    ``date_diff('microsecond', ...)``). One narrow shuffle, segmented
+    per-bucket scan — never per-key tasks."""
+    import numpy as np
+    import pandas as pd
+
+    gap_us = min_gap_s * 1_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = t[key_col].combine_chunks()
+        return pa.table(
+            {
+                key_col: key,
+                id_col: t[id_col],
+                "ts_us": pc.cast(t[ts_col], pa.int64()),
+                "bucket": _key_bucket(key, num_buckets),
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "ts_us", id_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({key_col: k[:0], "start_us": ts[:0],
+                                 "gap_us": ts[:0]})
+        same = k[1:] == k[:-1]
+        diff = ts[1:] - ts[:-1]
+        hit = same & (diff > gap_us)
+        return pd.DataFrame(
+            {
+                key_col: k[:-1][hit],
+                "start_us": ts[:-1][hit],
+                "gap_us": diff[hit].astype("int64"),
+            }
+        )
+
+    gaps = narrow.groupby("bucket").map_groups(per_bucket, batch_format="pandas")
+
+    def restore(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key_col: t[key_col],
+                "gap_start_ts": pc.cast(t["start_us"], pa.timestamp("us")),
+                "gap_us": t["gap_us"],
+            }
+        )
+
+    return gaps.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)

@@ -752,3 +752,42 @@ def test_binary_fingerprint_matches_duckdb(ray_session):
     for i in range(5):
         assert out.loc[i] == want[i][0]
     assert out.loc[0] == out.loc[4] and out.loc[2] is None
+
+
+def test_event_gaps_bruteforce(ray_session):
+    import pandas as pd
+
+    from schisma_ray.stages.window import event_gaps
+
+    us = 1_000_000
+    rows = [
+        # user 1: gaps of 100s, 7h, 50s
+        (1, 1, 0), (2, 1, 100 * us), (3, 1, (100 + 25200) * us),
+        (4, 1, (100 + 25200 + 50) * us),
+        # user 2: single event -> no gaps
+        (5, 2, 0),
+        # user 3: exactly the threshold -> NOT a gap (strict >)
+        (6, 3, 0), (7, 3, 21600 * us),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+    })
+    out = event_gaps(rd.from_arrow(t).repartition(3), min_gap_s=21600,
+                     num_buckets=4).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r.user_id) == 1 and int(r.gap_us) == 25200 * us
+    assert r.gap_start_ts == pd.Timestamp(100 * us, unit="us")
+
+
+def test_mad_outliers_query(ray_session):
+    import __ray_entry__
+
+    out = __ray_entry__.queries()["lineitem_mad_outliers"](
+        "/root/testdata/sf0.001"
+    )
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert (df["dev"] * 10 > 0).all()
+    assert len(df) > 0
