@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -2288,7 +2290,11 @@ def _bigram_lm_file(sf_dir: str) -> Path:
                               docs["text"].to_pylist())
             if i % 10 == 0
         ]
-        pq.write_table(train_char_bigram_lm(texts), out)
+        # atomic: a crashed/concurrent writer must never leave a
+        # truncated artifact at the final path
+        tmp = out.with_name(out.name + f".tmp{os.getpid()}")
+        pq.write_table(train_char_bigram_lm(texts), tmp)
+        os.replace(tmp, out)
     return out
 
 

@@ -121,13 +121,21 @@ def prepare_corpus(
             pa.array(score >= min_quality),
         )
         if gopher:
-            from ..stages.text import gopher_stats_values
+            from ..stages.text import (
+                GOPHER_MAX_MEAN_LEN_E6,
+                GOPHER_MAX_WORDS,
+                GOPHER_MIN_DISTINCT_STOP,
+                GOPHER_MIN_MEAN_LEN_E6,
+                GOPHER_MIN_WORDS,
+                gopher_stats_values,
+            )
 
             words, mean_e6, n_stop = gopher_stats_values(text)
             g_ok = (
-                (words >= 50) & (words <= 100_000)
-                & (mean_e6 >= 3_000_000) & (mean_e6 <= 10_000_000)
-                & (n_stop >= 2)
+                (words >= GOPHER_MIN_WORDS) & (words <= GOPHER_MAX_WORDS)
+                & (mean_e6 >= GOPHER_MIN_MEAN_LEN_E6)
+                & (mean_e6 <= GOPHER_MAX_MEAN_LEN_E6)
+                & (n_stop >= GOPHER_MIN_DISTINCT_STOP)
             )
             keep = pc.and_(keep, pa.array(g_ok))
         out = pa.table(

@@ -85,6 +85,7 @@ def paired_caption_embeddings(sf_dir: str, *, mismatch_every: int = 4,
     base = pq.read_table(base_path)
     out_dir = CACHE_ROOT / (
         f"pair_emb_n{base.num_rows}_m{mismatch_every}_s{seed}"
+        f"_e{int(round(eps * 10000))}"
     )
     out = out_dir / "paired_embeddings.parquet"
     if out.exists():

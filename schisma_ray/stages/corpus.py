@@ -466,12 +466,18 @@ def concat_chunks(ds, *, text_col: str = "text", id_col: str = "doc_id",
     off = zip_with_cumsum(base, "n_tok", offset_col="g_start")
 
     def pieces(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
+        # split with the SAME RE2 engine that counted (\S+ and \s+ are
+        # complements under one regex dialect); Python str.split()
+        # disagrees with RE2 on \x0b / \xa0 and would misalign every
+        # chunk after such a doc
+        word_lists = pc.split_pattern_regex(
+            batch[text_col].combine_chunks(), r"\s+"
+        ).to_pylist()
         starts = batch["g_start"].to_numpy(zero_copy_only=False)
         ntoks = batch["n_tok"].to_numpy(zero_copy_only=False)
         c_ids, g_offs, p_texts, p_ns = [], [], [], []
-        for text, s, n in zip(texts, starts, ntoks):
-            words = text.split()
+        for wl, s, n in zip(word_lists, starts, ntoks):
+            words = [w for w in wl if w]
             words.append(eos)
             e = s + n
             for k in range(int(s) // chunk_tokens, int(e - 1) // chunk_tokens + 1):

@@ -26,6 +26,10 @@ import pyarrow.compute as pc
 
 def _explode_fn(text_col: str, id_col: str, sep: str, num_buckets: int):
     def explode(batch: pa.Table) -> pa.Table:
+        # a null text contributes no lines (the doc vanishes, like the
+        # SQL WHERE text IS NOT NULL); without this, list_value_length's
+        # null->NaN->int64 cast corrupts every offset after it
+        batch = batch.filter(pc.is_valid(batch[text_col]))
         texts = batch[text_col].combine_chunks()
         lines_list = pc.split_pattern(texts, sep)
         flat = pc.list_flatten(lines_list)
@@ -119,6 +123,7 @@ def c4_clean(ds, *, text_col: str = "text", id_col: str = "doc_id",
     """
 
     def clean(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[text_col]))
         texts = batch[text_col].combine_chunks()
         low = pc.utf8_lower(texts)
         page_ok = pc.and_(

@@ -342,9 +342,12 @@ def semdedup_pairs(ds, centroids: np.ndarray, *, col: str = "embedding",
     ids, the same skew cap as ``cosine_near_dup_pairs``).
 
     Assignment uses ``argmax(x . c - 0.5 |c|^2)`` with numpy's
-    first-max (= lowest cid) tie-break — exactly reproducible in SQL
-    via ``row_number() OVER (ORDER BY score DESC, cid)``, which is how
-    the oracle checks it.
+    first-max (= lowest cid) tie-break — the same convention as
+    ``assign_with_centroids`` / the ``embedding_kmeans_assign`` oracle
+    (``row_number() OVER (ORDER BY score DESC, cid)``). Reproducible in
+    SQL up to last-ulp summation-order drift on near-equidistant
+    vectors (BLAS vs sequential dot); a vector that close to two
+    centroids is not a meaningful assignment either way.
 
     Unlike the LSH pair producer there is no cross-table dedup fold:
     clusters PARTITION the corpus, so each pair appears at most once.
@@ -357,7 +360,7 @@ def semdedup_pairs(ds, centroids: np.ndarray, *, col: str = "embedding",
         if mat.shape[0] == 0:
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], batch[id_col].type),
                     "cluster": pa.array([], pa.int64()),
                     col: pa.array([], batch[col].type),
                 }
@@ -421,7 +424,7 @@ def paired_cosine_filter(ds, *, col_a: str = "img_emb", col_b: str = "cap_emb",
         a = _batch_matrix(batch, col_a)
         b = _batch_matrix(batch, col_b)
         if a.shape[0] == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
+            return pa.table({id_col: pa.array([], batch[id_col].type),
                              "sim": pa.array([], pa.float64())})
         na = np.linalg.norm(a, axis=1)
         nb = np.linalg.norm(b, axis=1)

@@ -572,6 +572,13 @@ def inverted_index(ds, *, col: str = "text", id_col: str = "doc_id",
 
 
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# the paper's A1.1 default bounds — single source of truth for the
+# gopher_quality stage and the prepare_corpus --gopher path
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_LEN_E6 = 3_000_000
+GOPHER_MAX_MEAN_LEN_E6 = 10_000_000
+GOPHER_MIN_DISTINCT_STOP = 2
 
 
 def gopher_stats_values(texts: pa.Array, stopwords: tuple = GOPHER_STOPWORDS):
@@ -600,10 +607,11 @@ def gopher_stats_values(texts: pa.Array, stopwords: tuple = GOPHER_STOPWORDS):
 
 
 def gopher_quality(ds, *, col: str = "text", id_col: str = "doc_id",
-                   min_words: int = 50, max_words: int = 100_000,
-                   min_mean_len_e6: int = 3_000_000,
-                   max_mean_len_e6: int = 10_000_000,
-                   min_distinct_stop: int = 2,
+                   min_words: int = GOPHER_MIN_WORDS,
+                   max_words: int = GOPHER_MAX_WORDS,
+                   min_mean_len_e6: int = GOPHER_MIN_MEAN_LEN_E6,
+                   max_mean_len_e6: int = GOPHER_MAX_MEAN_LEN_E6,
+                   min_distinct_stop: int = GOPHER_MIN_DISTINCT_STOP,
                    stopwords: tuple = GOPHER_STOPWORDS):
     """Gopher-style document quality rules (Rae et al. 2021,
     arXiv:2112.11446 A1.1), the word-statistics subset: word count in
@@ -689,26 +697,25 @@ def lm_score(ds, model: pa.Table, *, col: str = "text",
     which equals byte bigrams on the ASCII corpora this targets."""
     import ray
 
-    table = np.full(65536, 0, np.int64)
-    floor_lp = 0
+    floor_lp = None
     lut: dict = {}
     for bg, lp in zip(model["bigram"].to_pylist(), model["lp_e6"].to_pylist()):
         if bg == "":
             floor_lp = lp
         else:
             lut[bg] = lp
-    table[:] = 0
+    if floor_lp is None:
+        # without the sentinel, unseen bigrams would silently score 0
+        # (probability 1) and garbage text would rank best
+        raise ValueError(
+            "model table lacks the bigram='' sentinel row "
+            "(use train_char_bigram_lm)"
+        )
+    table = np.full(65536, floor_lp, np.int64)
     for bg, lp in lut.items():
         a, b = ord(bg[0]), ord(bg[1])
         if a < 256 and b < 256:
             table[a * 256 + b] = lp
-    # unseen slots carry the sentinel floor
-    mask = np.ones(65536, bool)
-    for bg in lut:
-        a, b = ord(bg[0]), ord(bg[1])
-        if a < 256 and b < 256:
-            mask[a * 256 + b] = False
-    table[mask] = floor_lp
     model_ref = ray.put((table, floor_lp, lut))
 
     def fn(batch: pa.Table) -> pa.Table:

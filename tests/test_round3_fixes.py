@@ -251,3 +251,54 @@ def test_prepare_corpus_c4_and_gopher_stages(ray_session):
     kept_ids = set(out["doc_id"])
     # i%4==0 dropped by C4, i%4==1 dropped by gopher stopword rule
     assert kept_ids == {i for i in range(12) if i % 4 >= 2}
+
+
+def test_line_ops_tolerate_null_text(ray_session):
+    """A null text row must vanish cleanly (not corrupt offsets of the
+    docs after it in the batch, not crash c4_clean)."""
+    from schisma_ray.stages.lines import c4_clean, duplicated_lines, line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["alpha\nbeta", None, "gamma\nalpha"], pa.string()),
+    })
+    out = line_dedup(rd.from_arrow(t), num_buckets=2).to_pandas()
+    got = {int(r.doc_id): r.text for r in out.itertuples()}
+    assert got == {1: "alpha\nbeta", 3: "gamma"}
+    dup = duplicated_lines(rd.from_arrow(t), num_buckets=2).to_pandas()
+    assert dict(zip(dup["line"], dup["n"])) == {"alpha": 2}
+    c4 = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["one fine line.\n" * 6, None], pa.string()),
+    })
+    outc = c4_clean(rd.from_arrow(c4)).to_pandas()
+    assert sorted(outc["doc_id"]) == [1]
+
+
+def test_concat_chunks_exotic_whitespace(ray_session):
+    """\\x0b and \\xa0 are NOT separators under the RE2 tokenizer; the
+    slicer must agree with the counter (one token 'a\\x0bb', not two)."""
+    from schisma_ray.stages.corpus import concat_chunks
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a\x0bb c", "d\xa0e f"], pa.string()),
+    })
+    out = concat_chunks(rd.from_arrow(t), chunk_tokens=3,
+                        num_buckets=2).to_pandas().sort_values("chunk_id")
+    texts = list(out["text"])
+    assert texts == ["a\x0bb c <|eos|>", "d\xa0e f <|eos|>"]
+    assert list(out["n_tokens"]) == [3, 3]
+
+
+def test_lm_score_requires_sentinel(ray_session):
+    from schisma_ray.stages.text import lm_score, train_char_bigram_lm
+
+    model = train_char_bigram_lm(["ab"])
+    broken = model.filter(
+        pa.compute.not_equal(model["bigram"], "")
+    )
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["ab"])})
+    with pytest.raises(ValueError, match="sentinel"):
+        lm_score(rd.from_arrow(t), broken)
