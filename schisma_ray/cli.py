@@ -56,6 +56,12 @@ def main(argv=None) -> int:
     i = sub.add_parser("infer")
     i.add_argument("--table", required=True)
 
+    cv = sub.add_parser("convert")
+    cv.add_argument("--src", required=True)
+    cv.add_argument("--out", required=True)
+    cv.add_argument("--fmt", default=None, choices=[None, "parquet", "jsonl", "csv"],
+                    help="output format (default: inferred from --out suffix, else parquet)")
+
     p = sub.add_parser("prepare")
     p.add_argument("--docs", required=True)
     p.add_argument("--out", required=True)
@@ -157,6 +163,12 @@ def main(argv=None) -> int:
                 # an all-filtered corpus writes no files at all
                 n = 0
             print(json.dumps({"chunks_written": n, "out": args.out}))
+        elif args.cmd == "convert":
+            from schisma_ray.sources.reader import read_table
+            from schisma_ray.sources.writer import write_table
+
+            write_table(read_table(args.src), args.out, fmt=args.fmt)
+            print(json.dumps({"out": args.out}))
         elif args.cmd == "infer":
             from schisma_ray.schema.infer import infer_schema_literal, literal_repr
             from schisma_ray.sources.reader import read_table

@@ -92,3 +92,22 @@ def read_partitioned(path: str | Path, *, columns: list[str] | None = None,
         )
     return rd.read_parquet(str(base), columns=columns,
                            partitioning=Partitioning("hive"))
+
+
+def write_table(ds, out: str, *, fmt: str | None = None):
+    """Format-dispatched sink: ``parquet`` (default), ``jsonl``/``json``
+    or ``csv``, inferred from ``fmt`` or the output path suffix — the
+    write half of ``reader.read_table`` (parquet <-> jsonl <-> csv
+    conversion for raw drops / downstream consumers). Streaming
+    Dataset writes; one file per block."""
+    from pathlib import Path
+
+    suffix = (fmt or Path(out).suffix.lstrip(".") or "parquet").lower()
+    if suffix in ("jsonl", "json"):
+        ds.write_json(out)
+    elif suffix == "csv":
+        ds.write_csv(out)
+    elif suffix == "parquet":
+        ds.write_parquet(out)
+    else:
+        raise ValueError(f"unknown output format {suffix!r}")

@@ -302,3 +302,28 @@ def test_lm_score_requires_sentinel(ray_session):
                   "text": pa.array(["ab"])})
     with pytest.raises(ValueError, match="sentinel"):
         lm_score(rd.from_arrow(t), broken)
+
+
+def test_convert_round_trip(ray_session, tmp_path):
+    """parquet -> jsonl -> csv -> parquet preserves the documents table
+    row-for-row (the convert CLI's write_table/read_table dispatch)."""
+    from schisma_ray.sources.reader import read_table
+    from schisma_ray.sources.writer import write_table
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    base = read_table(src).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    j = tmp_path / "docs.jsonl"
+    write_table(read_table(src), str(j))
+    back_j = read_table(j).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back_j[base.columns.tolist()].equals(base)
+
+    c = tmp_path / "docs.csv"
+    write_table(read_table(j), str(c))
+    back_c = read_table(c).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back_c[base.columns.tolist()].equals(base)
+
+    p = tmp_path / "docs_out"
+    write_table(read_table(c), str(p), fmt="parquet")
+    back_p = read_table(p).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert back_p[base.columns.tolist()].equals(base)
