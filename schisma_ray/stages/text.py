@@ -659,7 +659,13 @@ def train_char_bigram_lm(texts, *, add_k: int = 1) -> pa.Table:
     (bigram = '') carrying the unseen-bigram log-prob. Log-probs are
     FROZEN as ``floor(ln(p) * 1e6 + 0.5)`` integers at train time —
     scoring on both the Ray and SQL side is pure integer summation, so
-    parity never passes through float repr or summation order."""
+    parity never passes through float repr or summation order.
+
+    ASCII caveat: training counts BYTE bigrams (utf-8), while scoring's
+    non-ascii fallback looks up 2-CHAR substrings — multi-byte
+    reference text therefore contributes keys the scorer treats as
+    unseen (both sides of the oracle agree on this; the model targets
+    the ASCII corpora this engine's text battery runs on)."""
     import math
     from collections import Counter
 
@@ -720,25 +726,53 @@ def lm_score(ds, model: pa.Table, *, col: str = "text",
 
     def fn(batch: pa.Table) -> pa.Table:
         tab, f_lp, d = ray.get(model_ref)
-        ids, lps, ns = [], [], []
-        texts = batch[col].to_pylist()
-        for rid, t in zip(batch[id_col].to_pylist(), texts):
-            if not t or len(t) < 2:
-                continue
-            try:
-                b = np.frombuffer(t.encode("ascii"), dtype=np.uint8)
-                codes = b[:-1].astype(np.int64) * 256 + b[1:]
-                s = int(tab[codes].sum())
-                n = len(codes)
-            except UnicodeEncodeError:
+        arr = batch[col].combine_chunks()
+        keep = pc.and_(
+            pc.is_valid(arr),
+            pc.greater_equal(pc.fill_null(pc.binary_length(arr), 0), 2),
+        )
+        kept = pa.table({id_col: batch[id_col], "__t": arr}).filter(keep)
+        empty = pa.table({id_col: pa.array([], batch[id_col].type),
+                          "lp_e6": pa.array([], pa.int64()),
+                          "n_bigrams": pa.array([], pa.int64())})
+        if kept.num_rows == 0:
+            return empty
+        txt = kept["__t"].combine_chunks()
+        # zero-copy view of the whole batch's text: one pair-code array
+        # over the concatenated byte buffer, one table gather, one
+        # reduceat per-doc sum — no per-row Python on the ascii path
+        off = np.frombuffer(txt.buffers()[1], np.int32)[
+            txt.offset:txt.offset + len(txt) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(txt.buffers()[2], np.uint8)
+        seg = data[off[0]:off[-1]]
+        starts = off[:-1] - off[0]
+        if seg.size and (seg >= 128).any():
+            # rare non-ascii batch: 2-char string semantics via dict
+            ids, lps, ns = [], [], []
+            for rid, t in zip(kept[id_col].to_pylist(),
+                              txt.to_pylist()):
+                if len(t) < 2:
+                    continue
                 pairs = [t[i:i + 2] for i in range(len(t) - 1)]
-                s = sum(d.get(p, f_lp) for p in pairs)
-                n = len(pairs)
-            ids.append(rid)
-            lps.append(s)
-            ns.append(n)
-        return pa.table({id_col: pa.array(ids, batch[id_col].type),
-                         "lp_e6": pa.array(lps, pa.int64()),
+                ids.append(rid)
+                lps.append(sum(d.get(p, f_lp) for p in pairs))
+                ns.append(len(pairs))
+            return pa.table({id_col: pa.array(ids, batch[id_col].type),
+                             "lp_e6": pa.array(lps, pa.int64()),
+                             "n_bigrams": pa.array(ns, pa.int64())})
+        codes = seg[:-1].astype(np.int32) * 256 + seg[1:]
+        lp = tab[codes]
+        # pairs straddling a doc boundary contribute nothing; each doc's
+        # reduceat segment [start_i, start_{i+1}) then sums exactly its
+        # own len-1 bigrams (every kept doc has len >= 2, so segments
+        # are non-empty and reduceat is well-defined)
+        boundary = starts[1:] - 1
+        lp[boundary] = 0
+        sums = np.add.reduceat(lp, starts) if len(lp) else np.array([], np.int64)
+        ns = (off[1:] - off[:-1]) - 1
+        return pa.table({id_col: kept[id_col],
+                         "lp_e6": pa.array(sums, pa.int64()),
                          "n_bigrams": pa.array(ns, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -791,3 +791,26 @@ def test_mad_outliers_query(ray_session):
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert (df["dev"] * 10 > 0).all()
     assert len(df) > 0
+
+
+def test_lm_score_nonascii_and_mixed_batches(ray_session):
+    """The buffer fast path and the 2-char-string fallback agree with
+    per-doc brute force; null / short / unicode docs behave."""
+    from schisma_ray.stages.text import lm_score, train_char_bigram_lm
+
+    model = train_char_bigram_lm(["hello world", "héllo"])
+    lut = dict(zip(model["bigram"].to_pylist(), model["lp_e6"].to_pylist()))
+    floor = lut.pop("")
+
+    def brute(s):
+        pairs = [s[i:i + 2] for i in range(len(s) - 1)]
+        return (sum(lut.get(p, floor) for p in pairs), len(pairs))
+
+    docs = {1: "hello", 2: None, 3: "x", 4: "héllo wörld", 5: "world hello"}
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)])})
+    out = lm_score(rd.from_arrow(t).repartition(2), model).to_pandas()
+    got = {int(r.doc_id): (int(r.lp_e6), int(r.n_bigrams))
+           for r in out.itertuples()}
+    assert got == {1: brute("hello"), 4: brute("héllo wörld"),
+                   5: brute("world hello")}
