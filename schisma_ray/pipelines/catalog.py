@@ -2168,6 +2168,145 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    sums of quantity / base price / discounted price / charge and row
+    counts, shipdate-filtered. All money in integer cents and
+    cent-percent products (cents x (100-disc) x (100+tax)) so SQL
+    agrees exactly. Combiner-first: each batch pre-aggregates to at
+    most a handful of group rows; the shuffle carries partials only."""
+    import datetime
+
+    import pyarrow.compute as _pc
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+    )
+    cutoff = datetime.datetime(1998, 9, 2)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.less_equal(t["l_shipdate"], pa.scalar(cutoff)))
+        cents = _pc.cast(_pc.round(_pc.multiply(t["l_extendedprice"], 100.0)),
+                         pa.int64())
+        disc = _pc.cast(_pc.round(_pc.multiply(t["l_discount"], 100.0)),
+                        pa.int64())
+        tax = _pc.cast(_pc.round(_pc.multiply(t["l_tax"], 100.0)), pa.int64())
+        qty = _pc.cast(_pc.round(t["l_quantity"]), pa.int64())
+        disc_cp = _pc.multiply(cents, _pc.subtract(pa.scalar(100), disc))
+        charge_cpp = _pc.multiply(disc_cp, _pc.add(pa.scalar(100), tax))
+        g = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "cents": cents,
+                "disc_cp": disc_cp,
+                "charge_cpp": charge_cpp,
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("cents", "sum"), ("disc_cp", "sum"),
+             ("charge_cpp", "sum"), ("one", "sum")]
+        )
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    total = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .sum(["qty_sum", "cents_sum", "disc_cp_sum", "charge_cpp_sum",
+              "one_sum"])
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": t["sum(qty_sum)"],
+                "sum_base_cents": t["sum(cents_sum)"],
+                "sum_disc_cp": t["sum(disc_cp_sum)"],
+                "sum_charge_cpp": t["sum(charge_cpp_sum)"],
+                "n": t["sum(one_sum)"],
+            }
+        )
+
+    return _collect(
+        total.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+         "sum_disc_cp", "sum_charge_cpp", "n"],
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """Star-schema rollup (TPC-H Q5-lite): orders -> customer -> nation
+    through two BROADCAST joins (both dimensions are ray.put once),
+    then a combiner-first revenue sum per nation in integer cents."""
+    import pyarrow.compute as _pc
+
+    from ..stages.join import broadcast_hash_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    j1 = broadcast_hash_join(orders, cust, on="o_custkey",
+                             right_on="c_custkey")
+    j2 = broadcast_hash_join(j1, nation, on="c_nationkey",
+                             right_on="n_nationkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "n_name": t["n_name"],
+                "cents": _pc.cast(
+                    _pc.round(_pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("n_name").aggregate([("cents", "sum"),
+                                               ("one", "sum")])
+
+    partials = j2.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    total = partials.groupby("n_name").sum(["cents_sum", "one_sum"])
+    out = total.map_batches(
+        lambda t: pa.table(
+            {
+                "n_name": t["n_name"],
+                "revenue_cents": t["sum(cents_sum)"],
+                "n_orders": t["sum(one_sum)"],
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(out, ["n_name", "revenue_cents", "n_orders"])
+
+
+def q_fd_violations(sf_dir: str):
+    """Functional-dependency audit phash -> fmt over duplicated phashes:
+    which repeated perceptual hashes map to MORE than one distinct
+    format (47 violating vs 56 clean groups at sf0.01 — exact copies
+    keep their fmt, colliding hashes don't)."""
+    from ..stages.profile import fd_violations
+
+    ds = read_images(_img_dir(sf_dir), ["phash", "fmt"])
+    return _collect(
+        fd_violations(ds, lhs="phash", rhs="fmt", min_group=2),
+        ["phash", "n_rhs"],
+    )
+
+
 def q_lineitem_mad_outliers(sf_dir: str):
     """Robust outlier detection via MAD (median absolute deviation):
     exact distributed median of l_extendedprice (order statistic), then
@@ -3445,6 +3584,39 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "lineitem_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_base_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS sum_disc_cp,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+                * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+            AS BIGINT) AS sum_charge_cpp,
+       CAST(count(*) AS BIGINT) AS n
+  FROM lineitem
+ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+ GROUP BY 1, 2
+""",
+        "revenue_by_nation": """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+ GROUP BY 1
+""",
+        "fd_violations": f"""
+SELECT phash, CAST(count(DISTINCT fmt) AS BIGINT) AS n_rhs
+  FROM {img} WHERE phash IS NOT NULL
+ GROUP BY phash
+HAVING count(DISTINCT fmt) > 1 AND count(*) >= 2
+""",
         "lineitem_mad_outliers": """
 WITH c AS (SELECT l_orderkey, l_linenumber,
                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
@@ -4057,6 +4229,9 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "fd_violations": q_fd_violations,
     "lineitem_mad_outliers": q_lineitem_mad_outliers,
     "event_gaps": q_event_gaps,
     "image_byte_dupes": q_image_byte_dupes,

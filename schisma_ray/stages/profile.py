@@ -83,3 +83,49 @@ def expect_null_rates(ds, budgets: dict[str, float]):
         )
 
     return prof.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fd_violations(ds, *, lhs: str, rhs: str, min_group: int = 1,
+                  num_buckets: int = 64):
+    """Functional-dependency audit ``lhs -> rhs``: every lhs value that
+    maps to MORE than one distinct rhs value, with its distinct-rhs
+    count — the "same key, conflicting attribute" data-quality check.
+    ``min_group`` restricts the audit to lhs values appearing at least
+    that often (total occurrences, not distinct rhs).
+
+    Scale shape: each batch first collapses to its DISTINCT (lhs, rhs)
+    pairs plus per-pair occurrence counts (combiner — repeated pairs
+    cost one row per batch), then ONE groupby on an lhs hash bucket;
+    per bucket a vectorized pandas pass counts distinct rhs per lhs.
+    Null lhs rows are excluded (no key, no dependency)."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[lhs]))
+        g = pa.table({lhs: t[lhs], rhs: t[rhs],
+                      "one": pa.array(np.ones(t.num_rows, np.int64))})
+        pairs = g.group_by([lhs, rhs]).aggregate([("one", "sum")])
+        h = pd.util.hash_array(
+            pairs[lhs].combine_chunks().to_numpy(zero_copy_only=False)
+        )
+        return pairs.append_column(
+            "bucket",
+            pa.array((h % np.uint64(num_buckets)).astype(np.int32),
+                     pa.int32()),
+        )
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        agg = group.groupby(lhs).agg(
+            n_rhs=(rhs, "nunique"), n_rows=("one_sum", "sum")
+        )
+        bad = agg[(agg["n_rhs"] > 1) & (agg["n_rows"] >= min_group)]
+        out = bad.reset_index()[[lhs, "n_rhs"]]
+        out["n_rhs"] = out["n_rhs"].astype("int64")
+        return out
+
+    return pairs.groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas")

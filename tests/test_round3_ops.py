@@ -814,3 +814,21 @@ def test_lm_score_nonascii_and_mixed_batches(ray_session):
            for r in out.itertuples()}
     assert got == {1: brute("hello"), 4: brute("héllo wörld"),
                    5: brute("world hello")}
+
+
+def test_fd_violations_bruteforce(ray_session):
+    from schisma_ray.stages.profile import fd_violations
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b", "b", "c", None, "d"], pa.string()),
+        "v": pa.array(["x", "y", "x", "x", "x", "z", "w"], pa.string()),
+    })
+    out = fd_violations(
+        rd.from_arrow(t).repartition(3), lhs="k", rhs="v", num_buckets=2
+    ).to_pandas()
+    got = dict(zip(out["k"], out["n_rhs"]))
+    assert got == {"a": 2}          # b maps to one v; c/d singletons; null dropped
+    out2 = fd_violations(
+        rd.from_arrow(t), lhs="k", rhs="v", min_group=3
+    ).to_pandas()
+    assert len(out2) == 0           # 'a' only has 2 rows
