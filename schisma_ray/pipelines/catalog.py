@@ -2168,6 +2168,20 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_event_type_cooccurrence(sf_dir: str):
+    """Market-basket co-occurrence: for every unordered pair of event
+    types, how many users performed both. Per-batch distinct
+    (user, type) pairs (combiner), one user-hash-bucket groupby, pairs
+    emitted per user via a vectorized per-bucket pass, then a tiny
+    pair-count fold."""
+    from ..stages.window import event_type_cooccurrence
+
+    return _collect(
+        event_type_cooccurrence(_t(sf_dir, "events")),
+        ["type_a", "type_b", "n_users"],
+    )
+
+
 def q_lineitem_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
     sums of quantity / base price / discounted price / charge and row
@@ -3584,6 +3598,14 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "event_type_cooccurrence": """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+  FROM d a JOIN d b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+ GROUP BY 1, 2
+""",
         "lineitem_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -4229,6 +4251,7 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "event_type_cooccurrence": q_event_type_cooccurrence,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "fd_violations": q_fd_violations,

@@ -891,3 +891,69 @@ def event_gaps(
         )
 
     return gaps.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def event_type_cooccurrence(
+    ds,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+):
+    """(type_a, type_b, n_users) for every unordered type pair with
+    type_a < type_b: how many keys exhibit both (market-basket
+    co-occurrence). Combiner-first: each batch collapses to its
+    distinct (key, type) rows; one key-hash-bucket shuffle co-locates a
+    key's types; each bucket emits per-key pairs with a vectorized
+    merge (sorted keys -> segment offsets -> per-segment triangle),
+    and a final tiny groupby folds pair counts. The pair space is
+    O(distinct types squared) — type vocabularies are small by nature;
+    keys never pair across buckets because a key lives in one bucket."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({key_col: t[key_col], type_col: t[type_col]})
+        distinct = g.group_by([key_col, type_col]).aggregate([])
+        key = distinct[key_col].combine_chunks()
+        return distinct.append_column(
+            "bucket", _key_bucket(key, num_buckets)
+        )
+
+    pairs_in = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates([key_col, type_col])[[key_col, type_col]]
+        if len(g) == 0:
+            e = g[type_col].to_numpy()
+            return pd.DataFrame({"type_a": e, "type_b": e,
+                                 "n": np.zeros(0, np.int64)})
+        # one vectorized self-merge per bucket (per-key triangle via
+        # the type_a < type_b filter) — no per-key Python
+        m = g.merge(g, on=key_col, suffixes=("_a", "_b"))
+        m = m[m[f"{type_col}_a"] < m[f"{type_col}_b"]]
+        out = (
+            m.groupby([f"{type_col}_a", f"{type_col}_b"], sort=True)
+            .size().rename("n").reset_index()
+        )
+        out.columns = ["type_a", "type_b", "n"]
+        return out
+
+    per = pairs_in.groupby("bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+    total = per.groupby(["type_a", "type_b"]).sum("n")
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table(
+            {
+                "type_a": t["type_a"],
+                "type_b": t["type_b"],
+                "n_users": _pc.cast(t["sum(n)"], pa.int64()),
+            }
+        )
+
+    return total.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)

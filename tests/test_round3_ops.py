@@ -832,3 +832,27 @@ def test_fd_violations_bruteforce(ray_session):
         rd.from_arrow(t), lhs="k", rhs="v", min_group=3
     ).to_pandas()
     assert len(out2) == 0           # 'a' only has 2 rows
+
+
+def test_event_type_cooccurrence_bruteforce(ray_session):
+    from itertools import combinations
+
+    from schisma_ray.stages.window import event_type_cooccurrence
+
+    rng = np.random.default_rng(5)
+    rows = [{"user_id": int(rng.integers(0, 12)),
+             "event_type": str(rng.choice(["a", "b", "c", "d"]))}
+            for _ in range(150)]
+    t = pa.Table.from_pylist(rows)
+    want = {}
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], set()).add(r["event_type"])
+    for types in by_user.values():
+        for a, b in combinations(sorted(types), 2):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    out = event_type_cooccurrence(
+        rd.from_arrow(t).repartition(4), num_buckets=3
+    ).to_pandas()
+    got = {(r.type_a, r.type_b): int(r.n_users) for r in out.itertuples()}
+    assert got == want
