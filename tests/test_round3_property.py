@@ -336,3 +336,48 @@ def test_event_time_dedup_matches_bruteforce_random(ray_session, seed):
         rd.from_arrow(t).repartition(5), min_gap_s=gap_s, num_buckets=4
     ).to_pandas()
     assert set(out["event_id"]) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet=" abcdefgthe.!?", min_size=0, max_size=60),
+                min_size=1, max_size=8))
+def test_gopher_stats_values_bruteforce(texts):
+    import re
+
+    import pyarrow as pa
+
+    from schisma_ray.stages.text import GOPHER_STOPWORDS, gopher_stats_values
+
+    arr = pa.array(texts, pa.string())
+    words, mean_e6, n_stop = gopher_stats_values(arr)
+    for i, t in enumerate(texts):
+        ws = re.findall(r"\S+", t)
+        assert words[i] == len(ws)
+        if ws:
+            chars = sum(len(w) for w in ws)
+            import math
+            assert mean_e6[i] == math.floor(chars * 1e6 / len(ws) + 0.5)
+        else:
+            assert mean_e6[i] == 0
+        n = sum(1 for sw in GOPHER_STOPWORDS
+                if re.search(rf"\b{sw}\b", t))
+        assert n_stop[i] == n
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(1, 4000), st.integers(1, 4000)),
+                min_size=1, max_size=30))
+def test_aspect_bucket_distance_bruteforce(dims):
+    import math
+
+    from schisma_ray.stages.multimodal import DEFAULT_AR_BUCKETS
+
+    b_e6 = [math.floor(bw * 1e6 / bh + 0.5) for bw, bh in DEFAULT_AR_BUCKETS]
+    for w, h in dims:
+        ar = math.floor(w * 1e6 / h + 0.5)
+        dists = [abs(ar - b) for b in b_e6]
+        want = dists.index(min(dists))
+        # numpy argmin must agree (first-min tie-break)
+        import numpy as np
+        got = int(np.argmin(np.abs(np.int64(ar) - np.asarray(b_e6, np.int64))))
+        assert got == want
