@@ -2168,6 +2168,100 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def q_supplier_acctbal_by_region(sf_dir: str):
+    """Dimension rollup touching the remaining TPC-H tables: supplier
+    -> nation -> region through two broadcast joins, account balances
+    summed per region in integer cents."""
+    import pyarrow.compute as _pc
+
+    from ..stages.join import broadcast_hash_join
+
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey",
+                                               "s_acctbal"]
+    )
+    nation = rd.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = rd.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    j = broadcast_hash_join(
+        broadcast_hash_join(sup, nation, on="s_nationkey",
+                            right_on="n_nationkey"),
+        region, on="n_regionkey", right_on="r_regionkey",
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "r_name": t["r_name"],
+                "cents": _pc.cast(
+                    _pc.round(_pc.multiply(t["s_acctbal"], 100.0)), pa.int64()
+                ),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("r_name").aggregate([("cents", "sum"),
+                                               ("one", "sum")])
+
+    total = (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name").sum(["cents_sum", "one_sum"])
+    )
+    out = total.map_batches(
+        lambda t: pa.table(
+            {
+                "r_name": t["r_name"],
+                "acctbal_cents": t["sum(cents_sum)"],
+                "n_suppliers": t["sum(one_sum)"],
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(out, ["r_name", "acctbal_cents", "n_suppliers"])
+
+
+def q_part_type_stats(sf_dir: str):
+    """Per-part-type counts + retail price sums (integer cents) — the
+    part table's grouped profile, combiner-first."""
+    import pyarrow.compute as _pc
+
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"]
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "p_type": t["p_type"],
+                "cents": _pc.cast(
+                    _pc.round(_pc.multiply(t["p_retailprice"], 100.0)),
+                    pa.int64(),
+                ),
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+        return g.group_by("p_type").aggregate([("cents", "sum"),
+                                               ("one", "sum")])
+
+    total = (
+        part.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_type").sum(["cents_sum", "one_sum"])
+    )
+    out = total.map_batches(
+        lambda t: pa.table(
+            {
+                "p_type": t["p_type"],
+                "retail_cents": t["sum(cents_sum)"],
+                "n_parts": t["sum(one_sum)"],
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(out, ["p_type", "retail_cents", "n_parts"])
+
+
 def q_event_type_cooccurrence(sf_dir: str):
     """Market-basket co-occurrence: for every unordered pair of event
     types, how many users performed both. Per-batch distinct
@@ -3598,6 +3692,23 @@ SELECT k.doc_id, string_agg(k.line, chr(10) ORDER BY k.pos) AS text,
   FROM kept k JOIN pages p USING (doc_id)
  GROUP BY k.doc_id HAVING count(*) >= 5
 """,
+        "supplier_acctbal_by_region": """
+SELECT r.r_name,
+       CAST(SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS acctbal_cents,
+       CAST(count(*) AS BIGINT) AS n_suppliers
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+ GROUP BY 1
+""",
+        "part_type_stats": """
+SELECT p_type,
+       CAST(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+         AS retail_cents,
+       CAST(count(*) AS BIGINT) AS n_parts
+  FROM part GROUP BY 1
+""",
         "event_type_cooccurrence": """
 WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -4251,6 +4362,8 @@ QUERIES = {
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
     "concat_chunks": q_concat_chunks,
+    "supplier_acctbal_by_region": q_supplier_acctbal_by_region,
+    "part_type_stats": q_part_type_stats,
     "event_type_cooccurrence": q_event_type_cooccurrence,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
