@@ -15,9 +15,8 @@ scale); the Ray callables parametrize by ``sf_dir``.
 
 from __future__ import annotations
 
-from pathlib import Path
-
 import os
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -2087,6 +2086,20 @@ def q_embedding_near_dups_seeded(sf_dir: str):
     return cosine_near_dup_pairs(rd.read_parquet(str(path)), threshold=0.9)
 
 
+def _semdedup_inputs(sf_dir: str):
+    """(fixture path, centroid matrix) shared by the SemDeDup queries:
+    the seeded near-dup table plus its persisted deterministic
+    centroids (float64, ready to broadcast)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.embedding_fixture import seeded_near_dup_embeddings
+
+    path = seeded_near_dup_embeddings(sf_dir)
+    cents = pq.read_table(_centroids_file_for(path))
+    c = np.stack([np.asarray(v, np.float64) for v in cents["vec"].to_pylist()])
+    return path, c
+
+
 def q_semdedup_pairs(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): persisted-centroid assignment ->
     within-cluster exact cosine pairs at >= 0.9, over the seeded
@@ -2095,14 +2108,9 @@ def q_semdedup_pairs(sf_dir: str):
     artifact and the within-cluster cross join in SQL, so the
     cluster-partitioned semantics are pinned exactly — not certified
     by recall like the LSH twin."""
-    import pyarrow.parquet as pq
-
-    from ..sources.embedding_fixture import seeded_near_dup_embeddings
     from ..stages.similarity import semdedup_pairs
 
-    path = seeded_near_dup_embeddings(sf_dir)
-    cents = pq.read_table(_centroids_file_for(path))
-    c = np.stack([np.asarray(v, np.float64) for v in cents["vec"].to_pylist()])
+    path, c = _semdedup_inputs(sf_dir)
     return semdedup_pairs(rd.read_parquet(str(path)), c, threshold=0.9,
                           max_cluster=None)
 
@@ -2113,15 +2121,10 @@ def q_semdedup_survivors(sf_dir: str):
     duplicate group; min-id is the deterministic stand-in for its
     random/centroid-distance choice). Pairs stay a Dataset into the
     distributed components path — no driver hop."""
-    import pyarrow.parquet as pq
-
-    from ..sources.embedding_fixture import seeded_near_dup_embeddings
     from ..stages.components import near_dedup_survivors
     from ..stages.similarity import semdedup_pairs
 
-    path = seeded_near_dup_embeddings(sf_dir)
-    cents = pq.read_table(_centroids_file_for(path))
-    c = np.stack([np.asarray(v, np.float64) for v in cents["vec"].to_pylist()])
+    path, c = _semdedup_inputs(sf_dir)
     ds = rd.read_parquet(str(path))
     pairs = semdedup_pairs(ds, c, threshold=0.9, max_cluster=None,
                            as_dataset=True)
@@ -2168,12 +2171,45 @@ def q_c4_clean(sf_dir: str):
     )
 
 
+def _cents_rollup(ds, key_cols, money_col, money_out, count_out):
+    """Combiner-first grouped money rollup: per-batch group partials with
+    the money column in integer cents, a tiny groupby of partials, and
+    a rename projection. Shared by the TPC-H-style rollup queries."""
+    import pyarrow.compute as _pc
+
+    keys = list(key_cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        cols["cents"] = _pc.cast(
+            _pc.round(_pc.multiply(t[money_col], 100.0)), pa.int64()
+        )
+        cols["one"] = pa.array(np.ones(t.num_rows, np.int64))
+        return pa.table(cols).group_by(keys).aggregate(
+            [("cents", "sum"), ("one", "sum")]
+        )
+
+    total = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .sum(["cents_sum", "one_sum"])
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        cols[money_out] = t["sum(cents_sum)"]
+        cols[count_out] = t["sum(one_sum)"]
+        return pa.table(cols)
+
+    out = total.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return _collect(out, keys + [money_out, count_out])
+
+
 def q_supplier_acctbal_by_region(sf_dir: str):
     """Dimension rollup touching the remaining TPC-H tables: supplier
     -> nation -> region through two broadcast joins, account balances
     summed per region in integer cents."""
-    import pyarrow.compute as _pc
-
     from ..stages.join import broadcast_hash_join
 
     sup = rd.read_parquet(
@@ -2191,75 +2227,18 @@ def q_supplier_acctbal_by_region(sf_dir: str):
                             right_on="n_nationkey"),
         region, on="n_regionkey", right_on="r_regionkey",
     )
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {
-                "r_name": t["r_name"],
-                "cents": _pc.cast(
-                    _pc.round(_pc.multiply(t["s_acctbal"], 100.0)), pa.int64()
-                ),
-                "one": pa.array(np.ones(t.num_rows, np.int64)),
-            }
-        )
-        return g.group_by("r_name").aggregate([("cents", "sum"),
-                                               ("one", "sum")])
-
-    total = (
-        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("r_name").sum(["cents_sum", "one_sum"])
-    )
-    out = total.map_batches(
-        lambda t: pa.table(
-            {
-                "r_name": t["r_name"],
-                "acctbal_cents": t["sum(cents_sum)"],
-                "n_suppliers": t["sum(one_sum)"],
-            }
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    return _collect(out, ["r_name", "acctbal_cents", "n_suppliers"])
+    return _cents_rollup(j, ["r_name"], "s_acctbal",
+                         "acctbal_cents", "n_suppliers")
 
 
 def q_part_type_stats(sf_dir: str):
     """Per-part-type counts + retail price sums (integer cents) — the
     part table's grouped profile, combiner-first."""
-    import pyarrow.compute as _pc
-
     part = rd.read_parquet(
         f"{sf_dir}/part.parquet", columns=["p_type", "p_retailprice"]
     )
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {
-                "p_type": t["p_type"],
-                "cents": _pc.cast(
-                    _pc.round(_pc.multiply(t["p_retailprice"], 100.0)),
-                    pa.int64(),
-                ),
-                "one": pa.array(np.ones(t.num_rows, np.int64)),
-            }
-        )
-        return g.group_by("p_type").aggregate([("cents", "sum"),
-                                               ("one", "sum")])
-
-    total = (
-        part.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("p_type").sum(["cents_sum", "one_sum"])
-    )
-    out = total.map_batches(
-        lambda t: pa.table(
-            {
-                "p_type": t["p_type"],
-                "retail_cents": t["sum(cents_sum)"],
-                "n_parts": t["sum(one_sum)"],
-            }
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
-    )
-    return _collect(out, ["p_type", "retail_cents", "n_parts"])
+    return _cents_rollup(part, ["p_type"], "p_retailprice",
+                         "retail_cents", "n_parts")
 
 
 def q_event_type_cooccurrence(sf_dir: str):
@@ -2353,8 +2332,6 @@ def q_revenue_by_nation(sf_dir: str):
     """Star-schema rollup (TPC-H Q5-lite): orders -> customer -> nation
     through two BROADCAST joins (both dimensions are ray.put once),
     then a combiner-first revenue sum per nation in integer cents."""
-    import pyarrow.compute as _pc
-
     from ..stages.join import broadcast_hash_join
 
     orders = rd.read_parquet(
@@ -2366,39 +2343,13 @@ def q_revenue_by_nation(sf_dir: str):
     nation = rd.read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     )
-    j1 = broadcast_hash_join(orders, cust, on="o_custkey",
-                             right_on="c_custkey")
-    j2 = broadcast_hash_join(j1, nation, on="c_nationkey",
-                             right_on="n_nationkey")
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = pa.table(
-            {
-                "n_name": t["n_name"],
-                "cents": _pc.cast(
-                    _pc.round(_pc.multiply(t["o_totalprice"], 100.0)),
-                    pa.int64(),
-                ),
-                "one": pa.array(np.ones(t.num_rows, np.int64)),
-            }
-        )
-        return g.group_by("n_name").aggregate([("cents", "sum"),
-                                               ("one", "sum")])
-
-    partials = j2.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    total = partials.groupby("n_name").sum(["cents_sum", "one_sum"])
-    out = total.map_batches(
-        lambda t: pa.table(
-            {
-                "n_name": t["n_name"],
-                "revenue_cents": t["sum(cents_sum)"],
-                "n_orders": t["sum(one_sum)"],
-            }
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+    j2 = broadcast_hash_join(
+        broadcast_hash_join(orders, cust, on="o_custkey",
+                            right_on="c_custkey"),
+        nation, on="c_nationkey", right_on="n_nationkey",
     )
-    return _collect(out, ["n_name", "revenue_cents", "n_orders"])
+    return _cents_rollup(j2, ["n_name"], "o_totalprice",
+                         "revenue_cents", "n_orders")
 
 
 def q_fd_violations(sf_dir: str):
@@ -2502,17 +2453,11 @@ def q_image_byte_dupes(sf_dir: str):
     )
     dupes = counts.map_batches(
         lambda t: pa.table(
-            {"fp": t["fingerprint"], "n": pc_cast_i64(t["count()"])}
+            {"fp": t["fingerprint"], "n": _pc.cast(t["count()"], pa.int64())}
         ).filter(_pc.greater_equal(t["count()"], 2)),
         batch_format="pyarrow", zero_copy_batch=True,
     )
     return _collect(dupes, ["fp", "n"])
-
-
-def pc_cast_i64(arr):
-    import pyarrow.compute as _pc
-
-    return _pc.cast(arr, pa.int64())
 
 
 def _bigram_lm_file(sf_dir: str) -> Path:

@@ -17,17 +17,24 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _key_bucket(key: pa.Array, num_buckets: int) -> pa.Array:
-    """Type-agnostic hash bucket for a key column (int, string, UUID...).
+def _key_bucket(key, num_buckets: int) -> pa.Array:
+    """Type-agnostic hash bucket for a key column — or a list of
+    columns for composite keys (int, string, UUID...).
 
     pandas hash_array works on any dtype (object included), unlike an
     int64 cast which rejects strings and silently *parses* numeric
-    strings. Identical values always co-locate, which is all the
-    segmented per-bucket scans need."""
+    strings. Multi-column hashes combine with odd multipliers so
+    (a, b) != (b, a). Identical key tuples always co-locate, which is
+    all the segmented per-bucket scans need."""
     import numpy as np
     import pandas as pd
 
-    h = pd.util.hash_array(key.to_numpy(zero_copy_only=False))
+    arrays = key if isinstance(key, (list, tuple)) else [key]
+    h = np.zeros(len(arrays[0]), np.uint64)
+    for i, a in enumerate(arrays):
+        h ^= pd.util.hash_array(
+            a.to_numpy(zero_copy_only=False)
+        ) * np.uint64(2 * i + 1)
     return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
 
 
@@ -781,21 +788,11 @@ def event_time_dedup(
     keys = list(key_cols)
 
     def prep(t: pa.Table) -> pa.Table:
-        import functools
-        import operator
-
-        hashes = [
-            pd.util.hash_array(t[k].combine_chunks().to_numpy(zero_copy_only=False))
-            for k in keys
-        ]
-        combined = functools.reduce(
-            operator.xor, (h * np.uint64(2 * i + 1) for i, h in enumerate(hashes))
-        )
         cols = {id_col: t[id_col], "ts_us": pc.cast(t[ts_col], pa.int64())}
         for k in keys:
             cols[k] = t[k]
-        cols["bucket"] = pa.array(
-            (combined % np.uint64(num_buckets)).astype(np.int32), pa.int32()
+        cols["bucket"] = _key_bucket(
+            [t[k].combine_chunks() for k in keys], num_buckets
         )
         return pa.table(cols)
 
