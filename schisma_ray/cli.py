@@ -17,16 +17,24 @@ import sys
 
 
 def _init_ray(num_cpus: int | None):
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
+        # local mode in the sandbox; under `ray job submit` the job
+        # runner sets RAY_ADDRESS to the cluster and the CLI joins it
+        # (num_cpus is a local-mode knob only)
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = dict(
+            address=address,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        if address == "local":
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
