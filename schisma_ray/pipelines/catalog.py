@@ -2241,6 +2241,49 @@ def q_part_type_stats(sf_dir: str):
                          "retail_cents", "n_parts")
 
 
+def q_top_tokens(sf_dir: str):
+    """The canonical distributed word count: explode whitespace tokens
+    (Arrow split/flatten — no Python rows), per-batch (token, n)
+    combiner partials, global groupby sum, top 25 by (count desc,
+    token). The shuffle carries collapsed partials, never tokens."""
+    import pyarrow.compute as _pc
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words = _pc.split_pattern_regex(t["text"].combine_chunks(), r"\s+")
+        flat = _pc.list_flatten(words)
+        flat = flat.filter(_pc.not_equal(flat, ""))
+        g = pa.table({"token": flat,
+                      "one": pa.array(np.ones(len(flat), np.int64))})
+        return g.group_by("token").aggregate([("one", "sum")])
+
+    total = (
+        docs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token").sum("one_sum")
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # per-block top 25: the driver fold sees <= 25 x blocks rows,
+        # never the vocabulary (counts are final post-groupby, so a
+        # global top-25 member is in its block's top 25)
+        t = pa.table({"token": t["token"], "n": t["sum(one_sum)"]})
+        idx = _pc.sort_indices(
+            t, sort_keys=[("n", "descending"), ("token", "ascending")]
+        )
+        return t.take(idx.slice(0, 25))
+
+    folded = _collect(
+        total.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["token", "n"],
+    )
+    idx = pa.compute.sort_indices(
+        folded, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )
+    return folded.take(idx.slice(0, 25))
+
+
 def q_event_type_cooccurrence(sf_dir: str):
     """Market-basket co-occurrence: for every unordered pair of event
     types, how many users performed both. Per-batch distinct
@@ -3654,6 +3697,15 @@ SELECT p_type,
        CAST(count(*) AS BIGINT) AS n_parts
   FROM part GROUP BY 1
 """,
+        "top_tokens": r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+                            x -> x <> '')) AS token
+    FROM documents)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY token
+ ORDER BY n DESC, token LIMIT 25
+""",
         "event_type_cooccurrence": """
 WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -4309,6 +4361,7 @@ QUERIES = {
     "concat_chunks": q_concat_chunks,
     "supplier_acctbal_by_region": q_supplier_acctbal_by_region,
     "part_type_stats": q_part_type_stats,
+    "top_tokens": q_top_tokens,
     "event_type_cooccurrence": q_event_type_cooccurrence,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
