@@ -2241,6 +2241,18 @@ def q_part_type_stats(sf_dir: str):
                          "retail_cents", "n_parts")
 
 
+def q_lang_mismatches(sf_dir: str):
+    """Label-consistency audit: documents whose declared lang disagrees
+    with the heuristic prediction (mislabeled-data sweep). Same
+    SQL-encoded heuristic as lang_id, joined back to the label."""
+    from ..stages.text import lang_mismatches
+
+    return _collect(
+        lang_mismatches(_t(sf_dir, "documents")),
+        ["doc_id", "lang", "lang_pred"],
+    )
+
+
 def q_top_tokens(sf_dir: str):
     """The canonical distributed word count: explode whitespace tokens
     (Arrow split/flatten — no Python rows), per-batch (token, n)
@@ -3697,6 +3709,28 @@ SELECT p_type,
        CAST(count(*) AS BIGINT) AS n_parts
   FROM part GROUP BY 1
 """,
+        "lang_mismatches": """
+WITH t AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS words
+             FROM documents),
+     s AS (SELECT doc_id, lang, text,
+   len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+   len(list_filter(words, x -> x IN ('der','die','das','und','ist','ein','zu','mit','von','nicht'))) AS s_de,
+   len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS s_fr,
+   len(list_filter(words, x -> x IN ('el','la','los','las','es','un','una','de','que','por'))) AS s_es,
+   length(regexp_replace(substr(text, 1, 200), '[^\u4e00-\u9fff]', '', 'g')) AS cjk,
+   length(substr(text, 1, 200)) AS head_len
+  FROM t),
+p AS (SELECT doc_id, lang,
+  CASE WHEN text IS NULL OR text = '' THEN 'und'
+       WHEN cjk > head_len * 0.2 THEN 'zh'
+       WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+  FROM s)
+SELECT doc_id, lang, lang_pred FROM p WHERE lang != lang_pred
+""",
         "top_tokens": r"""
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(text, '\s+'),
@@ -4361,6 +4395,7 @@ QUERIES = {
     "concat_chunks": q_concat_chunks,
     "supplier_acctbal_by_region": q_supplier_acctbal_by_region,
     "part_type_stats": q_part_type_stats,
+    "lang_mismatches": q_lang_mismatches,
     "top_tokens": q_top_tokens,
     "event_type_cooccurrence": q_event_type_cooccurrence,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,

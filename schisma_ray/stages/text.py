@@ -776,3 +776,39 @@ def lm_score(ds, model: pa.Table, *, col: str = "text",
                          "n_bigrams": pa.array(ns, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangMismatch(LangId):
+    """Actor-pool label-consistency audit: rows whose DECLARED language
+    disagrees with the heuristic prediction — the classic mislabeled-
+    data sweep before per-language processing. Reuses LangId's tables
+    (built once per actor)."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id",
+                 lang_col: str = "lang"):
+        super().__init__(col, id_col)
+        self.lang_col = lang_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t or "") for t in batch[self.col].to_pylist()]
+        t = pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                self.lang_col: batch[self.lang_col],
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        )
+        return t.filter(
+            pc.invert(pc.equal(t[self.lang_col], t["lang_pred"]))
+        )
+
+
+def lang_mismatches(ds, col: str = "text", id_col: str = "doc_id",
+                    lang_col: str = "lang", concurrency=(1, 8)):
+    return ds.map_batches(
+        LangMismatch,
+        fn_constructor_args=(col, id_col, lang_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
