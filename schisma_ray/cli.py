@@ -7,6 +7,7 @@ owns a Ray session).
     python -m schisma_ray.cli report    --out DIR        (checkpoint summary)
     python -m schisma_ray.cli infer     --table PATH     (schema literal from data)
     python -m schisma_ray.cli prepare   --docs P --out D (corpus prep -> chunk parquet)
+    python -m schisma_ray.cli convert   --src P --out P [--fmt parquet|jsonl|csv]
 """
 
 from __future__ import annotations
@@ -67,7 +68,7 @@ def main(argv=None) -> int:
     cv = sub.add_parser("convert")
     cv.add_argument("--src", required=True)
     cv.add_argument("--out", required=True)
-    cv.add_argument("--fmt", default=None, choices=[None, "parquet", "jsonl", "csv"],
+    cv.add_argument("--fmt", default=None, choices=["parquet", "jsonl", "csv"],
                     help="output format (default: inferred from --out suffix, else parquet)")
 
     p = sub.add_parser("prepare")

@@ -101,18 +101,15 @@ def fd_violations(ds, *, lhs: str, rhs: str, min_group: int = 1,
     import numpy as np
     import pandas as pd
 
+    from .window import _key_bucket
+
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[lhs]))
         g = pa.table({lhs: t[lhs], rhs: t[rhs],
                       "one": pa.array(np.ones(t.num_rows, np.int64))})
         pairs = g.group_by([lhs, rhs]).aggregate([("one", "sum")])
-        h = pd.util.hash_array(
-            pairs[lhs].combine_chunks().to_numpy(zero_copy_only=False)
-        )
         return pairs.append_column(
-            "bucket",
-            pa.array((h % np.uint64(num_buckets)).astype(np.int32),
-                     pa.int32()),
+            "bucket", _key_bucket(pairs[lhs].combine_chunks(), num_buckets)
         )
 
     pairs = ds.map_batches(partial, batch_format="pyarrow",

@@ -727,53 +727,66 @@ def lm_score(ds, model: pa.Table, *, col: str = "text",
     def fn(batch: pa.Table) -> pa.Table:
         tab, f_lp, d = ray.get(model_ref)
         arr = batch[col].combine_chunks()
-        keep = pc.and_(
+        valid = pc.and_(
             pc.is_valid(arr),
             pc.greater_equal(pc.fill_null(pc.binary_length(arr), 0), 2),
         )
-        kept = pa.table({id_col: batch[id_col], "__t": arr}).filter(keep)
-        empty = pa.table({id_col: pa.array([], batch[id_col].type),
-                          "lp_e6": pa.array([], pa.int64()),
-                          "n_bigrams": pa.array([], pa.int64())})
-        if kept.num_rows == 0:
-            return empty
-        txt = kept["__t"].combine_chunks()
-        # zero-copy view of the whole batch's text: one pair-code array
-        # over the concatenated byte buffer, one table gather, one
-        # reduceat per-doc sum — no per-row Python on the ascii path
-        off = np.frombuffer(txt.buffers()[1], np.int32)[
-            txt.offset:txt.offset + len(txt) + 1
-        ].astype(np.int64)
-        data = np.frombuffer(txt.buffers()[2], np.uint8)
-        seg = data[off[0]:off[-1]]
-        starts = off[:-1] - off[0]
-        if seg.size and (seg >= 128).any():
-            # rare non-ascii batch: 2-char string semantics via dict
+        # per-DOC ascii routing: utf8_length == binary_length iff pure
+        # ascii, so one exotic doc no longer degrades its whole batch
+        is_ascii = pc.equal(
+            pc.fill_null(pc.utf8_length(arr), 0),
+            pc.fill_null(pc.binary_length(arr), 0),
+        )
+        both = pa.table({id_col: batch[id_col], "__t": arr})
+        kept = both.filter(pc.and_(valid, is_ascii))
+        exotic = both.filter(pc.and_(valid, pc.invert(is_ascii)))
+        outs = []
+        if exotic.num_rows:
+            # 2-char string semantics via dict (matches SQL substring)
             ids, lps, ns = [], [], []
-            for rid, t in zip(kept[id_col].to_pylist(),
-                              txt.to_pylist()):
+            for rid, t in zip(exotic[id_col].to_pylist(),
+                              exotic["__t"].to_pylist()):
                 if len(t) < 2:
                     continue
                 pairs = [t[i:i + 2] for i in range(len(t) - 1)]
                 ids.append(rid)
                 lps.append(sum(d.get(p, f_lp) for p in pairs))
                 ns.append(len(pairs))
-            return pa.table({id_col: pa.array(ids, batch[id_col].type),
-                             "lp_e6": pa.array(lps, pa.int64()),
-                             "n_bigrams": pa.array(ns, pa.int64())})
-        codes = seg[:-1].astype(np.int32) * 256 + seg[1:]
-        lp = tab[codes]
-        # pairs straddling a doc boundary contribute nothing; each doc's
-        # reduceat segment [start_i, start_{i+1}) then sums exactly its
-        # own len-1 bigrams (every kept doc has len >= 2, so segments
-        # are non-empty and reduceat is well-defined)
-        boundary = starts[1:] - 1
-        lp[boundary] = 0
-        sums = np.add.reduceat(lp, starts) if len(lp) else np.array([], np.int64)
-        ns = (off[1:] - off[:-1]) - 1
-        return pa.table({id_col: kept[id_col],
-                         "lp_e6": pa.array(sums, pa.int64()),
-                         "n_bigrams": pa.array(ns, pa.int64())})
+            outs.append(pa.table({id_col: pa.array(ids, batch[id_col].type),
+                                  "lp_e6": pa.array(lps, pa.int64()),
+                                  "n_bigrams": pa.array(ns, pa.int64())}))
+        if kept.num_rows:
+            txt = kept["__t"].combine_chunks()
+            # zero-copy view of the batch's ascii text: one pair-code
+            # array over the concatenated byte buffer, one table gather,
+            # one reduceat per-doc sum — no per-row Python
+            off_width = (np.int64 if pa.types.is_large_string(txt.type)
+                         else np.int32)
+            off = np.frombuffer(txt.buffers()[1], off_width)[
+                txt.offset:txt.offset + len(txt) + 1
+            ].astype(np.int64)
+            data = np.frombuffer(txt.buffers()[2], np.uint8)
+            seg = data[off[0]:off[-1]]
+            starts = off[:-1] - off[0]
+            codes = seg[:-1].astype(np.int32) * 256 + seg[1:]
+            lp = tab[codes]
+            # pairs straddling a doc boundary contribute nothing; each
+            # doc's reduceat segment [start_i, start_{i+1}) then sums
+            # exactly its own len-1 bigrams (every kept doc has len >=
+            # 2, so segments are non-empty and reduceat is well-defined)
+            boundary = starts[1:] - 1
+            lp[boundary] = 0
+            sums = (np.add.reduceat(lp, starts) if len(lp)
+                    else np.array([], np.int64))
+            ns_arr = (off[1:] - off[:-1]) - 1
+            outs.append(pa.table({id_col: kept[id_col],
+                                  "lp_e6": pa.array(sums, pa.int64()),
+                                  "n_bigrams": pa.array(ns_arr, pa.int64())}))
+        if not outs:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "lp_e6": pa.array([], pa.int64()),
+                             "n_bigrams": pa.array([], pa.int64())})
+        return pa.concat_tables(outs)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

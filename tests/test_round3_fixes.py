@@ -327,3 +327,38 @@ def test_convert_round_trip(ray_session, tmp_path):
     write_table(read_table(c), str(p), fmt="parquet")
     back_p = read_table(p).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert back_p[base.columns.tolist()].equals(base)
+
+
+def test_lm_score_large_string_and_mixed_routing(ray_session):
+    """large_string offsets (int64) must parse correctly, and a single
+    non-ascii doc routes only ITSELF through the fallback — ascii docs
+    in the same batch stay on the buffer path with identical sums."""
+    from schisma_ray.stages.text import lm_score, train_char_bigram_lm
+
+    model = train_char_bigram_lm(["hello world"])
+    lut = dict(zip(model["bigram"].to_pylist(), model["lp_e6"].to_pylist()))
+    floor = lut.pop("")
+
+    def brute(s):
+        pairs = [s[i:i + 2] for i in range(len(s) - 1)]
+        return (sum(lut.get(p, floor) for p in pairs), len(pairs))
+
+    docs = ["hello", "world hi", "héllo mixed", "plain text"]
+    # large_string column
+    t_large = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(docs, pa.large_string()),
+    })
+    out = lm_score(rd.from_arrow(t_large), model).to_pandas()
+    got = {int(r.doc_id): (int(r.lp_e6), int(r.n_bigrams))
+           for r in out.itertuples()}
+    assert got == {i: brute(d) for i, d in enumerate(docs)}
+    # regular string column, same mixed batch
+    t_small = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    out2 = lm_score(rd.from_arrow(t_small), model).to_pandas()
+    got2 = {int(r.doc_id): (int(r.lp_e6), int(r.n_bigrams))
+            for r in out2.itertuples()}
+    assert got2 == got
