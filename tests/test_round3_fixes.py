@@ -362,3 +362,18 @@ def test_lm_score_large_string_and_mixed_routing(ray_session):
     got2 = {int(r.doc_id): (int(r.lp_e6), int(r.n_bigrams))
             for r in out2.itertuples()}
     assert got2 == got
+
+
+def test_line_dedup_empty_lines_participate(ray_session):
+    """Empty lines are real lines (SQL string_split keeps them): the
+    corpus-first empty line survives, later ones drop."""
+    from schisma_ray.stages.lines import line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a\n\nb", "c\n\nd"], pa.string()),
+    })
+    out = line_dedup(rd.from_arrow(t), num_buckets=2).to_pandas()
+    got = {int(r.doc_id): (r.text, int(r.n_kept), int(r.n_total))
+           for r in out.itertuples()}
+    assert got == {1: ("a\n\nb", 3, 3), 2: ("c\nd", 2, 3)}
