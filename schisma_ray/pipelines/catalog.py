@@ -2241,6 +2241,33 @@ def q_part_type_stats(sf_dir: str):
                          "retail_cents", "n_parts")
 
 
+def q_validate_struct_events(sf_dir: str):
+    """Native pa.struct column validation — vectorized nested descent
+    over a real struct<...struct<...>> column (no JSON strings, no row
+    kernel): required members, in_set/range checks, dotted paths into
+    the nested geo struct. Seeded fixture plants all four defect
+    classes."""
+    from ..sources.struct_fixture import struct_events
+    from ..stages.struct_validate import StructField, validate_struct_column
+
+    spec = {
+        "k": StructField(required=True),
+        "device": StructField(checks=[in_set(("ios", "android", "web"))]),
+        "version": StructField(checks=[range_check(lo=0)]),
+        "geo": StructField(
+            fields={
+                "lat": StructField(checks=[range_check(lo=-90, hi=90)]),
+                "lon": StructField(checks=[range_check(lo=-180, hi=180)]),
+            }
+        ),
+    }
+    ds = rd.read_parquet(str(struct_events(sf_dir)))
+    return _collect(
+        validate_struct_column(ds, col="meta", id_col="event_id", spec=spec),
+        ["event_id", "path", "code", "expected"],
+    )
+
+
 def q_lang_mismatches(sf_dir: str):
     """Label-consistency audit: documents whose declared lang disagrees
     with the heuristic prediction (mislabeled-data sweep). Same
@@ -2693,6 +2720,9 @@ def _oracle_sql() -> dict[str, str]:
 
     line_docs = f"read_parquet('{line_documents(ORACLE_SF_DIR)}')"
     c4_docs = f"read_parquet('{c4_documents(ORACLE_SF_DIR)}')"
+    from ..sources.struct_fixture import struct_events
+
+    struct_ev = f"read_parquet('{struct_events(ORACLE_SF_DIR)}')"
     # seeded-expectation table: the generator's independent bookkeeping of
     # every violation the pipeline must produce (sources/image_table.py
     # writes it alongside the corrupted rows) — the oracle for the checks
@@ -3709,6 +3739,31 @@ SELECT p_type,
        CAST(count(*) AS BIGINT) AS n_parts
   FROM part GROUP BY 1
 """,
+        "validate_struct_events": f"""
+WITH t AS (SELECT event_id, meta FROM {struct_ev})
+SELECT event_id, 'meta.k' AS path, 'missing key' AS code,
+       CAST(NULL AS VARCHAR) AS expected
+  FROM t WHERE meta IS NOT NULL AND meta.k IS NULL
+UNION ALL
+SELECT event_id, 'meta.device', 'invalid',
+       'one of [''ios'', ''android'', ''web'']'
+  FROM t WHERE meta IS NOT NULL AND meta.device IS NOT NULL
+   AND meta.device NOT IN ('ios', 'android', 'web')
+UNION ALL
+SELECT event_id, 'meta.version', 'invalid', '>=0'
+  FROM t WHERE meta IS NOT NULL AND meta.version IS NOT NULL
+   AND meta.version < 0
+UNION ALL
+SELECT event_id, 'meta.geo.lat', 'invalid', 'in [-90, 90]'
+  FROM t WHERE meta IS NOT NULL AND meta.geo IS NOT NULL
+   AND meta.geo.lat IS NOT NULL
+   AND (meta.geo.lat < -90 OR meta.geo.lat > 90)
+UNION ALL
+SELECT event_id, 'meta.geo.lon', 'invalid', 'in [-180, 180]'
+  FROM t WHERE meta IS NOT NULL AND meta.geo IS NOT NULL
+   AND meta.geo.lon IS NOT NULL
+   AND (meta.geo.lon < -180 OR meta.geo.lon > 180)
+""",
         "lang_mismatches": """
 WITH t AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS words
              FROM documents),
@@ -4395,6 +4450,7 @@ QUERIES = {
     "concat_chunks": q_concat_chunks,
     "supplier_acctbal_by_region": q_supplier_acctbal_by_region,
     "part_type_stats": q_part_type_stats,
+    "validate_struct_events": q_validate_struct_events,
     "lang_mismatches": q_lang_mismatches,
     "top_tokens": q_top_tokens,
     "event_type_cooccurrence": q_event_type_cooccurrence,

@@ -856,3 +856,45 @@ def test_event_type_cooccurrence_bruteforce(ray_session):
     ).to_pandas()
     got = {(r.type_a, r.type_b): int(r.n_users) for r in out.itertuples()}
     assert got == want
+
+
+def test_validate_struct_column_bruteforce(ray_session):
+    from schisma_ray.stages.struct_validate import (
+        StructField,
+        validate_struct_column,
+    )
+    from schisma_ray.stages.table_schema import in_set, range_check
+
+    meta_t = pa.struct([
+        ("k", pa.int64()),
+        ("geo", pa.struct([("lat", pa.float64())])),
+    ])
+    rows = [
+        {"k": 1, "geo": {"lat": 10.0}},          # clean
+        {"k": None, "geo": {"lat": 95.0}},       # missing k + bad lat
+        None,                                    # missing meta entirely
+        {"k": 5, "geo": None},                   # geo itself null: no
+                                                 # lat rows (geo not req'd
+                                                 # here -> nothing)
+    ]
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "meta": pa.array(rows, meta_t),
+    })
+    spec = {
+        "k": StructField(required=True),
+        "geo": StructField(
+            required=False,
+            fields={"lat": StructField(checks=[range_check(lo=-90, hi=90)])},
+        ),
+    }
+    out = validate_struct_column(
+        rd.from_arrow(t).repartition(2), col="meta", id_col="event_id",
+        spec=spec,
+    ).to_pandas()
+    got = sorted(zip(out["event_id"], out["path"], out["code"]))
+    assert got == [
+        (2, "meta.geo.lat", "invalid"),
+        (2, "meta.k", "missing key"),
+        (3, "meta", "missing key"),
+    ]
