@@ -2268,6 +2268,23 @@ def q_validate_struct_events(sf_dir: str):
     )
 
 
+def q_validate_embedding_lists(sf_dir: str):
+    """Native pa.list_ column validation over the real embeddings
+    table: per-row length invariant + vectorized element range check
+    (one kernel pass over the flattened child array); violating
+    elements report 0-based indexed paths ``embedding.IDX``."""
+    from ..stages.struct_validate import validate_list_column
+
+    return _collect(
+        validate_list_column(
+            _t(sf_dir, "embeddings"), col="embedding", id_col="vec_id",
+            element_checks=[range_check(lo=-0.45, hi=0.45)],
+            min_len=1, max_len=64,
+        ),
+        ["vec_id", "path", "code", "expected"],
+    )
+
+
 def q_lang_mismatches(sf_dir: str):
     """Label-consistency audit: documents whose declared lang disagrees
     with the heuristic prediction (mislabeled-data sweep). Same
@@ -3764,6 +3781,18 @@ SELECT event_id, 'meta.geo.lon', 'invalid', 'in [-180, 180]'
    AND meta.geo.lon IS NOT NULL
    AND (meta.geo.lon < -180 OR meta.geo.lon > 180)
 """,
+        "validate_embedding_lists": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+el AS (SELECT vec_id, i - 1 AS idx, embedding[i] AS v
+         FROM e, unnest(range(1, len(embedding) + 1)) AS t(i))
+SELECT vec_id, 'embedding.' || CAST(idx AS VARCHAR) AS path,
+       'invalid' AS code, 'in [-0.45, 0.45]' AS expected
+  FROM el WHERE v IS NOT NULL AND (v < -0.45 OR v > 0.45)
+UNION ALL
+SELECT vec_id, 'embedding', 'invalid', 'length in [1, 64]'
+  FROM e WHERE embedding IS NOT NULL
+   AND (len(embedding) < 1 OR len(embedding) > 64)
+""",
         "lang_mismatches": """
 WITH t AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS words
              FROM documents),
@@ -4451,6 +4480,7 @@ QUERIES = {
     "supplier_acctbal_by_region": q_supplier_acctbal_by_region,
     "part_type_stats": q_part_type_stats,
     "validate_struct_events": q_validate_struct_events,
+    "validate_embedding_lists": q_validate_embedding_lists,
     "lang_mismatches": q_lang_mismatches,
     "top_tokens": q_top_tokens,
     "event_type_cooccurrence": q_event_type_cooccurrence,

@@ -110,3 +110,80 @@ def validate_struct_column(ds, *, col: str, id_col: str,
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def validate_list_column(ds, *, col: str, id_col: str,
+                         element_checks: list[Check] = (),
+                         min_len: int | None = None,
+                         max_len: int | None = None):
+    """Native ``pa.list_`` column validation — the array-side twin of
+    ``validate_struct_column``: length invariants per row plus
+    vectorized element checks over the FLATTENED child array (one
+    kernel pass for the whole batch; violating elements report their
+    0-based indexed path ``col.IDX`` — schisma's array path shape).
+    Null lists on a required column are the caller's concern
+    (compose with the table validator); null lists here emit nothing."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        arr = batch[col].combine_chunks()
+        out_ids, paths, codes, expect = [], [], [], []
+
+        lens = pc.list_value_length(arr)
+        lens_np = pc.fill_null(lens, -1).to_numpy(zero_copy_only=False)
+        valid = lens_np >= 0
+        if min_len is not None or max_len is not None:
+            bad = np.zeros(len(arr), bool)
+            if min_len is not None:
+                bad |= valid & (lens_np < min_len)
+            if max_len is not None:
+                bad |= valid & (lens_np > max_len)
+            if bad.any():
+                idx = np.flatnonzero(bad)
+                out_ids.append(ids.take(pa.array(idx)))
+                desc = (f"length in [{min_len}, {max_len}]"
+                        if min_len is not None and max_len is not None
+                        else f"length >= {min_len}" if min_len is not None
+                        else f"length <= {max_len}")
+                n = len(idx)
+                paths.extend([col] * n)
+                codes.extend(["invalid"] * n)
+                expect.extend([desc] * n)
+
+        if element_checks:
+            flat = pc.list_flatten(arr)
+            parent = pc.list_parent_indices(arr).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            starts = np.zeros(len(arr), np.int64)
+            ln = np.where(lens_np < 0, 0, lens_np)
+            if len(ln) > 1:
+                starts[1:] = np.cumsum(ln)[:-1]
+            pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+            for chk in element_checks:
+                bad = chk.fn(flat) & _np_bool(pc.is_valid(flat))
+                if bad.any():
+                    idx = np.flatnonzero(bad)
+                    out_ids.append(ids.take(pa.array(parent[idx])))
+                    paths.extend(
+                        f"{col}.{p}" for p in pos[idx]
+                    )
+                    n = len(idx)
+                    codes.extend(["invalid"] * n)
+                    expect.extend([chk.expected] * n)
+
+        id_arr = (
+            pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                              else a for a in out_ids])
+            if out_ids else pa.array([], ids.type)
+        )
+        return pa.table(
+            {
+                id_col: id_arr,
+                "path": pa.array(paths, pa.string()),
+                "code": pa.array(codes, pa.string()),
+                "expected": pa.array(expect, pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -898,3 +898,23 @@ def test_validate_struct_column_bruteforce(ray_session):
         (2, "meta.k", "missing key"),
         (3, "meta", "missing key"),
     ]
+
+
+def test_validate_list_column_bruteforce(ray_session):
+    from schisma_ray.stages.struct_validate import validate_list_column
+    from schisma_ray.stages.table_schema import range_check
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([[0.1, 0.9, 0.2],      # element 1 out of range
+                       [0.0],                # too short
+                       None,                 # null list: nothing
+                       [0.1, 0.2]], pa.list_(pa.float32())),
+    })
+    out = validate_list_column(
+        rd.from_arrow(t).repartition(2), col="v", id_col="vec_id",
+        element_checks=[range_check(lo=-0.5, hi=0.5)],
+        min_len=2, max_len=3,
+    ).to_pandas()
+    got = sorted(zip(out["vec_id"], out["path"], out["code"]))
+    assert got == [(1, "v.1", "invalid"), (2, "v", "invalid")]
