@@ -2250,20 +2250,28 @@ def q_validate_struct_events(sf_dir: str):
     from ..sources.struct_fixture import struct_events
     from ..stages.struct_validate import StructField, validate_struct_column
 
+    # check-only members are explicitly NOT required — the oracle has
+    # missing-key clauses only where the spec demands presence (meta.k)
     spec = {
         "k": StructField(required=True),
-        "device": StructField(checks=[in_set(("ios", "android", "web"))]),
-        "version": StructField(checks=[range_check(lo=0)]),
+        "device": StructField(required=False,
+                              checks=[in_set(("ios", "android", "web"))]),
+        "version": StructField(required=False,
+                               checks=[range_check(lo=0)]),
         "geo": StructField(
+            required=False,
             fields={
-                "lat": StructField(checks=[range_check(lo=-90, hi=90)]),
-                "lon": StructField(checks=[range_check(lo=-180, hi=180)]),
-            }
+                "lat": StructField(required=False,
+                                   checks=[range_check(lo=-90, hi=90)]),
+                "lon": StructField(required=False,
+                                   checks=[range_check(lo=-180, hi=180)]),
+            },
         ),
     }
     ds = rd.read_parquet(str(struct_events(sf_dir)))
     return _collect(
-        validate_struct_column(ds, col="meta", id_col="event_id", spec=spec),
+        validate_struct_column(ds, col="meta", id_col="event_id", spec=spec,
+                               required=False),
         ["event_id", "path", "code", "expected"],
     )
 

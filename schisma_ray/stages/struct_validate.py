@@ -18,13 +18,12 @@ contract (src/schisma_result.mjs:34-57 codes).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .table_schema import Check
+from .table_schema import Check, _np_bool
 
 
 @dataclass
@@ -38,8 +37,29 @@ class StructField:
     fields: dict[str, "StructField"] | None = None
 
 
-def _np_bool(arr) -> np.ndarray:
-    return pc.fill_null(arr, False).to_numpy(zero_copy_only=False)
+def _emit(out: dict, ids: pa.Array, idx: np.ndarray, path: str,
+          code: str, expected: str | None) -> None:
+    out["id"].append(ids.take(pa.array(idx)))
+    n = len(idx)
+    out["path"].extend([path] * n)
+    out["code"].extend([code] * n)
+    out["expected"].extend([expected] * n)
+
+
+def _finish(out: dict, id_col: str, ids: pa.Array) -> pa.Table:
+    id_arr = (
+        pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                          else a for a in out["id"]])
+        if out["id"] else pa.array([], ids.type)
+    )
+    return pa.table(
+        {
+            id_col: id_arr,
+            "path": pa.array(out["path"], pa.string()),
+            "code": pa.array(out["code"], pa.string()),
+            "expected": pa.array(out["expected"], pa.string()),
+        }
+    )
 
 
 def _validate_node(ids: pa.Array, arr: pa.Array, path: str,
@@ -51,21 +71,13 @@ def _validate_node(ids: pa.Array, arr: pa.Array, path: str,
         if fs.required:
             missing = parent_valid & ~_np_bool(pc.is_valid(child))
             if missing.any():
-                idx = np.flatnonzero(missing)
-                out["id"].append(ids.take(pa.array(idx)))
-                n = len(idx)
-                out["path"].extend([f"{path}.{name}"] * n)
-                out["code"].extend(["missing key"] * n)
-                out["expected"].extend([None] * n)
+                _emit(out, ids, np.flatnonzero(missing),
+                      f"{path}.{name}", "missing key", None)
         for chk in fs.checks:
             bad = chk.fn(child) & child_valid
             if bad.any():
-                idx = np.flatnonzero(bad)
-                out["id"].append(ids.take(pa.array(idx)))
-                n = len(idx)
-                out["path"].extend([f"{path}.{name}"] * n)
-                out["code"].extend(["invalid"] * n)
-                out["expected"].extend([chk.expected] * n)
+                _emit(out, ids, np.flatnonzero(bad),
+                      f"{path}.{name}", "invalid", chk.expected)
         if fs.fields:
             _validate_node(ids, child, f"{path}.{name}", fs.fields,
                            child_valid, out)
@@ -88,26 +100,10 @@ def validate_struct_column(ds, *, col: str, id_col: str,
         if required:
             missing = ~parent_valid
             if missing.any():
-                idx = np.flatnonzero(missing)
-                out["id"].append(ids.take(pa.array(idx)))
-                n = len(idx)
-                out["path"].extend([col] * n)
-                out["code"].extend(["missing key"] * n)
-                out["expected"].extend([None] * n)
+                _emit(out, ids, np.flatnonzero(missing), col,
+                      "missing key", None)
         _validate_node(ids, arr, col, spec, parent_valid, out)
-        id_arr = (
-            pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
-                              else a for a in out["id"]])
-            if out["id"] else pa.array([], ids.type)
-        )
-        return pa.table(
-            {
-                id_col: id_arr,
-                "path": pa.array(out["path"], pa.string()),
-                "code": pa.array(out["code"], pa.string()),
-                "expected": pa.array(out["expected"], pa.string()),
-            }
-        )
+        return _finish(out, id_col, ids)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -127,7 +123,7 @@ def validate_list_column(ds, *, col: str, id_col: str,
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()
         arr = batch[col].combine_chunks()
-        out_ids, paths, codes, expect = [], [], [], []
+        out = {"id": [], "path": [], "code": [], "expected": []}
 
         lens = pc.list_value_length(arr)
         lens_np = pc.fill_null(lens, -1).to_numpy(zero_copy_only=False)
@@ -139,16 +135,11 @@ def validate_list_column(ds, *, col: str, id_col: str,
             if max_len is not None:
                 bad |= valid & (lens_np > max_len)
             if bad.any():
-                idx = np.flatnonzero(bad)
-                out_ids.append(ids.take(pa.array(idx)))
                 desc = (f"length in [{min_len}, {max_len}]"
                         if min_len is not None and max_len is not None
                         else f"length >= {min_len}" if min_len is not None
                         else f"length <= {max_len}")
-                n = len(idx)
-                paths.extend([col] * n)
-                codes.extend(["invalid"] * n)
-                expect.extend([desc] * n)
+                _emit(out, ids, np.flatnonzero(bad), col, "invalid", desc)
 
         if element_checks:
             flat = pc.list_flatten(arr)
@@ -164,26 +155,12 @@ def validate_list_column(ds, *, col: str, id_col: str,
                 bad = chk.fn(flat) & _np_bool(pc.is_valid(flat))
                 if bad.any():
                     idx = np.flatnonzero(bad)
-                    out_ids.append(ids.take(pa.array(parent[idx])))
-                    paths.extend(
-                        f"{col}.{p}" for p in pos[idx]
-                    )
-                    n = len(idx)
-                    codes.extend(["invalid"] * n)
-                    expect.extend([chk.expected] * n)
+                    # per-element emission: id comes from the PARENT row
+                    out["id"].append(ids.take(pa.array(parent[idx])))
+                    out["path"].extend(f"{col}.{p}" for p in pos[idx])
+                    out["code"].extend(["invalid"] * len(idx))
+                    out["expected"].extend([chk.expected] * len(idx))
 
-        id_arr = (
-            pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
-                              else a for a in out_ids])
-            if out_ids else pa.array([], ids.type)
-        )
-        return pa.table(
-            {
-                id_col: id_arr,
-                "path": pa.array(paths, pa.string()),
-                "code": pa.array(codes, pa.string()),
-                "expected": pa.array(expect, pa.string()),
-            }
-        )
+        return _finish(out, id_col, ids)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
