@@ -2276,6 +2276,24 @@ def q_validate_struct_events(sf_dir: str):
     )
 
 
+def q_validate_map_events(sf_dir: str):
+    """Native pa.map_ column validation — schisma's regex-key semantics
+    at table level: keys must match ^k[0-9]+$ (unexpected key), values
+    in [0, 99] (invalid). Seeded map fixture plants both."""
+    from ..sources.struct_fixture import map_events
+    from ..stages.struct_validate import validate_map_column
+
+    ds = rd.read_parquet(str(map_events(sf_dir)))
+    return _collect(
+        validate_map_column(
+            ds, col="attrs", id_col="event_id",
+            key_pattern="^k[0-9]+$",
+            value_checks=[range_check(lo=0, hi=99)],
+        ),
+        ["event_id", "path", "code", "expected"],
+    )
+
+
 def q_validate_embedding_lists(sf_dir: str):
     """Native pa.list_ column validation over the real embeddings
     table: per-row length invariant + vectorized element range check
@@ -2748,6 +2766,9 @@ def _oracle_sql() -> dict[str, str]:
     from ..sources.struct_fixture import struct_events
 
     struct_ev = f"read_parquet('{struct_events(ORACLE_SF_DIR)}')"
+    from ..sources.struct_fixture import map_events
+
+    map_ev = f"read_parquet('{map_events(ORACLE_SF_DIR)}')"
     # seeded-expectation table: the generator's independent bookkeeping of
     # every violation the pipeline must produce (sources/image_table.py
     # writes it alongside the corrupted rows) — the oracle for the checks
@@ -3789,6 +3810,17 @@ SELECT event_id, 'meta.geo.lon', 'invalid', 'in [-180, 180]'
    AND meta.geo.lon IS NOT NULL
    AND (meta.geo.lon < -180 OR meta.geo.lon > 180)
 """,
+        "validate_map_events": f"""
+WITH t AS (SELECT event_id, attrs FROM {map_ev}),
+en AS (SELECT event_id, u.e.key AS k, u.e.value AS v
+         FROM t, unnest(map_entries(attrs)) AS u(e))
+SELECT event_id, 'attrs.' || k AS path, 'unexpected key' AS code,
+       'key matches /^k[0-9]+$/' AS expected
+  FROM en WHERE NOT regexp_matches(k, '^k[0-9]+$')
+UNION ALL
+SELECT event_id, 'attrs.' || k, 'invalid', 'in [0, 99]'
+  FROM en WHERE v IS NOT NULL AND (v < 0 OR v > 99)
+""",
         "validate_embedding_lists": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
 el AS (SELECT vec_id, i - 1 AS idx, embedding[i] AS v
@@ -4488,6 +4520,7 @@ QUERIES = {
     "supplier_acctbal_by_region": q_supplier_acctbal_by_region,
     "part_type_stats": q_part_type_stats,
     "validate_struct_events": q_validate_struct_events,
+    "validate_map_events": q_validate_map_events,
     "validate_embedding_lists": q_validate_embedding_lists,
     "lang_mismatches": q_lang_mismatches,
     "top_tokens": q_top_tokens,

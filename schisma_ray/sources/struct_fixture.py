@@ -77,3 +77,46 @@ def struct_events(sf_dir: str) -> Path:
         shutil.rmtree(out_dir)
     os.rename(tmp_dir, out_dir)
     return out
+
+
+def map_events(sf_dir: str) -> Path:
+    """Seeded MAP-column fixture (``attrs: map<string, int64>``) — the
+    table-level analogue of schisma's regex keys (``$/.../`` members,
+    src/schisma.mjs:58-68): keys must match ``^k[0-9]+$`` and values
+    must be in [0, 100]. Planted defects:
+
+    * ``event_id % 61 == 0`` — a 'BAD KEY!' entry (unexpected key),
+    * ``event_id % 67 == 0`` — k9 = 999 (value range).
+    """
+    base_path = Path(sf_dir) / "events.parquet"
+    tag = hashlib.md5(base_path.read_bytes()).hexdigest()[:10]
+    out_dir = CACHE_ROOT / f"map_events_{tag}"
+    out = out_dir / "map_events.parquet"
+    if out.exists():
+        return out
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    base = pq.read_table(base_path, columns=["event_id"])
+    eids = base["event_id"].to_pylist()
+    attrs = []
+    for eid in eids:
+        entries = [(f"k{i}", (eid * 7 + i) % 100) for i in range(1 + eid % 3)]
+        if eid % 61 == 0:
+            entries.append(("BAD KEY!", 1))
+        if eid % 67 == 0:
+            entries.append(("k9", 999))
+        attrs.append(entries)
+    tbl = pa.table(
+        {
+            "event_id": base["event_id"],
+            "attrs": pa.array(attrs, pa.map_(pa.string(), pa.int64())),
+        }
+    )
+    pq.write_table(tbl, tmp_dir / "map_events.parquet")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
+    return out

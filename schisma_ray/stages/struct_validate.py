@@ -164,3 +164,60 @@ def validate_list_column(ds, *, col: str, id_col: str,
         return _finish(out, id_col, ids)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def validate_map_column(ds, *, col: str, id_col: str,
+                        key_pattern: str | None = None,
+                        value_checks: list[Check] = ()):
+    """Native ``pa.map_`` column validation — the table-level analogue
+    of schisma's regex keys (``$/.../`` members, src/schisma.mjs:58-68,
+    README.md:80-106): every entry key must match ``key_pattern``
+    (violations emit schisma's ``unexpected key`` code), and entry
+    values run the vectorized ``value_checks``. One flatten pass per
+    batch: a MapArray is list<struct<key, value>>, so entries explode
+    with ``list_flatten`` + ``list_parent_indices`` and every check is
+    one kernel over the child arrays. Paths are ``col.KEY`` — the same
+    dynamic-key path shape the row kernel produces."""
+    import re as _re
+
+    if key_pattern is not None:
+        _re.compile(key_pattern)  # fail fast on a bad pattern
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks()
+        arr = batch[col].combine_chunks()
+        out = {"id": [], "path": [], "code": [], "expected": []}
+        # Arrow has no list_flatten/list_parent_indices kernel for maps:
+        # slice the (untrimmed) key/item children by the absolute
+        # offsets and rebuild parents from per-row entry counts. Null
+        # map rows repeat their offset (zero entries) — handled free.
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offs)
+        keys = arr.keys.slice(offs[0], offs[-1] - offs[0])
+        values = arr.items.slice(offs[0], offs[-1] - offs[0])
+        parent = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+        keys_py = None
+        if key_pattern is not None:
+            bad = ~_np_bool(pc.match_substring_regex(keys, key_pattern))
+            bad &= _np_bool(pc.is_valid(keys))
+            if bad.any():
+                idx = np.flatnonzero(bad)
+                keys_py = keys.to_pylist()
+                out["id"].append(ids.take(pa.array(parent[idx])))
+                out["path"].extend(f"{col}.{keys_py[i]}" for i in idx)
+                out["code"].extend(["unexpected key"] * len(idx))
+                out["expected"].extend([f"key matches /{key_pattern}/"]
+                                       * len(idx))
+        for chk in value_checks:
+            bad = chk.fn(values) & _np_bool(pc.is_valid(values))
+            if bad.any():
+                idx = np.flatnonzero(bad)
+                if keys_py is None:
+                    keys_py = keys.to_pylist()
+                out["id"].append(ids.take(pa.array(parent[idx])))
+                out["path"].extend(f"{col}.{keys_py[i]}" for i in idx)
+                out["code"].extend(["invalid"] * len(idx))
+                out["expected"].extend([chk.expected] * len(idx))
+        return _finish(out, id_col, ids)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

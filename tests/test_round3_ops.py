@@ -918,3 +918,28 @@ def test_validate_list_column_bruteforce(ray_session):
     ).to_pandas()
     got = sorted(zip(out["vec_id"], out["path"], out["code"]))
     assert got == [(1, "v.1", "invalid"), (2, "v", "invalid")]
+
+
+def test_validate_map_column_bruteforce(ray_session):
+    from schisma_ray.stages.struct_validate import validate_map_column
+    from schisma_ray.stages.table_schema import range_check
+
+    rows = [
+        [("k1", 5), ("k2", 50)],          # clean
+        [("bad key", 1), ("k3", 200)],    # unexpected key + bad value
+        None,                             # null map: nothing
+        [],                               # empty map: nothing
+    ]
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "attrs": pa.array(rows, pa.map_(pa.string(), pa.int64())),
+    })
+    out = validate_map_column(
+        rd.from_arrow(t).repartition(2), col="attrs", id_col="event_id",
+        key_pattern="^k[0-9]+$", value_checks=[range_check(lo=0, hi=99)],
+    ).to_pandas()
+    got = sorted(zip(out["event_id"], out["path"], out["code"]))
+    assert got == [
+        (2, "attrs.bad key", "unexpected key"),
+        (2, "attrs.k3", "invalid"),
+    ]
