@@ -63,6 +63,16 @@ def _np_bool(arr) -> np.ndarray:
     return pc.fill_null(arr, False).to_numpy(zero_copy_only=False).astype(bool)
 
 
+def _plain(col):
+    """Decode dictionary-encoded columns before value comparisons —
+    parquet readers may preserve dictionary pages, and kernels like
+    ``is_in`` reject dictionary arrays against a plain value set."""
+    if pa.types.is_dictionary(col.type):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return col.dictionary_decode()
+    return col
+
+
 def _expected_name(alt: Any) -> str:
     if isinstance(alt, JSType):
         return alt.name
@@ -87,6 +97,7 @@ class Check:
 
 def range_check(lo=None, hi=None) -> Check:
     def fn(col: pa.Array) -> np.ndarray:
+        col = _plain(col)
         bad = np.zeros(len(col), dtype=bool)
         if lo is not None:
             bad |= _np_bool(pc.less(col, lo))
@@ -104,6 +115,7 @@ def in_set(values) -> Check:
     values = list(values)
 
     def fn(col: pa.Array) -> np.ndarray:
+        col = _plain(col)
         ok = pc.is_in(col, value_set=pa.array(values, col.type))
         return ~_np_bool(ok)
 
@@ -112,7 +124,7 @@ def in_set(values) -> Check:
 
 def str_len_between(lo=None, hi=None) -> Check:
     def fn(col: pa.Array) -> np.ndarray:
-        lengths = pc.utf8_length(col)
+        lengths = pc.utf8_length(_plain(col))
         bad = np.zeros(len(col), dtype=bool)
         if lo is not None:
             bad |= _np_bool(pc.less(lengths, lo))
@@ -125,7 +137,7 @@ def str_len_between(lo=None, hi=None) -> Check:
 
 def regex_match(pattern: str) -> Check:
     def fn(col: pa.Array) -> np.ndarray:
-        ok = pc.match_substring_regex(col, pattern)
+        ok = pc.match_substring_regex(_plain(col), pattern)
         return ~_np_bool(ok)
 
     return Check("regex", fn, f"matches /{pattern}/")
@@ -133,7 +145,7 @@ def regex_match(pattern: str) -> Check:
 
 def not_empty() -> Check:
     def fn(col: pa.Array) -> np.ndarray:
-        return _np_bool(pc.equal(col, ""))
+        return _np_bool(pc.equal(_plain(col), ""))
 
     return Check("not_empty", fn, "non-empty string")
 

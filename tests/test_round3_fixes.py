@@ -377,3 +377,23 @@ def test_line_dedup_empty_lines_participate(ray_session):
     got = {int(r.doc_id): (r.text, int(r.n_kept), int(r.n_total))
            for r in out.itertuples()}
     assert got == {1: ("a\n\nb", 3, 3), 2: ("c\nd", 2, 3)}
+
+
+def test_checks_accept_dictionary_columns(ray_session):
+    """Parquet readers may preserve dictionary encoding; value checks
+    must decode rather than raise."""
+    import pyarrow as pa
+
+    from schisma_ray.stages.table_schema import (
+        in_set,
+        not_empty,
+        range_check,
+        regex_match,
+    )
+
+    d = pa.array(["png", "bmp", "", "png"]).dictionary_encode()
+    assert in_set(("png", "jpeg")).fn(d).tolist() == [False, True, True, False]
+    assert not_empty().fn(d).tolist() == [False, False, True, False]
+    assert regex_match("^p").fn(d).tolist() == [False, True, True, False]
+    n = pa.array([1, 200, 3]).dictionary_encode()
+    assert range_check(lo=0, hi=100).fn(n).tolist() == [False, True, False]
