@@ -4043,7 +4043,9 @@ SELECT gidx // 256 AS chunk_id,
   FROM ordered GROUP BY 1
 """,
         "gopher_quality": r"""
-WITH m AS (
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text FROM documents),
+m AS (
   SELECT doc_id,
          CAST(len(list_filter(string_split_regex(text, '\s+'),
                               x -> x <> '')) AS BIGINT) AS n_words,
@@ -4057,7 +4059,7 @@ WITH m AS (
              + CASE WHEN regexp_matches(text, '\bhave\b') THEN 1 ELSE 0 END
              + CASE WHEN regexp_matches(text, '\bwith\b') THEN 1 ELSE 0 END)
               AS BIGINT) AS n_stop
-    FROM documents),
+    FROM d),
 e AS (
   SELECT doc_id, n_words, n_stop,
          CASE WHEN n_words = 0 THEN 0

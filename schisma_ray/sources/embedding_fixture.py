@@ -11,6 +11,7 @@ pipeline and the DuckDB oracle read the identical file.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 from pathlib import Path
@@ -27,7 +28,8 @@ def seeded_near_dup_embeddings(sf_dir: str, *, n_planted: int = 16,
     """Generate (or reuse) the seeded table; returns the parquet path."""
     base_path = Path(sf_dir) / "embeddings.parquet"
     base = pq.read_table(base_path)
-    out_dir = CACHE_ROOT / f"emb_seeded_n{base.num_rows}_p{n_planted}_s{seed}"
+    tag = hashlib.md5(base_path.read_bytes()).hexdigest()[:10]
+    out_dir = CACHE_ROOT / f"emb_seeded_{tag}_p{n_planted}_s{seed}"
     out = out_dir / "embeddings_seeded.parquet"
     if out.exists():
         return out
@@ -83,8 +85,9 @@ def paired_caption_embeddings(sf_dir: str, *, mismatch_every: int = 4,
     (base table, seed); atomically cached for Ray + DuckDB parity."""
     base_path = Path(sf_dir) / "embeddings.parquet"
     base = pq.read_table(base_path)
+    tag = hashlib.md5(base_path.read_bytes()).hexdigest()[:10]
     out_dir = CACHE_ROOT / (
-        f"pair_emb_n{base.num_rows}_m{mismatch_every}_s{seed}"
+        f"pair_emb_{tag}_m{mismatch_every}_s{seed}"
         f"_e{int(round(eps * 10000))}"
     )
     out = out_dir / "paired_embeddings.parquet"

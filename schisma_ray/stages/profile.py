@@ -101,7 +101,7 @@ def fd_violations(ds, *, lhs: str, rhs: str, min_group: int = 1,
     import numpy as np
     import pandas as pd
 
-    from .window import _key_bucket
+    from ._bucket import key_bucket
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t[lhs]))
@@ -109,7 +109,7 @@ def fd_violations(ds, *, lhs: str, rhs: str, min_group: int = 1,
                       "one": pa.array(np.ones(t.num_rows, np.int64))})
         pairs = g.group_by([lhs, rhs]).aggregate([("one", "sum")])
         return pairs.append_column(
-            "bucket", _key_bucket(pairs[lhs].combine_chunks(), num_buckets)
+            "bucket", key_bucket(pairs[lhs].combine_chunks(), num_buckets)
         )
 
     pairs = ds.map_batches(partial, batch_format="pyarrow",

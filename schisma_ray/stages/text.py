@@ -586,7 +586,10 @@ def gopher_stats_values(texts: pa.Array, stopwords: tuple = GOPHER_STOPWORDS):
     Arrow string array — the word statistics behind the Gopher rules,
     shared by the ``gopher_quality`` report stage and the corpus-prepare
     filter. Mean word length is ``floor(chars * 1e6 / words + 0.5)`` so
-    downstream rule checks are integer-exact vs SQL."""
+    downstream rule checks are integer-exact vs SQL. Null texts count
+    as empty (n_words = 0, fails the word-count rule) — the oracle
+    spells the same with ``coalesce(text, '')``."""
+    texts = pc.fill_null(texts, "")
     words = pc.count_substring_regex(texts, r"\S+").to_numpy(
         zero_copy_only=False
     ).astype(np.int64)

@@ -17,25 +17,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _key_bucket(key, num_buckets: int) -> pa.Array:
-    """Type-agnostic hash bucket for a key column — or a list of
-    columns for composite keys (int, string, UUID...).
-
-    pandas hash_array works on any dtype (object included), unlike an
-    int64 cast which rejects strings and silently *parses* numeric
-    strings. Multi-column hashes combine with odd multipliers so
-    (a, b) != (b, a). Identical key tuples always co-locate, which is
-    all the segmented per-bucket scans need."""
-    import numpy as np
-    import pandas as pd
-
-    arrays = key if isinstance(key, (list, tuple)) else [key]
-    h = np.zeros(len(arrays[0]), np.uint64)
-    for i, a in enumerate(arrays):
-        h ^= pd.util.hash_array(
-            a.to_numpy(zero_copy_only=False)
-        ) * np.uint64(2 * i + 1)
-    return pa.array((h % np.uint64(num_buckets)).astype(np.int32), pa.int32())
+from ._bucket import key_bucket as _key_bucket  # shared bucket helper
 
 
 def session_agg(
@@ -926,15 +908,36 @@ def event_type_cooccurrence(
             e = g[type_col].to_numpy()
             return pd.DataFrame({"type_a": e, "type_b": e,
                                  "n": np.zeros(0, np.int64)})
-        # one vectorized self-merge per bucket (per-key triangle via
-        # the type_a < type_b filter) — no per-key Python
-        m = g.merge(g, on=key_col, suffixes=("_a", "_b"))
-        m = m[m[f"{type_col}_a"] < m[f"{type_col}_b"]]
+        # sorted keys -> segment offsets -> per-segment upper triangle,
+        # fully vectorized: row r pairs with rows r+1..seg_end-1; types
+        # are sorted within a segment so type_a < type_b by construction
+        # (materializes exactly the k*(k-1)/2 pairs, not a full k^2
+        # self-merge)
+        g = g.sort_values([key_col, type_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        types = g[type_col].to_numpy()
+        n = len(g)
+        seg_start = np.flatnonzero(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        )
+        seg_end = np.concatenate((seg_start[1:], [n]))
+        seg_len = seg_end - seg_start
+        # per-row count of partners to its right within the segment
+        reps = np.repeat(seg_end, seg_len) - np.arange(n) - 1
+        total = int(reps.sum())
+        if total == 0:
+            e = types[:0]
+            return pd.DataFrame({"type_a": e, "type_b": e,
+                                 "n": np.zeros(0, np.int64)})
+        a_idx = np.repeat(np.arange(n), reps)
+        cum = np.concatenate(([0], np.cumsum(reps)))
+        b_idx = (np.arange(total) - np.repeat(cum[:-1], reps)
+                 + a_idx + 1)
         out = (
-            m.groupby([f"{type_col}_a", f"{type_col}_b"], sort=True)
+            pd.DataFrame({"type_a": types[a_idx], "type_b": types[b_idx]})
+            .groupby(["type_a", "type_b"], sort=True)
             .size().rename("n").reset_index()
         )
-        out.columns = ["type_a", "type_b", "n"]
         return out
 
     per = pairs_in.groupby("bucket").map_groups(per_bucket,

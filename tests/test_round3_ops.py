@@ -602,6 +602,30 @@ def test_gopher_quality_rules(ray_session):
     assert int(out.loc[0, "n_stop"]) == 1  # only 'the' from the list
 
 
+def test_gopher_quality_null_text(ray_session):
+    """Null text rows count as empty (n_words = 0, all rules fail) —
+    mirroring the oracle's coalesce(text, '') — rather than raising in
+    the numpy casts (ADVICE r3)."""
+    from schisma_ray.stages.text import gopher_quality
+
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(
+            ["the quick brown fox jumps over the lazy dog " * 10,
+             None, ""]),
+    })
+    out = gopher_quality(
+        rd.from_arrow(tbl).repartition(2), min_distinct_stop=1,
+    ).to_pandas().set_index("doc_id").sort_index()
+
+    assert bool(out.loc[0, "pass_stop"])
+    for did in (1, 2):
+        assert int(out.loc[did, "n_words"]) == 0
+        assert int(out.loc[did, "mean_len_e6"]) == 0
+        assert int(out.loc[did, "n_stop"]) == 0
+        assert not out.loc[did, "passed"]
+
+
 def test_concat_chunks_bruteforce(ray_session):
     from schisma_ray.stages.corpus import concat_chunks
 
