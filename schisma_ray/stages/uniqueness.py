@@ -110,6 +110,81 @@ def _bloom_positions(arr, bits: int, n_hashes: int):
     ]
 
 
+class CountingBloomAgg:
+    """Mergeable counting-Bloom as a Ray ``AggregateFn`` (the BloomBits
+    pattern, referential.py) — per-position counts saturated at 2,
+    encoded as TWO packed bitmasks: ``seen`` (count >= 1) and ``dup``
+    (count >= 2). Saturating addition of block contributions is then
+    associative + commutative bitwise algebra::
+
+        dup' = dup_a | dup_b | (seen_a & seen_b);  seen' = seen_a | seen_b
+
+    so partials tree-merge through Ray's aggregation — no per-block
+    bloom bytes ever reach the driver, which receives only the final
+    2 x bits/8-byte state. Each block contributes a BIT vector over its
+    distinct keys (within-block repeats collapse; they are carried
+    exactly in the state's bounded ``definite`` key list instead).
+    """
+
+    def __new__(cls, on: str, bits: int = 1 << 22, n_hashes: int = 3,
+                alias_name: str | None = None):
+        import numpy as np
+        import pandas as pd
+        from ray.data.aggregate import AggregateFn
+
+        nbytes = bits >> 3
+
+        def init(_):
+            return {
+                "seen": np.zeros(nbytes, np.uint8),
+                "dup": np.zeros(nbytes, np.uint8),
+                "definite": [],
+            }
+
+        def _arr(x):
+            # Ray may round-trip accumulator state through a block
+            # conversion that turns numpy arrays into lists — coerce back
+            return np.asarray(x, dtype=np.uint8)
+
+        def accumulate_block(state, block):
+            if isinstance(block, pd.DataFrame):
+                block = pa.Table.from_pandas(block, preserve_index=False)
+            t = (
+                block.select([on]).group_by(on).aggregate([(on, "count")])
+            ).rename_columns([on, "partial"])
+            definite = t.filter(pc.greater(t["partial"], 1))[on].combine_chunks()
+            key_bits = np.zeros(nbytes, dtype=np.uint8)
+            arr = t[on].combine_chunks().to_numpy(zero_copy_only=False)
+            for pos in _bloom_positions(arr, bits, n_hashes):
+                np.bitwise_or.at(
+                    key_bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
+                )
+            seen = _arr(state["seen"])
+            return {
+                # dup uses the PRE-update seen: second sighting of a
+                # position across blocks is what flips its dup bit
+                "dup": _arr(state["dup"]) | (seen & key_bits),
+                "seen": seen | key_bits,
+                "definite": list(state["definite"]) + definite.to_pylist(),
+            }
+
+        def merge(a, b):
+            sa, sb = _arr(a["seen"]), _arr(b["seen"])
+            return {
+                "dup": _arr(a["dup"]) | _arr(b["dup"]) | (sa & sb),
+                "seen": sa | sb,
+                "definite": list(a["definite"]) + list(b["definite"]),
+            }
+
+        return AggregateFn(
+            init=init,
+            merge=merge,
+            accumulate_block=accumulate_block,
+            finalize=lambda s: s,
+            name=alias_name or f"counting_bloom({on})",
+        )
+
+
 def duplicate_keys_bloom(ds, column: str, *, bits: int = 1 << 22,
                          n_hashes: int = 3) -> pa.Table:
     """Counting-Bloom prefilter for duplicate detection at extreme key
@@ -117,86 +192,48 @@ def duplicate_keys_bloom(ds, column: str, *, bits: int = 1 << 22,
     key per batch is too much shuffle/driver traffic (10^12
     mostly-unique keys; see DESIGN.md).
 
-    Pass 1 per batch: keys duplicated WITHIN the batch are emitted
-    exactly (they never reach >=2 distinct bloom contributions); for the
-    singleton majority only a ``bits``-wide bit vector rides back — the
-    driver SUMS the per-batch vectors into position counts, O(bits)
-    memory regardless of key count. A key seen in >= 2 batches has every
-    hash position count >= 2; so may a false positive, which the exact
+    Pass 1: one distributed ``CountingBloomAgg`` over the (pruned) key
+    column. Each block contributes a bit vector over its distinct keys;
+    partials saturating-add as packed (seen, dup) bitmask pairs and
+    tree-merge through Ray's aggregation — the driver receives only the
+    final bits/8-byte ``dup`` mask plus the exact (bounded) set of keys
+    duplicated WITHIN a block. A key seen in >= 2 blocks has every hash
+    position's dup bit set; so may a false positive, which the exact
     pass kills.
 
-    Pass 2: re-scan partials, keep only candidate keys (counting test
-    OR in-batch-definite), exact Ray groupby over that small subset.
+    Pass 2: re-scan partials, keep only candidate keys (dup-bit test
+    OR in-block-definite), exact Ray groupby over that small subset.
     Output matches ``duplicate_keys``: a small (key, partial=n>1) table.
     """
     import numpy as np
-    import pandas as pd
 
-    nbytes = bits >> 3
-
-    def pass1(batch: pa.Table) -> pa.Table:
-        t = batch.select([column]).group_by(column).aggregate([(column, "count")])
-        t = t.rename_columns([column, "partial"])
-        definite = t.filter(pc.greater(t["partial"], 1))
-        vec = np.zeros(nbytes, dtype=np.uint8)
-        arr = t[column].combine_chunks().to_numpy(zero_copy_only=False)
-        for pos in _bloom_positions(arr, bits, n_hashes):
-            np.bitwise_or.at(
-                vec, pos >> 3, (1 << (pos & 7)).astype(np.uint8)
-            )
-        key_type = t.schema.field(column).type
-        keys = pa.concat_arrays(
-            [definite[column].combine_chunks(), pa.array([None], key_type)]
-        )
-        partials = pa.concat_arrays(
-            [
-                pc.cast(definite["partial"], pa.int64()).combine_chunks(),
-                pa.array([None], pa.int64()),
-            ]
-        )
-        blooms = pa.array(
-            [None] * definite.num_rows + [vec.tobytes()], pa.large_binary()
-        )
-        return pa.table({column: keys, "partial": partials, "bloom": blooms})
-
-    scan = ds.map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True)
-
-    counts = np.zeros(bits, dtype=np.uint16)
-    definite_parts: list[pa.Array] = []
-    for t in scan.iter_batches(batch_format="pyarrow", batch_size=None):
-        if not isinstance(t, pa.Table):
-            t = pa.Table.from_batches([t])
-        bloom_valid = t.filter(pc.is_valid(t["bloom"]))
-        for buf in bloom_valid["bloom"].to_pylist():
-            counts = np.minimum(  # saturate at 2: immune to wraparound
-                counts
-                + np.unpackbits(np.frombuffer(buf, np.uint8), bitorder="little"),
-                2,
-            ).astype(np.uint16)
-        defs = t.filter(pc.is_valid(t[column]))
-        if defs.num_rows:
-            definite_parts.append(defs[column].combine_chunks())
-    definite_keys = (
-        pc.unique(pa.concat_arrays(definite_parts))
-        if definite_parts
-        else None
+    agg = ds.select_columns([column]).aggregate(
+        CountingBloomAgg(column, bits=bits, n_hashes=n_hashes,
+                         alias_name="cb")
     )
+    state = agg["cb"] if agg else None
+    if state is None:
+        return pa.table({column: pa.array([]), "partial": pa.array([], pa.int64())})
+    dup_bits = np.asarray(state["dup"], dtype=np.uint8)
+    # set membership only — order irrelevant (and None-safe, unlike sort)
+    definite_vals = list(set(state["definite"])) or None
 
-    counts_ref = ray.put(counts.astype(np.uint8))
-    def_ref = ray.put(definite_keys)
+    dup_ref = ray.put(dup_bits)
+    def_ref = ray.put(definite_vals)
 
     def pass2(batch: pa.Table) -> pa.Table:
         t = batch.select([column]).group_by(column).aggregate([(column, "count")])
         t = t.rename_columns([column, "partial"])
-        c = ray.get(counts_ref)
+        d = ray.get(dup_ref)
         arr = t[column].combine_chunks().to_numpy(zero_copy_only=False)
         ok = np.ones(len(arr), dtype=bool)
         for pos in _bloom_positions(arr, bits, n_hashes):
-            ok &= c[pos] >= 2
+            ok &= (d[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
         dkeys = ray.get(def_ref)
         if dkeys is not None:
             ok |= pc.is_in(
-                t[column].combine_chunks(), value_set=dkeys
+                t[column].combine_chunks(),
+                value_set=pa.array(dkeys, type=t.schema.field(column).type),
             ).to_numpy(zero_copy_only=False)
         return t.filter(pa.array(ok))
 

@@ -343,6 +343,25 @@ def test_duplicate_keys_bloom_int_keys_and_no_dups(ray_session):
     ]
 
 
+def test_duplicate_keys_bloom_null_inbatch_dup(ray_session):
+    """A null key duplicated within a block rides the definite list
+    (None among strings must not break the driver-side set fold).
+    Null keys are never REPORTED as duplicates — Arrow's only-valid
+    count gives the null group partial 0 in the exact path too — but
+    the run must not crash and real dups must survive."""
+    import ray.data as rd
+    from schisma_ray.stages.uniqueness import duplicate_keys, duplicate_keys_bloom
+
+    tbl = pa.table({"k": pa.array([None, None, "a", "b", "a"])})
+    ds = rd.from_arrow(tbl).repartition(1)
+    out = duplicate_keys_bloom(ds, "k", bits=1 << 12)
+    got = dict(zip(out["k"].to_pylist(), out["partial"].to_pylist()))
+    exact = duplicate_keys(rd.from_arrow(tbl).repartition(1), "k")
+    want = dict(zip(exact["k"].to_pylist(), exact["partial"].to_pylist()))
+    assert got == want
+    assert got["a"] == 2 and "b" not in got and None not in got
+
+
 # -------------------------------------------------------- range join
 def test_range_join_half_open_and_overlaps(ray_session):
     import ray.data as rd
