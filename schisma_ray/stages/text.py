@@ -268,6 +268,31 @@ def quality_score(ds, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _tfidf_local_topk_fn(n_docs_ref, k: int, lang_col: str):
+    """Per-block score + local top-k per language for
+    ``tfidf_top_terms`` — module-level so the skew bound (at most k
+    rows per language per block entering the final merge) is directly
+    unit-testable. ``n_docs_ref`` is a ray.put dict {lang: n_docs}."""
+    import ray
+
+    def local_topk(t: pa.Table):
+        g = t.to_pandas()
+        nd = ray.get(n_docs_ref)
+        n = g[lang_col].map(lambda x: float(nd.get(x, 1))).to_numpy(np.float64)
+        g["score"] = np.round(
+            g["sum(tf)"].to_numpy(np.float64)
+            * np.log(n / g["sum(df)"].to_numpy(np.float64)),
+            6,
+        )
+        g = g.sort_values(["score", "word"], ascending=[False, True],
+                          kind="mergesort")
+        return g.groupby(lang_col, sort=False).head(k)[
+            [lang_col, "word", "score"]
+        ]
+
+    return local_topk
+
+
 def tfidf_top_terms(ds, *, k: int = 5, col: str = "text",
                     lang_col: str = "lang", id_col: str = "doc_id"):
     """(lang, word, score): the k highest-TF-IDF terms per language —
@@ -283,6 +308,7 @@ def tfidf_top_terms(ds, *, k: int = 5, col: str = "text",
     per-language doc totals are a 5-row fold.
     """
     import pandas as pd
+    import ray
 
     def explode_partial(t: pa.Table) -> pa.Table:
         words = pc.split_pattern(t[col].combine_chunks(), " ")
@@ -319,20 +345,25 @@ def tfidf_top_terms(ds, *, k: int = 5, col: str = "text",
         for lang, n in zip(t[lang_col].to_pylist(), t["n"].to_pylist()):
             n_docs[lang] = n_docs.get(lang, 0) + n
 
-    def topk(group: "pd.DataFrame") -> "pd.DataFrame":
-        lang = group[lang_col].iloc[0]
-        n = float(n_docs.get(lang, 1))
-        score = np.round(
-            group["sum(tf)"].to_numpy(np.float64)
-            * np.log(n / group["sum(df)"].to_numpy(np.float64)),
-            6,
-        )
-        g = pd.DataFrame(
-            {lang_col: group[lang_col], "word": group["word"], "score": score}
-        )
-        return g.sort_values(["score", "word"], ascending=[False, True]).head(k)
+    # Scores are ROW-LOCAL once totals are collapsed (each (lang, word)
+    # exists exactly once), so the final top-k never needs a
+    # vocabulary-sized group task: score + local top-k per lang within
+    # each block, then merge the <= k-per-lang-per-block survivors —
+    # the bm25_topk shape. A language's whole vocab never co-locates.
+    n_ref = ray.put(dict(n_docs))
+    locals_ds = totals.map_batches(
+        _tfidf_local_topk_fn(n_ref, k, lang_col), batch_format="pyarrow"
+    )
 
-    return totals.groupby(lang_col).map_groups(topk, batch_format="pandas")
+    def merge_topk(group: "pd.DataFrame") -> "pd.DataFrame":
+        return group.sort_values(
+            ["score", "word"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    # group size here is bounded by k * blocks, not vocab
+    return locals_ds.groupby(lang_col).map_groups(
+        merge_topk, batch_format="pandas"
+    )
 
 
 def redact_all(ds, patterns, *, col: str = "text", id_col: str = "doc_id"):
@@ -512,21 +543,11 @@ def bm25_topk(ds, query_terms, *, k: int = 10, k1: float = 1.5,
                      "score": pa.array(merged["score"].tolist(), pa.float64())})
 
 
-def inverted_index(ds, *, col: str = "text", id_col: str = "doc_id",
-                   max_postings: int = 20, num_buckets: int = 32):
-    """(term, df, postings): the search-infra build step — per term, the
-    global document frequency and the ``max_postings`` lowest doc ids as
-    a comma-joined posting string.
-
-    Combiner-first: each batch explodes its text ONCE via Arrow list
-    kernels and dedupes (term, doc) locally (a doc lives wholly in one
-    batch, so per-batch-distinct IS globally distinct); the shuffle
-    carries one row per (term, doc) bucketed by term hash, and the
-    per-bucket merge is one vectorized sort + cumcount (df from group
-    sizes, postings from the capped head). What changes first at
-    extreme scale: pre-cap the per-batch posting partials so the
-    shuffle carries (term, count, top-m) rather than every (term, doc)
-    row — the same trade tfidf_top_terms documents."""
+def _index_partial_fn(col: str, id_col: str, max_postings: int,
+                      num_buckets: int):
+    """Per-batch pre-capped posting partials for ``inverted_index`` —
+    module-level so the skew bound (at most max_postings rows per term
+    per batch entering the shuffle) is directly unit-testable."""
     import pandas as pd
 
     def explode_partial(t: pa.Table) -> pa.Table:
@@ -540,26 +561,56 @@ def inverted_index(ds, *, col: str = "text", id_col: str = "doc_id",
             }
         )
         tri = tri.filter(pc.not_equal(tri["term"], ""))
-        distinct = tri.group_by(["term", id_col]).aggregate([])
-        h = pd.util.hash_array(
-            np.asarray(distinct["term"].to_pylist(), dtype=object)
+        g = (
+            tri.group_by(["term", id_col]).aggregate([])
+            .to_pandas()
+            .sort_values(["term", id_col], kind="mergesort")
         )
-        return distinct.append_column(
-            "tb", pa.array((h % num_buckets).astype(np.int32), pa.int32())
+        rn = g.groupby("term", sort=False).cumcount().to_numpy()
+        size = g.groupby("term", sort=False)[id_col].transform("size")
+        # the batch's df partial rides on each term's FIRST posting row
+        # (rank 0 always survives the cap) — no sentinel rows, doc id
+        # dtype untouched through the Arrow round-trip
+        g = g.assign(
+            df_part=np.where(rn == 0, size.to_numpy(np.int64), 0)
         )
+        out = g[rn < max_postings]
+        h = pd.util.hash_array(np.asarray(out["term"].to_numpy(), dtype=object))
+        return out.assign(tb=(h % num_buckets).astype(np.int32))
 
+    return explode_partial
+
+
+def inverted_index(ds, *, col: str = "text", id_col: str = "doc_id",
+                   max_postings: int = 20, num_buckets: int = 32):
+    """(term, df, postings): the search-infra build step — per term, the
+    global document frequency and the ``max_postings`` lowest doc ids as
+    a comma-joined posting string.
+
+    Combiner-first with PRE-CAPPED partials: each batch explodes its
+    text ONCE via Arrow list kernels, dedupes (term, doc) locally
+    (a doc lives wholly in one batch, so per-batch-distinct IS globally
+    distinct and per-batch df partials sum exactly), then caps BEFORE
+    the shuffle — per (term, batch) it ships one df-partial row plus at
+    most ``max_postings`` posting rows (the batch's lowest doc ids).
+    Batch doc sets are disjoint, so the global lowest-m ids per term
+    are contained in the union of per-batch lowest-m: the cap loses
+    nothing. The term-hash-bucketed shuffle therefore carries
+    O(terms x blocks x m) rows, never every (term, doc) pair — a stop
+    word's posting traffic is bounded by blocks, not corpus size."""
     partials = ds.map_batches(
-        explode_partial, batch_format="pyarrow", zero_copy_batch=True
+        _index_partial_fn(col, id_col, max_postings, num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
+    import pandas as pd
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
+        df_map = group.groupby("term", sort=False)["df_part"].sum()
         g = group.sort_values(["term", id_col], kind="mergesort")
         rn = g.groupby("term", sort=False).cumcount()
-        df_per = g.groupby("term", sort=False)[id_col].transform("size")
         capped = g[rn < max_postings].copy()
         capped["_s"] = capped[id_col].astype(str)
         postings = capped.groupby("term", sort=False)["_s"].agg(",".join)
-        df_map = df_per.groupby(g["term"], sort=False).first()
         return pd.DataFrame(
             {
                 "term": postings.index,
