@@ -120,17 +120,16 @@ def asof_join_latest(
     )
 
     def finalize(t: pa.Table) -> pa.Table:
-        vals = t["asof_ts_us"].to_pylist()
-        secs = [
-            None if v is None or (isinstance(v, float) and v != v)
-            else int(v) // 1_000_000
-            for v in vals
-        ]
+        # float64 with NaN/null for no-match; trunc-to-int then integer
+        # floor-div mirrors python's int(v) // 1_000_000 exactly
+        v = t["asof_ts_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        miss = np.isnan(v)
+        secs = np.where(miss, 0.0, v).astype(np.int64) // 1_000_000
         return pa.table(
             {
                 "row_id": pc.cast(t["row_id"], pa.int64()),
                 "k": pc.cast(t["k"], pa.int64()),
-                "asof_epoch_s": pa.array(secs, pa.int64()),
+                "asof_epoch_s": pa.array(secs, pa.int64(), mask=miss),
             }
         )
 

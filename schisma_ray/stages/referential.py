@@ -52,7 +52,17 @@ def referential_violations(
         if hasattr(reference_ids, "to_pandas") and not isinstance(
             reference_ids, (pa.Table, pa.Array, pa.ChunkedArray)
         ):
-            reference_ids = pa.Table.from_pandas(reference_ids.to_pandas())
+            from ._fold import fold_table
+
+            folded = fold_table(reference_ids)
+            if folded is None:  # empty reference Dataset: keep its key type
+                pa_sch = getattr(reference_ids.schema(), "base_schema", None)
+                folded = (
+                    pa_sch.empty_table()
+                    if pa_sch is not None
+                    else pa.table({"id": pa.array([], pa.string())})
+                )
+            reference_ids = folded
         if isinstance(reference_ids, pa.Table):
             reference_ids = reference_ids.column(0).combine_chunks()
         ref = ray.put(reference_ids)
