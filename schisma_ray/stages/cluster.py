@@ -20,7 +20,6 @@ runs agree across parallelism levels and restarts.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -43,10 +42,9 @@ def kmeans(ds, *, col: str = "embedding", id_col: str = "vec_id",
     # local winners), so the driver folds sample_size x batches rows,
     # never the corpus.
     def sample_partial(t: pa.Table) -> pa.Table:
-        hexes = [
-            hashlib.md5(str(r).encode()).hexdigest()
-            for r in t[id_col].to_pylist()
-        ]
+        from ._digest import md5_hex
+
+        hexes = md5_hex(t[id_col]).tolist()
         keep = np.argsort(np.asarray(hexes))[:sample_size]
         m = pa.array(np.isin(np.arange(len(hexes)), keep))
         kept = t.filter(m)
@@ -180,10 +178,10 @@ def kmeans_train_numpy(ids, x: np.ndarray, *, k: int = 8, iters: int = 5,
     previous centroid). Produces the centroid artifact that both the
     distributed assignment pass and a SQL oracle consume — model-sized
     training (k x d), corpus-sized assignment stays in Ray."""
+    from ._digest import md5_hex
+
     x = np.asarray(x, np.float64)
-    hexes = np.asarray(
-        [hashlib.md5(str(r).encode()).hexdigest() for r in ids]
-    )
+    hexes = md5_hex(ids)
     order = np.argsort(hexes, kind="stable")[:sample_size]
     sample = x[order]
     k = min(k, len(sample))

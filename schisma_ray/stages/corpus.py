@@ -26,7 +26,6 @@ chunk: generate_series + substring).
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -101,11 +100,10 @@ def decontaminate(corpus, bench, *, n: int = 4, col: str = "text",
 def _md5_bucket(values, mod: int = 10000) -> np.ndarray:
     """int(md5(str(v))[:8], 16) % mod per value — process-invariant,
     DuckDB-mirrorable (``CAST(concat('0x', substr(md5(v),1,8)) AS
-    BIGINT) % mod``)."""
-    out = np.empty(len(values), dtype=np.int64)
-    for i, v in enumerate(values):
-        out[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod
-    return out
+    BIGINT) % mod``). Batched through the shared vectorized digest."""
+    from ._digest import md5_bucket
+
+    return md5_bucket(values, mod)
 
 
 def sample_by_rate(ds, rates: dict, *, key_col: str = "lang",
@@ -209,12 +207,13 @@ def cap_per_key(ds, *, key_col: str = "source", id_col: str = "doc_id",
     carry = list(carry_cols)
 
     def partial(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hexes = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        from ._digest import md5_hex
+
+        ids = batch[id_col]
         cols = {
             key_col: batch[key_col],
-            id_col: pa.array(ids, batch[id_col].type),
-            "h": pa.array(hexes, pa.string()),
+            id_col: ids,
+            "h": pa.array(md5_hex(ids), pa.string()),
         }
         for c in carry:
             cols[c] = batch[c]
@@ -337,12 +336,12 @@ def weighted_sample(ds, *, weight_col: str, id_col: str = "doc_id",
     import pyarrow.compute as pc
 
     def local_top(batch: pa.Table) -> pa.Table:
+        from ._digest import md5_u32
+
         ids = batch[id_col].to_pylist()
         w = batch[weight_col].combine_chunks().to_numpy(zero_copy_only=False)
         w = np.asarray(w, np.float64)
-        u32 = np.empty(len(ids), np.int64)
-        for i, v in enumerate(ids):
-            u32[i] = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        u32 = md5_u32(batch[id_col])
         u = (u32 + 0.5) / 4294967296.0
         ok = np.isfinite(w) & (w > 0)
         key = np.where(ok, np.log(u) / np.maximum(w, 1e-300), -np.inf)
