@@ -90,6 +90,15 @@ def main(argv=None) -> int:
     p.add_argument("--gopher", action="store_true",
                    help="add the Gopher word-statistics filter "
                         "(paper-default bounds)")
+    p.add_argument("--line-dedup", action="store_true",
+                   help="prepend CCNet-style corpus-wide line dedup "
+                        "(keep each line's globally-first occurrence)")
+    p.add_argument("--min-entropy-e6", type=int, default=0,
+                   help="> 0 drops docs below this character-entropy "
+                        "floor (e6-integer bits)")
+    p.add_argument("--max-entropy-e6", type=int, default=0,
+                   help="> 0 drops docs above this character-entropy "
+                        "ceiling (e6-integer bits)")
 
     r = sub.add_parser("report")
     r.add_argument("--out", required=True)
@@ -162,6 +171,9 @@ def main(argv=None) -> int:
                 dedup=args.dedup,
                 c4_min_lines=args.c4_min_lines,
                 gopher=args.gopher,
+                line_dedup=args.line_dedup,
+                min_entropy_e6=args.min_entropy_e6,
+                max_entropy_e6=args.max_entropy_e6,
             )
             out.write_parquet(args.out)
             import pyarrow.dataset as pads

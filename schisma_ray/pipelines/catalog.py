@@ -2585,6 +2585,39 @@ def q_image_byte_dupes(sf_dir: str):
     return _collect(dupes, ["fp", "n"])
 
 
+def _log2_table_file() -> Path:
+    """Persist the frozen integer-log2 artifact (m, l_e12) consumed by
+    both the Ray ``char_entropy`` scorer and its SQL oracle. A pure
+    function of the formula — keyed only by table size."""
+    import pyarrow.parquet as pq
+
+    from ..stages.text import LOG2_TABLE_SIZE, build_log2_table
+
+    out = Path(f"/tmp/schisma_ray_cache/log2_e12_m{LOG2_TABLE_SIZE}.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        tmp = out.with_name(out.name + f".tmp{os.getpid()}")
+        pq.write_table(build_log2_table(LOG2_TABLE_SIZE), tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document Shannon character entropy (e6-integer bits) over
+    the documents table — the compression-style quality signal. Exact
+    vs SQL via the persisted integer-log2 artifact: both sides do pure
+    int64 arithmetic (N*L(N) - sum n*L(n), then one integer division)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.text import char_entropy
+
+    table = pq.read_table(_log2_table_file())
+    return _collect(
+        char_entropy(_t(sf_dir, "documents"), table),
+        ["doc_id", "n_chars", "entropy_e6"],
+    )
+
+
 def _bigram_lm_file(sf_dir: str) -> Path:
     """Persist the char-bigram LM trained on the held-in reference slice
     (doc_id % 10 == 0) — the KenLM-style artifact both the Ray scorer
@@ -2732,6 +2765,26 @@ def q_gopher_quality(sf_dir: str):
         ),
         ["doc_id", "n_words", "mean_len_e6", "n_stop",
          "pass_words", "pass_mean", "pass_stop", "passed"],
+    )
+
+
+def q_corpus_prepare_lines(sf_dir: str):
+    """Production corpus prep WITH the CCNet line-dedup stage, over the
+    multi-line fixture (planted shared header/footer/intra-doc repeats):
+    line_dedup -> email redaction -> lang + quality filter -> exact
+    dedup keep-first -> per-source cap of 10 -> 80/60 chunking — the
+    ``prepare_corpus(line_dedup=True)`` composite, same code path as
+    the CLI ``prepare --line-dedup``."""
+    from ..sources.line_fixture import line_documents
+    from .corpus_pipeline import prepare_corpus
+
+    docs = rd.read_parquet(str(line_documents(sf_dir)))
+    return _collect(
+        prepare_corpus(
+            docs, line_dedup=True, langs=("en",), min_quality=0.5,
+            cap_per_source=10, chunk_size=80, chunk_stride=60,
+        ),
+        ["doc_id", "chunk_idx", "chunk_text"],
     )
 
 
@@ -3747,6 +3800,59 @@ SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
   FROM firsts WHERE rn = 1
  GROUP BY doc_id
 """,
+        # corpus_prepare_lines: the production composite with the CCNet
+        # line-dedup stage prepended — the line_dedup_docs CTE chain
+        # feeding the corpus_prepare chain (no bench/injection fixtures;
+        # the line fixture carries lang/source through the rebuild)
+        "corpus_prepare_lines": f"""
+WITH l0 AS (SELECT doc_id, lang, source,
+                   string_split(text, chr(10)) AS ls FROM {line_docs}),
+lines AS (
+  SELECT doc_id, lang, source, i AS pos, ls[i] AS line
+    FROM l0, unnest(range(1, len(ls) + 1)) AS t(i)),
+firsts AS (
+  SELECT *, row_number() OVER (PARTITION BY line
+                               ORDER BY doc_id, pos) AS rn
+    FROM lines),
+rebuilt AS (
+  SELECT doc_id, min(lang) AS lang, min(source) AS source,
+         string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM firsts WHERE rn = 1
+   GROUP BY doc_id),
+red AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+           '[EMAIL]', 'g') AS text
+    FROM rebuilt),
+m AS (
+  SELECT *, CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+    FROM red),
+s AS (
+  SELECT *, ROUND(
+      0.4 * LEAST(1.0, n_words / 64.0)
+    + 0.3 * (CASE WHEN n_words > 0
+                   AND (n_chars - (n_words - 1)) / n_words >= 3
+                   AND (n_chars - (n_words - 1)) / n_words <= 12
+                  THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END), 6) AS score
+    FROM m),
+filt AS (SELECT * FROM s WHERE lang = 'en' AND score >= 0.5),
+surv AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper FROM filt)
+   WHERE doc_id = keeper),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM surv) WHERE rn <= 10)
+SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
+  FROM capped, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
+""",
         "c4_clean": f"""
 WITH l0 AS (SELECT doc_id, text AS fulltext,
                    string_split(text, chr(10)) AS ls FROM {c4_docs}),
@@ -3937,6 +4043,34 @@ SELECT user_id, ts AS gap_start_ts,
 SELECT md5(hex(bytes)) AS fp, CAST(count(*) AS BIGINT) AS n
   FROM {img} WHERE bytes IS NOT NULL
  GROUP BY 1 HAVING count(*) >= 2
+""",
+        # char_entropy: the SAME frozen integer-log2 parquet the engine
+        # broadcasts; all arithmetic below is integer (HUGEINT products,
+        # floor division), so no float summation order exists to diverge
+        "char_entropy": f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+ch AS (SELECT doc_id, substring(text, i, 1) AS c
+         FROM d, unnest(range(1, length(text) + 1)) AS t(i)),
+cnt AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS n
+          FROM ch GROUP BY 1, 2),
+l AS (SELECT m, l_e12 FROM read_parquet('{_log2_table_file()}')),
+s AS (SELECT cnt.doc_id,
+             CAST(SUM(CAST(cnt.n AS HUGEINT) * ln.l_e12) AS HUGEINT)
+               AS sum_nl,
+             CAST(SUM(cnt.n) AS BIGINT) AS n_chars
+        FROM cnt JOIN l ln ON ln.m = cnt.n
+       GROUP BY cnt.doc_id),
+e AS (SELECT s.doc_id, s.n_chars,
+             CAST(((CAST(s.n_chars AS HUGEINT) * lt.l_e12 - s.sum_nl)
+                   + CAST(s.n_chars AS HUGEINT) * 500000)
+                  // (CAST(s.n_chars AS HUGEINT) * 1000000) AS BIGINT)
+               AS entropy_e6
+        FROM s JOIN l lt ON lt.m = s.n_chars)
+SELECT doc_id, n_chars, entropy_e6 FROM e
+UNION ALL
+SELECT doc_id, CAST(0 AS BIGINT) AS n_chars,
+       CAST(0 AS BIGINT) AS entropy_e6
+  FROM d WHERE length(text) = 0
 """,
         "lm_scores": f"""
 WITH m AS (SELECT bigram, lp_e6
@@ -4515,6 +4649,7 @@ QUERIES = {
     "semdedup_pairs": q_semdedup_pairs,
     "semdedup_survivors": q_semdedup_survivors,
     "line_dedup_docs": q_line_dedup_docs,
+    "corpus_prepare_lines": q_corpus_prepare_lines,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,
@@ -4534,6 +4669,7 @@ QUERIES = {
     "event_gaps": q_event_gaps,
     "image_byte_dupes": q_image_byte_dupes,
     "lm_scores": q_lm_scores,
+    "char_entropy": q_char_entropy,
     "aspect_buckets": q_aspect_buckets,
     "clip_score_filter": q_clip_score_filter,
     "clip_score_rejects": q_clip_score_rejects,

@@ -17,6 +17,7 @@ small sides (benchmark n-grams, survivor ids).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -39,6 +40,9 @@ def prepare_corpus(
     dedup: str = "broadcast",
     c4_min_lines: int = 0,
     gopher: bool = False,
+    line_dedup: bool = False,
+    min_entropy_e6: int = 0,
+    max_entropy_e6: int = 0,
 ):
     """documents Dataset -> (id, chunk_idx, chunk_text) Dataset.
 
@@ -47,6 +51,15 @@ def prepare_corpus(
     pages below the line floor dropped). ``gopher=True`` adds the
     Gopher word-statistics filter (paper-default bounds) after PII
     redaction. Both are zero-shuffle per-batch stages.
+
+    ``line_dedup=True`` prepends CCNet-style corpus-wide line dedup
+    (before C4): every line keeps only its globally-first occurrence
+    and documents are rebuilt from their surviving lines (documents
+    left with no lines drop out). Single-line corpora with no repeated
+    lines pass through unchanged. ``min_entropy_e6``/``max_entropy_e6``
+    (0 = off) band-filter on per-document character entropy (e6-integer
+    bits via the frozen log2 artifact) after the quality threshold —
+    the compression-style gibberish/boilerplate screen.
 
     ``dedup`` picks the exact-dedup survivor attachment:
 
@@ -78,12 +91,31 @@ def prepare_corpus(
 
     lang_set = set(langs)
 
+    if line_dedup:
+        from ..stages.lines import line_dedup as _line_dedup
+
+        docs = _line_dedup(
+            docs, text_col=text_col, id_col=id_col,
+            carry_cols=(lang_col, source_col),
+        )
+
     if c4_min_lines > 0:
         from ..stages.lines import c4_clean
 
         docs = c4_clean(
             docs, text_col=text_col, id_col=id_col,
             min_lines=c4_min_lines, carry_cols=(lang_col, source_col),
+        )
+
+    ent_ref = None
+    if min_entropy_e6 > 0 or max_entropy_e6 > 0:
+        from ..stages.text import build_log2_table
+
+        ent_ref = ray.put(
+            np.concatenate(
+                ([0],
+                 build_log2_table()["l_e12"].to_numpy(zero_copy_only=False))
+            ).astype(np.int64)
         )
 
     def prep(t: pa.Table) -> pa.Table:
@@ -138,6 +170,16 @@ def prepare_corpus(
                 & (n_stop >= GOPHER_MIN_DISTINCT_STOP)
             )
             keep = pc.and_(keep, pa.array(g_ok))
+        if ent_ref is not None:
+            from ..stages.text import char_entropy_values
+
+            _, ent = char_entropy_values(text, ray.get(ent_ref))
+            e_ok = np.ones(len(ent), dtype=bool)
+            if min_entropy_e6 > 0:
+                e_ok &= ent >= min_entropy_e6
+            if max_entropy_e6 > 0:
+                e_ok &= ent <= max_entropy_e6
+            keep = pc.and_(keep, pa.array(e_ok))
         out = pa.table(
             {id_col: t[id_col], source_col: t[source_col], text_col: text}
         )

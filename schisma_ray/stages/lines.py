@@ -24,7 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def _explode_fn(text_col: str, id_col: str, sep: str, num_buckets: int):
+def _explode_fn(text_col: str, id_col: str, sep: str, num_buckets: int,
+                carry_cols: tuple = ()):
     def explode(batch: pa.Table) -> pa.Table:
         # a null text contributes no lines (the doc vanishes, like the
         # SQL WHERE text IS NOT NULL); without this, list_value_length's
@@ -47,27 +48,31 @@ def _explode_fn(text_col: str, id_col: str, sep: str, num_buckets: int):
             pd.util.hash_array(flat.to_numpy(zero_copy_only=False))
             % num_buckets
         ).astype(np.int64)
-        return pa.table(
-            {
-                id_col: batch[id_col].take(pa.array(parent)),
-                "pos": pa.array(pos, pa.int64()),
-                "line": flat,
-                "n_total": pa.array(lens[parent], pa.int64()),
-                "bucket": pa.array(bucket, pa.int64()),
-            }
-        )
+        cols = {
+            id_col: batch[id_col].take(pa.array(parent)),
+            "pos": pa.array(pos, pa.int64()),
+            "line": flat,
+            "n_total": pa.array(lens[parent], pa.int64()),
+            "bucket": pa.array(bucket, pa.int64()),
+        }
+        for c in carry_cols:  # doc-level constants ride the explode
+            cols[c] = batch[c].take(pa.array(parent))
+        return pa.table(cols)
 
     return explode
 
 
 def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
-               sep: str = "\n", num_buckets: int = 64):
-    """Dataset of (id, text, n_kept, n_total): each document rebuilt from
-    the lines whose globally-first occurrence (min (doc_id, pos)) it
-    owns. The per-doc string join is per-KEY CPU inside one bucket
-    task, never a per-key Ray task."""
+               sep: str = "\n", num_buckets: int = 64,
+               carry_cols: tuple = ()):
+    """Dataset of (id, text, n_kept, n_total[, carry_cols...]): each
+    document rebuilt from the lines whose globally-first occurrence
+    (min (doc_id, pos)) it owns. The per-doc string join is per-KEY CPU
+    inside one bucket task, never a per-key Ray task. ``carry_cols``
+    are doc-level columns ferried through unchanged (e.g. lang/source
+    for a downstream pipeline stage)."""
     exploded = ds.map_batches(
-        _explode_fn(text_col, id_col, sep, num_buckets),
+        _explode_fn(text_col, id_col, sep, num_buckets, carry_cols),
         batch_format="pyarrow", zero_copy_batch=True,
     )
 
@@ -95,6 +100,7 @@ def line_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
             text=("line", sep.join),
             n_kept=("line", "size"),
             n_total=("n_total", "first"),
+            **{c: (c, "first") for c in carry_cols},
         )
         agg["n_kept"] = agg["n_kept"].astype("int64")
         agg["n_total"] = agg["n_total"].astype("int64")

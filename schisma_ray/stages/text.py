@@ -845,6 +845,98 @@ def lm_score(ds, model: pa.Table, *, col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+LOG2_TABLE_SIZE = 1 << 17  # covers doc lengths the gate corpora see
+
+
+def build_log2_table(max_m: int = LOG2_TABLE_SIZE) -> pa.Table:
+    """(m, l_e12) for m in 1..max_m with l_e12 = floor(log2(m) * 1e12
+    + 0.5) — the FROZEN integer-log artifact behind ``char_entropy``
+    (the lm_scores recipe: persist the logs once, never recompute them
+    in SQL, so parity can't drift on a libm ulp)."""
+    m = np.arange(1, max_m + 1, dtype=np.int64)
+    l_e12 = np.floor(np.log2(m.astype(np.float64)) * 1e12 + 0.5).astype(
+        np.int64
+    )
+    return pa.table({"m": m, "l_e12": l_e12})
+
+
+def char_entropy(ds, log2_table: pa.Table, *, col: str = "text",
+                 id_col: str = "doc_id"):
+    """(id, n_chars, entropy_e6): per-document Shannon character
+    entropy in bits — the compression-style quality signal (gibberish
+    and boilerplate sit at the entropy extremes; natural prose bands in
+    the middle). Null text counts as empty (n_chars = 0, entropy 0).
+
+    INTEGER-EXACT by construction: with frozen L(m) = floor(log2(m)
+    * 1e12 + 0.5) from the persisted artifact,
+
+        H_num = N * L(N) - sum_c n_c * L(n_c)          (exact int64)
+        entropy_e6 = (H_num + N * 500000) // (N * 1000000)
+
+    — pure integer arithmetic on both sides (the SQL oracle joins the
+    SAME parquet artifact), so no float sum ordering can diverge.
+
+    Fully vectorized per batch: one utf-32 decode of the concatenated
+    text, one np.unique over (doc, codepoint) keys, one reduceat —
+    zero shuffle, row-local output."""
+    import ray
+
+    lt = log2_table["l_e12"].combine_chunks().to_numpy(zero_copy_only=False)
+    max_m = len(lt)
+    # L indexed by m (1-based): L[m] = l_e12 of m; L[0] unused
+    L = np.concatenate(([0], lt)).astype(np.int64)
+    l_ref = ray.put(L)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        Lt = ray.get(l_ref)
+        lengths, ent = char_entropy_values(batch[col], Lt)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": pa.array(lengths, pa.int64()),
+                "entropy_e6": pa.array(ent, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def char_entropy_values(texts, L: "np.ndarray"):
+    """(n_chars, entropy_e6) int64 arrays for one Arrow string column
+    under the frozen integer-log2 lookup ``L`` (index m -> l_e12, L[0]
+    unused) — the kernel shared by the ``char_entropy`` stage and the
+    ``prepare_corpus`` entropy filter."""
+    texts = pc.fill_null(
+        texts.combine_chunks() if isinstance(texts, pa.ChunkedArray)
+        else texts, "",
+    ).to_pylist()
+    nrows = len(texts)
+    lengths = np.fromiter((len(s) for s in texts), np.int64, nrows)
+    if lengths.max(initial=0) >= len(L):
+        raise ValueError(
+            f"document longer than log2 table ({len(L) - 1}); rebuild "
+            "the artifact with a larger max_m"
+        )
+    joined = "".join(texts)
+    codes = np.frombuffer(joined.encode("utf-32-le"), np.uint32).astype(
+        np.int64
+    )
+    doc_idx = np.repeat(np.arange(nrows, dtype=np.int64), lengths)
+    # codepoints < 2^21: (doc << 21 | code) is collision-free
+    uk, counts = np.unique((doc_idx << 21) | codes, return_counts=True)
+    udoc = uk >> 21
+    term = counts.astype(np.int64) * L[counts]
+    h_num = np.zeros(nrows, np.int64)
+    if len(uk):
+        seg = np.flatnonzero(np.concatenate(([True], udoc[1:] != udoc[:-1])))
+        h_num[udoc[seg]] = -np.add.reduceat(term, seg)
+    nz = lengths > 0
+    h_num[nz] += lengths[nz] * L[lengths[nz]]
+    ent = np.zeros(nrows, np.int64)
+    ent[nz] = (h_num[nz] + lengths[nz] * 500_000) // (lengths[nz] * 1_000_000)
+    return lengths, ent
+
+
 class LangMismatch(LangId):
     """Actor-pool label-consistency audit: rows whose DECLARED language
     disagrees with the heuristic prediction — the classic mislabeled-

@@ -1,0 +1,190 @@
+"""Round-4 operators: character-entropy quality scorer and the
+``prepare_corpus`` line-dedup / entropy-band stages (VERDICT r3 asks
+#3 and #4)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _L():
+    from schisma_ray.stages.text import build_log2_table
+
+    lt = build_log2_table(4096)["l_e12"].to_numpy(zero_copy_only=False)
+    return np.concatenate(([0], lt)).astype(np.int64)
+
+
+def test_char_entropy_known_values():
+    from schisma_ray.stages.text import char_entropy_values
+
+    texts = pa.array(["aaaa", "aabb", "abcd", "", None, "ab"], pa.string())
+    lengths, ent = char_entropy_values(texts, _L())
+    assert lengths.tolist() == [4, 4, 4, 0, 0, 2]
+    # H(aaaa)=0, H(aabb)=1 bit, H(abcd)=2 bits, H(ab)=1 bit
+    assert ent.tolist() == [0, 1_000_000, 2_000_000, 0, 0, 1_000_000]
+
+
+def test_char_entropy_matches_float_formula():
+    """The integer pipeline must agree with the straight float Shannon
+    entropy to within the e6 rounding granularity."""
+    import random
+
+    from schisma_ray.stages.text import char_entropy_values
+
+    rng = random.Random(7)
+    texts = [
+        "".join(rng.choice("abcdefg xyz.!") for _ in range(rng.randint(1, 400)))
+        for _ in range(50)
+    ]
+    _, ent = char_entropy_values(pa.array(texts, pa.string()), _L())
+    for s, e in zip(texts, ent.tolist()):
+        n = len(s)
+        counts = {}
+        for c in s:
+            counts[c] = counts.get(c, 0) + 1
+        h = -sum(k / n * math.log2(k / n) for k in counts.values())
+        assert abs(e / 1e6 - h) < 2e-6, (s, e, h)
+
+
+def test_char_entropy_unicode_codepoints():
+    """Lengths and distinctness count CODEPOINTS (utf-32), not bytes."""
+    from schisma_ray.stages.text import char_entropy_values
+
+    lengths, ent = char_entropy_values(
+        pa.array(["日本語日本語", "ééàà"], pa.string()), _L()
+    )
+    assert lengths.tolist() == [6, 4]
+    # 3 distinct each twice over 6 -> log2(3); 2 distinct -> 1 bit
+    assert abs(ent[0] / 1e6 - math.log2(3)) < 2e-6
+    assert ent[1] == 1_000_000
+
+
+def test_char_entropy_stage_and_doc_too_long(ray_session):
+    from schisma_ray.stages.text import build_log2_table, char_entropy
+    from schisma_ray.stages.text import char_entropy_values
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["hello world", None], pa.string()),
+    })
+    out = (
+        char_entropy(rd.from_arrow(t), build_log2_table(1024))
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "n_chars"] == 11 and out.loc[2, "n_chars"] == 0
+    assert out.loc[2, "entropy_e6"] == 0
+
+    # a doc longer than the artifact must raise, not silently wrap
+    import pytest
+
+    with pytest.raises(ValueError, match="log2 table"):
+        char_entropy_values(pa.array(["x" * 50], pa.string()), _L()[:11])
+
+
+def test_prepare_corpus_entropy_band(ray_session):
+    """min/max entropy knobs drop exactly the docs outside the band,
+    measured on the post-redaction text (same kernel as the stage)."""
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+    from schisma_ray.stages.text import char_entropy_values
+
+    rows = []
+    texts = {
+        0: "aaaaaaaa aaaaaaaa aaaaaaaa aaaaaaaa",          # ~0.4 bits: low
+        1: "the quick brown fox jumps over the lazy dog "
+           "and keeps running through the quiet field",     # mid entropy
+        2: "q7$Zp!x9@Kf#3mW&v8^Lc*2jH(5yT)1bN-4dR_6gS+0aE=", # high entropy
+    }
+    for i, tx in texts.items():
+        rows.append({"doc_id": i, "text": tx, "lang": "en", "source": "s"})
+    docs = rd.from_arrow(pa.Table.from_pylist(rows))
+    _, ent = char_entropy_values(
+        pa.array([texts[0], texts[1], texts[2]], pa.string()), _L()
+    )
+    lo, hi = int(ent[0]), int(ent[2])
+    assert lo < int(ent[1]) < hi
+
+    kw = dict(langs=("en",), min_quality=0.0, chunk_size=500, chunk_stride=400)
+    out = prepare_corpus(
+        docs, min_entropy_e6=lo + 1, max_entropy_e6=hi - 1, **kw
+    ).to_pandas()
+    assert set(out["doc_id"]) == {1}
+    out_lo = prepare_corpus(docs, min_entropy_e6=lo + 1, **kw).to_pandas()
+    assert set(out_lo["doc_id"]) == {1, 2}
+    out_hi = prepare_corpus(docs, max_entropy_e6=hi - 1, **kw).to_pandas()
+    assert set(out_hi["doc_id"]) == {0, 1}
+
+
+def test_prepare_corpus_line_dedup_passthrough(ray_session):
+    """Single-line corpora with no repeated lines must come out of
+    prepare_corpus(line_dedup=True) byte-identical to the plain path
+    (the VERDICT r3 #4 'done' condition)."""
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+
+    rows = []
+    for i in range(24):
+        rows.append({
+            "doc_id": i,
+            "text": f"unique single line document {i} with plenty of "
+                    "distinct english words to clear every filter",
+            "lang": "en",
+            "source": f"src{i % 2}",
+        })
+    docs = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    kw = dict(langs=("en",), min_quality=0.0, cap_per_source=0,
+              chunk_size=60, chunk_stride=45)
+    plain = prepare_corpus(docs, **kw).to_pandas()
+    lined = prepare_corpus(docs, line_dedup=True, **kw).to_pandas()
+    key = ["doc_id", "chunk_idx"]
+    plain = plain.sort_values(key).reset_index(drop=True)
+    lined = lined.sort_values(key).reset_index(drop=True)
+    assert len(plain) > 0
+    assert plain[["doc_id", "chunk_idx", "chunk_text"]].equals(
+        lined[["doc_id", "chunk_idx", "chunk_text"]]
+    )
+
+
+def test_prepare_corpus_line_dedup_removes_boilerplate(ray_session):
+    """A shared header line must survive only in its first-occurrence
+    document; all-boilerplate documents drop out entirely."""
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+
+    header = "cookie banner please accept terms"
+    body = "the actual english content of document number"
+    rows = [
+        {"doc_id": 0, "text": f"{header}\n{body} zero with words",
+         "lang": "en", "source": "s"},
+        {"doc_id": 1, "text": f"{header}\n{body} one with words",
+         "lang": "en", "source": "s"},
+        {"doc_id": 2, "text": header,  # only the boilerplate -> drops
+         "lang": "en", "source": "s"},
+    ]
+    docs = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = prepare_corpus(
+        docs, line_dedup=True, langs=("en",), min_quality=0.0,
+        chunk_size=500, chunk_stride=400,
+    ).to_pandas()
+    texts = dict(zip(out["doc_id"], out["chunk_text"]))
+    assert set(texts) == {0, 1}
+    assert header in texts[0]
+    assert header not in texts[1]
+
+
+def test_line_dedup_carry_cols(ray_session):
+    from schisma_ray.stages.lines import line_dedup
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a\nb", "b\nc"], pa.string()),
+        "lang": pa.array(["en", "de"], pa.string()),
+        "source": pa.array(["s1", "s2"], pa.string()),
+    })
+    out = (
+        line_dedup(rd.from_arrow(t), num_buckets=2,
+                   carry_cols=("lang", "source"))
+        .to_pandas().set_index("doc_id")
+    )
+    assert out.loc[1, "lang"] == "en" and out.loc[2, "lang"] == "de"
+    assert out.loc[1, "source"] == "s1" and out.loc[2, "source"] == "s2"
+    assert out.loc[1, "text"] == "a\nb" and out.loc[2, "text"] == "c"
