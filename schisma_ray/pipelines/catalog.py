@@ -2800,6 +2800,43 @@ def q_duplicated_lines(sf_dir: str):
     )
 
 
+def q_event_type_shares(sf_dir: str):
+    """Percent-of-total report: each event type's row count and its
+    e6-integer share of all events (one combiner-first pass; the grand
+    total folds from the key-cardinality grouped table)."""
+    from ..stages.stats import group_share_of_total
+
+    return group_share_of_total(_t(sf_dir, "events"), "event_type")
+
+
+def q_lineitem_qty_share(sf_dir: str):
+    """Percent-of-total WINDOW: every line item's quantity share of its
+    return-flag group total — SQL ``qty * 1e6 / SUM(qty) OVER
+    (PARTITION BY l_returnflag)`` in exact integer arithmetic (grouped
+    totals broadcast once, vectorized divide per batch)."""
+    import pyarrow.compute as pc
+
+    from ..stages.stats import share_of_group_total
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"],
+    ).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("l_linenumber"), "l_linenumber",
+            pc.cast(t["l_linenumber"], pa.int64()),
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return _collect(
+        share_of_group_total(
+            ds, "l_returnflag", "l_quantity",
+            ["l_orderkey", "l_linenumber"],
+        ),
+        ["l_orderkey", "l_linenumber", "l_returnflag", "val", "share_e6"],
+    )
+
+
 # ------------------------------------------------------------------ oracle
 def _oracle_sql() -> dict[str, str]:
     from ..sources.embedding_fixture import seeded_near_dup_embeddings
@@ -3785,6 +3822,28 @@ SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
         # line dedup: first occurrence by (doc_id, pos) wins; documents
         # with zero surviving lines drop out of the GROUP BY on both
         # sides (documented contract)
+        # percent-of-total shares: pure int64 arithmetic on both sides
+        # (floor(v*1e6/tot + 0.5) == (2*v*1e6 + tot) // (2*tot))
+        "event_type_shares": """
+WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS total
+             FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(total) AS BIGINT) AS grand FROM g)
+SELECT g.event_type, g.total,
+       CAST((2 * g.total * 1000000 + t.grand) // (2 * t.grand) AS BIGINT)
+         AS share_e6
+  FROM g, t
+""",
+        "lineitem_qty_share": """
+WITH l AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                  l_returnflag, CAST(l_quantity AS BIGINT) AS val
+             FROM lineitem WHERE l_quantity IS NOT NULL),
+g AS (SELECT *, CAST(SUM(val) OVER (PARTITION BY l_returnflag) AS BIGINT)
+                  AS tot
+        FROM l)
+SELECT l_orderkey, l_linenumber, l_returnflag, val,
+       CAST((2 * val * 1000000 + tot) // (2 * tot) AS BIGINT) AS share_e6
+  FROM g
+""",
         "line_dedup_docs": f"""
 WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM {line_docs}),
 lines AS (
@@ -4650,6 +4709,8 @@ QUERIES = {
     "semdedup_survivors": q_semdedup_survivors,
     "line_dedup_docs": q_line_dedup_docs,
     "corpus_prepare_lines": q_corpus_prepare_lines,
+    "event_type_shares": q_event_type_shares,
+    "lineitem_qty_share": q_lineitem_qty_share,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,
     "gopher_quality": q_gopher_quality,

@@ -420,3 +420,112 @@ def zscore_by_group(ds, value_col: str, group_col: str, id_cols: list,
         return pa.table(cols)
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _share_e6(v: np.ndarray, tot: np.ndarray) -> np.ndarray:
+    """floor(v * 1e6 / tot + 0.5) in pure int64 arithmetic (tot > 0):
+    (2 * v * 1_000_000 + tot) // (2 * tot) — order-independent, so the
+    Ray side and the SQL window expression can't diverge on a ulp."""
+    tot = np.where(tot > 0, tot, 1)
+    return (2 * v * 1_000_000 + tot) // (2 * tot)
+
+
+def _grouped_int_sums(ds, key_col: str, val_col):
+    """One combiner-first pass -> pa.Table (key, total int64). The
+    result is bounded by KEY CARDINALITY, not data size — callers
+    broadcast it, so the key must be low-cardinality by contract
+    (categorical flags, event types, languages). ``val_col=None``
+    counts rows instead of summing a column."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if val_col is None:
+            t = pa.table({key_col: batch[key_col]})
+            agg = t.group_by(key_col).aggregate([([], "count_all")])
+            return agg.rename_columns([key_col, "total"]).set_column(
+                1, "total", pc.cast(agg.column(1), pa.int64())
+            )
+        t = pa.table(
+            {
+                key_col: batch[key_col],
+                "v": pc.cast(batch[val_col], pa.int64()),
+            }
+        )
+        agg = t.group_by(key_col).aggregate([("v", "sum")])
+        return agg.rename_columns([key_col, "total"])
+
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    merged = (
+        pa.concat_tables(parts)
+        .group_by(key_col)
+        .aggregate([("total", "sum")])
+        .rename_columns([key_col, "total"])
+    )
+    return merged.set_column(
+        1, "total", pc.cast(merged["total"], pa.int64())
+    )
+
+
+def group_share_of_total(ds, key_col: str, *, val_col: str | None = None):
+    """(key, total, share_e6): each key's integer total (row count when
+    ``val_col`` is None, else the int64 sum of ``val_col``) and its
+    e6-integer share of the grand total — the percent-of-total report.
+    One combiner-first pass; the grand total folds from the tiny
+    (key-cardinality) grouped table, never from the data."""
+    g = _grouped_int_sums(ds, key_col, val_col)
+    tot = g["total"].to_numpy(zero_copy_only=False).astype(np.int64)
+    grand = int(tot.sum())
+    return pa.table(
+        {
+            key_col: g[key_col],
+            "total": g["total"],
+            "share_e6": pa.array(
+                _share_e6(tot, np.full(len(tot), grand, np.int64)),
+                pa.int64(),
+            ),
+        }
+    )
+
+
+def share_of_group_total(ds, key_col: str, val_col: str, id_cols: list):
+    """(ids..., key, val, share_e6): the percent-of-total WINDOW — each
+    row's e6-integer share of its group's total, i.e. SQL
+    ``v * 1e6 / SUM(v) OVER (PARTITION BY key)`` rounded half-up.
+
+    Two passes, zero row-level shuffle: grouped int64 totals (bounded
+    by key cardinality — the broadcast contract) fold once and ship via
+    ``ray.put``; the second streaming pass does a vectorized
+    ``pc.index_in`` lookup + integer divide per batch. Rows whose value
+    is null are dropped (SQL WHERE v IS NOT NULL convention)."""
+    import pyarrow.compute as pc
+    import ray
+
+    g = _grouped_int_sums(ds, key_col, val_col)
+    side_ref = ray.put(
+        (g[key_col].combine_chunks(),
+         g["total"].to_numpy(zero_copy_only=False).astype(np.int64))
+    )
+
+    def apply(batch: pa.Table) -> pa.Table:
+        keys_arr, totals = ray.get(side_ref)
+        batch = batch.filter(pc.is_valid(batch[val_col]))
+        v = pc.cast(batch[val_col], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        idx = pc.index_in(
+            batch[key_col].combine_chunks(), value_set=keys_arr
+        ).to_numpy(zero_copy_only=False)
+        # every key was seen in pass 1 by construction; guard anyway
+        tot = totals[np.where(idx >= 0, idx, 0)]
+        cols = {c: batch[c] for c in id_cols}
+        cols[key_col] = batch[key_col]
+        cols["val"] = pa.array(v, pa.int64())
+        cols["share_e6"] = pa.array(_share_e6(v, tot), pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)

@@ -188,3 +188,46 @@ def test_line_dedup_carry_cols(ray_session):
     assert out.loc[1, "lang"] == "en" and out.loc[2, "lang"] == "de"
     assert out.loc[1, "source"] == "s1" and out.loc[2, "source"] == "s2"
     assert out.loc[1, "text"] == "a\nb" and out.loc[2, "text"] == "c"
+
+
+def test_group_share_of_total_counts(ray_session):
+    from schisma_ray.stages.stats import group_share_of_total
+
+    t = pa.table({
+        "k": pa.array(["a"] * 3 + ["b"] * 1, pa.string()),
+        "v": pa.array([10, 20, 30, 40], pa.int64()),
+    })
+    out = group_share_of_total(rd.from_arrow(t), "k").to_pandas()
+    out = out.set_index("k")
+    assert out.loc["a", "total"] == 3 and out.loc["b", "total"] == 1
+    assert out.loc["a", "share_e6"] == 750_000
+    assert out.loc["b", "share_e6"] == 250_000
+
+    summed = group_share_of_total(
+        rd.from_arrow(t), "k", val_col="v"
+    ).to_pandas().set_index("k")
+    assert summed.loc["a", "total"] == 60 and summed.loc["b", "total"] == 40
+    assert summed.loc["a", "share_e6"] == 600_000
+    assert summed.loc["b", "share_e6"] == 400_000
+
+
+def test_share_of_group_total_window(ray_session):
+    """Row-level shares must sum to ~1e6 per group and round half-up
+    exactly like the SQL window expression."""
+    from schisma_ray.stages.stats import share_of_group_total
+
+    t = pa.table({
+        "id": pa.array(list(range(6)), pa.int64()),
+        "k": pa.array(["x", "x", "x", "y", "y", "y"], pa.string()),
+        "v": pa.array([1, 1, 1, 5, None, 15], pa.int64()),
+    })
+    out = (
+        share_of_group_total(rd.from_arrow(t).repartition(3), "k", "v", ["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    # null value row (id=4) dropped; totals computed without it
+    assert out["id"].tolist() == [0, 1, 2, 3, 5]
+    # 1/3 -> floor(333333.33 + .5) = 333333
+    assert out.loc[0, "share_e6"] == 333_333
+    assert out.loc[3, "share_e6"] == 250_000  # 5/20
+    assert out.loc[4, "share_e6"] == 750_000  # 15/20
