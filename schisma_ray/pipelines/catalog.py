@@ -2800,6 +2800,21 @@ def q_duplicated_lines(sf_dir: str):
     )
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher repetition-removal audit (dup-line fraction, dup-line
+    char fraction, top-2-gram char fraction, dup-5-gram char fraction,
+    all e6-integers) over the multi-line fixture — the planted
+    header/footer/intra-doc repeats are what the signals must flag."""
+    from ..sources.line_fixture import line_documents
+    from ..stages.text import gopher_repetition
+
+    return _collect(
+        gopher_repetition(rd.read_parquet(str(line_documents(sf_dir)))),
+        ["doc_id", "n_lines", "dup_line_frac_e6", "dup_line_char_frac_e6",
+         "top2_char_frac_e6", "dup5_char_frac_e6"],
+    )
+
+
 def q_event_type_shares(sf_dir: str):
     """Percent-of-total report: each event type's row count and its
     e6-integer share of all events (one combiner-first pass; the grand
@@ -3822,6 +3837,69 @@ SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
         # line dedup: first occurrence by (doc_id, pos) wins; documents
         # with zero surviving lines drop out of the GROUP BY on both
         # sides (documented contract)
+        # gopher repetition: every fraction is the exact integer
+        # expression floor(num*1e6/den + .5) = (2*num*1e6 + den)//(2*den);
+        # top-2-gram tie-break (count DESC, char-len DESC) makes the
+        # selected num = c*cl unique even under gram ties
+        "gopher_repetition": f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM {line_docs}),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+lines AS (SELECT doc_id, ls[i] AS line
+            FROM ls, unnest(range(1, len(ls) + 1)) AS t(i)),
+lg AS (SELECT doc_id, line, CAST(count(*) AS BIGINT) AS c,
+              CAST(length(line) AS BIGINT) AS ln
+         FROM lines GROUP BY 1, 2),
+lstats AS (SELECT doc_id,
+                  CAST(SUM(c) AS BIGINT) AS n_lines,
+                  CAST(SUM(c) - COUNT(*) AS BIGINT) AS dup_lines,
+                  CAST(SUM((c - 1) * ln) AS BIGINT) AS dup_chars,
+                  CAST(SUM(c * ln) AS BIGINT) AS line_chars
+             FROM lg GROUP BY 1),
+w AS (SELECT doc_id, string_split(text, ' ') AS w,
+             CAST(length(text) AS BIGINT) AS tc FROM d),
+g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+         FROM w, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)),
+g2c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c,
+               CAST(length(g) AS BIGINT) AS cl
+          FROM g2 GROUP BY doc_id, g),
+top2 AS (SELECT doc_id, c * cl AS num FROM (
+           SELECT doc_id, c, cl,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY c DESC, cl DESC) AS rn
+             FROM g2c) WHERE rn = 1),
+g5 AS (SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+         FROM w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS t(i)),
+g5c AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c,
+               CAST(length(g) AS BIGINT) AS cl
+          FROM g5 GROUP BY doc_id, g),
+dup5 AS (SELECT doc_id,
+                CAST(SUM(CASE WHEN c >= 2 THEN c * cl ELSE 0 END) AS BIGINT)
+                  AS num
+           FROM g5c GROUP BY 1)
+SELECT d.doc_id,
+       l.n_lines,
+       CAST(CASE WHEN l.n_lines > 0
+                 THEN (2 * l.dup_lines * 1000000 + l.n_lines)
+                      // (2 * l.n_lines)
+                 ELSE 0 END AS BIGINT) AS dup_line_frac_e6,
+       CAST(CASE WHEN l.line_chars > 0
+                 THEN (2 * l.dup_chars * 1000000 + l.line_chars)
+                      // (2 * l.line_chars)
+                 ELSE 0 END AS BIGINT) AS dup_line_char_frac_e6,
+       CAST(CASE WHEN w.tc > 0
+                 THEN (2 * coalesce(t2.num, 0) * 1000000 + w.tc)
+                      // (2 * w.tc)
+                 ELSE 0 END AS BIGINT) AS top2_char_frac_e6,
+       CAST(CASE WHEN w.tc > 0
+                 THEN (2 * coalesce(d5.num, 0) * 1000000 + w.tc)
+                      // (2 * w.tc)
+                 ELSE 0 END AS BIGINT) AS dup5_char_frac_e6
+  FROM d
+  JOIN lstats l USING (doc_id)
+  JOIN w USING (doc_id)
+  LEFT JOIN top2 t2 USING (doc_id)
+  LEFT JOIN dup5 d5 USING (doc_id)
+""",
         # percent-of-total shares: pure int64 arithmetic on both sides
         # (floor(v*1e6/tot + 0.5) == (2*v*1e6 + tot) // (2*tot))
         "event_type_shares": """
@@ -4710,6 +4788,7 @@ QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "corpus_prepare_lines": q_corpus_prepare_lines,
     "event_type_shares": q_event_type_shares,
+    "gopher_repetition": q_gopher_repetition,
     "lineitem_qty_share": q_lineitem_qty_share,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,

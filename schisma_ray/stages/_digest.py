@@ -37,7 +37,12 @@ def _stringify(values) -> pa.Array:
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if not isinstance(values, pa.Array):
-        values = pa.array(list(values))
+        # plain Python sequences (tests, small driver sides) can be
+        # mixed-type or exceed int64 — stringify per value, exactly
+        # like the historical hashlib path did
+        return pa.array(
+            ["None" if v is None else str(v) for v in values], pa.string()
+        )
     return pc.fill_null(pc.cast(values, pa.string()), "None")
 
 

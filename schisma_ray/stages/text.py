@@ -702,6 +702,154 @@ def gopher_quality(ds, *, col: str = "text", id_col: str = "doc_id",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _group_runs(doc: np.ndarray, h: np.ndarray):
+    """Sort (doc, hash) pairs and return (order, run_starts, run_counts)
+    — the vectorized per-(doc, key) counter every repetition signal
+    below shares. ``order`` maps sorted position -> original index."""
+    order = np.lexsort((h, doc))
+    ds_, hs_ = doc[order], h[order]
+    starts = np.flatnonzero(
+        np.concatenate(([True], (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])))
+    )
+    counts = np.diff(np.concatenate((starts, [len(ds_)])))
+    return order, starts, counts
+
+
+def _frac_e6(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+    """floor(num * 1e6 / den + 0.5) in int64; 0 where den == 0 — the
+    exact expression the SQL oracle spells as
+    ``(2*num*1000000 + den) // (2*den)``."""
+    safe = np.where(den > 0, den, 1)
+    out = (2 * num * 1_000_000 + safe) // (2 * safe)
+    return np.where(den > 0, out, 0).astype(np.int64)
+
+
+_GRAM_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _flat_with_parents(texts, pattern: str):
+    """Split an Arrow string array and return (flat values, parent row
+    index, per-row list length) as numpy-friendly pieces."""
+    import pandas as pd
+
+    split = pc.split_pattern(texts, pattern)
+    split = split.combine_chunks() if isinstance(split, pa.ChunkedArray) else split
+    lens = pc.list_value_length(split).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(split)
+    parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    h = pd.util.hash_array(
+        flat.to_numpy(zero_copy_only=False)
+    ).astype(np.uint64)
+    return flat, parent, lens, h
+
+
+def gopher_repetition_values(texts):
+    """The Gopher repetition signals (Rae et al. 2021, arXiv:2112.11446
+    A1.1 "repetition removal") for one Arrow string array, all
+    e6-integer fractions so the SQL oracle agrees exactly:
+
+    * ``n_lines`` and ``dup_line_frac_e6`` — fraction of lines that are
+      repeats of an earlier line in the same document,
+    * ``dup_line_char_frac_e6`` — fraction of line characters sitting
+      in those repeated occurrences,
+    * ``top2_char_frac_e6`` — characters covered by the most frequent
+      word 2-gram (count, then gram length, both maximized — the
+      deterministic tie-break the oracle mirrors) over total chars,
+    * ``dup5_char_frac_e6`` — sum of count x length over word 5-grams
+      occurring >= 2 times, over total chars (the standard
+      occurrence-weighted approximation of Gopher's dup-n-gram rule).
+
+    Null text counts as empty. Everything is one utf-split + hash +
+    lexsort run-length pass per batch — no Python loop over rows.
+    Grams are compared by 64-bit hash (engine-internal); a within-doc
+    collision is the usual ~k^2/2^64 nonevent."""
+    texts = pc.fill_null(
+        texts.combine_chunks() if isinstance(texts, pa.ChunkedArray)
+        else texts, "",
+    )
+    nrows = len(texts)
+    tc = pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    # ---- line-level signals
+    lflat, lparent, n_lines, lh = _flat_with_parents(texts, "\n")
+    llen = pc.utf8_length(lflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    order, starts, counts = _group_runs(lparent, lh)
+    gdoc = lparent[order][starts]
+    glen = llen[order][starts]
+    n_groups = np.bincount(gdoc, minlength=nrows).astype(np.int64)
+    dup_lines = n_lines - n_groups
+    line_chars = np.bincount(lparent, weights=llen, minlength=nrows).astype(np.int64)
+    first_chars = np.bincount(gdoc, weights=glen, minlength=nrows).astype(np.int64)
+    dup_chars = line_chars - first_chars
+
+    # ---- word n-gram signals
+    wflat, wparent, _, wh = _flat_with_parents(texts, " ")
+    wlen = pc.utf8_length(wflat).to_numpy(zero_copy_only=False).astype(np.int64)
+    cs = np.concatenate(([0], np.cumsum(wlen)))
+
+    def gram_groups(n: int):
+        if len(wh) < n:
+            return (np.empty(0, np.int64),) * 3
+        m = wparent[: len(wparent) - n + 1] == wparent[n - 1:]
+        gh = wh[: len(wh) - n + 1].copy()
+        for j in range(1, n):
+            gh = gh * _GRAM_PRIME ^ wh[j: len(wh) - n + 1 + j]
+        gdoc_ = wparent[: len(wparent) - n + 1][m]
+        gh = gh[m]
+        idx = np.flatnonzero(m)
+        clen = cs[idx + n] - cs[idx] + (n - 1)
+        o, s, c = _group_runs(gdoc_, gh)
+        return gdoc_[o][s], clen[o][s], c.astype(np.int64)
+
+    # top 2-gram: max count, then max char length at that count
+    d2, cl2, c2 = gram_groups(2)
+    top2 = np.zeros(nrows, np.int64)
+    if len(d2):
+        o = np.lexsort((cl2, c2, d2))
+        dd, cc, ll = d2[o], c2[o], cl2[o]
+        last = np.flatnonzero(
+            np.concatenate((dd[1:] != dd[:-1], [True]))
+        )
+        top2[dd[last]] = cc[last] * ll[last]
+
+    d5, cl5, c5 = gram_groups(5)
+    dup5 = np.zeros(nrows, np.int64)
+    if len(d5):
+        dm = c5 >= 2
+        dup5 = np.bincount(
+            d5[dm], weights=(c5[dm] * cl5[dm]), minlength=nrows
+        ).astype(np.int64)
+
+    return (
+        n_lines,
+        _frac_e6(dup_lines, n_lines),
+        _frac_e6(dup_chars, line_chars),
+        _frac_e6(top2, tc),
+        _frac_e6(dup5, tc),
+    )
+
+
+def gopher_repetition(ds, *, col: str = "text", id_col: str = "doc_id"):
+    """(id, n_lines, dup_line_frac_e6, dup_line_char_frac_e6,
+    top2_char_frac_e6, dup5_char_frac_e6) — the Gopher repetition-
+    removal audit, one zero-shuffle vectorized pass per batch."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n_lines, dlf, dlc, t2, d5 = gopher_repetition_values(batch[col])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_lines": pa.array(n_lines, pa.int64()),
+                "dup_line_frac_e6": pa.array(dlf, pa.int64()),
+                "dup_line_char_frac_e6": pa.array(dlc, pa.int64()),
+                "top2_char_frac_e6": pa.array(t2, pa.int64()),
+                "dup5_char_frac_e6": pa.array(d5, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def train_char_bigram_lm(texts, *, add_k: int = 1) -> pa.Table:
     """Driver-side character-bigram LM trainer (the model side of
     CCNet/KenLM-style perplexity filtering, Wenzek et al. 2020 — a

@@ -231,3 +231,35 @@ def test_share_of_group_total_window(ray_session):
     assert out.loc[0, "share_e6"] == 333_333
     assert out.loc[3, "share_e6"] == 250_000  # 5/20
     assert out.loc[4, "share_e6"] == 750_000  # 15/20
+
+
+def test_gopher_repetition_known_values(ray_session):
+    from schisma_ray.stages.text import gopher_repetition
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "x x x x x x",        # 6 words: "x x" 2-gram x5, one dup 5-gram
+            "a b\na b\nc",        # 3 lines, one duplicate line
+            None,                  # -> "" : 1 empty line, all fracs 0
+        ], pa.string()),
+    })
+    out = (
+        gopher_repetition(rd.from_arrow(t))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # doc 0: single line; tc=11; top2 = 5 * len("x x")=3 -> 15e6/11
+    assert out.loc[0, "n_lines"] == 1
+    assert out.loc[0, "dup_line_frac_e6"] == 0
+    assert out.loc[0, "top2_char_frac_e6"] == (2 * 15_000_000 + 11) // 22
+    # dup 5-grams: "x x x x x" occurs twice, len 9 -> 18e6/11
+    assert out.loc[0, "dup5_char_frac_e6"] == (2 * 18_000_000 + 11) // 22
+    # doc 1: 3 lines, 1 dup ("a b"); line chars 7, dup chars 3
+    assert out.loc[1, "n_lines"] == 3
+    assert out.loc[1, "dup_line_frac_e6"] == 333_333
+    assert out.loc[1, "dup_line_char_frac_e6"] == (2 * 3_000_000 + 7) // 14
+    assert out.loc[1, "dup5_char_frac_e6"] == 0
+    # doc 2 (null text): one empty line, zero everything
+    assert out.loc[2, "n_lines"] == 1
+    assert (out.loc[2, ["dup_line_frac_e6", "dup_line_char_frac_e6",
+                        "top2_char_frac_e6", "dup5_char_frac_e6"]] == 0).all()
