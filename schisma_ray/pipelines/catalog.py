@@ -2800,6 +2800,22 @@ def q_duplicated_lines(sf_dir: str):
     )
 
 
+def q_url_blocked(sf_dir: str):
+    """UT1-style domain-blocklist audit over the seeded URL fixture:
+    every document tagged with its host and whether the host equals or
+    is a subdomain of a blocked domain (blocklist broadcast once,
+    vectorized label-strip + is_in per batch)."""
+    from ..sources.url_fixture import BLOCKED_DOMAINS, url_documents
+    from ..stages.urlfilter import url_blocklist
+
+    return _collect(
+        url_blocklist(
+            rd.read_parquet(str(url_documents(sf_dir))), BLOCKED_DOMAINS
+        ),
+        ["doc_id", "host", "blocked"],
+    )
+
+
 def q_gopher_repetition(sf_dir: str):
     """Gopher repetition-removal audit (dup-line fraction, dup-line
     char fraction, top-2-gram char fraction, dup-5-gram char fraction,
@@ -2868,6 +2884,10 @@ def _oracle_sql() -> dict[str, str]:
 
     line_docs = f"read_parquet('{line_documents(ORACLE_SF_DIR)}')"
     c4_docs = f"read_parquet('{c4_documents(ORACLE_SF_DIR)}')"
+    from ..sources.url_fixture import blocklist_file, url_documents
+
+    url_docs = f"read_parquet('{url_documents(ORACLE_SF_DIR)}')"
+    url_bl = f"read_parquet('{blocklist_file(ORACLE_SF_DIR)}')"
     from ..sources.struct_fixture import struct_events
 
     struct_ev = f"read_parquet('{struct_events(ORACLE_SF_DIR)}')"
@@ -3837,6 +3857,20 @@ SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
         # line dedup: first occurrence by (doc_id, pos) wins; documents
         # with zero surviving lines drop out of the GROUP BY on both
         # sides (documented contract)
+        # url blocklist: suffix semantics host = d OR host LIKE '%.' || d
+        # against the SAME persisted blocklist parquet the stage folds
+        "url_blocked": f"""
+WITH u AS (SELECT doc_id, url,
+                  regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
+                    AS host
+             FROM {url_docs}),
+b AS (SELECT domain FROM {url_bl})
+SELECT u.doc_id, u.host,
+       EXISTS (SELECT 1 FROM b
+                WHERE u.host = b.domain
+                   OR u.host LIKE '%.' || b.domain) AS blocked
+  FROM u
+""",
         # gopher repetition: every fraction is the exact integer
         # expression floor(num*1e6/den + .5) = (2*num*1e6 + den)//(2*den);
         # top-2-gram tie-break (count DESC, char-len DESC) makes the
@@ -4789,6 +4823,7 @@ QUERIES = {
     "corpus_prepare_lines": q_corpus_prepare_lines,
     "event_type_shares": q_event_type_shares,
     "gopher_repetition": q_gopher_repetition,
+    "url_blocked": q_url_blocked,
     "lineitem_qty_share": q_lineitem_qty_share,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,

@@ -263,3 +263,30 @@ def test_gopher_repetition_known_values(ray_session):
     assert out.loc[2, "n_lines"] == 1
     assert (out.loc[2, ["dup_line_frac_e6", "dup_line_char_frac_e6",
                         "top2_char_frac_e6", "dup5_char_frac_e6"]] == 0).all()
+
+
+def test_url_blocklist_suffix_semantics(ray_session):
+    from schisma_ray.stages.urlfilter import url_blocklist
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(7)), pa.int64()),
+        "url": pa.array([
+            "https://badhost0.com/x",           # exact match
+            "https://a.b.c.badhost0.com/x",     # deep subdomain
+            "https://notbadhost0.com/x",        # suffix WITHOUT dot: clean
+            "https://badhost0.com.evil.io/x",   # blocked name mid-host: clean
+            "https://www0.site3.org/x",         # clean
+            None,                                # null url -> null host, clean
+            "ftp://cdn.tracker1.net:8080/x",    # port kept; host w/ port
+        ], pa.string()),
+    })
+    out = (
+        url_blocklist(rd.from_arrow(t), ("badhost0.com", "tracker1.net"))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out["blocked"].tolist() == [
+        True, True, False, False, False, False,
+        False,  # 'cdn.tracker1.net:8080' != 'tracker1.net' (port differs)
+    ]
+    assert out.loc[2, "host"] == "notbadhost0.com"
+    assert out.loc[6, "host"] == "cdn.tracker1.net:8080"
