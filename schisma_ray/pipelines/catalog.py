@@ -2800,6 +2800,22 @@ def q_duplicated_lines(sf_dir: str):
     )
 
 
+def q_gopher_format(sf_dir: str):
+    """Gopher A1.1 FORMAT rule audit (symbol ratio, bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction + pass booleans)
+    over the seeded format fixture with planted violations of each
+    rule."""
+    from ..sources.line_fixture import format_documents
+    from ..stages.text import gopher_format
+
+    return _collect(
+        gopher_format(rd.read_parquet(str(format_documents(sf_dir)))),
+        ["doc_id", "symbol_ratio_e6", "bullet_frac_e6", "ellipsis_frac_e6",
+         "alpha_word_frac_e6", "pass_symbol", "pass_bullet",
+         "pass_ellipsis", "pass_alpha", "passed"],
+    )
+
+
 def q_url_blocked(sf_dir: str):
     """UT1-style domain-blocklist audit over the seeded URL fixture:
     every document tagged with its host and whether the host equals or
@@ -2888,6 +2904,9 @@ def _oracle_sql() -> dict[str, str]:
 
     url_docs = f"read_parquet('{url_documents(ORACLE_SF_DIR)}')"
     url_bl = f"read_parquet('{blocklist_file(ORACLE_SF_DIR)}')"
+    from ..sources.line_fixture import format_documents
+
+    fmt_docs = f"read_parquet('{format_documents(ORACLE_SF_DIR)}')"
     from ..sources.struct_fixture import struct_events
 
     struct_ev = f"read_parquet('{struct_events(ORACLE_SF_DIR)}')"
@@ -3857,6 +3876,56 @@ SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
         # line dedup: first occurrence by (doc_id, pos) wins; documents
         # with zero surviving lines drop out of the GROUP BY on both
         # sides (documented contract)
+        # gopher format rules: same integer fraction expression as
+        # gopher_repetition; '#'/'…' counted by length-diff, '...' by
+        # non-overlapping RE2 extract on both sides
+        "gopher_format": f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM {fmt_docs}),
+base AS (SELECT doc_id, text,
+  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '')) AS BIGINT) AS n_words,
+  CAST(len(regexp_extract_all(text, '\\.\\.\\.'))
+       + (length(text) - length(replace(text, '#', '')))
+       + (length(text) - length(replace(text, '…', ''))) AS BIGINT)
+    AS n_sym,
+  CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                       x -> x <> '' AND regexp_matches(x, '[A-Za-z]')))
+       AS BIGINT) AS n_alpha
+  FROM d),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM d),
+lines AS (SELECT doc_id, ls[i] AS line
+            FROM ls, unnest(range(1, len(ls) + 1)) AS t(i)),
+lstat AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN regexp_matches(line, '^\\s*[-*•]')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bullet,
+       CAST(SUM(CASE WHEN regexp_matches(line, '(\\.\\.\\.|…)$')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ell
+  FROM lines GROUP BY 1),
+f AS (SELECT b.doc_id,
+  CAST(CASE WHEN b.n_words > 0
+            THEN (2 * b.n_sym * 1000000 + b.n_words) // (2 * b.n_words)
+            ELSE 0 END AS BIGINT) AS symbol_ratio_e6,
+  CAST(CASE WHEN l.n_lines > 0
+            THEN (2 * l.n_bullet * 1000000 + l.n_lines) // (2 * l.n_lines)
+            ELSE 0 END AS BIGINT) AS bullet_frac_e6,
+  CAST(CASE WHEN l.n_lines > 0
+            THEN (2 * l.n_ell * 1000000 + l.n_lines) // (2 * l.n_lines)
+            ELSE 0 END AS BIGINT) AS ellipsis_frac_e6,
+  CAST(CASE WHEN b.n_words > 0
+            THEN (2 * b.n_alpha * 1000000 + b.n_words) // (2 * b.n_words)
+            ELSE 0 END AS BIGINT) AS alpha_word_frac_e6
+  FROM base b JOIN lstat l USING (doc_id))
+SELECT doc_id, symbol_ratio_e6, bullet_frac_e6, ellipsis_frac_e6,
+       alpha_word_frac_e6,
+       symbol_ratio_e6 <= 100000 AS pass_symbol,
+       bullet_frac_e6 <= 900000 AS pass_bullet,
+       ellipsis_frac_e6 <= 300000 AS pass_ellipsis,
+       alpha_word_frac_e6 >= 800000 AS pass_alpha,
+       (symbol_ratio_e6 <= 100000 AND bullet_frac_e6 <= 900000
+        AND ellipsis_frac_e6 <= 300000
+        AND alpha_word_frac_e6 >= 800000) AS passed
+  FROM f
+""",
         # url blocklist: suffix semantics host = d OR host LIKE '%.' || d
         # against the SAME persisted blocklist parquet the stage folds
         "url_blocked": f"""
@@ -4824,6 +4893,7 @@ QUERIES = {
     "event_type_shares": q_event_type_shares,
     "gopher_repetition": q_gopher_repetition,
     "url_blocked": q_url_blocked,
+    "gopher_format": q_gopher_format,
     "lineitem_qty_share": q_lineitem_qty_share,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,

@@ -92,6 +92,65 @@ def c4_documents(sf_dir: str, *, words_per_line: int = 8) -> Path:
     return out
 
 
+def format_documents(sf_dir: str, *, words_per_line: int = 8) -> Path:
+    """Fixture for the Gopher FORMAT rules (Rae et al. 2021 A1.1):
+    line-wrapped documents with the deterministic defects each rule
+    exists to reject:
+
+    * ``doc_id % 7 == 0`` — every line bullet-prefixed (``- ``),
+    * ``doc_id % 13 == 0`` — every even line ends with ``...``,
+    * ``doc_id % 5 == 0`` — a pure ``#`` symbol line appended,
+    * ``doc_id % 29 == 0`` — all words digit-only (no alphabetic).
+    """
+    base_path = Path(sf_dir) / "documents.parquet"
+    tag = hashlib.md5(base_path.read_bytes()).hexdigest()[:10]
+    out_dir = CACHE_ROOT / f"format_docs_{tag}_w{words_per_line}"
+    out = out_dir / "format_documents.parquet"
+    if out.exists():
+        return out
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    base = pq.read_table(base_path, columns=["doc_id", "text", "lang", "source"])
+    out_texts = []
+    for doc_id, text in zip(base["doc_id"].to_pylist(), base["text"].to_pylist()):
+        words = (text or "").split()
+        if doc_id % 29 == 0:
+            words = [str(doc_id * 31 + j) for j in range(len(words))]
+        lines = [
+            " ".join(words[i:i + words_per_line])
+            for i in range(0, len(words), words_per_line)
+        ]
+        if not lines:
+            lines = [""]
+        if doc_id % 13 == 0:
+            lines = [
+                ln + "..." if pos % 2 == 0 else ln
+                for pos, ln in enumerate(lines)
+            ]
+        if doc_id % 7 == 0:
+            lines = ["- " + ln for ln in lines]
+        if doc_id % 5 == 0:
+            lines.append("# " * 13 + "#")
+        out_texts.append("\n".join(lines))
+
+    tbl = pa.table(
+        {
+            "doc_id": base["doc_id"],
+            "text": pa.array(out_texts, pa.string()),
+            "lang": base["lang"],
+            "source": base["source"],
+        }
+    )
+    pq.write_table(tbl, tmp_dir / "format_documents.parquet")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
+    return out
+
+
 def line_documents(sf_dir: str, *, words_per_line: int = 8) -> Path:
     """Generate (or reuse) the line-wrapped table; returns the parquet path."""
     base_path = Path(sf_dir) / "documents.parquet"

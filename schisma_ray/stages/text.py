@@ -850,6 +850,102 @@ def gopher_repetition(ds, *, col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Gopher A1.1 format-rule default bounds (reject if violated)
+GOPHER_MAX_SYMBOL_RATIO_E6 = 100_000     # '#'/'...' to words  > 0.1
+GOPHER_MAX_BULLET_FRAC_E6 = 900_000      # bullet-started lines > 0.9
+GOPHER_MAX_ELLIPSIS_FRAC_E6 = 300_000    # '...'-ended lines    > 0.3
+GOPHER_MIN_ALPHA_FRAC_E6 = 800_000       # words w/ a letter    < 0.8
+
+
+def gopher_format_values(texts):
+    """(symbol_ratio_e6, bullet_frac_e6, ellipsis_frac_e6,
+    alpha_word_frac_e6) int64 arrays for one Arrow string column — the
+    Gopher FORMAT signals (Rae et al. 2021 A1.1): hash/ellipsis symbol
+    ratio to words, fraction of lines starting with a bullet, fraction
+    of lines ending with an ellipsis, fraction of words containing an
+    alphabetic character. All e6-integer, all SQL-mirrorable, all
+    RE2-vectorized — zero shuffle, no row loops. Null text counts as
+    empty (0 words -> every ratio 0, which fails the alpha rule)."""
+    texts = pc.fill_null(
+        texts.combine_chunks() if isinstance(texts, pa.ChunkedArray)
+        else texts, "",
+    )
+    nrows = len(texts)
+    n_words = pc.count_substring_regex(texts, r"\S+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_sym = (
+        pc.count_substring_regex(texts, r"\.\.\.").to_numpy(zero_copy_only=False)
+        + pc.count_substring(texts, "#").to_numpy(zero_copy_only=False)
+        + pc.count_substring(texts, "…").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+
+    lsplit = pc.split_pattern(texts, "\n")
+    n_lines = pc.list_value_length(lsplit).to_numpy(zero_copy_only=False).astype(np.int64)
+    lflat = pc.list_flatten(lsplit)
+    lparent = np.repeat(np.arange(nrows, dtype=np.int64), n_lines)
+    bullet = pc.match_substring_regex(lflat, r"^\s*[-*•]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    ell = pc.match_substring_regex(lflat, r"(\.\.\.|…)$").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_bullet = np.bincount(lparent, weights=bullet, minlength=nrows).astype(np.int64)
+    n_ell = np.bincount(lparent, weights=ell, minlength=nrows).astype(np.int64)
+
+    wsplit = pc.split_pattern_regex(texts, r"\s+")
+    wlens = pc.list_value_length(wsplit).to_numpy(zero_copy_only=False).astype(np.int64)
+    wflat = pc.list_flatten(wsplit)
+    wparent = np.repeat(np.arange(nrows, dtype=np.int64), wlens)
+    has_alpha = pc.and_(
+        pc.match_substring_regex(wflat, "[A-Za-z]"),
+        pc.not_equal(wflat, ""),
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = np.bincount(wparent, weights=has_alpha, minlength=nrows).astype(np.int64)
+
+    return (
+        _frac_e6(n_sym, n_words),
+        _frac_e6(n_bullet, n_lines),
+        _frac_e6(n_ell, n_lines),
+        _frac_e6(n_alpha, n_words),
+    )
+
+
+def gopher_format(ds, *, col: str = "text", id_col: str = "doc_id",
+                  max_symbol_e6: int = GOPHER_MAX_SYMBOL_RATIO_E6,
+                  max_bullet_e6: int = GOPHER_MAX_BULLET_FRAC_E6,
+                  max_ellipsis_e6: int = GOPHER_MAX_ELLIPSIS_FRAC_E6,
+                  min_alpha_e6: int = GOPHER_MIN_ALPHA_FRAC_E6):
+    """(id, symbol_ratio_e6, bullet_frac_e6, ellipsis_frac_e6,
+    alpha_word_frac_e6, pass_* booleans, passed) — the Gopher FORMAT
+    rule audit, one zero-shuffle vectorized pass per batch. Defaults
+    are the paper's bounds; rules evaluate in integers so the SQL
+    oracle agrees exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sym, bul, ell, alpha = gopher_format_values(batch[col])
+        p_sym = sym <= max_symbol_e6
+        p_bul = bul <= max_bullet_e6
+        p_ell = ell <= max_ellipsis_e6
+        p_alpha = alpha >= min_alpha_e6
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "symbol_ratio_e6": pa.array(sym, pa.int64()),
+                "bullet_frac_e6": pa.array(bul, pa.int64()),
+                "ellipsis_frac_e6": pa.array(ell, pa.int64()),
+                "alpha_word_frac_e6": pa.array(alpha, pa.int64()),
+                "pass_symbol": pa.array(p_sym),
+                "pass_bullet": pa.array(p_bul),
+                "pass_ellipsis": pa.array(p_ell),
+                "pass_alpha": pa.array(p_alpha),
+                "passed": pa.array(p_sym & p_bul & p_ell & p_alpha),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def train_char_bigram_lm(texts, *, add_k: int = 1) -> pa.Table:
     """Driver-side character-bigram LM trainer (the model side of
     CCNet/KenLM-style perplexity filtering, Wenzek et al. 2020 — a

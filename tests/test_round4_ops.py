@@ -290,3 +290,30 @@ def test_url_blocklist_suffix_semantics(ray_session):
     ]
     assert out.loc[2, "host"] == "notbadhost0.com"
     assert out.loc[6, "host"] == "cdn.tracker1.net:8080"
+
+
+def test_gopher_format_known_values(ray_session):
+    from schisma_ray.stages.text import gopher_format
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "normal english words here\nanother fine line",
+            "- bullet one\n- bullet two",               # 100% bullets
+            "trailing off...\nalso trailing…\nplain",   # 2/3 ellipsis
+            "12 34 56 78 # # #",                        # no alpha + symbols
+        ], pa.string()),
+    })
+    out = (
+        gopher_format(rd.from_arrow(t))
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert bool(out.loc[0, "passed"])
+    assert out.loc[1, "bullet_frac_e6"] == 1_000_000
+    assert not out.loc[1, "pass_bullet"]
+    assert out.loc[2, "ellipsis_frac_e6"] == 666_667
+    assert not out.loc[2, "pass_ellipsis"]
+    # doc 3: 7 words, 0 alpha, 3 '#' symbols -> ratio 3/7
+    assert out.loc[3, "alpha_word_frac_e6"] == 0
+    assert out.loc[3, "symbol_ratio_e6"] == (2 * 3_000_000 + 7) // 14
+    assert not out.loc[3, "pass_alpha"] and not out.loc[3, "pass_symbol"]
