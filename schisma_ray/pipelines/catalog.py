@@ -2648,6 +2648,56 @@ def _bigram_lm_file(sf_dir: str) -> Path:
     return out
 
 
+def _word_classifier_file(sf_dir: str) -> Path:
+    """Persist the naive-Bayes log-odds word-classifier artifact
+    trained on the held-in slice (doc_id % 10 == 0, label = lang is
+    'en') — the DCLM/FineWeb-Edu-style model both the Ray scorer and
+    the SQL oracle consume. Weights frozen as e6 ints at train time."""
+    import hashlib as _h
+
+    import pyarrow.parquet as pq
+
+    from ..stages.text import train_word_classifier
+
+    src = Path(sf_dir) / "documents.parquet"
+    tag = _h.md5(src.read_bytes()).hexdigest()[:10]
+    out = Path(f"/tmp/schisma_ray_cache/word_clf_{tag}.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        docs = pq.read_table(src, columns=["doc_id", "text", "lang"])
+        held = [
+            (t, lg == "en")
+            for i, t, lg in zip(docs["doc_id"].to_pylist(),
+                                docs["text"].to_pylist(),
+                                docs["lang"].to_pylist())
+            if i % 10 == 0
+        ]
+        tmp = out.with_name(out.name + f".tmp{os.getpid()}")
+        pq.write_table(
+            train_word_classifier([t for t, _ in held],
+                                  [l for _, l in held]),
+            tmp,
+        )
+        os.replace(tmp, out)
+    return out
+
+
+def q_classifier_scores(sf_dir: str):
+    """Frozen-weight linear classifier scoring over all documents
+    (model broadcast once; whitespace explode + index_in + bincount
+    per batch). The model-based quality-filter canon slot (fastText /
+    DCLM / FineWeb-Edu), exact vs SQL by integer weight summation."""
+    import pyarrow.parquet as pq
+
+    from ..stages.text import classifier_score
+
+    model = pq.read_table(_word_classifier_file(sf_dir))
+    return _collect(
+        classifier_score(_t(sf_dir, "documents"), model),
+        ["doc_id", "score_e6", "n_hits"],
+    )
+
+
 def q_lm_scores(sf_dir: str):
     """CCNet/KenLM-style LM scoring: every document's total integer
     log-prob + bigram count under the persisted reference char-bigram
@@ -4312,6 +4362,25 @@ SELECT doc_id, CAST(0 AS BIGINT) AS n_chars,
        CAST(0 AS BIGINT) AS entropy_e6
   FROM d WHERE length(text) = 0
 """,
+        # classifier_scores: LEFT-join explode against the SAME frozen
+        # weight artifact; integer SUM is order-independent
+        "classifier_scores": f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+w AS (SELECT doc_id, x AS word
+        FROM d, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '')) AS t(x)),
+m AS (SELECT word, weight_e6
+        FROM read_parquet('{_word_classifier_file(ORACLE_SF_DIR)}')),
+j AS (SELECT w.doc_id, m.weight_e6
+        FROM w JOIN m USING (word)),
+s AS (SELECT doc_id, CAST(SUM(weight_e6) AS BIGINT) AS score_e6,
+             CAST(count(*) AS BIGINT) AS n_hits
+        FROM j GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(s.score_e6, 0) AS score_e6,
+       coalesce(s.n_hits, 0) AS n_hits
+  FROM d LEFT JOIN s USING (doc_id)
+""",
         "lm_scores": f"""
 WITH m AS (SELECT bigram, lp_e6
              FROM read_parquet('{_bigram_lm_file(ORACLE_SF_DIR)}')
@@ -4894,6 +4963,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "url_blocked": q_url_blocked,
     "gopher_format": q_gopher_format,
+    "classifier_scores": q_classifier_scores,
     "lineitem_qty_share": q_lineitem_qty_share,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,

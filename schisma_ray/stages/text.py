@@ -1181,6 +1181,88 @@ def char_entropy_values(texts, L: "np.ndarray"):
     return lengths, ent
 
 
+def train_word_classifier(texts, labels, *, max_vocab: int = 65536) -> pa.Table:
+    """Driver-side linear text-classifier trainer — the fastText-style
+    quality/educational-value scorer of DCLM (Li et al. 2024) and
+    FineWeb-Edu (Penedo et al. 2024), shrunk to a naive-Bayes log-odds
+    bag-of-words this container can train deterministically. Model-
+    sized by construction (vocab capped at ``max_vocab`` by total
+    count, ties by word).
+
+    Returns (word, weight_e6): per-word add-one-smoothed log-odds
+    ``floor(ln((c_pos+1)/(n_pos+V) / ((c_neg+1)/(n_neg+V))) * 1e6 +
+    0.5)`` FROZEN as int64 at train time. Scoring is then a pure
+    integer SUM of weights over word occurrences — order-independent,
+    so the SQL oracle (explode + join + SUM) agrees exactly."""
+    from collections import Counter
+
+    pos: Counter = Counter()
+    neg: Counter = Counter()
+    for text, lab in zip(texts, labels):
+        words = (text or "").split()
+        (pos if lab else neg).update(words)
+    vocab = sorted(
+        set(pos) | set(neg),
+        key=lambda w: (-(pos[w] + neg[w]), w),
+    )[:max_vocab]
+    v = len(vocab)
+    n_pos = sum(pos.values())
+    n_neg = sum(neg.values())
+    weights = [
+        int(np.floor(
+            (np.log((pos[w] + 1) / (n_pos + v))
+             - np.log((neg[w] + 1) / (n_neg + v))) * 1e6 + 0.5
+        ))
+        for w in vocab
+    ]
+    return pa.table(
+        {"word": pa.array(vocab, pa.string()),
+         "weight_e6": pa.array(weights, pa.int64())}
+    )
+
+
+def classifier_score(ds, model: pa.Table, *, col: str = "text",
+                     id_col: str = "doc_id"):
+    """(id, score_e6, n_hits): frozen-weight linear classifier scoring
+    — sum of the model's integer word weights over every word
+    OCCURRENCE (words outside the vocab contribute 0), plus the hit
+    count. The model broadcasts once via ``ray.put``; each batch does
+    one whitespace explode + one ``pc.index_in`` + two bincounts —
+    vectorized, zero shuffle, null text scores 0."""
+    import ray
+
+    model_ref = ray.put(
+        (model["word"].combine_chunks(),
+         model["weight_e6"].to_numpy(zero_copy_only=False).astype(np.int64))
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        vocab, weights = ray.get(model_ref)
+        texts = pc.fill_null(batch[col].combine_chunks(), "")
+        wsplit = pc.split_pattern_regex(texts, r"\s+")
+        lens = pc.list_value_length(wsplit).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(wsplit)
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        idx = pc.index_in(flat, value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        hit = idx >= 0
+        w = np.where(hit, weights[np.where(hit, idx, 0)], 0)
+        score = np.bincount(parent, weights=w, minlength=len(lens)).astype(np.int64)
+        hits = np.bincount(parent, weights=hit, minlength=len(lens)).astype(np.int64)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score_e6": pa.array(score, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class LangMismatch(LangId):
     """Actor-pool label-consistency audit: rows whose DECLARED language
     disagrees with the heuristic prediction — the classic mislabeled-

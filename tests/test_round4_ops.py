@@ -317,3 +317,32 @@ def test_gopher_format_known_values(ray_session):
     assert out.loc[3, "alpha_word_frac_e6"] == 0
     assert out.loc[3, "symbol_ratio_e6"] == (2 * 3_000_000 + 7) // 14
     assert not out.loc[3, "pass_alpha"] and not out.loc[3, "pass_symbol"]
+
+
+def test_word_classifier_train_and_score(ray_session):
+    """Log-odds weights must separate the classes and score as exact
+    integer occurrence sums (including repeated words and OOV = 0)."""
+    from schisma_ray.stages.text import classifier_score, train_word_classifier
+
+    pos_texts = ["good clean prose here"] * 5
+    neg_texts = ["spam junk noise words"] * 5
+    model = train_word_classifier(
+        pos_texts + neg_texts, [True] * 5 + [False] * 5
+    )
+    w = dict(zip(model["word"].to_pylist(), model["weight_e6"].to_pylist()))
+    assert w["good"] > 0 > w["spam"]
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(
+            ["good good unknownword", "spam", None], pa.string()
+        ),
+    })
+    out = (
+        classifier_score(rd.from_arrow(t), model)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[0, "score_e6"] == 2 * w["good"]
+    assert out.loc[0, "n_hits"] == 2
+    assert out.loc[1, "score_e6"] == w["spam"]
+    assert out.loc[2, "score_e6"] == 0 and out.loc[2, "n_hits"] == 0
