@@ -517,10 +517,12 @@ def share_of_group_total(ds, key_col: str, val_col: str, id_cols: list):
         v = pc.cast(batch[val_col], pa.int64()).to_numpy(
             zero_copy_only=False
         )
-        idx = pc.index_in(
-            batch[key_col].combine_chunks(), value_set=keys_arr
-        ).to_numpy(zero_copy_only=False)
-        # every key was seen in pass 1 by construction; guard anyway
+        # index_in yields NULL for unseen keys; every key was seen in
+        # pass 1 by construction, but null-typed indices crash the take
+        idx = pc.fill_null(
+            pc.index_in(batch[key_col].combine_chunks(), value_set=keys_arr),
+            -1,
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
         tot = totals[np.where(idx >= 0, idx, 0)]
         cols = {c: batch[c] for c in id_cols}
         cols[key_col] = batch[key_col]

@@ -1245,9 +1245,10 @@ def classifier_score(ds, model: pa.Table, *, col: str = "text",
         ).astype(np.int64)
         flat = pc.list_flatten(wsplit)
         parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        idx = pc.index_in(flat, value_set=vocab).to_numpy(
+        # index_in yields NULL (not -1) for out-of-vocab words
+        idx = pc.fill_null(pc.index_in(flat, value_set=vocab), -1).to_numpy(
             zero_copy_only=False
-        )
+        ).astype(np.int64)
         hit = idx >= 0
         w = np.where(hit, weights[np.where(hit, idx, 0)], 0)
         score = np.bincount(parent, weights=w, minlength=len(lens)).astype(np.int64)
