@@ -81,9 +81,12 @@ def main(argv=None) -> int:
     p.add_argument("--cap-per-source", type=int, default=0)
     p.add_argument("--chunk-size", type=int, default=512)
     p.add_argument("--chunk-stride", type=int, default=384)
-    p.add_argument("--dedup", default="broadcast", choices=["broadcast", "join"],
-                   help="survivor attachment: broadcast ids once, or "
-                        "hash-shuffle semi-join for corpus-sized survivor sets")
+    p.add_argument("--dedup", default="broadcast",
+                   choices=["broadcast", "join", "minhash"],
+                   help="survivor attachment: broadcast ids once, "
+                        "hash-shuffle semi-join for corpus-sized survivor "
+                        "sets, or MinHash+LSH FUZZY dedup (near-dup "
+                        "components, min-id survivor)")
     p.add_argument("--c4-min-lines", type=int, default=0,
                    help="> 0 prepends C4 page cleaning with this "
                         "surviving-line floor")

@@ -2897,6 +2897,25 @@ def q_gopher_repetition(sf_dir: str):
     )
 
 
+def q_corpus_prepare_minhash(sf_dir: str):
+    """Production corpus prep with FUZZY dedup: email redaction -> lang
+    + quality filter -> MinHash+LSH near-dup components (0.8 Jaccard,
+    min-id survivor per component; exact dups are Jaccard 1) ->
+    per-source cap of 10 -> 80/60 chunking — the
+    ``prepare_corpus(dedup='minhash')`` composite, same code path as
+    the CLI ``prepare --dedup minhash``."""
+    from .corpus_pipeline import prepare_corpus
+
+    return _collect(
+        prepare_corpus(
+            _t(sf_dir, "documents"), dedup="minhash", langs=("en",),
+            min_quality=0.5, cap_per_source=10, chunk_size=80,
+            chunk_stride=60,
+        ),
+        ["doc_id", "chunk_idx", "chunk_text"],
+    )
+
+
 def q_event_type_shares(sf_dir: str):
     """Percent-of-total report: each event type's row count and its
     e6-integer share of all events (one combiner-first pass; the grand
@@ -4090,6 +4109,66 @@ SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
   FROM firsts WHERE rn = 1
  GROUP BY doc_id
 """,
+        # corpus_prepare_minhash: the corpus_prepare chain with the
+        # exact-dup window replaced by the minhash_dedup_groups
+        # recursive-CTE components over the FILTERED, REDACTED text
+        "corpus_prepare_minhash": r"""
+WITH RECURSIVE red AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '[EMAIL]', 'g') AS text
+    FROM documents),
+m AS (
+  SELECT *, CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+    FROM red),
+s AS (
+  SELECT *, ROUND(
+      0.4 * LEAST(1.0, n_words / 64.0)
+    + 0.3 * (CASE WHEN n_words > 0
+                   AND (n_chars - (n_words - 1)) / n_words >= 3
+                   AND (n_chars - (n_words - 1)) / n_words <= 12
+                  THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END), 6) AS score
+    FROM m),
+filt AS (SELECT * FROM s WHERE lang = 'en' AND score >= 0.5),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM filt),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+   WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) BETWEEN 1 AND 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+            FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+           GROUP BY 1, 2),
+edges AS (
+  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                         JOIN sizes sb ON sb.doc_id = inter.b
+   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+und AS (SELECT a AS n, b AS m FROM edges UNION SELECT b, a FROM edges),
+reach(n, m) AS (
+  SELECT n, m FROM und
+  UNION
+  SELECT r.n, u.m FROM reach r JOIN und u ON u.n = r.m),
+root AS (SELECT n AS doc_id, LEAST(n, min(m)) AS rep FROM reach GROUP BY n),
+surv AS (
+  SELECT * FROM filt
+   WHERE doc_id NOT IN (SELECT doc_id FROM root WHERE doc_id != rep)),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM surv) WHERE rn <= 10)
+SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
+  FROM capped, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
+""",
         # corpus_prepare_lines: the production composite with the CCNet
         # line-dedup stage prepended — the line_dedup_docs CTE chain
         # feeding the corpus_prepare chain (no bench/injection fixtures;
@@ -4964,6 +5043,7 @@ QUERIES = {
     "url_blocked": q_url_blocked,
     "gopher_format": q_gopher_format,
     "classifier_scores": q_classifier_scores,
+    "corpus_prepare_minhash": q_corpus_prepare_minhash,
     "lineitem_qty_share": q_lineitem_qty_share,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,

@@ -43,6 +43,7 @@ def prepare_corpus(
     line_dedup: bool = False,
     min_entropy_e6: int = 0,
     max_entropy_e6: int = 0,
+    minhash_threshold: float = 0.8,
 ):
     """documents Dataset -> (id, chunk_idx, chunk_text) Dataset.
 
@@ -70,6 +71,13 @@ def prepare_corpus(
       Ray's native hash-shuffle join; the path for corpora whose
       survivor set is itself corpus-sized (at 100 TB, most texts are
       unique, so O(distinct texts) ids can't broadcast).
+    * ``minhash`` — FUZZY dedup replaces the exact pass: MinHash+LSH
+      near-dup pairs at ``minhash_threshold`` Jaccard over the prepped
+      (redacted, filtered) text, distributed connected components, and
+      the min-id survivor per component, all as Datasets end-to-end
+      (exact duplicates are Jaccard 1, so this subsumes exact dedup for
+      non-empty texts); survivors attach through the hash-shuffle
+      semi-join like ``join``.
     """
     import pyarrow.compute as pc
     import ray
@@ -187,16 +195,7 @@ def prepare_corpus(
 
     prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 
-    if dedup == "join":
-        from ..stages.components import derive_join_partitions
-
-        kept = exact_dedup_keep_first(prepped, key=text_col, id_col=id_col)
-        survivors = prepped.join(
-            kept,
-            join_type="inner",
-            num_partitions=derive_join_partitions(prepped, kept),
-            on=(id_col,),
-        )
+    def finish(survivors):
         if cap_per_source > 0:
             survivors = cap_per_key(
                 survivors, key_col=source_col, id_col=id_col,
@@ -206,6 +205,42 @@ def prepare_corpus(
             survivors, size=chunk_size, stride=chunk_stride,
             col=text_col, id_col=id_col,
         )
+
+    if dedup == "minhash":
+        from ..stages.components import (
+            derive_join_partitions,
+            near_dedup_survivors,
+        )
+        from ..stages.dedup import minhash_dedup_pairs
+
+        pairs = minhash_dedup_pairs(
+            prepped, col=text_col, id_col=id_col,
+            threshold=minhash_threshold, as_dataset=True,
+        )
+        surv_ids = near_dedup_survivors(
+            prepped, pairs, id_col, strategy="join"
+        )
+        parts = derive_join_partitions(prepped, surv_ids)
+        # Arrow-normalize before the hash-shuffle join: upstream
+        # shuffle stages can emit column-less empty blocks that the
+        # join aggregator rejects (see near_dedup_survivors)
+        return finish(prepped.join(
+            surv_ids.repartition(parts),
+            join_type="inner",
+            num_partitions=parts,
+            on=(id_col,),
+        ))
+
+    if dedup == "join":
+        from ..stages.components import derive_join_partitions
+
+        kept = exact_dedup_keep_first(prepped, key=text_col, id_col=id_col)
+        return finish(prepped.join(
+            kept,
+            join_type="inner",
+            num_partitions=derive_join_partitions(prepped, kept),
+            on=(id_col,),
+        ))
     if dedup != "broadcast":
         raise ValueError(f"unknown dedup strategy {dedup!r}")
 
@@ -236,15 +271,6 @@ def prepare_corpus(
             pc.is_in(t[id_col].combine_chunks(), value_set=ray.get(kept_ref))
         )
 
-    survivors = prepped.map_batches(
+    return finish(prepped.map_batches(
         dedup_filter, batch_format="pyarrow", zero_copy_batch=True
-    )
-    if cap_per_source > 0:
-        survivors = cap_per_key(
-            survivors, key_col=source_col, id_col=id_col,
-            n=cap_per_source, carry_cols=(text_col,),
-        )
-    return chunk_text(
-        survivors, size=chunk_size, stride=chunk_stride,
-        col=text_col, id_col=id_col,
-    )
+    ))

@@ -317,9 +317,18 @@ def near_dedup_survivors(ds, pairs, id_col: str,
             lambda t: t.select([id_col]),
             batch_format="pyarrow", zero_copy_batch=True,
         )
+        parts = derive_join_partitions(narrow, drop_ds)
+        # normalize to Arrow blocks before the hash-shuffle join: the
+        # label chain's pandas map_groups stages emit COLUMN-LESS empty
+        # DataFrame blocks (map stages skip empty blocks, so they reach
+        # here untouched) and the join aggregator raises "No match ...
+        # FieldRef.Name(node)" on any partition that only received one;
+        # a repartition in Arrow lineage rewrites every block with the
+        # real schema (empty Arrow blocks are join-safe)
+        drop_ds = drop_ds.repartition(parts)
         joined = narrow.join(
             drop_ds, join_type="left_outer",
-            num_partitions=derive_join_partitions(narrow, drop_ds),
+            num_partitions=parts,
             on=(id_col,), right_on=("node",),
         )
         return joined.map_batches(

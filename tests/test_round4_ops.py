@@ -346,3 +346,27 @@ def test_word_classifier_train_and_score(ray_session):
     assert out.loc[0, "n_hits"] == 2
     assert out.loc[1, "score_e6"] == w["spam"]
     assert out.loc[2, "score_e6"] == 0 and out.loc[2, "n_hits"] == 0
+
+
+def test_prepare_corpus_minhash_fuzzy_dedup(ray_session):
+    """dedup='minhash' must collapse near-duplicate AND exact-duplicate
+    documents to the min-id survivor while keeping unique docs."""
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "going through the quiet green field toward the distant barn")
+    rows = [
+        {"doc_id": 0, "text": base, "lang": "en", "source": "s"},
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s"},          # exact dup
+        {"doc_id": 2, "text": base + " tonight", "lang": "en",            # near dup
+         "source": "s"},
+        {"doc_id": 3, "text": "an entirely different document about "
+                              "sailing ships and ocean navigation charts",
+         "lang": "en", "source": "s"},
+    ]
+    docs = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = prepare_corpus(
+        docs, dedup="minhash", langs=("en",), min_quality=0.0,
+        chunk_size=500, chunk_stride=400,
+    ).to_pandas()
+    assert set(out["doc_id"]) == {0, 3}
