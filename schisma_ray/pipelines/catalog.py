@@ -2897,6 +2897,28 @@ def q_gopher_repetition(sf_dir: str):
     )
 
 
+def q_cross_corpus_near_dups(sf_dir: str):
+    """Incremental FUZZY dedup: near-dup pairs (>= 0.8 Jaccard) between
+    the 'new crawl' slice (doc_id % 3 != 0) and the 'existing corpus'
+    slice (doc_id % 3 == 0) — same MinHash permutations on both sides,
+    cross-side LSH buckets, exact Jaccard verify."""
+    from ..stages.dedup import cross_corpus_near_duplicates
+
+    docs = _t(sf_dir, "documents")
+
+    def side(mod_is_zero: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+            mask = (ids % 3 == 0) if mod_is_zero else (ids % 3 != 0)
+            return t.filter(pa.array(mask))
+
+        return fn
+
+    new = docs.map_batches(side(False), batch_format="pyarrow", zero_copy_batch=True)
+    base = docs.map_batches(side(True), batch_format="pyarrow", zero_copy_batch=True)
+    return cross_corpus_near_duplicates(new, base, threshold=0.8)
+
+
 def q_corpus_prepare_minhash(sf_dir: str):
     """Production corpus prep with FUZZY dedup: email redaction -> lang
     + quality filter -> MinHash+LSH near-dup components (0.8 Jaccard,
@@ -4109,6 +4131,29 @@ SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
   FROM firsts WHERE rn = 1
  GROUP BY doc_id
 """,
+        # cross-corpus fuzzy dedup: exhaustive Jaccard between the two
+        # doc_id % 3 slices, same shingle semantics as minhash_dedup
+        "cross_corpus_near_dups": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+   WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) BETWEEN 1 AND 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT gn.doc_id AS new_id, gb.doc_id AS base_id, count(*) AS i
+            FROM grams gn JOIN grams gb ON gn.g = gb.g
+           WHERE gn.doc_id % 3 != 0 AND gb.doc_id % 3 = 0
+           GROUP BY 1, 2)
+SELECT new_id, base_id,
+       ROUND(CAST(i AS DOUBLE) / (sn.n + sb.n - i), 6) AS jaccard
+  FROM inter JOIN sizes sn ON sn.doc_id = inter.new_id
+             JOIN sizes sb ON sb.doc_id = inter.base_id
+ WHERE CAST(i AS DOUBLE) / (sn.n + sb.n - i) >= 0.8
+""",
         # corpus_prepare_minhash: the corpus_prepare chain with the
         # exact-dup window replaced by the minhash_dedup_groups
         # recursive-CTE components over the FILTERED, REDACTED text
@@ -5044,6 +5089,7 @@ QUERIES = {
     "gopher_format": q_gopher_format,
     "classifier_scores": q_classifier_scores,
     "corpus_prepare_minhash": q_corpus_prepare_minhash,
+    "cross_corpus_near_dups": q_cross_corpus_near_dups,
     "lineitem_qty_share": q_lineitem_qty_share,
     "duplicated_lines": q_duplicated_lines,
     "c4_clean": q_c4_clean,

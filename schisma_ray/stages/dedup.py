@@ -1115,6 +1115,139 @@ def hamming_near_dup_pairs(sigs, *, sig_col: str, id_col: str,
                      "hamming": pa.array(d_out, pa.int32())})
 
 
+def _bucket_cross_pairs(banded_ds, group_cols: list[str], id_col: str,
+                        max_bucket: int, driver_limit: int = 5_000_000,
+                        as_dataset: bool = False):
+    """(a, b) CROSS pairs per bucket for parity-encoded two-corpus
+    banding (even ids = new side, odd ids = base side): every bucket
+    emits new x base pairs only — never new x new or base x base.
+    Same three shapes as ``_bucket_pairs`` (driver fold below
+    ``driver_limit``, scalable fold above, pure Dataset with
+    ``as_dataset=True``); each side is capped at ``max_bucket``."""
+
+    def emit(ids) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.unique(np.asarray(ids, np.int64))
+        new = ids[ids % 2 == 0][:max_bucket]
+        base = ids[ids % 2 == 1][:max_bucket]
+        if len(new) == 0 or len(base) == 0:
+            z = np.empty(0, np.int64)
+            return z, z
+        return np.repeat(new, len(base)), np.tile(base, len(new))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        a_out, b_out = emit(group[id_col].to_pylist())
+        return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})
+
+    if as_dataset:
+        return banded_ds.groupby(group_cols).map_groups(
+            pairs, batch_format="pyarrow"
+        )
+
+    collected: list[pa.Table] = []
+    total = 0
+    overflow = False
+    for batch in banded_ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = batch if isinstance(batch, pa.Table) else pa.Table.from_batches([batch])
+        collected.append(t)
+        total += t.num_rows
+        if total > driver_limit:
+            overflow = True
+            break
+
+    if not overflow:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if not collected:
+            return empty
+        df = pa.concat_tables(collected).to_pandas()
+        a_all, b_all = [], []
+        for _, group in df.groupby(group_cols, sort=False):
+            a_out, b_out = emit(group[id_col].to_numpy())
+            if len(a_out):
+                a_all.append(a_out)
+                b_all.append(b_out)
+        if not a_all:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(a_all)),
+                         "b": pa.array(np.concatenate(b_all))})
+
+    cand = banded_ds.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
+    folded = _fold_pairs(cand)
+    if folded is None:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    return folded
+
+
+def cross_corpus_near_duplicates(new_ds, base_ds, *, col: str = "text",
+                                 id_col: str = "doc_id",
+                                 threshold: float = 0.8,
+                                 num_perm: int = 64, bands: int = 16,
+                                 shingle: int = 3, seed: int = 1234,
+                                 max_bucket: int = 1000,
+                                 verify_driver_limit: int = 100_000,
+                                 as_dataset: bool = False):
+    """Incremental FUZZY dedup: (new_id, base_id, jaccard >= threshold)
+    pairs between a new crawl and the existing corpus — the near-dup
+    analogue of ``cross_corpus_duplicates``. Both sides sign with the
+    SAME MinHash permutations (same seed), so an unchanged document
+    lands in the same LSH buckets it did when the base corpus was
+    built; buckets emit CROSS pairs only (never within-side), and the
+    exact n-gram Jaccard verify runs over the union corpus through the
+    standard bucketed machinery.
+
+    Scale shape: one banding pass per side (per-batch, zero shuffle),
+    one bucket groupby over band rows, candidate-sized verify shuffles.
+    Integer ids required (the side rides in the id's parity bit:
+    ``id * 2 + side``)."""
+    import pyarrow.compute as pc
+
+    rows_per_band = num_perm // bands
+
+    def enc_fn(side: int):
+        def enc(t: pa.Table) -> pa.Table:
+            ids = pc.add(pc.multiply(pc.cast(t[id_col], pa.int64()), 2), side)
+            return pa.table({id_col: ids, col: t[col]})
+
+        return enc
+
+    corpus = new_ds.map_batches(
+        enc_fn(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(base_ds.map_batches(
+        enc_fn(1), batch_format="pyarrow", zero_copy_batch=True
+    ))
+    banded = corpus.map_batches(
+        MinHasher(col, id_col, num_perm, shingle, seed),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).map_batches(
+        lambda b: _band_rows(b, id_col, bands, rows_per_band),
+        batch_format="pyarrow",
+    )
+    cand = _bucket_cross_pairs(
+        banded, ["band", "band_hash"], id_col, max_bucket,
+        as_dataset=as_dataset,
+    )
+    verified = _verified_jaccard_pairs(
+        corpus, cand, col, id_col, threshold=threshold, shingle=shingle,
+        verify_driver_limit=verify_driver_limit, as_dataset=as_dataset,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "new_id": pc.divide(t["a"], 2),
+                "base_id": pc.divide(pc.subtract(t["b"], 1), 2),
+                "jaccard": t["jaccard"],
+            }
+        )
+
+    if as_dataset:
+        return verified.map_batches(
+            decode, batch_format="pyarrow", zero_copy_batch=True
+        )
+    return decode(verified)
+
+
 def cross_corpus_duplicates(new_ds, base_ds, *, col: str = "text",
                             id_col: str = "doc_id",
                             strategy: str = "broadcast",

@@ -370,3 +370,35 @@ def test_prepare_corpus_minhash_fuzzy_dedup(ray_session):
         chunk_size=500, chunk_stride=400,
     ).to_pandas()
     assert set(out["doc_id"]) == {0, 3}
+
+
+def test_cross_corpus_near_duplicates(ray_session):
+    """Near-dups across the corpus boundary only; as_dataset twin must
+    return identical pairs."""
+    from schisma_ray.stages.dedup import cross_corpus_near_duplicates
+
+    body = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    base_rows = [
+        {"doc_id": 10, "text": body},                     # near-dup anchor
+        {"doc_id": 11, "text": "completely different base text about "
+                               "mountain weather forecasting models"},
+        {"doc_id": 12, "text": body},                     # base-side dup of 10
+    ]
+    new_rows = [
+        {"doc_id": 20, "text": body + " extra"},          # near-dup of 10/12
+        {"doc_id": 21, "text": "novel content with no counterpart in "
+                               "the existing corpus at all"},
+    ]
+    new = rd.from_arrow(pa.Table.from_pylist(new_rows)).repartition(2)
+    base = rd.from_arrow(pa.Table.from_pylist(base_rows)).repartition(2)
+    out = cross_corpus_near_duplicates(new, base, threshold=0.8)
+    got = sorted(zip(out["new_id"].to_pylist(), out["base_id"].to_pylist()))
+    # cross pairs only: (20,10) and (20,12); base-side dup 10~12 NOT emitted
+    assert got == [(20, 10), (20, 12)]
+    assert all(j >= 0.8 for j in out["jaccard"].to_pylist())
+
+    ds_out = cross_corpus_near_duplicates(
+        new, base, threshold=0.8, as_dataset=True
+    ).to_pandas()
+    assert sorted(zip(ds_out["new_id"], ds_out["base_id"])) == got
