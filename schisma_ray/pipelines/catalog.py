@@ -4017,8 +4017,9 @@ SELECT doc_id, symbol_ratio_e6, bullet_frac_e6, ellipsis_frac_e6,
         AND alpha_word_frac_e6 >= 800000) AS passed
   FROM f
 """,
-        # url blocklist: suffix semantics host = d OR host LIKE '%.' || d
-        # against the SAME persisted blocklist parquet the stage folds
+        # url blocklist: exact suffix semantics (host = d OR host ends
+        # with '.' || d — ends_with, not LIKE, so '_' in a domain can't
+        # wildcard) against the SAME persisted blocklist parquet
         "url_blocked": f"""
 WITH u AS (SELECT doc_id, url,
                   regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1)
@@ -4028,7 +4029,7 @@ b AS (SELECT domain FROM {url_bl})
 SELECT u.doc_id, u.host,
        EXISTS (SELECT 1 FROM b
                 WHERE u.host = b.domain
-                   OR u.host LIKE '%.' || b.domain) AS blocked
+                   OR ends_with(u.host, '.' || b.domain)) AS blocked
   FROM u
 """,
         # gopher repetition: every fraction is the exact integer

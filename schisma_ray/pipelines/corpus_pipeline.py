@@ -178,20 +178,24 @@ def prepare_corpus(
                 & (n_stop >= GOPHER_MIN_DISTINCT_STOP)
             )
             keep = pc.and_(keep, pa.array(g_ok))
-        if ent_ref is not None:
+        out = pa.table(
+            {id_col: t[id_col], source_col: t[source_col], text_col: text}
+        ).filter(keep)
+        if ent_ref is not None and out.num_rows:
             from ..stages.text import char_entropy_values
 
-            _, ent = char_entropy_values(text, ray.get(ent_ref))
+            # entropy runs AFTER the cheap filters, on survivors only:
+            # an over-long doc the lang/quality rules already rejected
+            # must not crash the log2-table bound (and rejected rows
+            # shouldn't pay the decode)
+            _, ent = char_entropy_values(out[text_col], ray.get(ent_ref))
             e_ok = np.ones(len(ent), dtype=bool)
             if min_entropy_e6 > 0:
                 e_ok &= ent >= min_entropy_e6
             if max_entropy_e6 > 0:
                 e_ok &= ent <= max_entropy_e6
-            keep = pc.and_(keep, pa.array(e_ok))
-        out = pa.table(
-            {id_col: t[id_col], source_col: t[source_col], text_col: text}
-        )
-        return out.filter(keep)
+            out = out.filter(pa.array(e_ok))
+        return out
 
     prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
 

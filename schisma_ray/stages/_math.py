@@ -81,3 +81,16 @@ def ks_sf(lam: float) -> float:
 def ks_pvalue(d_stat: float, n_obs: float) -> float:
     en = math.sqrt(n_obs)
     return ks_sf((en + 0.12 + 0.11 / en) * d_stat)
+
+
+def frac_e6(num, den):
+    """floor(num * 1e6 / den + 0.5) as int64 numpy arrays; 0 where
+    den <= 0 — THE parity-critical rounded-division expression every
+    e6-fraction oracle mirrors as ``(2*num*1000000 + den) //
+    (2*den)``. Single definition so the Ray side can never drift from
+    itself."""
+    import numpy as np
+
+    safe = np.where(den > 0, den, 1)
+    out = (2 * num * 1_000_000 + safe) // (2 * safe)
+    return np.where(den > 0, out, 0).astype(np.int64)

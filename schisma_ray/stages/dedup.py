@@ -313,6 +313,24 @@ def _band_rows(batch: pa.Table, id_col: str, bands: int, rows_per_band: int) -> 
     sig_col = batch["signature"].combine_chunks()
     flat = sig_col.flatten().to_numpy(zero_copy_only=False).astype(np.uint64)
     arr = flat.reshape(n, bands, rows_per_band)
+    # zero-shingle documents (empty/whitespace text) carry the all-max
+    # sentinel signature — real minima are < p < 2^61, so slot [0,0]
+    # suffices. They must never enter LSH: the SQL oracles emit no
+    # grams (hence no pairs) for them, and without this mask every
+    # blank doc lands in one bucket and verifies jaccard(0,0) = 1.0
+    real = arr[:, 0, 0] != np.iinfo(np.uint64).max
+    if not real.all():
+        batch = batch.filter(pa.array(real))
+        n = batch.num_rows
+        arr = arr[real]
+        if n == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                }
+            )
     h = np.full((n, bands), np.uint64(0xCBF29CE484222325), np.uint64)
     prime = np.uint64(0x100000001B3)
     for r in range(rows_per_band):
@@ -380,34 +398,34 @@ def minhash_candidate_pairs(ds, col: str, id_col: str, *, num_perm: int = 64,
                          as_dataset=as_dataset)
 
 
-def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
-                  max_bucket: int, driver_limit: int = 5_000_000,
-                  as_dataset: bool = False):
-    """(a, b) id pairs per bucket, a < b.
+_EMPTY_PAIRS = None
 
-    ``as_dataset=True`` returns the ``groupby(bucket).map_groups`` pair
-    Dataset directly — no driver hop at any size (the end-to-end
-    Dataset chain). Otherwise, small banded sets (<= driver_limit rows)
-    fold on the driver with a pandas groupby — Ray's sort shuffle has
-    seconds of fixed cost that dwarfs corpora below millions of rows —
-    and larger sets run the scalable path and fold only the (bounded)
-    pair set. Buckets larger than ``max_bucket`` are truncated
-    (degenerate all-identical content)."""
 
-    def emit_pairs(ids: list) -> tuple[np.ndarray, np.ndarray]:
-        # vectorized upper-triangle pairing: a bucket of m ids emits
-        # C(m,2) rows with zero per-pair Python (matters when duplicate-
-        # heavy content fills buckets to max_bucket)
-        ids = np.array(sorted(ids)[:max_bucket])
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return ids[iu], ids[ju]
+def _empty_pairs() -> pa.Table:
+    global _EMPTY_PAIRS
+    if _EMPTY_PAIRS is None:
+        _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+    return _EMPTY_PAIRS
+
+
+def _pair_shapes(banded_ds, group_cols: list[str], id_col: str, emit,
+                 driver_limit: int = 5_000_000, as_dataset: bool = False):
+    """The shared three-shape harness for bucketed pair emission
+    (``emit(ids) -> (a, b)`` numpy arrays, possibly empty):
+
+    * ``as_dataset=True`` — ``groupby(bucket).map_groups`` pair Dataset,
+      no driver hop at any size (the end-to-end Dataset chain);
+    * small banded sets (<= driver_limit rows) fold on the driver with
+      a pandas groupby — Ray's sort shuffle has seconds of fixed cost
+      that dwarfs corpora below millions of rows;
+    * larger sets run the scalable map_groups path and fold only the
+      (bounded-by-emit) pair set as Arrow."""
 
     def pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_pylist()
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        a_out, b_out = emit_pairs(ids)
+        a_out, b_out = emit(group[id_col].to_pylist())
+        if len(a_out) == 0:
+            return _empty_pairs()
         return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})
 
     if as_dataset:
@@ -428,30 +446,46 @@ def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
 
     if not overflow:
         if not collected:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
+            return _empty_pairs()
         df = pa.concat_tables(collected).to_pandas()
         a_all, b_all = [], []
         for _, group in df.groupby(group_cols, sort=False):
-            if len(group) < 2:
-                continue
-            a_out, b_out = emit_pairs(group[id_col].tolist())
-            a_all.append(a_out)
-            b_all.append(b_out)
+            a_out, b_out = emit(group[id_col].tolist())
+            if len(a_out):
+                a_all.append(a_out)
+                b_all.append(b_out)
         if not a_all:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
+            return _empty_pairs()
         return pa.table({"a": pa.array(np.concatenate(a_all)),
                          "b": pa.array(np.concatenate(b_all))})
 
     cand = banded_ds.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
-    # fold the (bounded: <= max_bucket^2/2 per bucket) pair set as Arrow —
-    # no pandas round-trip of the candidate table
     folded = _fold_pairs(cand)
     if folded is None:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
+        return _empty_pairs()
     return folded
+
+
+def _bucket_pairs(banded_ds, group_cols: list[str], id_col: str,
+                  max_bucket: int, driver_limit: int = 5_000_000,
+                  as_dataset: bool = False):
+    """(a, b) id pairs per bucket, a < b (the within-corpus shape).
+    Buckets larger than ``max_bucket`` are truncated (degenerate
+    all-identical content). Shapes: see ``_pair_shapes``."""
+
+    def emit(ids) -> tuple[np.ndarray, np.ndarray]:
+        # vectorized upper-triangle pairing: a bucket of m ids emits
+        # C(m,2) rows with zero per-pair Python (matters when duplicate-
+        # heavy content fills buckets to max_bucket)
+        if len(ids) < 2:
+            z = np.empty(0, np.int64)
+            return z, z
+        ids = np.array(sorted(ids)[:max_bucket])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return ids[iu], ids[ju]
+
+    return _pair_shapes(banded_ds, group_cols, id_col, emit,
+                        driver_limit=driver_limit, as_dataset=as_dataset)
 
 
 def _verify_pairs_bucketed(ds, cand, col: str, id_col: str,
@@ -1121,9 +1155,8 @@ def _bucket_cross_pairs(banded_ds, group_cols: list[str], id_col: str,
     """(a, b) CROSS pairs per bucket for parity-encoded two-corpus
     banding (even ids = new side, odd ids = base side): every bucket
     emits new x base pairs only — never new x new or base x base.
-    Same three shapes as ``_bucket_pairs`` (driver fold below
-    ``driver_limit``, scalable fold above, pure Dataset with
-    ``as_dataset=True``); each side is capped at ``max_bucket``."""
+    Each side is capped at ``max_bucket``. Shapes: see
+    ``_pair_shapes``."""
 
     def emit(ids) -> tuple[np.ndarray, np.ndarray]:
         ids = np.unique(np.asarray(ids, np.int64))
@@ -1134,49 +1167,8 @@ def _bucket_cross_pairs(banded_ds, group_cols: list[str], id_col: str,
             return z, z
         return np.repeat(new, len(base)), np.tile(base, len(new))
 
-    def pairs(group: pa.Table) -> pa.Table:
-        a_out, b_out = emit(group[id_col].to_pylist())
-        return pa.table({"a": pa.array(a_out), "b": pa.array(b_out)})
-
-    if as_dataset:
-        return banded_ds.groupby(group_cols).map_groups(
-            pairs, batch_format="pyarrow"
-        )
-
-    collected: list[pa.Table] = []
-    total = 0
-    overflow = False
-    for batch in banded_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        t = batch if isinstance(batch, pa.Table) else pa.Table.from_batches([batch])
-        collected.append(t)
-        total += t.num_rows
-        if total > driver_limit:
-            overflow = True
-            break
-
-    if not overflow:
-        empty = pa.table({"a": pa.array([], pa.int64()),
-                          "b": pa.array([], pa.int64())})
-        if not collected:
-            return empty
-        df = pa.concat_tables(collected).to_pandas()
-        a_all, b_all = [], []
-        for _, group in df.groupby(group_cols, sort=False):
-            a_out, b_out = emit(group[id_col].to_numpy())
-            if len(a_out):
-                a_all.append(a_out)
-                b_all.append(b_out)
-        if not a_all:
-            return empty
-        return pa.table({"a": pa.array(np.concatenate(a_all)),
-                         "b": pa.array(np.concatenate(b_all))})
-
-    cand = banded_ds.groupby(group_cols).map_groups(pairs, batch_format="pyarrow")
-    folded = _fold_pairs(cand)
-    if folded is None:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
-    return folded
+    return _pair_shapes(banded_ds, group_cols, id_col, emit,
+                        driver_limit=driver_limit, as_dataset=as_dataset)
 
 
 def cross_corpus_near_duplicates(new_ds, base_ds, *, col: str = "text",

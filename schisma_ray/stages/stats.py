@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Std
 
-from ._math import chi2_sf, ks_pvalue
+from ._math import chi2_sf, frac_e6 as _share_e6, ks_pvalue
 
 
 def _hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -422,12 +422,6 @@ def zscore_by_group(ds, value_col: str, group_col: str, id_cols: list,
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _share_e6(v: np.ndarray, tot: np.ndarray) -> np.ndarray:
-    """floor(v * 1e6 / tot + 0.5) in pure int64 arithmetic (tot > 0):
-    (2 * v * 1_000_000 + tot) // (2 * tot) — order-independent, so the
-    Ray side and the SQL window expression can't diverge on a ulp."""
-    tot = np.where(tot > 0, tot, 1)
-    return (2 * v * 1_000_000 + tot) // (2 * tot)
 
 
 def _grouped_int_sums(ds, key_col: str, val_col):
@@ -452,7 +446,12 @@ def _grouped_int_sums(ds, key_col: str, val_col):
             }
         )
         agg = t.group_by(key_col).aggregate([("v", "sum")])
-        return agg.rename_columns([key_col, "total"])
+        # a key whose batch values are ALL null sums to null; freeze it
+        # to 0 here (SQL SUM-skips-nulls semantics) so the int64 cast
+        # downstream can never smuggle a NaN into the grand total
+        return agg.rename_columns([key_col, "total"]).set_column(
+            1, "total", pc.fill_null(pc.cast(agg.column(1), pa.int64()), 0)
+        )
 
     parts = [
         t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
@@ -467,7 +466,7 @@ def _grouped_int_sums(ds, key_col: str, val_col):
         .rename_columns([key_col, "total"])
     )
     return merged.set_column(
-        1, "total", pc.cast(merged["total"], pa.int64())
+        1, "total", pc.fill_null(pc.cast(merged["total"], pa.int64()), 0)
     )
 
 

@@ -17,6 +17,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ._math import frac_e6 as _frac_e6
+
 _STOPWORDS = {
     "en": {"the", "a", "of", "and", "to", "in", "is", "it", "that", "for"},
     "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"},
@@ -706,6 +708,9 @@ def _group_runs(doc: np.ndarray, h: np.ndarray):
     """Sort (doc, hash) pairs and return (order, run_starts, run_counts)
     — the vectorized per-(doc, key) counter every repetition signal
     below shares. ``order`` maps sorted position -> original index."""
+    if len(doc) == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
     order = np.lexsort((h, doc))
     ds_, hs_ = doc[order], h[order]
     starts = np.flatnonzero(
@@ -715,13 +720,6 @@ def _group_runs(doc: np.ndarray, h: np.ndarray):
     return order, starts, counts
 
 
-def _frac_e6(num: np.ndarray, den: np.ndarray) -> np.ndarray:
-    """floor(num * 1e6 / den + 0.5) in int64; 0 where den == 0 — the
-    exact expression the SQL oracle spells as
-    ``(2*num*1000000 + den) // (2*den)``."""
-    safe = np.where(den > 0, den, 1)
-    out = (2 * num * 1_000_000 + safe) // (2 * safe)
-    return np.where(den > 0, out, 0).astype(np.int64)
 
 
 _GRAM_PRIME = np.uint64(0x9E3779B97F4A7C15)

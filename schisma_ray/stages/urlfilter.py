@@ -30,11 +30,13 @@ def host_of(urls):
 
 
 def url_blocklist(ds, blocked, *, url_col: str = "url",
-                  id_col: str = "doc_id", max_depth: int = 6):
+                  id_col: str = "doc_id", max_depth: int = 127):
     """(id, host, blocked): every row tagged with its extracted host
-    and whether the host equals — or is a subdomain of — any blocklist
-    entry (checked by stripping leading labels up to ``max_depth``
-    times; registrable suffixes in practice sit at depth <= 4)."""
+    and whether the host equals — or is ANY-depth subdomain of — a
+    blocklist entry. Every proper suffix of the host is probed (one
+    leading-label strip + ``is_in`` per level, stopping as soon as no
+    host in the batch has a dot left); ``max_depth`` is only the DNS
+    253-byte sanity cap, not a semantic bound."""
     import ray
 
     if not isinstance(blocked, (set, frozenset)):

@@ -402,3 +402,79 @@ def test_cross_corpus_near_duplicates(ray_session):
         new, base, threshold=0.8, as_dataset=True
     ).to_pandas()
     assert sorted(zip(ds_out["new_id"], ds_out["base_id"])) == got
+
+
+def test_group_share_all_null_key(ray_session):
+    """A key whose values are ALL null must total 0 (SQL SUM-skips-null
+    semantics), never poison the grand total with NaN garbage."""
+    from schisma_ray.stages.stats import group_share_of_total
+
+    t = pa.table({
+        "k": pa.array(["a", "a", "b"], pa.string()),
+        "v": pa.array([1, 2, None], pa.int64()),
+    })
+    out = group_share_of_total(
+        rd.from_arrow(t), "k", val_col="v"
+    ).to_pandas().set_index("k")
+    assert out.loc["a", "total"] == 3 and out.loc["b", "total"] == 0
+    assert out.loc["a", "share_e6"] == 1_000_000
+    assert out.loc["b", "share_e6"] == 0
+
+
+def test_gopher_repetition_empty_batch():
+    from schisma_ray.stages.text import gopher_repetition_values
+
+    out = gopher_repetition_values(pa.array([], pa.string()))
+    assert all(len(a) == 0 for a in out)
+
+
+def test_prepare_corpus_entropy_skips_filtered_rows(ray_session):
+    """A doc longer than the log2 table must NOT crash the prepare run
+    when the cheap filters already reject it (entropy runs on
+    survivors only)."""
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+    from schisma_ray.stages.text import LOG2_TABLE_SIZE
+
+    rows = [
+        {"doc_id": 0, "text": "x" * (LOG2_TABLE_SIZE + 10),
+         "lang": "zh", "source": "s"},            # filtered by lang
+        {"doc_id": 1, "text": "a normal english document body here",
+         "lang": "en", "source": "s"},
+    ]
+    out = prepare_corpus(
+        rd.from_arrow(pa.Table.from_pylist(rows)), langs=("en",),
+        min_quality=0.0, min_entropy_e6=1, chunk_size=500, chunk_stride=400,
+    ).to_pandas()
+    assert set(out["doc_id"]) == {1}
+
+
+def test_url_blocklist_any_depth(ray_session):
+    from schisma_ray.stages.urlfilter import url_blocklist
+
+    t = pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "url": pa.array(
+            ["https://a.b.c.d.e.f.g.h.badhost0.com/x"], pa.string()
+        ),
+    })
+    out = url_blocklist(rd.from_arrow(t), ("badhost0.com",)).to_pandas()
+    assert bool(out.loc[0, "blocked"])
+
+
+def test_minhash_blank_docs_never_pair(ray_session):
+    """Zero-shingle (empty/whitespace) documents must not enter LSH:
+    the SQL oracles emit no grams for them, so the engine must emit no
+    pairs — within one corpus and across two."""
+    from schisma_ray.stages.dedup import (
+        cross_corpus_near_duplicates,
+        minhash_dedup_pairs,
+    )
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["", "   ", None], pa.string()),
+    })
+    ds = rd.from_arrow(t)
+    assert minhash_dedup_pairs(ds, col="text", id_col="doc_id").num_rows == 0
+    out = cross_corpus_near_duplicates(ds, ds, threshold=0.5)
+    assert out.num_rows == 0
