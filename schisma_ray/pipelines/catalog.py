@@ -2975,6 +2975,83 @@ def q_lineitem_qty_share(sf_dir: str):
     )
 
 
+def q_image_cross_field_violations(sf_dir: str):
+    """Cross-column constraint checks — the table-level analogue of a
+    schisma ``$validate`` custom-predicate hook (reference
+    src/schisma.mjs:137-212): aspect-ratio, pixel-area and
+    caption-length rules that read several columns of a row at once.
+    Pure map_batches, zero shuffle."""
+    from ..stages.crossfield import cross_field_violations
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "w", "h", "caption"])
+    return cross_field_violations(ds)
+
+
+def q_partition_verdicts(sf_dir: str):
+    """Per-partition PASS/FAIL verdicts over the full validation run
+    (the north-star's per-partition verdict surface): rows, violation
+    rows, e6 violation rate and a threshold verdict per deterministic
+    md5 partition of the id space — parallelism-invariant, so the
+    report is identical however Ray split the input files."""
+    from ..stages.verdict import partition_verdicts
+
+    imgs = read_images(_img_dir(sf_dir), ["image_id"])
+    vio = _project_violations(validate_images(_img_dir(sf_dir), fused=True))
+    return partition_verdicts(imgs, vio)
+
+
+def q_caption_area_moments(sf_dir: str):
+    """Per-fmt EXACT integer second moments of (pixel area, caption
+    chars) — n, Σx, Σy, Σx², Σy², Σxy as int64, everything a Pearson
+    correlation / covariance audit between image size and caption
+    length needs, with zero float-summation-order risk. Combiner-first;
+    only fmt-cardinality partials ever shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.stats import grouped_moments
+
+    ds = read_images(_img_dir(sf_dir), ["fmt", "w", "h", "caption"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["w"], pa.int64())
+        h = pc.cast(t["h"], pa.int64())
+        return pa.table({
+            "fmt": t["fmt"],
+            "area": pc.multiply(w, h),
+            "cap_chars": pc.cast(pc.utf8_length(t["caption"]), pa.int64()),
+        })
+
+    return grouped_moments(
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        "fmt", "area", "cap_chars",
+    )
+
+
+def q_dup_gram_docs(sf_dir: str):
+    """Cross-document duplicated n-gram audit (Lee et al. 2021,
+    arXiv:2107.06499): per doc, the count + e6 fraction of its distinct
+    word 3-shingles shared with at least one OTHER document. Two bucket
+    shuffles, df-without-a-join (the AllPairs trick), no pair
+    explosion."""
+    from ..stages.dedup import dup_gram_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return dup_gram_stats(ds, "text", "doc_id")
+
+
+def q_url_canonical_dups(sf_dir: str):
+    """Canonical-URL duplicate groups: rows whose canonicalized url
+    (scheme/www/fragment/query/trailing-slash stripped — RE2 chain,
+    identical engine on both sides) collides with another row's. One
+    canonical-hash bucket shuffle."""
+    from ..sources.url_fixture import url_documents
+    from ..stages.urlfilter import url_canonical_dups
+
+    ds = rd.read_parquet(str(url_documents(sf_dir)))
+    return url_canonical_dups(ds)
+
+
 # ------------------------------------------------------------------ oracle
 def _oracle_sql() -> dict[str, str]:
     from ..sources.embedding_fixture import seeded_near_dup_embeddings
@@ -3065,6 +3142,90 @@ SELECT row_ref, path, code, expected, received
 """,
         "image_validate_full": f"""
 SELECT row_ref, path, code, expected, received FROM {expviol}
+""",
+        "image_cross_field_violations": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'w/h' AS path, 'invalid' AS code,
+       'aspect_e6 in [500000, 2000000]' AS expected,
+       CAST((CAST(w AS BIGINT) * 1000000) // h AS VARCHAR) AS received
+  FROM im
+ WHERE w IS NOT NULL AND h IS NOT NULL
+   AND ((CAST(w AS BIGINT) * 1000000) // h < 500000
+     OR (CAST(w AS BIGINT) * 1000000) // h > 2000000)
+UNION ALL
+SELECT image_id, 'w*h', 'invalid', 'area in [100, 900]',
+       CAST(CAST(w AS BIGINT) * h AS VARCHAR)
+  FROM im WHERE w IS NOT NULL AND h IS NOT NULL
+   AND (CAST(w AS BIGINT) * h < 100 OR CAST(w AS BIGINT) * h > 900)
+UNION ALL
+SELECT image_id, 'caption', 'invalid', 'length in [1, 256]',
+       CAST(length(caption) AS VARCHAR)
+  FROM im WHERE caption IS NOT NULL
+   AND (length(caption) < 1 OR length(caption) > 256)
+""",
+        "partition_verdicts": f"""
+WITH im AS (SELECT CAST(concat('0x', substr(md5(image_id), 1, 8)) AS BIGINT)
+                   % 16 AS part_id FROM {img}),
+rp AS (SELECT part_id, count(*) AS n_rows FROM im GROUP BY part_id),
+vi AS (SELECT CAST(concat('0x', substr(md5(row_ref), 1, 8)) AS BIGINT)
+              % 16 AS part_id FROM {expviol}),
+vp AS (SELECT part_id, count(*) AS n_violations FROM vi GROUP BY part_id)
+SELECT rp.part_id, rp.n_rows,
+       COALESCE(vp.n_violations, 0) AS n_violations,
+       (2 * COALESCE(vp.n_violations, 0) * 1000000 + rp.n_rows)
+         // (2 * rp.n_rows) AS rate_e6,
+       ((2 * COALESCE(vp.n_violations, 0) * 1000000 + rp.n_rows)
+         // (2 * rp.n_rows)) <= 75000 AS passed
+  FROM rp LEFT JOIN vp ON rp.part_id = vp.part_id
+""",
+        "caption_area_moments": f"""
+WITH src AS (
+  SELECT fmt, CAST(w AS BIGINT) * h AS x, CAST(length(caption) AS BIGINT) AS y
+    FROM {img}
+   WHERE fmt IS NOT NULL AND w IS NOT NULL AND h IS NOT NULL
+     AND caption IS NOT NULL)
+SELECT fmt, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(y * y) AS BIGINT) AS sum_yy,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy
+  FROM src GROUP BY fmt
+""",
+        "dup_gram_docs": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+   WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) BETWEEN 1 AND 2),
+df AS (SELECT g, count(*) AS d FROM grams GROUP BY g),
+per AS (SELECT doc_id, count(*) AS n_grams,
+               SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_dup
+          FROM grams JOIN df USING (g) GROUP BY doc_id)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_dup AS BIGINT) AS n_dup_grams,
+       CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
+         AS dup_frac_e6
+  FROM per
+""",
+        "url_canonical_dups": rf"""
+WITH canon AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://', ''),
+           '^www[0-9]*\.', ''),
+           '#.*$', ''),
+           '\?.*$', ''),
+           '/+$', '') AS canon_url
+    FROM {url_docs}),
+sz AS (SELECT doc_id, canon_url,
+              count(*) OVER (PARTITION BY canon_url) AS group_size
+         FROM canon)
+SELECT doc_id, canon_url, CAST(group_size AS BIGINT) AS group_size
+  FROM sz WHERE group_size > 1
 """,
         # phash near-dups: same >>/& banding + bit_count(xor) Hamming
         # reproduction as simhash_dedup, but with zero artifacts — the
@@ -4969,6 +5130,11 @@ QUERIES = {
     "image_schema_violations": q_image_schema_violations,
     "image_decode_violations": q_image_decode_violations,
     "image_validate_full": q_image_validate_full,
+    "image_cross_field_violations": q_image_cross_field_violations,
+    "partition_verdicts": q_partition_verdicts,
+    "caption_area_moments": q_caption_area_moments,
+    "dup_gram_docs": q_dup_gram_docs,
+    "url_canonical_dups": q_url_canonical_dups,
     "image_phash_duplicates": q_image_phash_duplicates,
     "image_phash_near_dups": q_image_phash_near_dups,
     "image_near_dedup_survivors": q_image_near_dedup_survivors,

@@ -863,6 +863,119 @@ def _verified_jaccard_pairs(ds, cand, col: str, id_col: str, *,
 
 
 # ------------------------------------- exact n-gram Jaccard (AllPairs)
+def _distinct_gram_rows(batch: pa.Table, col: str, id_col: str,
+                        shingle: int, num_buckets: int) -> pa.Table:
+    """Per-document DISTINCT word-shingle hash rows: ``(id, gram, n,
+    gb)`` where ``n`` is the doc's distinct-gram count (carried on every
+    row) and ``gb`` the gram-hash shuffle bucket. Per-batch distinct is
+    globally exact — a document lives in exactly one batch."""
+    nb = np.uint64(num_buckets)
+    texts = batch[col].to_pylist()
+    empty = pa.table(
+        {
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "gram": pa.array([], pa.int64()),
+            "n": pa.array([], pa.int64()),
+            "gb": pa.array([], pa.int32()),
+        }
+    )
+    if not texts:
+        return empty
+    all_sh: list[str] = []
+    offs = [0]
+    for t in texts:
+        all_sh.extend(word_shingles(t or "", shingle))
+        offs.append(len(all_sh))
+    hashes = _hash_tokens(all_sh)
+    per_doc: list[np.ndarray] = []
+    take_idx: list[int] = []
+    for i in range(len(texts)):
+        u = np.unique(hashes[offs[i]:offs[i + 1]])
+        if len(u):
+            per_doc.append(u)
+            take_idx.append(i)
+    if not per_doc:
+        return empty
+    grams = np.concatenate(per_doc)
+    lens = np.array([len(u) for u in per_doc], np.int64)
+    ids = batch[id_col].take(pa.array(np.repeat(take_idx, lens)))
+    return pa.table(
+        {
+            id_col: ids,
+            "gram": pa.array(grams.view(np.int64), pa.int64()),
+            "n": pa.array(np.repeat(lens, lens), pa.int64()),
+            "gb": pa.array((grams % nb).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+def dup_gram_stats(ds, col: str, id_col: str, *, shingle: int = 3,
+                   num_buckets: int = 32):
+    """Cross-document duplicated n-gram audit — the exact-substring
+    memorization-risk signal of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499) at
+    word-shingle granularity: for each document, the count and e6
+    fraction of its DISTINCT shingles that also occur in at least one
+    OTHER document. Unlike ``doc_repetition``/``gopher_repetition``
+    (within-doc) and ``ngram_jaccard_pairs`` (thresholded pairs), this
+    reports corpus-wide per-doc overlap with no pair explosion.
+
+    Scale shape: distinct gram rows -> ONE gram-hash bucket shuffle
+    (all rows of a gram land in one bucket, so the per-bucket count IS
+    the global document frequency — df without a join; same trick as
+    the AllPairs path) emitting per-(doc, bucket) partial counts ->
+    ONE doc-hash bucket shuffle folding partials per doc. No stage
+    ever holds more than a bucket; nothing reaches the driver.
+
+    Returns a Dataset of (id, n_grams, n_dup_grams, dup_frac_e6);
+    documents with zero shingles (empty text) carry no gram rows and
+    are absent, matching the SQL oracle's grams CTE."""
+    from ._math import frac_e6
+
+    grams = ds.map_batches(
+        lambda batch: _distinct_gram_rows(batch, col, id_col, shingle,
+                                          num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def bucket_partials(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.groupby("gram")["gram"].transform("size")
+        out = (
+            group.assign(dup=(df > 1).astype(np.int64))
+            .groupby(id_col, sort=False)
+            .agg(n_grams=("n", "first"), n_dup=("dup", "sum"))
+            .reset_index()
+        )
+        out["db"] = (
+            pd.util.hash_array(out[id_col].to_numpy()) % num_buckets
+        ).astype(np.int32)
+        return out
+
+    partials = grams.groupby("gb").map_groups(
+        bucket_partials, batch_format="pandas"
+    )
+
+    def fold_doc(group: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            group.groupby(id_col, sort=False)
+            .agg(n_grams=("n_grams", "first"), n_dup_grams=("n_dup", "sum"))
+            .reset_index()
+        )
+        out["dup_frac_e6"] = frac_e6(
+            out["n_dup_grams"].to_numpy().astype(np.int64),
+            out["n_grams"].to_numpy().astype(np.int64),
+        )
+        return out
+
+    return partials.groupby("db").map_groups(
+        fold_doc, batch_format="pandas"
+    ).map_batches(
+        lambda t: t.select([id_col, "n_grams", "n_dup_grams",
+                            "dup_frac_e6"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def ngram_jaccard_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
                         shingle: int = 3, num_buckets: int = 32,
                         max_bucket: int = 1000,
@@ -889,49 +1002,11 @@ def ngram_jaccard_pairs(ds, col: str, id_col: str, *, threshold: float = 0.8,
     groupby over prefix grams), then the shared exact-Jaccard verify.
     ``max_bucket`` caps degenerate all-identical groups exactly like the
     MinHash path."""
-    nb = np.uint64(num_buckets)
-
-    def gram_rows(batch: pa.Table) -> pa.Table:
-        texts = batch[col].to_pylist()
-        empty = pa.table(
-            {
-                id_col: pa.array([], batch.schema.field(id_col).type),
-                "gram": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64()),
-                "gb": pa.array([], pa.int32()),
-            }
-        )
-        if not texts:
-            return empty
-        all_sh: list[str] = []
-        offs = [0]
-        for t in texts:
-            all_sh.extend(word_shingles(t or "", shingle))
-            offs.append(len(all_sh))
-        hashes = _hash_tokens(all_sh)
-        per_doc: list[np.ndarray] = []
-        take_idx: list[int] = []
-        for i in range(len(texts)):
-            u = np.unique(hashes[offs[i]:offs[i + 1]])
-            if len(u):
-                per_doc.append(u)
-                take_idx.append(i)
-        if not per_doc:
-            return empty
-        grams = np.concatenate(per_doc)
-        lens = np.array([len(u) for u in per_doc], np.int64)
-        ids = batch[id_col].take(pa.array(np.repeat(take_idx, lens)))
-        return pa.table(
-            {
-                id_col: ids,
-                "gram": pa.array(grams.view(np.int64), pa.int64()),
-                "n": pa.array(np.repeat(lens, lens), pa.int64()),
-                "gb": pa.array((grams % nb).astype(np.int32), pa.int32()),
-            }
-        )
-
-    grams = ds.map_batches(gram_rows, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    grams = ds.map_batches(
+        lambda batch: _distinct_gram_rows(batch, col, id_col, shingle,
+                                          num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
     # all rows of one gram share a gb bucket, so the per-bucket count IS
     # the global document frequency — df without a join

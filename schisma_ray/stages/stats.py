@@ -491,6 +491,70 @@ def group_share_of_total(ds, key_col: str, *, val_col: str | None = None):
     )
 
 
+def grouped_moments(ds, key_col: str, x_col: str, y_col: str) -> pa.Table:
+    """Per-key EXACT integer second moments of two int columns:
+    ``(key, n, sum_x, sum_y, sum_xx, sum_yy, sum_xy)`` — everything a
+    Pearson correlation / covariance / regression audit needs, kept as
+    int64 so Ray and the SQL oracle agree bit-for-bit (no
+    float-summation-order drift; correlation itself is one driver-side
+    division over a key-cardinality table). Rows with a null key, x or
+    y are dropped (SQL ``WHERE x IS NOT NULL AND y IS NOT NULL``).
+
+    Combiner-first: each batch collapses to at most key-cardinality
+    partial rows; the fold is over partials only."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(batch[x_col], pa.int64())
+        y = pc.cast(batch[y_col], pa.int64())
+        keep = pc.and_(pc.is_valid(batch[key_col]),
+                       pc.and_(pc.is_valid(x), pc.is_valid(y)))
+        t = pa.table({
+            key_col: batch[key_col].combine_chunks()
+            if isinstance(batch[key_col], pa.ChunkedArray)
+            else batch[key_col],
+            "sum_x": x,
+            "sum_y": y,
+            "sum_xx": pc.multiply(x, x),
+            "sum_yy": pc.multiply(y, y),
+            "sum_xy": pc.multiply(x, y),
+        }).filter(keep)
+        agg = t.group_by(key_col).aggregate(
+            [("sum_x", "count")] + [(c, "sum") for c in
+                                    ("sum_x", "sum_y", "sum_xx",
+                                     "sum_yy", "sum_xy")]
+        )
+        return agg.rename_columns(
+            [key_col, "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+        )
+
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.schema(
+            [(key_col, pa.string())]
+            + [(c, pa.int64()) for c in
+               ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")]
+        ).empty_table()
+    cols = ["n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+    merged = (
+        pa.concat_tables(parts)
+        .group_by(key_col)
+        .aggregate([(c, "sum") for c in cols])
+        .rename_columns([key_col] + cols)
+    )
+    for i, c in enumerate(cols, start=1):
+        merged = merged.set_column(
+            i, c, pc.cast(merged[c], pa.int64())
+        )
+    return merged
+
+
 def share_of_group_total(ds, key_col: str, val_col: str, id_cols: list):
     """(ids..., key, val, share_e6): the percent-of-total WINDOW — each
     row's e6-integer share of its group's total, i.e. SQL

@@ -1,0 +1,196 @@
+"""Round-4 second batch: cross-field constraint rules, per-partition
+verdicts, grouped integer moments, cross-document duplicated n-grams,
+canonical-URL dedup."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+# ------------------------------------------------------------ crossfield
+def _img_ds(rows):
+    names = ["image_id", "w", "h", "caption"]
+    cols = {n: [r[i] for r in rows] for i, n in enumerate(names)}
+    return rd.from_arrow(pa.table({
+        "image_id": pa.array(cols["image_id"], pa.string()),
+        "w": pa.array(cols["w"], pa.int32()),
+        "h": pa.array(cols["h"], pa.int32()),
+        "caption": pa.array(cols["caption"], pa.string()),
+    }))
+
+
+def test_cross_field_rules(ray_session):
+    from schisma_ray.stages.crossfield import cross_field_violations
+
+    ds = _img_ds([
+        ("ok", 20, 20, "fine caption"),          # passes all three
+        ("wide", 32, 8, "fine"),                 # aspect 4.0 > 2.0
+        ("tall", 8, 32, "fine"),                 # aspect 0.25 < 0.5
+        ("big", 40, 30, "fine"),                 # area 1200 > 900
+        ("tiny", 9, 9, "fine"),                  # area 81 < 100
+        ("emptycap", 20, 20, ""),                # length 0 < 1
+        ("longcap", 20, 20, "x" * 300),          # length 300 > 256
+        ("nullw", None, 20, "fine"),             # null w -> skipped
+        ("nullcap", 20, 20, None),               # null caption -> skipped
+    ])
+    out = cross_field_violations(ds).to_pandas()
+    got = {(r.row_ref, r.path): r.received for r in out.itertuples()}
+    assert got == {
+        ("wide", "w/h"): "4000000",
+        ("tall", "w/h"): "250000",
+        ("big", "w*h"): "1200",
+        ("tiny", "w*h"): "81",
+        ("emptycap", "caption"): "0",
+        ("longcap", "caption"): "300",
+    }
+    assert set(out.code) == {"invalid"}
+
+
+def test_cross_field_empty_and_clean_batches(ray_session):
+    from schisma_ray.stages.crossfield import cross_field_violations
+
+    ds = _img_ds([("a", 20, 20, "fine"), ("b", 16, 16, "ok too")])
+    assert cross_field_violations(ds).count() == 0
+
+
+# --------------------------------------------------------------- verdict
+def _md5_bucket(v: str, mod: int = 16) -> int:
+    return int(hashlib.md5(v.encode()).hexdigest()[:8], 16) % mod
+
+
+def test_partition_verdicts(ray_session):
+    from schisma_ray.stages.verdict import partition_verdicts
+
+    ids = [f"id-{i}" for i in range(200)]
+    rows = rd.from_arrow(pa.table({"image_id": pa.array(ids, pa.string())}))
+    # every id whose bucket is even gets 1 violation -> rate 1_000_000
+    bad = [i for i in ids if _md5_bucket(i) % 2 == 0]
+    vio = rd.from_arrow(pa.table({"row_ref": pa.array(bad, pa.string())}))
+    out = partition_verdicts(rows, vio, threshold_e6=500_000).to_pandas()
+    out = out.set_index("part_id")
+    for p in out.index:
+        n = sum(1 for i in ids if _md5_bucket(i) == p)
+        assert out.loc[p, "n_rows"] == n
+        if p % 2 == 0:
+            assert out.loc[p, "n_violations"] == n
+            assert out.loc[p, "rate_e6"] == 1_000_000
+            assert not out.loc[p, "passed"]
+        else:
+            assert out.loc[p, "n_violations"] == 0
+            assert out.loc[p, "rate_e6"] == 0
+            assert out.loc[p, "passed"]
+
+
+def test_partition_verdicts_empty_partitions_omitted(ray_session):
+    from schisma_ray.stages.verdict import partition_verdicts
+
+    ids = ["id-0", "id-1"]  # occupy at most 2 of 64 buckets
+    rows = rd.from_arrow(pa.table({"image_id": pa.array(ids, pa.string())}))
+    vio = rd.from_arrow(pa.table({"row_ref": pa.array([], pa.string())}))
+    out = partition_verdicts(rows, vio, num_partitions=64)
+    assert set(out["part_id"].to_pylist()) == {_md5_bucket(i, 64) for i in ids}
+    assert all(out["passed"].to_pylist())
+
+
+# -------------------------------------------------------- grouped moments
+def test_grouped_moments_exact(ray_session):
+    from schisma_ray.stages.stats import grouped_moments
+
+    rng = np.random.default_rng(3)
+    k = rng.choice(["a", "b"], size=500).tolist()
+    x = rng.integers(0, 1000, size=500)
+    y = rng.integers(0, 50, size=500)
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(k, pa.string()),
+        "x": pa.array(x, pa.int64()),
+        "y": pa.array(y, pa.int64()),
+    })).repartition(7)
+    out = grouped_moments(ds, "k", "x", "y")
+    got = {r["k"]: r for r in out.to_pylist()}
+    for key in ("a", "b"):
+        m = np.array([kk == key for kk in k])
+        assert got[key]["n"] == int(m.sum())
+        assert got[key]["sum_x"] == int(x[m].sum())
+        assert got[key]["sum_y"] == int(y[m].sum())
+        assert got[key]["sum_xx"] == int((x[m] * x[m]).sum())
+        assert got[key]["sum_yy"] == int((y[m] * y[m]).sum())
+        assert got[key]["sum_xy"] == int((x[m] * y[m]).sum())
+
+
+def test_grouped_moments_null_rows_dropped(ray_session):
+    from schisma_ray.stages.stats import grouped_moments
+
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array(["a", "a", None, "a"], pa.string()),
+        "x": pa.array([1, None, 3, 4], pa.int64()),
+        "y": pa.array([10, 20, 30, None], pa.int64()),
+    }))
+    out = grouped_moments(ds, "k", "x", "y").to_pylist()
+    assert out == [{"k": "a", "n": 1, "sum_x": 1, "sum_y": 10,
+                    "sum_xx": 1, "sum_yy": 100, "sum_xy": 10}]
+
+
+# ------------------------------------------------------------- dup grams
+def test_dup_gram_stats(ray_session):
+    from schisma_ray.stages.dedup import dup_gram_stats
+
+    docs = {
+        1: "the quick brown fox jumps",     # grams: 3 (2 shared with doc 2)
+        2: "a quick brown fox runs fast",   # grams: 4 (2 shared with doc 1)
+        3: "totally different words here",  # grams: 2, none shared
+        4: "short one",                     # <3 words -> whole-doc gram
+        5: "short one",                     # identical -> fully dup with 4
+        6: "",                              # no grams -> absent
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    })).repartition(3)
+    out = {r["doc_id"]: r for r in
+           dup_gram_stats(ds, "text", "doc_id").take_all()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # doc1 grams: {the-quick-brown, quick-brown-fox, brown-fox-jumps};
+    # doc2 grams: {a-quick-brown, quick-brown-fox, brown-fox-runs,
+    #              fox-runs-fast}; shared: quick-brown-fox only
+    assert out[1]["n_grams"] == 3 and out[1]["n_dup_grams"] == 1
+    assert out[2]["n_grams"] == 4 and out[2]["n_dup_grams"] == 1
+    assert out[3]["n_dup_grams"] == 0
+    assert out[4] == {"doc_id": 4, "n_grams": 1, "n_dup_grams": 1,
+                      "dup_frac_e6": 1_000_000}
+    assert out[5]["dup_frac_e6"] == 1_000_000
+    assert out[1]["dup_frac_e6"] == 333_333  # floor(1/3*1e6+0.5)
+
+
+# --------------------------------------------------------- canonical URLs
+def test_canonicalize_urls():
+    from schisma_ray.stages.urlfilter import canonicalize_urls
+
+    urls = pa.array([
+        "https://www.example.com/a/b?utm=1#frag",
+        "HTTP://EXAMPLE.COM/a/b/",
+        "https://www2.example.com/a/b#x?y",   # fragment hides the ?
+        "ftp://example.com/a/b",
+        "https://example.com/other",
+    ], pa.string())
+    got = canonicalize_urls(urls).to_pylist()
+    assert got == ["example.com/a/b"] * 4 + ["example.com/other"]
+
+
+def test_url_canonical_dups(ray_session):
+    from schisma_ray.stages.urlfilter import url_canonical_dups
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "url": pa.array([
+            "https://www.site.com/page",
+            "http://site.com/page/",
+            "https://site.com/page?track=9",
+            "https://site.com/unique",
+        ], pa.string()),
+    })).repartition(2)
+    out = url_canonical_dups(ds).to_pandas()
+    assert sorted(out.doc_id) == [1, 2, 3]
+    assert set(out.canon_url) == {"site.com/page"}
+    assert set(out.group_size) == {3}
