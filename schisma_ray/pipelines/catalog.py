@@ -3052,6 +3052,100 @@ def q_url_canonical_dups(sf_dir: str):
     return url_canonical_dups(ds)
 
 
+def q_image_payload_violations(sf_dir: str):
+    """Decode-free truncation detection: payload bytes per claimed
+    pixel (e6 int) below 1.0 means the blob cannot possibly hold the
+    declared dimensions — caught at parquet-scan cost, no codec
+    needed. Pure map_batches over (bytes, w, h)."""
+    from ..stages.crossfield import cross_field_violations, payload_ratio_rule
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "bytes", "w", "h"])
+    return cross_field_violations(ds, [payload_ratio_rule()])
+
+
+def q_image_caption_conform(sf_dir: str):
+    """Caption repair (conform action on the hook rules): null -> ''
+    (the schema default), over-long captions truncated to 256 chars.
+    Row-local, zero shuffle; the full repaired column ships out."""
+    import pyarrow.compute as pc
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "caption"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = t["caption"].combine_chunks() if isinstance(
+            t["caption"], pa.ChunkedArray) else t["caption"]
+        c = pc.fill_null(c, "")
+        # ASCII captions: codeunit slice == character slice (SQL substr)
+        c = pc.if_else(pc.greater(pc.utf8_length(c), 256),
+                       pc.utf8_slice_codeunits(c, 0, 256), c)
+        return pa.table({"image_id": t["image_id"], "caption": c})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_image_clean_ids(sf_dir: str):
+    """Quarantine split, clean side: ids of rows with ZERO violations
+    of any check — a bucketed anti-join of the id column against the
+    violation row_refs (the referential shuffle machinery reused with
+    the violation set as the exclusion list; right side scales with
+    data, so broadcast would be the wrong default at 100 TB)."""
+    vio = _project_violations(validate_images(_img_dir(sf_dir), fused=True))
+    refs = vio.map_batches(
+        lambda t: pa.table({"image_id": t["row_ref"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    imgs = read_images(_img_dir(sf_dir), ["image_id"])
+    clean = referential_violations(imgs, "image_id", refs,
+                                   strategy="shuffle")
+    return clean.map_batches(
+        lambda t: pa.table({"image_id": t["row_ref"]}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def q_fmt_area_rollup(sf_dir: str):
+    """Multi-level aggregate (GROUP BY ROLLUP): per-fmt row counts and
+    pixel-area sums PLUS the grand-total row (fmt NULL), computed from
+    the same combiner-first partials — the subtotal/total report shape.
+    """
+    import pyarrow.compute as pc
+
+    from ..stages.stats import grouped_moments
+
+    ds = read_images(_img_dir(sf_dir), ["fmt", "w", "h"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        w = pc.cast(t["w"], pa.int64())
+        h = pc.cast(t["h"], pa.int64())
+        a = pc.multiply(w, h)
+        return pa.table({"fmt": t["fmt"], "area": a, "area2": a})
+
+    g = grouped_moments(
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        "fmt", "area", "area2",
+    )
+    n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = g["sum_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fmts = g["fmt"].to_pylist() + [None]
+    return pa.table({
+        "fmt": pa.array(fmts, pa.string()),
+        "n_rows": pa.array(np.append(n, n.sum()), pa.int64()),
+        "sum_area": pa.array(np.append(s, s.sum()), pa.int64()),
+    })
+
+
+def q_html_extracted(sf_dir: str):
+    """HTML main-content extraction (the trafilatura slot): strip
+    head/script/style/comments/boilerplate blocks, drop tags, decode
+    entities, collapse whitespace — one RE2 rule chain, identical
+    engine on both sides. Pure map, zero shuffle."""
+    from ..sources.html_fixture import html_documents
+    from ..stages.html import html_extract
+
+    ds = rd.read_parquet(str(html_documents(sf_dir)))
+    return html_extract(ds)
+
+
 # ------------------------------------------------------------------ oracle
 def _oracle_sql() -> dict[str, str]:
     from ..sources.embedding_fixture import seeded_near_dup_embeddings
@@ -3072,6 +3166,9 @@ def _oracle_sql() -> dict[str, str]:
 
     url_docs = f"read_parquet('{url_documents(ORACLE_SF_DIR)}')"
     url_bl = f"read_parquet('{blocklist_file(ORACLE_SF_DIR)}')"
+    from ..sources.html_fixture import html_documents
+
+    html_docs = f"read_parquet('{html_documents(ORACLE_SF_DIR)}')"
     from ..sources.line_fixture import format_documents
 
     fmt_docs = f"read_parquet('{format_documents(ORACLE_SF_DIR)}')"
@@ -3210,6 +3307,61 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
          AS dup_frac_e6
   FROM per
+""",
+        "image_payload_violations": f"""
+WITH im AS (SELECT * FROM {img})
+SELECT image_id AS row_ref, 'bytes' AS path, 'invalid' AS code,
+       'payload_e6_per_px >= 1000000' AS expected,
+       CAST(CAST(octet_length(bytes) AS BIGINT) * 1000000
+            // (CAST(w AS BIGINT) * h) AS VARCHAR) AS received
+  FROM im
+ WHERE bytes IS NOT NULL AND w IS NOT NULL AND h IS NOT NULL
+   AND CAST(w AS BIGINT) * h > 0
+   AND CAST(octet_length(bytes) AS BIGINT) * 1000000
+       // (CAST(w AS BIGINT) * h) < 1000000
+""",
+        "image_caption_conform": f"""
+SELECT image_id,
+       CASE WHEN caption IS NULL THEN ''
+            WHEN length(caption) > 256 THEN substr(caption, 1, 256)
+            ELSE caption END AS caption
+  FROM {img}
+""",
+        "image_clean_ids": f"""
+SELECT image_id FROM {img}
+ WHERE image_id NOT IN (SELECT row_ref FROM {expviol})
+""",
+        "fmt_area_rollup": f"""
+SELECT fmt, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(w AS BIGINT) * h) AS BIGINT) AS sum_area
+  FROM {img}
+ WHERE fmt IS NOT NULL AND w IS NOT NULL AND h IS NOT NULL
+ GROUP BY ROLLUP(fmt)
+""",
+        "html_extracted": f"""
+WITH s0 AS (SELECT doc_id,
+        regexp_replace(html, '(?s)<head[^>]*>.*?</head>', '', 'g') AS t
+        FROM {html_docs}),
+s1 AS (SELECT doc_id,
+        regexp_replace(t, '(?s)<script[^>]*>.*?</script>', '', 'g') AS t
+        FROM s0),
+s2 AS (SELECT doc_id,
+        regexp_replace(t, '(?s)<style[^>]*>.*?</style>', '', 'g') AS t
+        FROM s1),
+s3 AS (SELECT doc_id,
+        regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
+s4 AS (SELECT doc_id,
+        regexp_replace(t, '(?s)<div class="(?:nav|footer)">.*?</div>',
+                       '', 'g') AS t
+        FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s4),
+s6 AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS t
+        FROM s5),
+s7 AS (SELECT doc_id, regexp_replace(t, '\\s+', ' ', 'g') AS t FROM s6)
+SELECT doc_id, trim(t, ' ') AS text FROM s7
 """,
         "url_canonical_dups": rf"""
 WITH canon AS (
@@ -5135,6 +5287,11 @@ QUERIES = {
     "caption_area_moments": q_caption_area_moments,
     "dup_gram_docs": q_dup_gram_docs,
     "url_canonical_dups": q_url_canonical_dups,
+    "image_payload_violations": q_image_payload_violations,
+    "image_caption_conform": q_image_caption_conform,
+    "image_clean_ids": q_image_clean_ids,
+    "fmt_area_rollup": q_fmt_area_rollup,
+    "html_extracted": q_html_extracted,
     "image_phash_duplicates": q_image_phash_duplicates,
     "image_phash_near_dups": q_image_phash_near_dups,
     "image_near_dedup_survivors": q_image_near_dedup_survivors,

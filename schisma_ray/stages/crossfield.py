@@ -102,6 +102,38 @@ def length_rule(col: str = "caption", lo: int = 1, hi: int = 256) -> CrossRule:
     return CrossRule(path=col, expected=f"length in [{lo}, {hi}]", fn=fn)
 
 
+def payload_ratio_rule(bytes_col: str = "bytes", w: str = "w",
+                       h: str = "h", lo_e6: int = 1_000_000) -> CrossRule:
+    """Payload bytes per claimed pixel as an e6 integer
+    (``octet_length(bytes) * 1e6 // (w * h)``) must be at least
+    ``lo_e6`` — a DECODE-FREE truncation detector: a payload an order
+    of magnitude smaller than its declared dimensions cannot decode,
+    and this catches it at parquet-scan cost instead of codec cost
+    (on the seeded fixture the rule separates cleanly: truncated rows
+    sit under 160k e6, the smallest intact payload at 2.2M e6)."""
+
+    def fn(batch: pa.Table):
+        b = pc.cast(pc.binary_length(batch[bytes_col]), pa.int64())
+        wa, ha = _i64(batch[w]), _i64(batch[h])
+        area = pc.multiply(wa, ha)
+        ok_in = pc.and_(
+            pc.is_valid(b),
+            pc.and_(pc.is_valid(area),
+                    pc.greater(pc.fill_null(area, 0), 0)),
+        )
+        safe_area = pc.if_else(pc.greater(pc.fill_null(area, 0), 0),
+                               area, pa.scalar(1, pa.int64()))
+        ratio = pc.divide(pc.multiply(b, 1_000_000), safe_area)
+        fail = pc.and_(ok_in, pc.less(ratio, lo_e6))
+        return fail, pc.cast(ratio, pa.string())
+
+    return CrossRule(
+        path=bytes_col,
+        expected=f"payload_e6_per_px >= {lo_e6}",
+        fn=fn,
+    )
+
+
 #: the default image-table rule set (fires on the seeded fixture:
 #: extreme aspect from independent w/h draws, empty + runaway captions)
 IMAGE_CROSS_RULES = (aspect_rule(), area_rule(), length_rule())

@@ -194,3 +194,90 @@ def test_url_canonical_dups(ray_session):
     assert sorted(out.doc_id) == [1, 2, 3]
     assert set(out.canon_url) == {"site.com/page"}
     assert set(out.group_size) == {3}
+
+
+# --------------------------------------------------------- payload ratio
+def test_payload_ratio_rule(ray_session):
+    from schisma_ray.stages.crossfield import (
+        cross_field_violations,
+        payload_ratio_rule,
+    )
+
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array(["ok", "trunc", "nullb", "nullw"], pa.string()),
+        "bytes": pa.array([b"x" * 3000, b"x" * 10, None, b"x" * 3000],
+                          pa.binary()),
+        "w": pa.array([20, 20, 20, None], pa.int32()),
+        "h": pa.array([20, 20, 20, 20], pa.int32()),
+    }))
+    out = cross_field_violations(ds, [payload_ratio_rule()]).to_pandas()
+    assert list(out.row_ref) == ["trunc"]
+    # 10 * 1e6 // 400 = 25000
+    assert list(out.received) == ["25000"]
+    assert list(out.path) == ["bytes"]
+
+
+# ----------------------------------------------------------- html extract
+def test_extract_text_rules():
+    from schisma_ray.stages.html import extract_text
+
+    html = pa.array([
+        '<html><head><title>T</title><style>a{x}</style>'
+        '<script>if(1){go()}</script></head><body>'
+        '<!-- c --><div class="nav"><a href="/">home</a></div>'
+        '<h1>Hello</h1> <p>a &amp; b &lt;tag&gt; &quot;q&quot; &#39;s&#39;'
+        ' &nbsp;end</p><div class="footer">foot</div></body></html>',
+        "plain text, no markup",
+        "<p>unclosed paragraph",
+    ], pa.string())
+    got = extract_text(html).to_pylist()
+    assert got[0] == 'Hello a & b <tag> "q" \'s\' end'
+    assert got[1] == "plain text, no markup"
+    assert got[2] == "unclosed paragraph"
+
+
+def test_extract_text_script_content_removed():
+    from schisma_ray.stages.html import extract_text
+
+    got = extract_text(pa.array(
+        ["<body>keep <script>var secret = 1;</script>this</body>"],
+        pa.string())).to_pylist()
+    assert got == ["keep this"]
+
+
+# ---------------------------------------------------- catalog composites
+def test_fmt_area_rollup_total_row(ray_session):
+    from schisma_ray.pipelines.catalog import q_fmt_area_rollup
+
+    out = q_fmt_area_rollup("/root/testdata/sf0.001").to_pandas()
+    total = out[out.fmt.isna()]
+    per = out[out.fmt.notna()]
+    assert len(total) == 1
+    assert total.n_rows.iloc[0] == per.n_rows.sum()
+    assert total.sum_area.iloc[0] == per.sum_area.sum()
+
+
+def test_image_clean_ids_complement(ray_session):
+    from schisma_ray.pipelines.catalog import (
+        q_image_clean_ids,
+        q_image_validate_full,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    clean = set(q_image_clean_ids(sf).to_pandas().image_id)
+    vio = set(q_image_validate_full(sf).to_pandas().row_ref)
+    assert clean.isdisjoint(vio)
+    from schisma_ray.sources import image_table
+    n = image_table.rows_for_sf(sf)
+    assert len(clean) + len(vio) == n
+
+
+def test_image_caption_conform_repairs(ray_session):
+    from schisma_ray.pipelines.catalog import q_image_caption_conform
+
+    out = q_image_caption_conform("/root/testdata/sf0.001").to_pandas()
+    caps = out.caption
+    assert caps.notna().all()
+    assert (caps.str.len() <= 256).all()
+    # seeded long captions (i % 137 == 23) were truncated to exactly 256
+    assert (caps.str.len() == 256).any()
