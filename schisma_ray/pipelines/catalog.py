@@ -3146,6 +3146,88 @@ def q_html_extracted(sf_dir: str):
     return html_extract(ds)
 
 
+def q_image_brightness(sf_dir: str):
+    """Decode-based EXACT integer brightness stats per image (actor
+    pool; state-in-__init__ model-stage signature): pixel count, int64
+    channel sums, e6 floor means. Oracled against the generator's
+    independent bookkeeping — a decode-COMPUTE op whose distributed
+    plumbing is bit-checkable, unlike the float feature vectors."""
+    from ..stages.multimodal import BrightnessStats
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "bytes"])
+    return ds.map_batches(
+        BrightnessStats,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=(2, 8),
+    )
+
+
+def q_violation_samples(sf_dir: str, k: int = 5):
+    """Deterministic review sample: for every (path, code) check, the
+    ``k`` violations with the smallest (md5-uniform, row_ref) — the
+    'show me 5 examples of each failure' ops surface, stable across
+    runs and parallelism. Per-block local top-k partials (bounded by
+    checks x k per block), tiny driver merge."""
+    import pandas as _pd
+
+    from ..stages._digest import md5_u32
+
+    vio = _project_violations(validate_images(_img_dir(sf_dir), fused=True))
+
+    def local_topk(df: _pd.DataFrame) -> _pd.DataFrame:
+        if not len(df):
+            return df[["path", "code", "row_ref"]].assign(u=_pd.Series(dtype="int64"))
+        df = df.assign(u=md5_u32(df["row_ref"].tolist()))
+        df = df.sort_values(["path", "code", "u", "row_ref"], kind="mergesort")
+        return df.groupby(["path", "code"], sort=False).head(k)[
+            ["path", "code", "row_ref", "u"]
+        ]
+
+    parts = _collect(
+        vio.map_batches(local_topk, batch_format="pandas"),
+        ["path", "code", "row_ref", "u"],
+    )
+    df = parts.to_pandas()
+    if len(df):
+        df = df.sort_values(["path", "code", "u", "row_ref"], kind="mergesort")
+        df = df.groupby(["path", "code"], sort=False).head(k)
+    return pa.table({
+        "path": pa.array(df["path"].tolist(), pa.string()),
+        "code": pa.array(df["code"].tolist(), pa.string()),
+        "row_ref": pa.array(df["row_ref"].tolist(), pa.string()),
+    })
+
+
+def q_run_verdict(sf_dir: str):
+    """One-row release gate: total rows, violation rows, e6 violation
+    rate with a threshold verdict, chi-square fmt-drift statistic with
+    a critical-value verdict, and the combined PASS — the whole-run
+    complement of `partition_verdicts`. Each input is a distributed
+    aggregate; the composition is a one-row driver fold."""
+    from ..stages._math import frac_e6
+
+    n_rows = read_images(_img_dir(sf_dir), ["image_id"]).count()
+    n_vio = _project_violations(
+        validate_images(_img_dir(sf_dir), fused=True)
+    ).count()
+    counts = read_images(_img_dir(sf_dir), ["fmt"]).aggregate(
+        ValueCounts("fmt", alias_name="vc")
+    )["vc"]
+    d = categorical_drift(counts, image_table.FMT_PROBS)
+    rate = int(frac_e6(np.array([n_vio], np.int64),
+                       np.array([n_rows], np.int64))[0])
+    stat = round(d["statistic"], 6)
+    rate_ok = rate <= 100_000
+    drift_ok = stat <= 9.21  # chi2 dof=2 critical value at alpha=0.01
+    return pd.DataFrame([{
+        "n_rows": n_rows, "n_violations": n_vio, "rate_e6": rate,
+        "rate_ok": rate_ok, "drift_statistic": stat,
+        "drift_ok": drift_ok, "verdict": bool(rate_ok and drift_ok),
+    }])
+
+
 # ------------------------------------------------------------------ oracle
 def _oracle_sql() -> dict[str, str]:
     from ..sources.embedding_fixture import seeded_near_dup_embeddings
@@ -3169,6 +3251,9 @@ def _oracle_sql() -> dict[str, str]:
     from ..sources.html_fixture import html_documents
 
     html_docs = f"read_parquet('{html_documents(ORACLE_SF_DIR)}')"
+    from ..sources.brightness_fixture import brightness_expected
+
+    bright = f"read_parquet('{brightness_expected(ORACLE_SF_DIR)}')"
     from ..sources.line_fixture import format_documents
 
     fmt_docs = f"read_parquet('{format_documents(ORACLE_SF_DIR)}')"
@@ -3307,6 +3392,42 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
          AS dup_frac_e6
   FROM per
+""",
+        "image_brightness": f"""
+SELECT image_id, n_px, sum_r, mean_r_e6, sum_g, mean_g_e6,
+       sum_b, mean_b_e6
+  FROM {bright}
+""",
+        "violation_samples": f"""
+SELECT path, code, row_ref FROM (
+  SELECT path, code, row_ref,
+         row_number() OVER (
+           PARTITION BY path, code
+           ORDER BY CAST(concat('0x', substr(md5(row_ref), 1, 8)) AS BIGINT),
+                    row_ref) AS rn
+    FROM {expviol}) t
+ WHERE rn <= 5
+""",
+        "run_verdict": f"""
+WITH v AS (SELECT count(*) AS n_violations FROM {expviol}),
+r AS (SELECT count(*) AS n_rows FROM {img}),
+c AS (SELECT fmt, CAST(count(*) AS DOUBLE) AS cnt FROM {img} GROUP BY fmt),
+n AS (SELECT sum(cnt) AS total FROM c),
+e AS (SELECT * FROM (VALUES ('png', 0.70), ('jpeg', 0.25), ('webp', 0.05))
+      AS p(fmt, freq)),
+d AS (SELECT ROUND(SUM(POWER(COALESCE(c.cnt, 0) - e.freq * n.total, 2)
+                       / (e.freq * n.total)), 6) AS stat
+        FROM e CROSS JOIN n LEFT JOIN c ON c.fmt = e.fmt GROUP BY n.total),
+g AS (SELECT r.n_rows, v.n_violations,
+             (2 * v.n_violations * 1000000 + r.n_rows)
+               // (2 * r.n_rows) AS rate_e6,
+             d.stat AS drift_statistic
+        FROM r CROSS JOIN v CROSS JOIN d)
+SELECT n_rows, n_violations, rate_e6,
+       rate_e6 <= 100000 AS rate_ok, drift_statistic,
+       drift_statistic <= 9.21 AS drift_ok,
+       (rate_e6 <= 100000 AND drift_statistic <= 9.21) AS verdict
+  FROM g
 """,
         "image_payload_violations": f"""
 WITH im AS (SELECT * FROM {img})
@@ -5292,6 +5413,9 @@ QUERIES = {
     "image_clean_ids": q_image_clean_ids,
     "fmt_area_rollup": q_fmt_area_rollup,
     "html_extracted": q_html_extracted,
+    "image_brightness": q_image_brightness,
+    "violation_samples": q_violation_samples,
+    "run_verdict": q_run_verdict,
     "image_phash_duplicates": q_image_phash_duplicates,
     "image_phash_near_dups": q_image_phash_near_dups,
     "image_near_dedup_survivors": q_image_near_dedup_survivors,

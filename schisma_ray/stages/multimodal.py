@@ -125,6 +125,41 @@ class ImageFeatures:
         )
 
 
+class BrightnessStats:
+    """Actor: decode -> EXACT integer per-channel brightness stats per
+    row: pixel count plus int64 channel sums and e6 floor means. All
+    integers, so the distributed plumbing (routing, skips, aggregation)
+    is oracle-checkable bit-for-bit against the generator's independent
+    bookkeeping (sources/brightness_fixture.py) — the decode itself is
+    pinned by the codec property tests. Undecodable rows are dropped
+    (they already carry a ``bytes`` decode violation)."""
+
+    def __init__(self, id_col: str = "image_id"):
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, npx, sums = [], [], []
+        for rid, blob in zip(batch[self.id_col].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            try:
+                pixels, _ = codec.decode(blob)
+            except (codec.CodecError, TypeError):
+                continue
+            ids.append(rid)
+            npx.append(pixels.shape[0] * pixels.shape[1])
+            sums.append(pixels.astype(np.int64).sum(axis=(0, 1)))
+        s = (np.stack(sums) if sums else np.empty((0, 3), np.int64))
+        n = np.asarray(npx, np.int64)
+        safe = np.where(n > 0, n, 1)
+        cols = {self.id_col: pa.array(ids, pa.string()),
+                "n_px": pa.array(n, pa.int64())}
+        for c, name in enumerate(("r", "g", "b")):
+            cols[f"sum_{name}"] = pa.array(s[:, c], pa.int64())
+            cols[f"mean_{name}_e6"] = pa.array(
+                s[:, c] * 1_000_000 // safe, pa.int64())
+        return pa.table(cols)
+
+
 class AudioFeatures:
     """Actor: decode audio bytes -> dense feature vector per row
     (duration, RMS, zero-crossing rate, FFT band energies). Same actor

@@ -281,3 +281,79 @@ def test_image_caption_conform_repairs(ray_session):
     assert (caps.str.len() <= 256).all()
     # seeded long captions (i % 137 == 23) were truncated to exactly 256
     assert (caps.str.len() == 256).any()
+
+
+# ------------------------------------------------------------ brightness
+def test_brightness_stats_exact(ray_session):
+    from schisma_ray.sources import codec
+    from schisma_ray.stages.multimodal import BrightnessStats
+
+    rng = np.random.default_rng(5)
+    imgs = [rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            for h, w in [(8, 8), (12, 20), (9, 16)]]
+    blobs = [codec.encode(p, "png") for p in imgs]
+    blobs.append(codec.encode(imgs[0], "png")[:10])  # truncated -> dropped
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array(["a", "b", "c", "bad"], pa.string()),
+        "bytes": pa.array(blobs, pa.binary()),
+    }))
+    out = ds.map_batches(BrightnessStats, batch_format="pyarrow",
+                         zero_copy_batch=True, concurrency=2).to_pandas()
+    assert list(out.image_id) == ["a", "b", "c"]
+    for row, blob in zip(out.itertuples(), blobs):
+        pixels, _ = codec.decode(blob)
+        n = pixels.shape[0] * pixels.shape[1]
+        assert row.n_px == n
+        for ci, name in enumerate("rgb"):
+            s = int(pixels[:, :, ci].astype(np.int64).sum())
+            assert getattr(row, f"sum_{name}") == s
+            assert getattr(row, f"mean_{name}_e6") == s * 1_000_000 // n
+
+
+def test_brightness_fixture_parity(ray_session):
+    """Distributed stage == generator-side bookkeeping at sf0.001."""
+    import pyarrow.parquet as pq
+
+    from schisma_ray.pipelines.catalog import q_image_brightness
+    from schisma_ray.sources.brightness_fixture import brightness_expected
+
+    sf = "/root/testdata/sf0.001"
+    got = q_image_brightness(sf).to_pandas().sort_values(
+        "image_id").reset_index(drop=True)
+    exp = pq.read_table(brightness_expected(sf)).to_pandas().sort_values(
+        "image_id").reset_index(drop=True)
+    assert got.equals(exp[got.columns.tolist()])
+
+
+# ------------------------------------------------------ verdict composites
+def test_violation_samples_k_per_check(ray_session):
+    from schisma_ray.pipelines.catalog import (
+        q_image_validate_full,
+        q_violation_samples,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_violation_samples(sf).to_pandas()
+    sizes = out.groupby(["path", "code"]).size()
+    assert (sizes <= 5).all()
+    vio = q_image_validate_full(sf).to_pandas()
+    full = vio.groupby(["path", "code"]).size()
+    for key, n in full.items():
+        assert sizes.get(key, 0) == min(5, n)
+    # deterministic: the sample is the md5-smallest refs of each check
+    bucket = vio.assign(
+        u=[_md5_bucket(r, 1 << 62) for r in vio.row_ref])
+    for (p, c), grp in bucket.groupby(["path", "code"]):
+        want = set(grp.sort_values(["u", "row_ref"]).head(5).row_ref)
+        got = set(out[(out.path == p) & (out.code == c)].row_ref)
+        assert got == want
+
+
+def test_run_verdict_consistent(ray_session):
+    from schisma_ray.pipelines.catalog import q_run_verdict
+
+    row = q_run_verdict("/root/testdata/sf0.001").iloc[0]
+    assert row.rate_ok == (row.rate_e6 <= 100_000)
+    assert row.drift_ok == (row.drift_statistic <= 9.21)
+    assert row.verdict == (row.rate_ok and row.drift_ok)
+    assert row.n_rows == 1000
