@@ -3478,8 +3478,8 @@ s4 AS (SELECT doc_id,
 s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s4),
 s6 AS (SELECT doc_id,
         replace(replace(replace(replace(replace(replace(t,
-          '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-          '&quot;', '"'), '&#39;', chr(39)), '&nbsp;', ' ') AS t
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+          '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
         FROM s5),
 s7 AS (SELECT doc_id, regexp_replace(t, '\\s+', ' ', 'g') AS t FROM s6)
 SELECT doc_id, trim(t, ' ') AS text FROM s7

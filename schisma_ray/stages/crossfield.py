@@ -163,7 +163,7 @@ def cross_field_violations(ds, rules=IMAGE_CROSS_RULES, *,
             }))
         if not parts:
             return pa.table({
-                "row_ref": pa.array([], pa.string()),
+                "row_ref": pa.array([], batch.schema.field(id_col).type),
                 "path": pa.array([], pa.string()),
                 "code": pa.array([], pa.string()),
                 "expected": pa.array([], pa.string()),

@@ -29,15 +29,17 @@ STRIP_RULES = (
     r'(?s)<div class="(?:nav|footer)">.*?</div>',  # boilerplate blocks
 )
 
-#: fixed entity set, decoded in order (amp last would double-decode;
-#: decoding it FIRST matches the fixture's literal '&amp;' payloads)
+#: fixed entity set, decoded in order. ``&amp;`` is decoded LAST — the
+#: standard order: a double-escaped payload like ``&amp;lt;`` must
+#: yield the literal text ``&lt;``, which amp-first would wrongly
+#: decode a second time into ``<``.
 ENTITIES = (
-    ("&amp;", "&"),
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
     ("&#39;", "'"),
     ("&nbsp;", " "),
+    ("&amp;", "&"),
 )
 
 

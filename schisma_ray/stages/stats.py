@@ -534,10 +534,13 @@ def grouped_moments(ds, key_col: str, x_col: str, y_col: str) -> pa.Table:
             partial, batch_format="pyarrow", zero_copy_batch=True
         ).iter_batches(batch_format="pyarrow", batch_size=None)
     ]
-    parts = [t for t in parts if t.num_rows]
-    if not parts:
+    if not parts:  # zero blocks: derive the key type from the dataset
+        try:
+            key_type = ds.schema().base_schema.field(key_col).type
+        except Exception:
+            key_type = pa.string()
         return pa.schema(
-            [(key_col, pa.string())]
+            [(key_col, key_type)]
             + [(c, pa.int64()) for c in
                ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy")]
         ).empty_table()
