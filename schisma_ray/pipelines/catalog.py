@@ -2311,6 +2311,29 @@ def q_validate_embedding_lists(sf_dir: str):
     )
 
 
+def q_embedding_validity(sf_dir: str):
+    """Vector-sanity validation over the corrupt-embedding fixture
+    (planted NaN / ±inf elements, null elements, all-zero vectors,
+    truncated lists — the degenerate embeddings a trained-on corpus
+    must not contain): finite element check, non-null element check,
+    non-zero-vector check, length invariant — all in ONE flattened
+    kernel pass per batch, zero shuffle."""
+    from ..sources.embedding_fixture import corrupt_embeddings
+    from ..stages.struct_validate import validate_list_column
+    from ..stages.table_schema import finite_check
+
+    ds = rd.read_parquet(str(corrupt_embeddings(sf_dir)))
+    return _collect(
+        validate_list_column(
+            ds, col="embedding", id_col="vec_id",
+            element_checks=[finite_check()],
+            min_len=4, max_len=64,
+            forbid_null_elements=True, forbid_zero_vector=True,
+        ),
+        ["vec_id", "path", "code", "expected"],
+    )
+
+
 def q_lang_mismatches(sf_dir: str):
     """Label-consistency audit: documents whose declared lang disagrees
     with the heuristic prediction (mislabeled-data sweep). Same
@@ -2487,7 +2510,48 @@ def q_fd_violations(sf_dir: str):
     ds = read_images(_img_dir(sf_dir), ["phash", "fmt"])
     return _collect(
         fd_violations(ds, lhs="phash", rhs="fmt", min_group=2),
-        ["phash", "n_rhs"],
+        ["phash", "n_rows", "n_rhs"],
+    )
+
+
+def q_coverage_gaps(sf_dir: str):
+    """Stratum-coverage audit over (fmt, w-bucket-of-4): expected grid
+    includes 'gif' (never generated) so the gap set is falsifiable —
+    every gif cell must surface, every represented cell must not. The
+    complement of the drift checks: absent strata, not skewed ones."""
+    from ..stages.profile import coverage_gaps
+
+    ds = read_images(_img_dir(sf_dir), ["fmt", "w"])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # non-negative w only: DuckDB // truncates, numpy floors
+        t = t.filter(pc.and_(pc.is_valid(t["w"]),
+                             pc.greater_equal(t["w"], 0)))
+        b = pc.cast(pc.divide(t["w"], 4), pa.int64())
+        return pa.table({"fmt": t["fmt"], "w_bucket": b})
+
+    return coverage_gaps(
+        ds.map_batches(add_bucket, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        cols=["fmt", "w_bucket"],
+        expected={"fmt": ["gif", "jpeg", "png", "webp"],
+                  "w_bucket": list(range(2, 9))},
+    )
+
+
+def q_caption_conflicts(sf_dir: str):
+    """Label-conflict audit over duplicated perceptual hashes: phash
+    groups (the same image content) carrying MORE than one distinct
+    caption — the classic "duplicate images, conflicting labels"
+    training-data check (102 conflicting groups at sf0.01). Same
+    combiner-first FD kernel as `fd_violations`: batches collapse to
+    distinct (phash, caption) pairs before the one bucket shuffle."""
+    from ..stages.profile import fd_violations
+
+    ds = read_images(_img_dir(sf_dir), ["phash", "caption"])
+    return _collect(
+        fd_violations(ds, lhs="phash", rhs="caption", min_group=2),
+        ["phash", "n_rows", "n_rhs"],
     )
 
 
@@ -3241,6 +3305,9 @@ def _oracle_sql() -> dict[str, str]:
     from ..sources.line_fixture import c4_documents, line_documents
 
     pair_emb = f"read_parquet('{paired_caption_embeddings(ORACLE_SF_DIR)}')"
+    from ..sources.embedding_fixture import corrupt_embeddings
+
+    emb_corrupt = f"read_parquet('{corrupt_embeddings(ORACLE_SF_DIR)}')"
 
     line_docs = f"read_parquet('{line_documents(ORACLE_SF_DIR)}')"
     c4_docs = f"read_parquet('{c4_documents(ORACLE_SF_DIR)}')"
@@ -4788,6 +4855,26 @@ SELECT vec_id, 'embedding', 'invalid', 'length in [1, 64]'
   FROM e WHERE embedding IS NOT NULL
    AND (len(embedding) < 1 OR len(embedding) > 64)
 """,
+        "embedding_validity": f"""
+WITH e AS (SELECT vec_id, embedding FROM {emb_corrupt}),
+el AS (SELECT vec_id, i - 1 AS idx, embedding[i] AS v
+         FROM e, unnest(range(1, len(embedding) + 1)) AS t(i))
+SELECT vec_id, 'embedding.' || CAST(idx AS VARCHAR) AS path,
+       'invalid' AS code, 'finite' AS expected
+  FROM el WHERE v IS NOT NULL AND (isnan(v) OR isinf(v))
+UNION ALL
+SELECT vec_id, 'embedding.' || CAST(idx AS VARCHAR), 'invalid',
+       'non-null element'
+  FROM el WHERE v IS NULL
+UNION ALL
+SELECT vec_id, 'embedding', 'invalid', 'non-zero vector'
+  FROM e WHERE embedding IS NOT NULL AND len(embedding) > 0
+   AND len(list_filter(embedding, x -> x IS NOT NULL AND x <> 0.0)) = 0
+UNION ALL
+SELECT vec_id, 'embedding', 'invalid', 'length in [4, 64]'
+  FROM e WHERE embedding IS NOT NULL
+   AND (len(embedding) < 4 OR len(embedding) > 64)
+""",
         "lang_mismatches": """
 WITH t AS (SELECT doc_id, lang, text, string_split(lower(text), ' ') AS words
              FROM documents),
@@ -4855,10 +4942,30 @@ SELECT n.n_name,
  GROUP BY 1
 """,
         "fd_violations": f"""
-SELECT phash, CAST(count(DISTINCT fmt) AS BIGINT) AS n_rhs
+SELECT phash, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT fmt) AS BIGINT) AS n_rhs
   FROM {img} WHERE phash IS NOT NULL
  GROUP BY phash
 HAVING count(DISTINCT fmt) > 1 AND count(*) >= 2
+""",
+        "coverage_gaps": f"""
+WITH grid AS (
+  SELECT f.fmt, b.w_bucket
+    FROM (VALUES ('gif'), ('jpeg'), ('png'), ('webp')) f(fmt)
+   CROSS JOIN (VALUES (2), (3), (4), (5), (6), (7), (8)) b(w_bucket)),
+obs AS (
+  SELECT DISTINCT fmt, CAST(w // 4 AS BIGINT) AS w_bucket
+    FROM {img}
+   WHERE fmt IS NOT NULL AND w IS NOT NULL AND w >= 0)
+SELECT fmt, CAST(w_bucket AS BIGINT) AS w_bucket
+  FROM grid ANTI JOIN obs USING (fmt, w_bucket)
+""",
+        "caption_conflicts": f"""
+SELECT phash, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT caption) AS BIGINT) AS n_rhs
+  FROM {img} WHERE phash IS NOT NULL
+ GROUP BY phash
+HAVING count(DISTINCT caption) > 1 AND count(*) >= 2
 """,
         "lineitem_mad_outliers": """
 WITH c AS (SELECT l_orderkey, l_linenumber,
@@ -5548,12 +5655,15 @@ QUERIES = {
     "validate_struct_events": q_validate_struct_events,
     "validate_map_events": q_validate_map_events,
     "validate_embedding_lists": q_validate_embedding_lists,
+    "embedding_validity": q_embedding_validity,
     "lang_mismatches": q_lang_mismatches,
     "top_tokens": q_top_tokens,
     "event_type_cooccurrence": q_event_type_cooccurrence,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
     "fd_violations": q_fd_violations,
+    "caption_conflicts": q_caption_conflicts,
+    "coverage_gaps": q_coverage_gaps,
     "lineitem_mad_outliers": q_lineitem_mad_outliers,
     "event_gaps": q_event_gaps,
     "image_byte_dupes": q_image_byte_dupes,

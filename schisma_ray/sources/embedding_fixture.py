@@ -75,6 +75,64 @@ def seeded_near_dup_embeddings(sf_dir: str, *, n_planted: int = 16,
     return out
 
 
+def corrupt_embeddings(sf_dir: str) -> Path:
+    """Embedding table with planted vector-validity anomalies — the
+    falsifiable input for the NaN/Inf/zero-norm/null-element/length
+    checks (the base table is fully clean, so an unseeded validity
+    query passes vacuously). One anomaly class per row, first matching
+    index rule wins; everything is a pure function of the base table
+    and atomically cached so Ray + DuckDB read the same file:
+
+    - ``i % 97 == 3``  -> NaN at element ``i % dim``
+    - ``i % 89 == 5``  -> +inf at element ``i % dim``
+    - ``i % 83 == 7``  -> -inf at element ``i % dim``
+    - ``i % 79 == 11`` -> all-zero vector
+    - ``i % 73 == 13`` -> null element at ``i % dim``
+    - ``i % 71 == 17`` -> truncated to 3 elements
+    """
+    base_path = Path(sf_dir) / "embeddings.parquet"
+    base = pq.read_table(base_path)
+    tag = hashlib.md5(base_path.read_bytes()).hexdigest()[:10]
+    out_dir = CACHE_ROOT / f"emb_corrupt_{tag}_v1"
+    out = out_dir / "embeddings_corrupt.parquet"
+    if out.exists():
+        return out
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    vecs = []
+    for i, v in enumerate(base["embedding"].to_pylist()):
+        v = [np.float32(x) for x in v]
+        dim = len(v)
+        if i % 97 == 3:
+            v[i % dim] = np.float32("nan")
+        elif i % 89 == 5:
+            v[i % dim] = np.float32("inf")
+        elif i % 83 == 7:
+            v[i % dim] = np.float32("-inf")
+        elif i % 79 == 11:
+            v = [np.float32(0.0)] * dim
+        elif i % 73 == 13:
+            v[i % dim] = None
+        elif i % 71 == 17:
+            v = v[:3]
+        vecs.append(v)
+
+    tbl = pa.table(
+        {
+            "vec_id": base["vec_id"],
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, tmp_dir / "embeddings_corrupt.parquet")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
+    return out
+
+
 def paired_caption_embeddings(sf_dir: str, *, mismatch_every: int = 4,
                               eps: float = 0.15, seed: int = 41) -> Path:
     """Image/caption embedding pairs for CLIP-score-style alignment

@@ -85,13 +85,59 @@ def expect_null_rates(ds, budgets: dict[str, float]):
     return prof.map_batches(check, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def coverage_gaps(ds, *, cols: list[str], expected: dict[str, list]):
+    """Stratum-coverage audit: which cells of the expected cross
+    product ``expected[cols[0]] x expected[cols[1]] x ...`` have NO
+    rows in the data — the "is every (format, size-bucket, ...)
+    stratum represented" completeness check that a drift test cannot
+    express (drift compares observed proportions; an entirely absent
+    stratum needs the grid).
+
+    Scale shape: each batch collapses to its distinct combos
+    (combiner), one groupby collapses those globally, and the gap set
+    is computed driver-side over at most ``prod(len(v))`` grid cells —
+    bounded by construction, never by data size. Rows with a null in
+    any audited column don't witness a cell. Returns a pa.Table
+    (``cols``, sorted by the grid order) — a small driver-side result,
+    not a Dataset."""
+    from itertools import product
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.select(cols)
+        mask = None
+        for c in cols:
+            v = pc.is_valid(sub[c])
+            mask = v if mask is None else pc.and_(mask, v)
+        sub = sub.filter(mask)
+        return sub.group_by(cols).aggregate([])
+
+    observed = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(cols)
+        .count()
+        .to_pandas()
+    )
+    if observed.empty or not set(cols).issubset(observed.columns):
+        seen = set()  # zero observed combos (e.g. all-null strata)
+    else:
+        seen = set(map(tuple, observed[cols].itertuples(index=False)))
+    gaps = [combo for combo in product(*(expected[c] for c in cols))
+            if combo not in seen]
+    df = pd.DataFrame(gaps, columns=cols)
+    return pa.Table.from_pandas(df, preserve_index=False) if len(df) else \
+        pa.table({c: pa.array([], pa.array(expected[c]).type) for c in cols})
+
+
 def fd_violations(ds, *, lhs: str, rhs: str, min_group: int = 1,
                   num_buckets: int = 64):
     """Functional-dependency audit ``lhs -> rhs``: every lhs value that
-    maps to MORE than one distinct rhs value, with its distinct-rhs
-    count — the "same key, conflicting attribute" data-quality check.
-    ``min_group`` restricts the audit to lhs values appearing at least
-    that often (total occurrences, not distinct rhs).
+    maps to MORE than one distinct rhs value, with its group size
+    (total occurrences) and distinct-rhs count — the "same key,
+    conflicting attribute" data-quality check. ``min_group`` restricts
+    the audit to lhs values appearing at least that often (total
+    occurrences, not distinct rhs).
 
     Scale shape: each batch first collapses to its DISTINCT (lhs, rhs)
     pairs plus per-pair occurrence counts (combiner — repeated pairs
@@ -120,7 +166,8 @@ def fd_violations(ds, *, lhs: str, rhs: str, min_group: int = 1,
             n_rhs=(rhs, "nunique"), n_rows=("one_sum", "sum")
         )
         bad = agg[(agg["n_rhs"] > 1) & (agg["n_rows"] >= min_group)]
-        out = bad.reset_index()[[lhs, "n_rhs"]]
+        out = bad.reset_index()[[lhs, "n_rows", "n_rhs"]]
+        out["n_rows"] = out["n_rows"].astype("int64")
         out["n_rhs"] = out["n_rhs"].astype("int64")
         return out
 

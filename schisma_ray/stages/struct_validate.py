@@ -111,14 +111,22 @@ def validate_struct_column(ds, *, col: str, id_col: str,
 def validate_list_column(ds, *, col: str, id_col: str,
                          element_checks: list[Check] = (),
                          min_len: int | None = None,
-                         max_len: int | None = None):
+                         max_len: int | None = None,
+                         forbid_null_elements: bool = False,
+                         forbid_zero_vector: bool = False):
     """Native ``pa.list_`` column validation — the array-side twin of
     ``validate_struct_column``: length invariants per row plus
     vectorized element checks over the FLATTENED child array (one
     kernel pass for the whole batch; violating elements report their
     0-based indexed path ``col.IDX`` — schisma's array path shape).
     Null lists on a required column are the caller's concern
-    (compose with the table validator); null lists here emit nothing."""
+    (compose with the table validator); null lists here emit nothing.
+
+    ``forbid_null_elements`` flags null entries INSIDE non-null lists
+    (``invalid`` at ``col.IDX``); ``forbid_zero_vector`` flags non-empty
+    lists with no non-zero valid element (``invalid`` at ``col``) — the
+    degenerate-embedding check (NaN/Inf count as non-zero; compose with
+    ``finite_check`` to catch those)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()
@@ -141,7 +149,7 @@ def validate_list_column(ds, *, col: str, id_col: str,
                         else f"length <= {max_len}")
                 _emit(out, ids, np.flatnonzero(bad), col, "invalid", desc)
 
-        if element_checks:
+        if element_checks or forbid_null_elements or forbid_zero_vector:
             flat = pc.list_flatten(arr)
             parent = pc.list_parent_indices(arr).to_numpy(
                 zero_copy_only=False
@@ -151,15 +159,33 @@ def validate_list_column(ds, *, col: str, id_col: str,
             if len(ln) > 1:
                 starts[1:] = np.cumsum(ln)[:-1]
             pos = np.arange(len(flat), dtype=np.int64) - starts[parent]
+            elem_valid = _np_bool(pc.is_valid(flat))
+
+            def emit_elements(idx: np.ndarray, expected: str) -> None:
+                # per-element emission: id comes from the PARENT row
+                out["id"].append(ids.take(pa.array(parent[idx])))
+                out["path"].extend(f"{col}.{p}" for p in pos[idx])
+                out["code"].extend(["invalid"] * len(idx))
+                out["expected"].extend([expected] * len(idx))
+
             for chk in element_checks:
-                bad = chk.fn(flat) & _np_bool(pc.is_valid(flat))
+                bad = chk.fn(flat) & elem_valid
                 if bad.any():
-                    idx = np.flatnonzero(bad)
-                    # per-element emission: id comes from the PARENT row
-                    out["id"].append(ids.take(pa.array(parent[idx])))
-                    out["path"].extend(f"{col}.{p}" for p in pos[idx])
-                    out["code"].extend(["invalid"] * len(idx))
-                    out["expected"].extend([chk.expected] * len(idx))
+                    emit_elements(np.flatnonzero(bad), chk.expected)
+
+            if forbid_null_elements and not elem_valid.all():
+                emit_elements(np.flatnonzero(~elem_valid),
+                              "non-null element")
+
+            if forbid_zero_vector:
+                nonzero = elem_valid & _np_bool(
+                    pc.fill_null(pc.not_equal(flat, 0), False)
+                )
+                counts = np.bincount(parent[nonzero], minlength=len(arr))
+                bad = valid & (lens_np > 0) & (counts == 0)
+                if bad.any():
+                    _emit(out, ids, np.flatnonzero(bad), col, "invalid",
+                          "non-zero vector")
 
         return _finish(out, id_col, ids)
 

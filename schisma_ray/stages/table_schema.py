@@ -111,6 +111,17 @@ def range_check(lo=None, hi=None) -> Check:
     return Check(f"range{desc}", fn, desc)
 
 
+def finite_check() -> Check:
+    """Violation for NaN / +inf / -inf values (nulls are the caller's
+    concern, as everywhere) — the float-sanity invariant for embedding
+    and metric columns."""
+
+    def fn(col: pa.Array) -> np.ndarray:
+        return ~_np_bool(pc.is_finite(_plain(col)))
+
+    return Check("finite", fn, "finite")
+
+
 def in_set(values) -> Check:
     values = list(values)
 

@@ -852,6 +852,7 @@ def test_fd_violations_bruteforce(ray_session):
     ).to_pandas()
     got = dict(zip(out["k"], out["n_rhs"]))
     assert got == {"a": 2}          # b maps to one v; c/d singletons; null dropped
+    assert dict(zip(out["k"], out["n_rows"])) == {"a": 2}
     out2 = fd_violations(
         rd.from_arrow(t), lhs="k", rhs="v", min_group=3
     ).to_pandas()

@@ -1,0 +1,137 @@
+"""Round-4 third batch: embedding-validity list checks, stratum
+coverage gaps, FD group sizes, caption-conflict audit."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_validate_list_column_validity_checks(ray_session):
+    from schisma_ray.stages.struct_validate import validate_list_column
+    from schisma_ray.stages.table_schema import finite_check
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "embedding": pa.array(
+            [
+                [0.5, -0.5, 1.0],          # clean
+                [0.0, float("nan"), 1.0],  # NaN at idx 1
+                [float("inf"), 0.0, 0.0],  # +inf at idx 0
+                [0.0, 0.0, 0.0],           # zero vector
+                [0.1, None, 0.2],          # null element at idx 1
+                [0.1],                     # too short
+                None,                      # null list -> no emission
+            ],
+            pa.list_(pa.float32()),
+        ),
+    })
+    out = validate_list_column(
+        rd.from_arrow(t).repartition(3),
+        col="embedding", id_col="vec_id",
+        element_checks=[finite_check()],
+        min_len=2, max_len=4,
+        forbid_null_elements=True, forbid_zero_vector=True,
+    ).to_pandas()
+    got = set(map(tuple, out[["vec_id", "path", "expected"]]
+                  .itertuples(index=False)))
+    assert got == {
+        (2, "embedding.1", "finite"),
+        (3, "embedding.0", "finite"),
+        (4, "embedding", "non-zero vector"),
+        (5, "embedding.1", "non-null element"),
+        (6, "embedding", "length in [2, 4]"),
+    }
+    assert (out["code"] == "invalid").all()
+
+
+def test_zero_vector_edge_cases(ray_session):
+    from schisma_ray.stages.struct_validate import validate_list_column
+
+    t = pa.table({
+        "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(
+            [
+                [],                         # empty list: NOT a zero vector
+                [None, None],               # all-null: zero vector
+                [0.0, float("nan")],        # NaN counts as non-zero
+                [0.0, -0.0],                # signed zero is still zero
+            ],
+            pa.list_(pa.float32()),
+        ),
+    })
+    out = validate_list_column(
+        rd.from_arrow(t), col="embedding", id_col="vec_id",
+        forbid_zero_vector=True,
+    ).to_pandas()
+    assert sorted(out["vec_id"]) == [2, 4]
+
+
+def test_coverage_gaps_bruteforce(ray_session):
+    from schisma_ray.stages.profile import coverage_gaps
+
+    t = pa.table({
+        "fmt": pa.array(["png", "png", "jpeg", None, "png"], pa.string()),
+        "b": pa.array([1, 2, 1, 1, None], pa.int64()),
+    })
+    out = coverage_gaps(
+        rd.from_arrow(t).repartition(2),
+        cols=["fmt", "b"],
+        expected={"fmt": ["jpeg", "png"], "b": [1, 2]},
+    ).to_pandas()
+    got = set(map(tuple, out.itertuples(index=False)))
+    # observed: (png,1) (png,2) (jpeg,1); null rows witness nothing
+    assert got == {("jpeg", 2)}
+
+
+def test_coverage_gaps_empty_observed(ray_session):
+    from schisma_ray.stages.profile import coverage_gaps
+
+    t = pa.table({
+        "fmt": pa.array([None, None], pa.string()),
+        "b": pa.array([1, 2], pa.int64()),
+    })
+    out = coverage_gaps(
+        rd.from_arrow(t), cols=["fmt", "b"],
+        expected={"fmt": ["png"], "b": [1]},
+    ).to_pandas()
+    assert set(map(tuple, out.itertuples(index=False))) == {("png", 1)}
+
+
+def test_fd_violations_reports_group_size(ray_session):
+    from schisma_ray.stages.profile import fd_violations
+
+    t = pa.table({
+        "k": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+        "v": pa.array(["x", "x", "y", "y", "z", "p", "p"], pa.string()),
+    })
+    out = fd_violations(
+        rd.from_arrow(t).repartition(3), lhs="k", rhs="v"
+    ).to_pandas()
+    assert dict(zip(out["k"], out["n_rows"])) == {"a": 5}
+    assert dict(zip(out["k"], out["n_rhs"])) == {"a": 3}
+
+
+def test_corrupt_embeddings_fixture_deterministic(tmp_path):
+    import pyarrow.parquet as pq
+
+    from schisma_ray.sources.embedding_fixture import corrupt_embeddings
+
+    base = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array(
+            [[0.1 * (i % 7) + 0.05, 0.2, 0.3, 0.4, 0.5] for i in range(200)],
+            pa.list_(pa.float32()),
+        ),
+    })
+    pq.write_table(base, tmp_path / "embeddings.parquet")
+    p1 = corrupt_embeddings(str(tmp_path))
+    t1 = pq.read_table(p1)
+    assert corrupt_embeddings(str(tmp_path)) == p1  # cache hit
+    vecs = t1["embedding"].to_pylist()
+    assert np.isnan(vecs[3][3])            # 3 % 97 == 3 -> NaN at 3 % 5
+    assert vecs[5][0] == float("inf")      # 5 % 89 == 5 -> +inf at 5 % 5
+    assert vecs[7][2] == float("-inf")     # 7 % 83 == 7 -> -inf at 7 % 5
+    assert all(v == 0.0 for v in vecs[11])  # 11 % 79 == 11 -> zero vector
+    assert vecs[13][3] is None             # 13 % 73 == 13 -> null at 13 % 5
+    assert len(vecs[17]) == 3              # 17 % 71 == 17 -> truncated
+    assert vecs[0] == vecs[0] and len(vecs[0]) == 5  # row 0 untouched
