@@ -2695,7 +2695,8 @@ def _bigram_lm_file(sf_dir: str) -> Path:
 
     src = Path(sf_dir) / "documents.parquet"
     tag = _h.md5(src.read_bytes()).hexdigest()[:10]
-    out = Path(f"/tmp/schisma_ray_cache/bigram_lm_{tag}.parquet")
+    # v2: trainer counts codepoint (not byte) bigrams
+    out = Path(f"/tmp/schisma_ray_cache/bigram_lm2_{tag}.parquet")
     if not out.exists():
         out.parent.mkdir(parents=True, exist_ok=True)
         docs = pq.read_table(src, columns=["doc_id", "text"])

@@ -957,11 +957,12 @@ def train_char_bigram_lm(texts, *, add_k: int = 1) -> pa.Table:
     scoring on both the Ray and SQL side is pure integer summation, so
     parity never passes through float repr or summation order.
 
-    ASCII caveat: training counts BYTE bigrams (utf-8), while scoring's
-    non-ascii fallback looks up 2-CHAR substrings — multi-byte
-    reference text therefore contributes keys the scorer treats as
-    unseen (both sides of the oracle agree on this; the model targets
-    the ASCII corpora this engine's text battery runs on)."""
+    Bigram semantics are 2-CHAR (codepoint) substrings end to end:
+    trainer, scorer fast path (ascii), scorer fallback (non-ascii) and
+    the SQL oracle all key on the same 2-char strings, so multi-byte
+    reference text trains the exact keys the scorer looks up. The add-k
+    denominator keeps the fixed 65536-slot smoothing space (a defined
+    constant, not a claim about the true codepoint-pair space)."""
     import math
     from collections import Counter
 
@@ -969,8 +970,10 @@ def train_char_bigram_lm(texts, *, add_k: int = 1) -> pa.Table:
     for t in texts:
         if not t or len(t) < 2:
             continue
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        codes = b[:-1].astype(np.int64) * 256 + b[1:]
+        cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        codes = cp[:-1] * 0x110000 + cp[1:]
         u, c = np.unique(codes, return_counts=True)
         counts.update(dict(zip(u.tolist(), c.tolist())))
     total = sum(counts.values())
@@ -979,7 +982,8 @@ def train_char_bigram_lm(texts, *, add_k: int = 1) -> pa.Table:
     def lp_e6(c: int) -> int:
         return int(math.floor(math.log((c + add_k) / denom) * 1e6 + 0.5))
 
-    bigrams = ["".join(chr(code // 256) + chr(code % 256)) for code in counts]
+    bigrams = [chr(code // 0x110000) + chr(code % 0x110000)
+               for code in counts]
     lps = [lp_e6(c) for c in counts.values()]
     bigrams.append("")            # sentinel: unseen-bigram floor
     lps.append(lp_e6(0))

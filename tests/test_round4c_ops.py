@@ -111,6 +111,26 @@ def test_fd_violations_reports_group_size(ray_session):
     assert dict(zip(out["k"], out["n_rhs"])) == {"a": 3}
 
 
+def test_lm_trainer_scorer_char_coherence(ray_session):
+    """Trainer keys == scorer keys on non-ascii text: a bigram seen in
+    multi-byte training text must NOT score as unseen (the former
+    byte-vs-char incoherence)."""
+    from schisma_ray.stages.text import lm_score, train_char_bigram_lm
+
+    model = train_char_bigram_lm(["héllo héllo héllo"])
+    lut = dict(zip(model["bigram"].to_pylist(), model["lp_e6"].to_pylist()))
+    floor = lut.pop("")
+    assert "hé" in lut and "él" in lut      # char keys, not byte pairs
+    assert all(len(b) == 2 for b in lut)    # no utf-8 byte artifacts
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["héllo"])})
+    out = lm_score(rd.from_arrow(t), model).to_pandas()
+    want = sum(lut.get("héllo"[i:i + 2], floor) for i in range(4))
+    assert int(out["lp_e6"][0]) == want
+    assert want > 4 * floor                 # seen bigrams beat the floor
+
+
 def test_corrupt_embeddings_fixture_deterministic(tmp_path):
     import pyarrow.parquet as pq
 
