@@ -3229,6 +3229,60 @@ def q_image_brightness(sf_dir: str):
     )
 
 
+def q_pair_fidelity(sf_dir: str):
+    """The north-rule per-row conform invariant over the paired
+    fidelity fixture: decoded-pixel PSNR >= 40 dB (lossy re-encodes
+    pass, planted-noise rows fail) + caption equality — verdicts and
+    SSE evaluated in exact integer arithmetic on both sides (the
+    10^(D/10) freeze, stages/multimodal.PairFidelity). Actor pool,
+    state-free decode, zero shuffle."""
+    from ..sources.fidelity_fixture import fidelity_pairs
+    from ..stages.multimodal import PairFidelity
+
+    ds = rd.read_parquet(str(fidelity_pairs(sf_dir)))
+    return _collect(
+        ds.map_batches(
+            PairFidelity,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=512,
+            concurrency=(2, 8),
+        ),
+        ["image_id", "sse", "n_samples", "psnr_ok", "caption_ok", "ok"],
+    )
+
+
+def q_image_resized(sf_dir: str):
+    """Thumbnail pipeline plumbing check: resize every decodable image
+    to 32x32 in an actor pool and report the metadata surface
+    (undecodable rows keep null dims). The pixel payload is
+    codec-defined; the oracle pins WHICH rows resize and the output
+    schema via the independent decodability bookkeeping."""
+    from ..stages.multimodal import ImageResize
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "bytes", "w", "h"])
+    out = ds.map_batches(
+        ImageResize,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=512,
+        concurrency=(2, 8),
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "image_id": t["image_id"],
+            "w": pc.cast(t["w"], pa.int64()),
+            "h": pc.cast(t["h"], pa.int64()),
+        })
+
+    return _collect(
+        out.map_batches(project, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["image_id", "w", "h"],
+    )
+
+
 def q_violation_samples(sf_dir: str, k: int = 5):
     """Deterministic review sample: for every (path, code) check, the
     ``k`` violations with the smallest (md5-uniform, row_ref) — the
@@ -3322,6 +3376,9 @@ def _oracle_sql() -> dict[str, str]:
     from ..sources.brightness_fixture import brightness_expected
 
     bright = f"read_parquet('{brightness_expected(ORACLE_SF_DIR)}')"
+    from ..sources.fidelity_fixture import fidelity_expected
+
+    fid_exp = f"read_parquet('{fidelity_expected(ORACLE_SF_DIR)}')"
     from ..sources.line_fixture import format_documents
 
     fmt_docs = f"read_parquet('{format_documents(ORACLE_SF_DIR)}')"
@@ -3465,6 +3522,19 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
 SELECT image_id, n_px, sum_r, mean_r_e6, sum_g, mean_g_e6,
        sum_b, mean_b_e6
   FROM {bright}
+""",
+        "pair_fidelity": f"""
+SELECT image_id, sse, n_samples,
+       (10000 * sse <= 65025 * n_samples) AS psnr_ok,
+       caption_equal AS caption_ok,
+       ((10000 * sse <= 65025 * n_samples) AND caption_equal) AS ok
+  FROM {fid_exp}
+""",
+        "image_resized": f"""
+SELECT i.image_id,
+       CASE WHEN b.image_id IS NOT NULL THEN CAST(32 AS BIGINT) END AS w,
+       CASE WHEN b.image_id IS NOT NULL THEN CAST(32 AS BIGINT) END AS h
+  FROM {img} i LEFT JOIN {bright} b USING (image_id)
 """,
         "violation_samples": f"""
 SELECT path, code, row_ref FROM (
@@ -5522,6 +5592,8 @@ QUERIES = {
     "fmt_area_rollup": q_fmt_area_rollup,
     "html_extracted": q_html_extracted,
     "image_brightness": q_image_brightness,
+    "pair_fidelity": q_pair_fidelity,
+    "image_resized": q_image_resized,
     "violation_samples": q_violation_samples,
     "run_verdict": q_run_verdict,
     "image_phash_duplicates": q_image_phash_duplicates,

@@ -160,6 +160,80 @@ class BrightnessStats:
         return pa.table(cols)
 
 
+class PairFidelity:
+    """Actor: decode BOTH payloads of an (a, b) image pair and emit the
+    north-rule per-row conform invariant — decoded-pixel fidelity
+    (PSNR >= ``min_psnr_db``, lossy re-encodes allowed) plus caption
+    equality — as exact integers: SSE between the two pixel arrays,
+    the sample count, and the boolean verdicts. The PSNR bar is
+    evaluated WITHOUT floats:
+
+        PSNR >= D dB  <=>  MSE <= 255^2 / 10^(D/10)
+                      <=>  10^(D/10) * sse <= 255^2 * n_samples
+
+    with ``10^(D/10)`` frozen as an integer for the default D=40
+    (10^4), so the verdict is oracle-checkable bit-for-bit. Pairs where
+    either side fails to decode, or shapes differ, FAIL pixel fidelity
+    with sse = -1 (no finite PSNR exists). Null captions compare like
+    SQL ``IS NOT DISTINCT FROM`` (None == None passes)."""
+
+    def __init__(self, id_col: str = "image_id", a_col: str = "bytes_a",
+                 b_col: str = "bytes_b", cap_a: str = "caption_a",
+                 cap_b: str = "caption_b", min_psnr_db: int = 40):
+        if min_psnr_db % 10 != 0:
+            raise ValueError("min_psnr_db must be a multiple of 10 so the "
+                             "verdict stays integer-exact")
+        self.id_col = id_col
+        self.a_col, self.b_col = a_col, b_col
+        self.cap_a, self.cap_b = cap_a, cap_b
+        self.ratio = 10 ** (min_psnr_db // 10)  # 10^(D/10), exact int
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, sses, ns, p_ok, c_ok = [], [], [], [], []
+        for rid, a, b, ca, cb in zip(
+            batch[self.id_col].to_pylist(),
+            batch[self.a_col].to_pylist(),
+            batch[self.b_col].to_pylist(),
+            batch[self.cap_a].to_pylist(),
+            batch[self.cap_b].to_pylist(),
+        ):
+            try:
+                pa_px, _ = codec.decode(a)
+                pb_px, _ = codec.decode(b)
+            except (codec.CodecError, TypeError):
+                ids.append(rid)
+                sses.append(-1)
+                ns.append(0)
+                p_ok.append(False)
+                c_ok.append(ca == cb)
+                continue
+            if pa_px.shape != pb_px.shape:
+                ids.append(rid)
+                sses.append(-1)
+                ns.append(0)
+                p_ok.append(False)
+                c_ok.append(ca == cb)
+                continue
+            diff = pa_px.astype(np.int64) - pb_px.astype(np.int64)
+            sse = int((diff * diff).sum())
+            n = int(diff.size)
+            ids.append(rid)
+            sses.append(sse)
+            ns.append(n)
+            p_ok.append(self.ratio * sse <= 65025 * n)
+            c_ok.append(ca == cb)
+        psnr_ok = np.asarray(p_ok, bool) if p_ok else np.zeros(0, bool)
+        cap_ok = np.asarray(c_ok, bool) if c_ok else np.zeros(0, bool)
+        return pa.table({
+            self.id_col: pa.array(ids, pa.string()),
+            "sse": pa.array(sses, pa.int64()),
+            "n_samples": pa.array(ns, pa.int64()),
+            "psnr_ok": pa.array(psnr_ok),
+            "caption_ok": pa.array(cap_ok),
+            "ok": pa.array(psnr_ok & cap_ok),
+        })
+
+
 class AudioFeatures:
     """Actor: decode audio bytes -> dense feature vector per row
     (duration, RMS, zero-crossing rate, FFT band energies). Same actor

@@ -111,6 +111,55 @@ def test_fd_violations_reports_group_size(ray_session):
     assert dict(zip(out["k"], out["n_rhs"])) == {"a": 3}
 
 
+def test_pair_fidelity_bruteforce(ray_session):
+    from schisma_ray.sources import codec
+    from schisma_ray.stages.multimodal import PairFidelity
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    identical = codec.encode(px, "png")
+    lossy = codec.encode(px, "jpeg")          # >= 40 dB by codec design
+    noisy = codec.encode(
+        np.clip(px.astype(np.int64)
+                + rng.integers(-60, 61, px.shape), 0, 255).astype(np.uint8),
+        "png")
+    other_shape = codec.encode(px[:8, :8], "png")
+
+    t = pa.table({
+        "image_id": pa.array(["same", "lossy", "noisy", "shape", "undec",
+                              "caption"], pa.string()),
+        "bytes_a": pa.array([identical] * 6, pa.binary()),
+        "bytes_b": pa.array([identical, lossy, noisy, other_shape,
+                             b"junk", identical], pa.binary()),
+        "caption_a": pa.array(["c", "c", "c", "c", "c", "c"], pa.string()),
+        "caption_b": pa.array(["c", "c", "c", "c", "c", "DIFFERENT"],
+                              pa.string()),
+    })
+    out = (rd.from_arrow(t).repartition(2)
+           .map_batches(PairFidelity, batch_format="pyarrow", concurrency=2)
+           .to_pandas().set_index("image_id"))
+    assert out.loc["same", "sse"] == 0 and out.loc["same", "ok"]
+    assert out.loc["lossy", "psnr_ok"] and out.loc["lossy", "sse"] > 0
+    assert not out.loc["noisy", "psnr_ok"]
+    assert out.loc["shape", "sse"] == -1 and not out.loc["shape", "psnr_ok"]
+    assert out.loc["undec", "sse"] == -1 and not out.loc["undec", "psnr_ok"]
+    assert out.loc["caption", "psnr_ok"] and not out.loc["caption", "ok"]
+    # integer threshold == float PSNR threshold on the lossy row
+    pb, _ = codec.decode(lossy)
+    assert (codec.psnr(px, pb) >= 40.0) == bool(out.loc["lossy", "psnr_ok"])
+
+
+def test_pair_fidelity_threshold_exact():
+    """10^4 * sse <= 255^2 * n is EXACTLY PSNR >= 40, at the boundary."""
+    from schisma_ray.stages.multimodal import PairFidelity
+
+    pf = PairFidelity()
+    n = 10_000 * 3
+    sse_edge = 65025 * n // 10_000          # MSE == 255^2/10^4 exactly
+    assert pf.ratio * sse_edge <= 65025 * n          # boundary passes
+    assert not (pf.ratio * (sse_edge + 1) <= 65025 * n)
+
+
 def test_lm_trainer_scorer_char_coherence(ray_session):
     """Trainer keys == scorer keys on non-ascii text: a bigram seen in
     multi-byte training text must NOT score as unseen (the former
