@@ -107,24 +107,51 @@ def main(argv=None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--max-violation-rate", type=float, default=None,
                    help="per-partition PASS/FAIL: violations/row_count threshold")
+    r.add_argument("--compare-to", default=None,
+                   help="previous run's out dir: run-over-run regression "
+                        "gate — partitions are matched by content-addressed "
+                        "partition_id; any whose violation total INCREASED "
+                        "(or that vanished) fails the report")
 
     args = ap.parse_args(argv)
 
     if args.cmd == "report":
         from schisma_ray.state import load_records
 
-        failed = 0
+        prev = {}
+        if args.compare_to:
+            prev = {p["partition_id"]: p
+                    for p in load_records(args.compare_to)}
+        failed = regressions = 0
+        seen = set()
         for rec in load_records(args.out):
+            rec = dict(rec)
             if args.max_violation_rate is not None:
                 n_vio = sum(rec.get("violation_counts", {}).values())
                 denom = max(1, rec.get("input_rows", 0)) or 1
-                rec = dict(rec)
                 rec["verdict"] = (
                     "PASS" if n_vio / denom <= args.max_violation_rate else "FAIL"
                 )
                 failed += rec["verdict"] == "FAIL"
+            if args.compare_to:
+                seen.add(rec.get("partition_id"))
+                p = prev.get(rec.get("partition_id"))
+                if p is None:
+                    rec["trend"] = "NEW"
+                else:
+                    cur = sum(rec.get("violation_counts", {}).values())
+                    was = sum(p.get("violation_counts", {}).values())
+                    rec["violations_prev"] = was
+                    rec["trend"] = ("REGRESSED" if cur > was
+                                    else "IMPROVED" if cur < was else "STABLE")
+                    regressions += rec["trend"] == "REGRESSED"
             print(json.dumps(rec))
-        return 1 if failed else 0
+        if args.compare_to:
+            # a partition present last run but absent now is lost coverage
+            for pid in sorted(set(prev) - seen):
+                print(json.dumps({"partition_id": pid, "trend": "MISSING"}))
+                regressions += 1
+        return 1 if (failed or regressions) else 0
 
     ray = _init_ray(args.num_cpus)
     try:

@@ -21,6 +21,7 @@ from pathlib import Path
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc  # noqa: F401 — closures shipped to workers rely on it
 import ray.data as rd
 
 from ..schema import BigInt, String
@@ -2524,6 +2525,8 @@ def q_coverage_gaps(sf_dir: str):
     ds = read_images(_img_dir(sf_dir), ["fmt", "w"])
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         # non-negative w only: DuckDB // truncates, numpy floors
         t = t.filter(pc.and_(pc.is_valid(t["w"]),
                              pc.greater_equal(t["w"], 0)))
@@ -3270,6 +3273,8 @@ def q_image_resized(sf_dir: str):
     )
 
     def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table({
             "image_id": t["image_id"],
             "w": pc.cast(t["w"], pa.int64()),

@@ -30,19 +30,23 @@ from ..sources import codec
 
 
 def _resize_box(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
-    """Deterministic box-filter resample (area average)."""
-    h, w, c = pixels.shape
+    """Deterministic box-filter resample (area average).
+
+    One ``np.add.reduceat`` per axis; a window whose boundary pair
+    collapses (upsampling) degenerates to the single source row/col at
+    its start — the same ``[y0, max(y1, y0+1))`` window the scalar
+    definition uses, since ``reduceat`` returns ``a[idx[i]]`` when
+    ``idx[i+1] <= idx[i]``.
+    """
+    h, w, _c = pixels.shape
     ys = (np.arange(out_h + 1) * h / out_h).astype(np.int64)
     xs = (np.arange(out_w + 1) * w / out_w).astype(np.int64)
-    out = np.empty((out_h, out_w, c), dtype=np.uint8)
     fp = pixels.astype(np.float32)
-    for i in range(out_h):
-        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
-        row = fp[y0:y1]
-        for j in range(out_w):
-            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
-            out[i, j] = row[:, x0:x1].mean(axis=(0, 1)).round()
-    return out
+    sums = np.add.reduceat(fp, ys[:-1], axis=0)
+    sums /= np.maximum(ys[1:] - ys[:-1], 1)[:, None, None]
+    sums = np.add.reduceat(sums, xs[:-1], axis=1)
+    sums /= np.maximum(xs[1:] - xs[:-1], 1)[None, :, None]
+    return sums.round().astype(np.uint8)
 
 
 class ImageResize:

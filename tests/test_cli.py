@@ -59,3 +59,47 @@ def test_cli_prepare(tmp_path):
     t = pads.dataset(str(out)).to_table()
     assert sorted(t.column_names) == ["chunk_idx", "chunk_text", "doc_id"]
     assert all(len(c) <= 100 for c in t["chunk_text"].to_pylist())
+
+
+def _write_commit(out_dir, pid, violations):
+    d = Path(out_dir) / "_commits"
+    d.mkdir(parents=True, exist_ok=True)
+    (d / f"{pid}.json").write_text(json.dumps({
+        "partition_id": pid,
+        "input_rows": 100,
+        "row_count": sum(violations.values()),
+        "violation_counts": violations,
+    }))
+
+
+def test_cli_report_compare_to(tmp_path, capsys):
+    """--compare-to: REGRESSED / MISSING fail the gate; STABLE /
+    IMPROVED / NEW pass (in-process — the report path never inits Ray)."""
+    from schisma_ray.cli import main
+
+    prev, cur = tmp_path / "prev", tmp_path / "cur"
+    _write_commit(prev, "p0", {"bad_w": 3})
+    _write_commit(prev, "p1", {"bad_w": 5, "bad_fmt": 1})
+    _write_commit(prev, "p2", {"bad_w": 2})
+    _write_commit(cur, "p0", {"bad_w": 3})              # STABLE
+    _write_commit(cur, "p1", {"bad_w": 4})              # IMPROVED (6 -> 4)
+    _write_commit(cur, "p3", {"bad_w": 9})              # NEW
+    # p2 vanished -> MISSING
+
+    rc = main(["report", "--out", str(cur), "--compare-to", str(prev)])
+    lines = [json.loads(s) for s in capsys.readouterr().out.strip().splitlines()]
+    trends = {r["partition_id"]: r["trend"] for r in lines}
+    assert trends == {"p0": "STABLE", "p1": "IMPROVED", "p3": "NEW",
+                      "p2": "MISSING"}
+    assert rc == 1  # MISSING is lost coverage -> fail
+
+    # replace the missing partition; p1 now regresses
+    _write_commit(cur, "p2", {"bad_w": 2})
+    assert main(["report", "--out", str(cur), "--compare-to", str(prev)]) == 0
+    capsys.readouterr()
+    _write_commit(cur, "p1", {"bad_w": 7})
+    rc = main(["report", "--out", str(cur), "--compare-to", str(prev)])
+    lines = [json.loads(s) for s in capsys.readouterr().out.strip().splitlines()]
+    p1 = next(r for r in lines if r["partition_id"] == "p1")
+    assert p1["trend"] == "REGRESSED" and p1["violations_prev"] == 6
+    assert rc == 1
