@@ -3108,6 +3108,32 @@ def q_dup_gram_docs(sf_dir: str):
     return dup_gram_stats(ds, "text", "doc_id")
 
 
+def q_exact_substr_spans(sf_dir: str):
+    """ExactSubstr span extraction (Lee et al. 2021, arXiv:2107.06499
+    §4.1): maximal duplicated token runs >= 5 words, cross- or
+    intra-doc, as (doc_id, span_start, span_end, span_toks). Two
+    bucketed shuffles (gram-hash df, doc-hash merge), no pair
+    explosion."""
+    from ..stages.dedup import exact_substr_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return exact_substr_spans(ds, "text", "doc_id", k=5)
+
+
+def q_exact_substr_clean(sf_dir: str):
+    """ExactSubstr span REMOVAL: every document holding a duplicated
+    span rebuilt with covered tokens dropped (single-space joined, ''
+    when fully duplicated) + the removed-token count. Text rides the
+    doc-hash shuffle beside the duplicated positions — no span
+    broadcast."""
+    from ..stages.dedup import exact_substr_clean
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return exact_substr_clean(ds, "text", "doc_id", k=5)
+
+
 def q_url_canonical_dups(sf_dir: str):
     """Canonical-URL duplicate groups: rows whose canonicalized url
     (scheme/www/fragment/query/trailing-slash stripped — RE2 chain,
@@ -3522,6 +3548,57 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
          AS dup_frac_e6
   FROM per
+""",
+        "exact_substr_spans": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+4], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w) - 5 + 1, 0) + 1)) AS t(i)
+   WHERE len(w) >= 5),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+dup AS (SELECT doc_id, p FROM grams JOIN cnt USING (g) WHERE c > 1),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 5
+              THEN 1 ELSE 0 END AS brk
+    FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+grp AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+    FROM isl)
+SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + 5 AS BIGINT) AS span_end,
+       CAST(MAX(p) + 5 - MIN(p) AS BIGINT) AS span_toks
+  FROM grp GROUP BY doc_id, gid
+""",
+        "exact_substr_clean": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+4], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w) - 5 + 1, 0) + 1)) AS t(i)
+   WHERE len(w) >= 5),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+dup AS (SELECT doc_id, p FROM grams JOIN cnt USING (g) WHERE c > 1),
+covered AS (
+  SELECT DISTINCT doc_id, p + j AS cp
+    FROM dup, unnest(range(0, 5)) AS u(j)),
+kept AS (
+  SELECT t.doc_id, i - 1 AS p, w[i] AS tok
+    FROM toks t
+    JOIN (SELECT DISTINCT doc_id FROM dup) d USING (doc_id),
+         unnest(range(1, len(w) + 1)) AS t2(i)
+   WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = t.doc_id AND c.cp = i - 1))
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(tok, ' ' ORDER BY p)
+                   FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text,
+       (SELECT count(*) FROM covered c WHERE c.doc_id = d.doc_id)
+         AS n_removed_toks
+  FROM (SELECT DISTINCT doc_id FROM dup) d
 """,
         "image_brightness": f"""
 SELECT image_id, n_px, sum_r, mean_r_e6, sum_g, mean_g_e6,
@@ -5590,6 +5667,8 @@ QUERIES = {
     "partition_verdicts": q_partition_verdicts,
     "caption_area_moments": q_caption_area_moments,
     "dup_gram_docs": q_dup_gram_docs,
+    "exact_substr_spans": q_exact_substr_spans,
+    "exact_substr_clean": q_exact_substr_clean,
     "url_canonical_dups": q_url_canonical_dups,
     "image_payload_violations": q_image_payload_violations,
     "image_caption_conform": q_image_caption_conform,

@@ -1439,3 +1439,171 @@ def cross_corpus_duplicates(new_ds, base_ds, *, col: str = "text",
         )
 
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+# ------------------------------------------------------ exact substrings
+def _positioned_gram_rows(batch: pa.Table, col: str, id_col: str,
+                          k: int, num_buckets: int) -> pa.Table:
+    """Positional word-shingle hash rows ``(id, pos, gram, gb)`` — one
+    row per k-gram START position (0-based token index). Documents with
+    fewer than ``k`` tokens emit nothing (they cannot hold a k-token
+    span), unlike ``_distinct_gram_rows``'s whole-doc fallback."""
+    nb = np.uint64(num_buckets)
+    texts = batch[col].to_pylist()
+    empty = pa.table({
+        id_col: pa.array([], batch.schema.field(id_col).type),
+        "pos": pa.array([], pa.int64()),
+        "gram": pa.array([], pa.int64()),
+        "gb": pa.array([], pa.int32()),
+    })
+    if not texts:
+        return empty
+    all_sh: list[str] = []
+    counts: list[int] = []
+    for t in texts:
+        words = (t or "").split()
+        m = max(len(words) - k + 1, 0)
+        all_sh.extend(" ".join(words[i:i + k]) for i in range(m))
+        counts.append(m)
+    if not all_sh:
+        return empty
+    hashes = _hash_tokens(all_sh)
+    lens = np.asarray(counts, np.int64)
+    pos = np.concatenate([np.arange(m, dtype=np.int64) for m in counts if m])
+    ids = batch[id_col].take(pa.array(np.repeat(np.arange(len(texts)), lens)))
+    return pa.table({
+        id_col: ids,
+        "pos": pa.array(pos, pa.int64()),
+        "gram": pa.array(hashes.view(np.int64), pa.int64()),
+        "gb": pa.array((hashes % nb).astype(np.int32), pa.int32()),
+    })
+
+
+def _dup_positions(ds, col: str, id_col: str, k: int, num_buckets: int):
+    """Dataset of ``(id, pos, db)`` — every k-gram start position whose
+    shingle occurs at >= 2 positions corpus-wide (cross- OR intra-doc:
+    the ExactSubstr duplication criterion, unlike ``dup_gram_stats``'s
+    other-doc-only df). One gram-hash bucket shuffle; a gram's rows all
+    land in one bucket, so the in-bucket occurrence count IS global."""
+    grams = ds.map_batches(
+        lambda batch: _positioned_gram_rows(batch, col, id_col, k,
+                                            num_buckets),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+    def bucket_dups(group: pd.DataFrame) -> pd.DataFrame:
+        cnt = group.groupby("gram")["gram"].transform("size")
+        out = group.loc[cnt > 1, [id_col, "pos"]]
+        db = (pd.util.hash_array(out[id_col].to_numpy()) % num_buckets)
+        return out.assign(db=db.astype(np.int32))
+
+    return grams.groupby("gb").map_groups(bucket_dups, batch_format="pandas")
+
+
+def _merge_spans(pos: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted k-wide windows at ``pos`` into maximal spans;
+    windows overlap or touch when the next start is <= previous start
+    + k (constant width makes the running max end ``prev + k``).
+    Returns (span_starts, span_ends_exclusive)."""
+    brk = np.flatnonzero(pos[1:] > pos[:-1] + k)
+    starts = pos[np.r_[0, brk + 1]]
+    ends = pos[np.r_[brk, len(pos) - 1]] + k
+    return starts, ends
+
+
+def exact_substr_spans(ds, col: str, id_col: str, *, k: int = 5,
+                       num_buckets: int = 32):
+    """Maximal duplicated-substring spans per document — the span
+    EXTRACTION half of ExactSubstr dedup (Lee et al. 2021,
+    arXiv:2107.06499 §4.1) at word granularity: any duplicated token
+    run of length >= ``k`` contains a duplicated k-shingle at every
+    start offset it spans, so marking duplicated k-gram starts and
+    merging overlapping/adjacent windows recovers exactly the maximal
+    duplicated regions. Returns (id, span_start, span_end, span_toks)
+    with token-index bounds, end exclusive.
+
+    Scale shape: positioned gram rows -> one gram-hash bucket shuffle
+    (global occurrence counts without a join) -> one doc-hash bucket
+    shuffle -> per-doc vectorized interval merge. No pair explosion,
+    nothing on the driver."""
+    dup = _dup_positions(ds, col, id_col, k, num_buckets)
+
+    def fold_spans(group: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for doc, sub in group.groupby(id_col, sort=False):
+            p = np.sort(sub["pos"].to_numpy(np.int64))
+            s, e = _merge_spans(p, k)
+            outs.append(pd.DataFrame({
+                id_col: doc, "span_start": s, "span_end": e,
+            }))
+        if not outs:
+            return pd.DataFrame({id_col: pd.Series(dtype=group[id_col].dtype),
+                                 "span_start": pd.Series(dtype="int64"),
+                                 "span_end": pd.Series(dtype="int64")})
+        out = pd.concat(outs, ignore_index=True)
+        return out.assign(span_toks=out["span_end"] - out["span_start"])
+
+    return dup.groupby("db").map_groups(fold_spans, batch_format="pandas")
+
+
+def exact_substr_clean(ds, col: str, id_col: str, *, k: int = 5,
+                       num_buckets: int = 32):
+    """The REMOVAL half of ExactSubstr dedup: for every document that
+    contains at least one duplicated span, drop all covered tokens and
+    rebuild the text (single-space joined, '' when fully covered).
+    Returns (id, clean_text, n_removed_toks); span-free documents are
+    untouched and absent (bounded output — union them back unchanged
+    downstream).
+
+    The document text rides the same doc-hash bucket shuffle as the
+    duplicated positions (a union with pos = -1 sentinel rows), so no
+    broadcast of an unbounded span set and no second join."""
+    dup = _dup_positions(ds, col, id_col, k, num_buckets)
+
+    def tag_pos(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col], "pos": t["pos"],
+            col: pa.nulls(len(t), pa.string()),
+            "db": t["db"],
+        })
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        db = pd.util.hash_array(ids.to_numpy(zero_copy_only=False)) % num_buckets
+        return pa.table({
+            id_col: t[id_col],
+            "pos": pa.array(np.full(len(t), -1, np.int64)),
+            col: t[col],
+            "db": pa.array(db.astype(np.int32)),
+        })
+
+    both = dup.map_batches(
+        tag_pos, batch_format="pyarrow", zero_copy_batch=True,
+    ).union(ds.map_batches(
+        tag_text, batch_format="pyarrow", zero_copy_batch=True,
+    ))
+
+    def rebuild(group: pd.DataFrame) -> pd.DataFrame:
+        ids_out, texts_out, removed = [], [], []
+        has_dup = set(group.loc[group["pos"] >= 0, id_col])
+        for doc, sub in group.groupby(id_col, sort=False):
+            if doc not in has_dup:
+                continue
+            text_rows = sub.loc[sub["pos"] < 0, col]
+            words = (text_rows.iloc[0] or "").split()
+            covered = np.zeros(len(words), bool)
+            p = np.sort(sub.loc[sub["pos"] >= 0, "pos"].to_numpy(np.int64))
+            s, e = _merge_spans(p, k)
+            for a, b in zip(s, e):
+                covered[a:b] = True
+            kept = [w for w, c in zip(words, covered) if not c]
+            ids_out.append(doc)
+            texts_out.append(" ".join(kept))
+            removed.append(int(covered.sum()))
+        return pd.DataFrame({
+            id_col: pd.Series(ids_out, dtype=group[id_col].dtype),
+            "clean_text": pd.Series(texts_out, dtype="object"),
+            "n_removed_toks": pd.Series(removed, dtype="int64"),
+        })
+
+    return both.groupby("db").map_groups(rebuild, batch_format="pandas")

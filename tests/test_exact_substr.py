@@ -1,0 +1,75 @@
+"""ExactSubstr span dedup (Lee et al. 2021): span extraction + removal."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from schisma_ray.stages.dedup import (
+    _merge_spans,
+    exact_substr_clean,
+    exact_substr_spans,
+)
+
+
+def _docs(rows):
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    })
+    return rd.from_arrow(t).repartition(3)
+
+
+def test_merge_spans_kernel():
+    k = 3
+    # overlapping + touching windows coalesce; a gap of > k splits
+    s, e = _merge_spans(np.array([0, 1, 2]), k)       # 0..5 contiguous
+    assert list(s) == [0] and list(e) == [5]
+    s, e = _merge_spans(np.array([0, 3]), k)          # touching (3 == 0+3)
+    assert list(s) == [0] and list(e) == [6]
+    s, e = _merge_spans(np.array([0, 4]), k)          # gap -> two spans
+    assert list(s) == [0, 4] and list(e) == [3, 7]
+    s, e = _merge_spans(np.array([7]), k)
+    assert list(s) == [7] and list(e) == [10]
+
+
+def test_exact_substr_spans_planted(ray_session):
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 tokens, dup span
+    docs = _docs([
+        (1, f"one two {shared} three four"),
+        (2, f"{shared} five six seven eight nine"),
+        (3, "unique tokens only here nothing repeats ever at all"),
+        (4, "tiny doc"),                              # < k tokens: no grams
+    ])
+    out = exact_substr_spans(docs, "text", "doc_id", k=5).to_pandas()
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in out.itertuples(index=False)}
+    # doc 1: shared occupies tokens 2..8; doc 2: tokens 0..6
+    assert got == {(1, 2, 8), (2, 0, 6)}
+    assert (out["span_toks"] == 6).all()
+
+
+def test_exact_substr_spans_intra_doc(ray_session):
+    # duplication WITHIN one doc counts (the ExactSubstr criterion)
+    rep = "a b c d e"
+    docs = _docs([(1, f"{rep} x y z w v {rep}"),
+                  (2, "completely different words with no overlap here")])
+    out = exact_substr_spans(docs, "text", "doc_id", k=5).to_pandas()
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in out.itertuples(index=False)}
+    assert got == {(1, 0, 5), (1, 10, 15)}
+
+
+def test_exact_substr_clean_rebuild(ray_session):
+    shared = "alpha beta gamma delta epsilon"
+    docs = _docs([
+        (1, f"keep these {shared} and these"),
+        (2, f"{shared}"),                             # fully covered
+        (3, "unique tokens only here nothing repeats ever at all"),
+    ])
+    out = (exact_substr_clean(docs, "text", "doc_id", k=5)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [1, 2]                  # doc 3 untouched/absent
+    assert out.loc[1, "clean_text"] == "keep these and these"
+    assert out.loc[1, "n_removed_toks"] == 5
+    assert out.loc[2, "clean_text"] == ""
+    assert out.loc[2, "n_removed_toks"] == 5
