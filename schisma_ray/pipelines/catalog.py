@@ -3108,6 +3108,30 @@ def q_dup_gram_docs(sf_dir: str):
     return dup_gram_stats(ds, "text", "doc_id")
 
 
+def q_event_user_cardinality(sf_dir: str):
+    """Group-cardinality constraint over events: users with fewer than
+    55 or more than 70 rows ('group too small' / 'group too large') —
+    the aggregate-level validate hook. Combiner-first partial counts,
+    one groupby, vectorized bound filter."""
+    from ..stages.profile import group_cardinality_violations
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return group_cardinality_violations(
+        ds, key_cols=["user_id"], min_count=55, max_count=70)
+
+
+def q_events_monotonic(sf_dir: str):
+    """Monotonic-counter constraint over events: rows whose value
+    decreases versus the user's previous event in (ts, event_id) order
+    — the odometer/sequence-number invariant. One key-hash bucket
+    shuffle, segmented lag compare per bucket."""
+    from ..stages.window import monotonic_violations
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+    return monotonic_violations(ds)
+
+
 def q_exact_substr_spans(sf_dir: str):
     """ExactSubstr span extraction (Lee et al. 2021, arXiv:2107.06499
     §4.1): maximal duplicated token runs >= 5 words, cross- or
@@ -3548,6 +3572,26 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
          AS dup_frac_e6
   FROM per
+""",
+        "event_user_cardinality": """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
+       CASE WHEN count(*) < 55 THEN 'group too small'
+            ELSE 'group too large' END AS code
+  FROM events WHERE user_id IS NOT NULL
+ GROUP BY user_id
+HAVING count(*) < 55 OR count(*) > 70
+""",
+        "events_monotonic": """
+WITH e AS (
+  SELECT user_id, event_id, ts, value FROM events
+   WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+l AS (
+  SELECT user_id, event_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_value
+    FROM e)
+SELECT user_id, event_id, value, prev_value
+  FROM l WHERE value < prev_value
 """,
         "exact_substr_spans": r"""
 WITH toks AS (
@@ -5669,6 +5713,8 @@ QUERIES = {
     "dup_gram_docs": q_dup_gram_docs,
     "exact_substr_spans": q_exact_substr_spans,
     "exact_substr_clean": q_exact_substr_clean,
+    "event_user_cardinality": q_event_user_cardinality,
+    "events_monotonic": q_events_monotonic,
     "url_canonical_dups": q_url_canonical_dups,
     "image_payload_violations": q_image_payload_violations,
     "image_caption_conform": q_image_caption_conform,

@@ -173,3 +173,57 @@ def fd_violations(ds, *, lhs: str, rhs: str, min_group: int = 1,
 
     return pairs.groupby("bucket").map_groups(per_bucket,
                                               batch_format="pandas")
+
+
+def group_cardinality_violations(ds, *, key_cols: list[str],
+                                 min_count: int = 0, max_count: int = 0):
+    """Group-cardinality constraint: every key whose row count falls
+    outside ``[min_count, max_count]`` (either bound 0 = unchecked), as
+    (key..., n_rows, code) with schisma-style codes ``group too small``
+    / ``group too large`` — the aggregate-level analogue of a
+    ``$validate`` hook ("each campaign must have >= N events", "no user
+    may exceed M rows"). Rows with a null in any key column carry no
+    group and are excluded, like ``coverage_gaps``.
+
+    Scale shape: per-batch combiner collapses to (key..., partial
+    count) — bounded by the batch's distinct keys — then ONE groupby
+    folds partials; the violation filter is vectorized in the finalize
+    map. Nothing reaches the driver."""
+    import numpy as np
+
+    def partial(t: pa.Table) -> pa.Table:
+        sub = t.select(key_cols)
+        mask = None
+        for c in key_cols:
+            v = pc.is_valid(sub[c])
+            mask = v if mask is None else pc.and_(mask, v)
+        sub = sub.filter(mask)
+        g = sub.append_column(
+            "one", pa.array(np.ones(sub.num_rows, np.int64))
+        )
+        return g.group_by(key_cols).aggregate([("one", "sum")])
+
+    totals = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_cols)
+        .sum("one_sum")
+    )
+
+    def finalize(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["sum(one_sum)"], pa.int64())
+        small = (pc.less(n, min_count) if min_count > 0
+                 else pa.array(np.zeros(len(t), bool)))
+        large = (pc.greater(n, max_count) if max_count > 0
+                 else pa.array(np.zeros(len(t), bool)))
+        bad = pc.or_(small, large)
+        code = pc.if_else(pc.filter(small, bad), "group too small",
+                          "group too large")
+        out = t.filter(bad)
+        return pa.table({
+            **{c: out[c] for c in key_cols},
+            "n_rows": pc.filter(n, bad),
+            "code": code,
+        })
+
+    return totals.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

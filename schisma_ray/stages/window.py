@@ -957,3 +957,70 @@ def event_type_cooccurrence(
 
     return total.map_batches(project, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def monotonic_violations(
+    ds,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    strict: bool = False,
+    num_buckets: int = 64,
+):
+    """Monotonicity constraint: per key, every row whose ``value_col``
+    DECREASES versus the previous row in (ts, id) order (``strict=True``
+    also flags equal values) — the counter/odometer/sequence-number
+    invariant a row-local check cannot express. Returns (key, id, value,
+    prev_value). Rows with a null key, ts, or value carry no evidence
+    and are excluded on both sides.
+
+    Scale shape: narrow projection -> one key-hash bucket shuffle ->
+    per-bucket vectorized lexsort + segmented lag compare (the
+    ``event_gaps`` shape) — never per-key tasks, no values on the
+    driver."""
+    import numpy as np
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[ts_col])),
+            pc.is_valid(t[value_col]),
+        )
+        t = t.filter(mask)
+        key = t[key_col].combine_chunks()
+        return pa.table(
+            {
+                key_col: key,
+                id_col: t[id_col],
+                "ts_us": pc.cast(t[ts_col], pa.int64()),
+                value_col: t[value_col],
+                "bucket": _key_bucket(key, num_buckets),
+            }
+        )
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "ts_us", id_col], kind="stable")
+        k = g[key_col].to_numpy()
+        v = g[value_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        if len(g) < 2:
+            return pd.DataFrame({key_col: k[:0], id_col: ids[:0],
+                                 value_col: v[:0], "prev_value": v[:0]})
+        same = k[1:] == k[:-1]
+        drop = (v[1:] <= v[:-1]) if strict else (v[1:] < v[:-1])
+        hit = same & drop
+        return pd.DataFrame(
+            {
+                key_col: k[1:][hit],
+                id_col: ids[1:][hit],
+                value_col: v[1:][hit],
+                "prev_value": v[:-1][hit],
+            }
+        )
+
+    return narrow.groupby("bucket").map_groups(per_bucket,
+                                               batch_format="pandas")

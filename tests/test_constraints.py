@@ -1,0 +1,68 @@
+"""Aggregate-level constraints: group cardinality + monotonic counters."""
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_group_cardinality_bounds(ray_session):
+    from schisma_ray.stages.profile import group_cardinality_violations
+
+    keys = (["a"] * 1 + ["b"] * 3 + ["c"] * 7 + [None] * 5)
+    ds = rd.from_arrow(pa.table({"k": pa.array(keys, pa.string())}))
+    out = group_cardinality_violations(
+        ds.repartition(3), key_cols=["k"], min_count=2, max_count=5
+    ).to_pandas()
+    got = {(r.k, r.n_rows, r.code) for r in out.itertuples(index=False)}
+    # nulls carry no group; 'b' (3 rows) is in bounds
+    assert got == {("a", 1, "group too small"), ("c", 7, "group too large")}
+
+
+def test_group_cardinality_one_sided(ray_session):
+    from schisma_ray.stages.profile import group_cardinality_violations
+
+    ds = rd.from_arrow(pa.table({"k": pa.array(["x"] * 4 + ["y"])}))
+    low = group_cardinality_violations(ds, key_cols=["k"],
+                                       min_count=2).to_pandas()
+    assert set(low["k"]) == {"y"}                     # max unchecked
+    high = group_cardinality_violations(ds, key_cols=["k"],
+                                        max_count=3).to_pandas()
+    assert set(high["k"]) == {"x"}                    # min unchecked
+
+
+def test_monotonic_violations_segmented(ray_session):
+    from schisma_ray.stages.window import monotonic_violations
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 10, 20, 30, 40], pa.int64()),
+        "user_id": pa.array(["u1"] * 4 + ["u2"] * 4, pa.string()),
+        # u1: 5 -> 7 -> 6 (drop at id 3) -> 6 (equal, ok non-strict)
+        # u2: 9 -> 2 (drop at id 6) -> 2 -> 3
+        "value": pa.array([5.0, 7.0, 6.0, 6.0, 9.0, 2.0, 2.0, 3.0]),
+    })
+    out = monotonic_violations(
+        rd.from_arrow(t).repartition(3), ts_col="ts"
+    ).to_pandas()
+    got = {(r.user_id, r.event_id, r.value, r.prev_value)
+           for r in out.itertuples(index=False)}
+    assert got == {("u1", 3, 6.0, 7.0), ("u2", 6, 2.0, 9.0)}
+
+    strict = monotonic_violations(
+        rd.from_arrow(t).repartition(3), ts_col="ts", strict=True
+    ).to_pandas()
+    assert len(strict) == 4  # the two equal-value rows now flagged too
+
+
+def test_monotonic_skips_null_evidence(ray_session):
+    from schisma_ray.stages.window import monotonic_violations
+
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([10, 20, 30], pa.int64()),
+        "user_id": pa.array(["u", "u", "u"]),
+        "value": pa.array([5.0, None, 4.0]),
+    })
+    out = monotonic_violations(rd.from_arrow(t), ts_col="ts").to_pandas()
+    # null row dropped: 4.0's previous NON-NULL value is 5.0 -> violation
+    assert {(r.event_id, r.prev_value) for r in out.itertuples(index=False)} \
+        == {(3, 5.0)}
