@@ -96,6 +96,10 @@ def main(argv=None) -> int:
     p.add_argument("--line-dedup", action="store_true",
                    help="prepend CCNet-style corpus-wide line dedup "
                         "(keep each line's globally-first occurrence)")
+    p.add_argument("--exact-substr-k", type=int, default=0,
+                   help="> 0 adds ExactSubstr span removal (duplicated "
+                        "token runs >= k words dropped from every doc) "
+                        "before dedup")
     p.add_argument("--min-entropy-e6", type=int, default=0,
                    help="> 0 drops docs below this character-entropy "
                         "floor (e6-integer bits)")
@@ -204,6 +208,7 @@ def main(argv=None) -> int:
                 line_dedup=args.line_dedup,
                 min_entropy_e6=args.min_entropy_e6,
                 max_entropy_e6=args.max_entropy_e6,
+                exact_substr_k=args.exact_substr_k,
             )
             out.write_parquet(args.out)
             import pyarrow.dataset as pads

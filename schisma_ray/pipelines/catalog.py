@@ -2906,6 +2906,26 @@ def q_corpus_prepare_lines(sf_dir: str):
     )
 
 
+def q_corpus_prepare_substr(sf_dir: str):
+    """Production corpus prep WITH the ExactSubstr span-removal stage
+    (Lee et al. 2021) over the documents table (planted exact-duplicate
+    spans): email redaction -> lang + quality filter -> ExactSubstr
+    clean (k=5, duplicated runs dropped, emptied docs out) -> exact
+    dedup keep-first -> per-source cap of 10 -> 80/60 chunking — the
+    ``prepare_corpus(exact_substr_k=5)`` composite, same code path as
+    the CLI ``prepare --exact-substr-k 5``."""
+    from .corpus_pipeline import prepare_corpus
+
+    docs = _t(sf_dir, "documents")
+    return _collect(
+        prepare_corpus(
+            docs, exact_substr_k=5, langs=("en",), min_quality=0.5,
+            cap_per_source=10, chunk_size=80, chunk_stride=60,
+        ),
+        ["doc_id", "chunk_idx", "chunk_text"],
+    )
+
+
 def q_duplicated_lines(sf_dir: str):
     """The boilerplate report: every line occurring >= 2 times across
     the corpus, with its global count."""
@@ -4966,6 +4986,69 @@ SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
        substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
   FROM capped, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
 """,
+        "corpus_prepare_substr": r"""
+WITH red AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+           '[EMAIL]', 'g') AS text
+    FROM documents),
+m AS (
+  SELECT *, CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+    FROM red),
+s AS (
+  SELECT *, ROUND(
+      0.4 * LEAST(1.0, n_words / 64.0)
+    + 0.3 * (CASE WHEN n_words > 0
+                   AND (n_chars - (n_words - 1)) / n_words >= 3
+                   AND (n_chars - (n_words - 1)) / n_words <= 12
+                  THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END), 6) AS score
+    FROM m),
+filt AS (SELECT doc_id, source, text FROM s
+          WHERE lang = 'en' AND score >= 0.5),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM filt),
+grams AS (
+  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+4], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w) - 5 + 1, 0) + 1)) AS t(i)
+   WHERE len(w) >= 5),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+dup AS (SELECT doc_id, p FROM grams JOIN cnt USING (g) WHERE c > 1),
+dupdocs AS (SELECT DISTINCT doc_id FROM dup),
+covered AS (
+  SELECT DISTINCT doc_id, p + j AS cp
+    FROM dup, unnest(range(0, 5)) AS u(j)),
+kept AS (
+  SELECT t.doc_id, i - 1 AS p, w[i] AS tok
+    FROM toks t JOIN dupdocs d USING (doc_id),
+         unnest(range(1, len(w) + 1)) AS t2(i)
+   WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = t.doc_id AND c.cp = i - 1)),
+rebuilt AS (
+  SELECT f.doc_id, f.source,
+         CASE WHEN d.doc_id IS NOT NULL
+              THEN coalesce((SELECT string_agg(tok, ' ' ORDER BY p)
+                               FROM kept k WHERE k.doc_id = f.doc_id), '')
+              ELSE f.text END AS text
+    FROM filt f LEFT JOIN dupdocs d USING (doc_id)),
+ne AS (SELECT * FROM rebuilt WHERE text <> ''),
+surv AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper FROM ne)
+   WHERE doc_id = keeper),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM surv) WHERE rn <= 10)
+SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
+  FROM capped, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
+""",
         "c4_clean": f"""
 WITH l0 AS (SELECT doc_id, text AS fulltext,
                    string_split(text, chr(10)) AS ls FROM {c4_docs}),
@@ -5841,6 +5924,7 @@ QUERIES = {
     "semdedup_survivors": q_semdedup_survivors,
     "line_dedup_docs": q_line_dedup_docs,
     "corpus_prepare_lines": q_corpus_prepare_lines,
+    "corpus_prepare_substr": q_corpus_prepare_substr,
     "event_type_shares": q_event_type_shares,
     "gopher_repetition": q_gopher_repetition,
     "url_blocked": q_url_blocked,

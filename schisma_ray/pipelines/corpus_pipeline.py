@@ -44,6 +44,7 @@ def prepare_corpus(
     min_entropy_e6: int = 0,
     max_entropy_e6: int = 0,
     minhash_threshold: float = 0.8,
+    exact_substr_k: int = 0,
 ):
     """documents Dataset -> (id, chunk_idx, chunk_text) Dataset.
 
@@ -61,6 +62,11 @@ def prepare_corpus(
     (0 = off) band-filter on per-document character entropy (e6-integer
     bits via the frozen log2 artifact) after the quality threshold —
     the compression-style gibberish/boilerplate screen.
+    ``exact_substr_k > 0`` adds ExactSubstr span removal (Lee et al.
+    2021) on the filtered survivors before dedup: duplicated token runs
+    >= k words are dropped from every document (docs left empty drop
+    out); removing shared boilerplate first makes more near-identical
+    texts exactly identical for the dedup pass.
 
     ``dedup`` picks the exact-dedup survivor attachment:
 
@@ -198,6 +204,33 @@ def prepare_corpus(
         return out
 
     prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    if exact_substr_k > 0:
+        # ExactSubstr span removal (Lee et al. 2021) on the filtered,
+        # redacted survivors, BEFORE dedup (removing shared boilerplate
+        # makes more near-identical texts exactly identical). emit_all
+        # passes span-free docs through unchanged; docs left with no
+        # tokens drop out.
+        from ..stages.dedup import exact_substr_clean
+
+        cleaned = exact_substr_clean(
+            prepped, text_col, id_col, k=exact_substr_k,
+            emit_all=True, carry_cols=(source_col,),
+        )
+
+        def rename(t: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.equal(
+                pc.fill_null(t["clean_text"], ""), ""))
+            t = t.filter(keep)
+            return pa.table({
+                id_col: t[id_col],
+                source_col: t[source_col],
+                text_col: t["clean_text"],
+            })
+
+        prepped = cleaned.map_batches(
+            rename, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     def finish(survivors):
         if cap_per_source > 0:

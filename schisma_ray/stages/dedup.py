@@ -1547,13 +1547,16 @@ def exact_substr_spans(ds, col: str, id_col: str, *, k: int = 5,
 
 
 def exact_substr_clean(ds, col: str, id_col: str, *, k: int = 5,
-                       num_buckets: int = 32):
+                       num_buckets: int = 32, emit_all: bool = False,
+                       carry_cols: tuple = ()):
     """The REMOVAL half of ExactSubstr dedup: for every document that
     contains at least one duplicated span, drop all covered tokens and
     rebuild the text (single-space joined, '' when fully covered).
-    Returns (id, clean_text, n_removed_toks); span-free documents are
-    untouched and absent (bounded output — union them back unchanged
-    downstream).
+    Returns (id, clean_text, n_removed_toks, *carry_cols); by default
+    span-free documents are untouched and absent (bounded output —
+    union them back unchanged downstream), while ``emit_all=True``
+    passes them through with their original text and n_removed_toks=0
+    (the corpus-rewrite mode ``prepare_corpus`` uses).
 
     The document text rides the same doc-hash bucket shuffle as the
     duplicated positions (a union with pos = -1 sentinel rows), so no
@@ -1564,6 +1567,7 @@ def exact_substr_clean(ds, col: str, id_col: str, *, k: int = 5,
         return pa.table({
             id_col: t[id_col], "pos": t["pos"],
             col: pa.nulls(len(t), pa.string()),
+            **{c: pa.nulls(len(t), pa.string()) for c in carry_cols},
             "db": t["db"],
         })
 
@@ -1574,6 +1578,7 @@ def exact_substr_clean(ds, col: str, id_col: str, *, k: int = 5,
             id_col: t[id_col],
             "pos": pa.array(np.full(len(t), -1, np.int64)),
             col: t[col],
+            **{c: t[c] for c in carry_cols},
             "db": pa.array(db.astype(np.int32)),
         })
 
@@ -1585,12 +1590,22 @@ def exact_substr_clean(ds, col: str, id_col: str, *, k: int = 5,
 
     def rebuild(group: pd.DataFrame) -> pd.DataFrame:
         ids_out, texts_out, removed = [], [], []
+        carry_out: dict = {c: [] for c in carry_cols}
         has_dup = set(group.loc[group["pos"] >= 0, id_col])
         for doc, sub in group.groupby(id_col, sort=False):
+            text_rows = sub.loc[sub["pos"] < 0]
+            if not len(text_rows):
+                continue  # dup rows for a doc filtered out upstream
             if doc not in has_dup:
+                if not emit_all:
+                    continue
+                ids_out.append(doc)
+                texts_out.append(text_rows[col].iloc[0])
+                removed.append(0)
+                for c in carry_cols:
+                    carry_out[c].append(text_rows[c].iloc[0])
                 continue
-            text_rows = sub.loc[sub["pos"] < 0, col]
-            words = (text_rows.iloc[0] or "").split()
+            words = (text_rows[col].iloc[0] or "").split()
             covered = np.zeros(len(words), bool)
             p = np.sort(sub.loc[sub["pos"] >= 0, "pos"].to_numpy(np.int64))
             s, e = _merge_spans(p, k)
@@ -1600,10 +1615,14 @@ def exact_substr_clean(ds, col: str, id_col: str, *, k: int = 5,
             ids_out.append(doc)
             texts_out.append(" ".join(kept))
             removed.append(int(covered.sum()))
+            for c in carry_cols:
+                carry_out[c].append(text_rows[c].iloc[0])
         return pd.DataFrame({
             id_col: pd.Series(ids_out, dtype=group[id_col].dtype),
             "clean_text": pd.Series(texts_out, dtype="object"),
             "n_removed_toks": pd.Series(removed, dtype="int64"),
+            **{c: pd.Series(carry_out[c], dtype="object")
+               for c in carry_cols},
         })
 
     return both.groupby("db").map_groups(rebuild, batch_format="pandas")

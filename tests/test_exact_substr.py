@@ -73,3 +73,54 @@ def test_exact_substr_clean_rebuild(ray_session):
     assert out.loc[1, "n_removed_toks"] == 5
     assert out.loc[2, "clean_text"] == ""
     assert out.loc[2, "n_removed_toks"] == 5
+
+
+def test_exact_substr_clean_emit_all_carry(ray_session):
+    shared = "alpha beta gamma delta epsilon"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([f"keep these {shared} and these",
+                          f"{shared}", "totally unique words here now"]),
+        "source": pa.array(["s1", "s2", "s3"]),
+    })
+    out = (exact_substr_clean(rd.from_arrow(t).repartition(2),
+                              "text", "doc_id", k=5, emit_all=True,
+                              carry_cols=("source",))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[3, "clean_text"] == "totally unique words here now"
+    assert out.loc[3, "n_removed_toks"] == 0
+    assert list(out["source"]) == ["s1", "s2", "s3"]
+
+
+def test_prepare_corpus_exact_substr_stage(ray_session):
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+
+    boiler = "all rights reserved contact the webmaster for details"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"some real actual content words here {boiler}",
+            f"{boiler} and other real genuine content words too",
+            f"{boiler}",                      # nothing but boilerplate
+        ]),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+    })
+    docs = rd.from_arrow(t).repartition(2)
+    chunks = prepare_corpus(
+        docs, exact_substr_k=5, langs=("en",), min_quality=0.0,
+        chunk_size=200, chunk_stride=200,
+    ).to_pandas()
+    text_by_doc = dict(zip(chunks["doc_id"], chunks["chunk_text"]))
+    # boilerplate span removed from both survivors; doc 3 emptied out
+    assert text_by_doc == {
+        1: "some real actual content words here",
+        2: "and other real genuine content words too",
+    }
+    # k=0 leaves the pipeline untouched (all three docs chunk)
+    plain = prepare_corpus(
+        docs, langs=("en",), min_quality=0.0,
+        chunk_size=200, chunk_stride=200,
+    ).to_pandas()
+    assert set(plain["doc_id"]) == {1, 2, 3}
