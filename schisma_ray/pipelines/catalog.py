@@ -3128,6 +3128,18 @@ def q_dup_gram_docs(sf_dir: str):
     return dup_gram_stats(ds, "text", "doc_id")
 
 
+def q_token_budget_sample(sf_dir: str):
+    """Token-budget corpus mixing: each language trimmed to 4000 tokens
+    in deterministic md5(doc_id) order (greedy prefix — the doc that
+    crosses the budget is kept). One narrow sort + block-offset prefix
+    sums; text never rides the shuffle."""
+    from ..stages.corpus import token_budget_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "text"])
+    return token_budget_sample(ds, budget=4000)
+
+
 def q_event_user_cardinality(sf_dir: str):
     """Group-cardinality constraint over events: users with fewer than
     55 or more than 70 rows ('group too small' / 'group too large') —
@@ -3592,6 +3604,23 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
          AS dup_frac_e6
   FROM per
+""",
+        "token_budget_sample": """
+WITH d AS (
+  SELECT doc_id, lang,
+         len(string_split(coalesce(text, ''), ' ')) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents WHERE lang IS NOT NULL),
+c AS (
+  SELECT doc_id, lang, n_toks,
+         coalesce(SUM(n_toks) OVER (
+             PARTITION BY lang ORDER BY h, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS toks_before
+    FROM d)
+SELECT doc_id, lang, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(toks_before AS BIGINT) AS toks_before
+  FROM c WHERE toks_before < 4000
 """,
         "event_user_cardinality": """
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows,
@@ -5798,6 +5827,7 @@ QUERIES = {
     "exact_substr_clean": q_exact_substr_clean,
     "event_user_cardinality": q_event_user_cardinality,
     "events_monotonic": q_events_monotonic,
+    "token_budget_sample": q_token_budget_sample,
     "url_canonical_dups": q_url_canonical_dups,
     "image_payload_violations": q_image_payload_violations,
     "image_caption_conform": q_image_caption_conform,

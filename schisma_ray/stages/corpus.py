@@ -509,3 +509,94 @@ def concat_chunks(ds, *, text_col: str = "text", id_col: str = "doc_id",
         return agg.reset_index()
 
     return pcs.groupby("bucket").map_groups(assemble, batch_format="pandas")
+
+
+def token_budget_sample(ds, *, budget: int, group_col: str = "lang",
+                        text_col: str = "text", id_col: str = "doc_id"):
+    """Trim every group to a TOKEN budget in deterministic md5 order —
+    the "N tokens per language/domain" mixing step of corpus assembly
+    (complement of ``cap_per_key``, which bounds DOCUMENT counts): docs
+    are taken in (md5(id), id) order until the group's running token
+    total reaches ``budget``; the first doc to cross it is kept (greedy
+    prefix, budget is a start-threshold), the rest drop. Tokens are
+    single-space splits (the ``token_count_by_lang`` convention; null
+    text counts as 1 like SQL ``string_split('', ' ')``). Null-group
+    rows carry no budget and are excluded.
+
+    Returns (id, group, n_toks, toks_before) where ``toks_before`` is
+    the group-relative exclusive running sum — the audit trail for "why
+    was this doc kept".
+
+    Scale shape: ONE narrow sort by (group, md5, id) + the
+    ``zip_with_cumsum`` block-offset plan (O(blocks) driver ints) +
+    an O(groups) token-total broadcast for group start offsets — the
+    ``grouped_ntile`` trick applied to value prefix sums. Text never
+    rides the shuffle; no group ever lands in one task."""
+    import ray
+
+    from ._digest import md5_hex
+    from ._fold import fold_table
+    from .rank import zip_with_cumsum
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        text = pc.fill_null(t[text_col].combine_chunks(), "")
+        n = pc.cast(
+            pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+        )
+        return pa.table({
+            id_col: t[id_col],
+            group_col: t[group_col],
+            "n_toks": n,
+            "h": pa.array(md5_hex(t[id_col]), pa.string()),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def sum_partial(t: pa.Table) -> pa.Table:
+        agg = (t.select([group_col, "n_toks"]).group_by(group_col)
+               .aggregate([("n_toks", "sum")]))
+        return agg.rename_columns([group_col, "s"])
+
+    folded = fold_table(narrow.map_batches(
+        sum_partial, batch_format="pyarrow", zero_copy_batch=True))
+    if folded is None:
+        return narrow.map_batches(
+            lambda t: pa.table({
+                id_col: t[id_col], group_col: t[group_col],
+                "n_toks": t["n_toks"],
+                "toks_before": pa.array([], pa.int64()),
+            }),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    sums: dict = {}
+    for g, s_ in zip(folded[group_col].to_pylist(), folded["s"].to_pylist()):
+        sums[g] = sums.get(g, 0) + s_
+    starts: dict = {}
+    acc = 0
+    for g in sorted(sums):
+        starts[g] = acc
+        acc += sums[g]
+    state_ref = ray.put(starts)
+
+    srt = narrow.sort([group_col, "h", id_col])
+    with_off = zip_with_cumsum(srt, "n_toks", offset_col="off")
+
+    def pick(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        starts_ = ray.get(state_ref)
+        groups = t[group_col].to_pylist()
+        gstart = np.fromiter((starts_[g] for g in groups), np.int64,
+                             count=len(groups))
+        rel = t["off"].to_numpy(zero_copy_only=False) - gstart
+        out = pa.table({
+            id_col: t[id_col], group_col: t[group_col],
+            "n_toks": t["n_toks"],
+            "toks_before": pa.array(rel, pa.int64()),
+        })
+        return out.filter(pa.array(rel < budget))
+
+    return with_off.map_batches(pick, batch_format="pyarrow",
+                                zero_copy_batch=True)

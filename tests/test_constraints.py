@@ -66,3 +66,37 @@ def test_monotonic_skips_null_evidence(ray_session):
     # null row dropped: 4.0's previous NON-NULL value is 5.0 -> violation
     assert {(r.event_id, r.prev_value) for r in out.itertuples(index=False)} \
         == {(3, 5.0)}
+
+
+def test_token_budget_sample_greedy_prefix(ray_session):
+    from schisma_ray.stages.corpus import token_budget_sample
+
+    # ids chosen so md5 order within each lang is known at test time
+    from schisma_ray.stages._digest import md5_hex
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "de", "de", None]),
+        "text": pa.array(["a b c d", "e f g", "h i", "x y z", "w v", "zz"]),
+    })
+    out = token_budget_sample(
+        rd.from_arrow(t).repartition(3), budget=5,
+        group_col="lang", text_col="text", id_col="doc_id",
+    ).to_pandas().sort_values("doc_id")
+
+    # reproduce the greedy prefix independently
+    import numpy as np
+    import pandas as pd
+    df = t.to_pandas().dropna(subset=["lang"])
+    df["n"] = df["text"].str.split(" ").str.len()
+    df["h"] = md5_hex(df["doc_id"].tolist())
+    expect = set()
+    for lang, sub in df.groupby("lang"):
+        sub = sub.sort_values(["h", "doc_id"])
+        before = sub["n"].cumsum() - sub["n"]
+        expect |= set(sub.loc[before < 5, "doc_id"])
+    assert set(out["doc_id"]) == expect
+    assert None not in set(out["lang"])  # null group excluded
+    # audit trail: toks_before is the group-relative exclusive cumsum
+    for lang, sub in out.groupby("lang"):
+        sub = sub.sort_values("toks_before")
+        assert sub["toks_before"].iloc[0] == 0
