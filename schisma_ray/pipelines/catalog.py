@@ -3140,6 +3140,19 @@ def q_token_budget_sample(sf_dir: str):
     return token_budget_sample(ds, budget=4000)
 
 
+def q_doc_repeat_upsample(sf_dir: str):
+    """Epoch repeat factors: de docs 2.5x (every doc twice, a
+    deterministic md5 half three times), zh 3x, everything else 1x —
+    the rare-domain oversampling step. Pure per-row np.repeat, zero
+    shuffle."""
+    from ..stages.corpus import repeat_upsample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    out = repeat_upsample(ds, {"de": 2.5, "zh": 3.0}, default_weight=1.0)
+    return _collect(out, ["doc_id", "lang", "copy_idx"])
+
+
 def q_event_user_cardinality(sf_dir: str):
     """Group-cardinality constraint over events: users with fewer than
     55 or more than 70 rows ('group too small' / 'group too large') —
@@ -3604,6 +3617,21 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
          AS dup_frac_e6
   FROM per
+""",
+        "doc_repeat_upsample": """
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS b
+    FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'de' THEN 2 + CASE WHEN b < 5000 THEN 1 ELSE 0 END
+              WHEN lang = 'zh' THEN 3
+              ELSE 1 END AS reps
+    FROM d)
+SELECT doc_id, lang, CAST(j AS BIGINT) AS copy_idx
+  FROM r, unnest(range(0, reps)) AS t(j)
 """,
         "token_budget_sample": """
 WITH d AS (
@@ -5828,6 +5856,7 @@ QUERIES = {
     "event_user_cardinality": q_event_user_cardinality,
     "events_monotonic": q_events_monotonic,
     "token_budget_sample": q_token_budget_sample,
+    "doc_repeat_upsample": q_doc_repeat_upsample,
     "url_canonical_dups": q_url_canonical_dups,
     "image_payload_violations": q_image_payload_violations,
     "image_caption_conform": q_image_caption_conform,

@@ -600,3 +600,40 @@ def token_budget_sample(ds, *, budget: int, group_col: str = "lang",
 
     return with_off.map_batches(pick, batch_format="pyarrow",
                                 zero_copy_batch=True)
+
+
+def repeat_upsample(ds, weights: dict, *, key_col: str = "lang",
+                    id_col: str = "doc_id", default_weight: float = 1.0):
+    """Deterministic fractional UPSAMPLING — the epoch-repeat-factor
+    primitive (oversample rare domains into a training mix, the
+    complement of ``sample_by_rate``'s downsampling): a weight of 2.3
+    emits every row twice plus a third copy for the ~30% of ids whose
+    md5 uniform falls below the fraction (same ``md5(id) % 10000``
+    convention as ``sample_by_rate``, so a rate r < 1 reproduces it
+    exactly). Output rows carry ``copy_idx`` (0-based) so downstream
+    shuffling/packing can tell copies apart.
+
+    Purely per-row (np.repeat on the batch): no shuffle, linear scale,
+    identical output at any parallelism."""
+    floors = {k: int(np.floor(w)) for k, w in weights.items()}
+    fracs = {k: int(round((w - np.floor(w)) * 10000))
+             for k, w in weights.items()}
+    dfloor = int(np.floor(default_weight))
+    dfrac = int(round((default_weight - np.floor(default_weight)) * 10000))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_pylist()
+        buckets = _md5_bucket(batch[id_col].to_pylist())
+        base = np.fromiter((floors.get(k, dfloor) for k in keys),
+                           np.int64, count=len(keys))
+        frac = np.fromiter((fracs.get(k, dfrac) for k in keys),
+                           np.int64, count=len(keys))
+        reps = base + (buckets < frac)
+        idx = np.repeat(np.arange(len(keys), dtype=np.int64), reps)
+        out = batch.take(pa.array(idx))
+        ends = np.cumsum(reps)
+        copy_idx = np.arange(int(ends[-1]) if len(ends) else 0,
+                             dtype=np.int64) - np.repeat(ends - reps, reps)
+        return out.append_column("copy_idx", pa.array(copy_idx, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

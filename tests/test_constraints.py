@@ -100,3 +100,30 @@ def test_token_budget_sample_greedy_prefix(ray_session):
     for lang, sub in out.groupby("lang"):
         sub = sub.sort_values("toks_before")
         assert sub["toks_before"].iloc[0] == 0
+
+
+def test_repeat_upsample_fractional(ray_session):
+    from schisma_ray.stages.corpus import _md5_bucket, repeat_upsample
+
+    ids = list(range(40))
+    t = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array((["de"] * 20) + (["en"] * 20)),
+    })
+    out = repeat_upsample(
+        rd.from_arrow(t).repartition(4), {"de": 2.5}, default_weight=1.0
+    ).to_pandas()
+    per = out.groupby("doc_id").size()
+    buckets = _md5_bucket(ids)
+    for i in ids[:20]:  # de: 2 or 3 copies by md5 half
+        assert per[i] == 2 + (buckets[i] < 5000)
+    for i in ids[20:]:  # en: weight 1
+        assert per[i] == 1
+    # copy_idx is 0..reps-1 per id
+    for i, sub in out.groupby("doc_id"):
+        assert sorted(sub["copy_idx"]) == list(range(len(sub)))
+    # a pure fraction (< 1) reproduces sample_by_rate's keep set
+    down = repeat_upsample(
+        rd.from_arrow(t), {"de": 0.5, "en": 0.5}
+    ).to_pandas()
+    assert set(down["doc_id"]) == {i for i in ids if buckets[i] < 5000}
