@@ -96,6 +96,11 @@ def main(argv=None) -> int:
     p.add_argument("--line-dedup", action="store_true",
                    help="prepend CCNet-style corpus-wide line dedup "
                         "(keep each line's globally-first occurrence)")
+    p.add_argument("--shards", type=int, default=0,
+                   help="> 1 writes hive-partitioned output (shard = "
+                        "md5(doc_id) %% N directories) so a failed run "
+                        "can re-target single shards and readers prune "
+                        "by path — never one giant flat directory")
     p.add_argument("--exact-substr-k", type=int, default=0,
                    help="> 0 adds ExactSubstr span removal (duplicated "
                         "token runs >= k words dropped from every doc) "
@@ -210,7 +215,27 @@ def main(argv=None) -> int:
                 max_entropy_e6=args.max_entropy_e6,
                 exact_substr_k=args.exact_substr_k,
             )
-            out.write_parquet(args.out)
+            if args.shards > 1:
+                import pyarrow as pa
+
+                from schisma_ray.sources.writer import write_partitioned
+                from schisma_ray.stages.corpus import _md5_bucket
+
+                nshards = args.shards
+
+                def add_shard(t: pa.Table) -> pa.Table:
+                    shard = _md5_bucket(t["doc_id"].to_pylist()) % nshards
+                    return t.append_column(
+                        "shard", pa.array(shard.astype("int64"))
+                    )
+
+                write_partitioned(
+                    out.map_batches(add_shard, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                    args.out, partition_cols=["shard"],
+                )
+            else:
+                out.write_parquet(args.out)
             import pyarrow.dataset as pads
 
             try:

@@ -3140,6 +3140,17 @@ def q_token_budget_sample(sf_dir: str):
     return token_budget_sample(ds, budget=4000)
 
 
+def q_truncation_waste(sf_dir: str):
+    """Context-length waste audit at L=60: every doc longer than 60
+    single-space tokens with the token count a truncate policy would
+    discard. Pure map, zero shuffle."""
+    from ..stages.corpus import truncation_waste
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return truncation_waste(ds, max_len=60)
+
+
 def q_doc_repeat_upsample(sf_dir: str):
     """Epoch repeat factors: de docs 2.5x (every doc twice, a
     deterministic md5 half three times), zh 3x, everything else 1x —
@@ -3617,6 +3628,15 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
          AS dup_frac_e6
   FROM per
+""",
+        "truncation_waste": """
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text, ''), ' ')) AS n_toks
+    FROM documents)
+SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks,
+       CAST(n_toks - 60 AS BIGINT) AS n_lost
+  FROM d WHERE n_toks > 60
 """,
         "doc_repeat_upsample": """
 WITH d AS (
@@ -5857,6 +5877,7 @@ QUERIES = {
     "events_monotonic": q_events_monotonic,
     "token_budget_sample": q_token_budget_sample,
     "doc_repeat_upsample": q_doc_repeat_upsample,
+    "truncation_waste": q_truncation_waste,
     "url_canonical_dups": q_url_canonical_dups,
     "image_payload_violations": q_image_payload_violations,
     "image_caption_conform": q_image_caption_conform,

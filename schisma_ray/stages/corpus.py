@@ -637,3 +637,27 @@ def repeat_upsample(ds, weights: dict, *, key_col: str = "lang",
         return out.append_column("copy_idx", pa.array(copy_idx, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def truncation_waste(ds, *, max_len: int, col: str = "text",
+                     id_col: str = "doc_id"):
+    """Context-length waste audit: for every document LONGER than
+    ``max_len`` tokens, the tokens a truncate-at-max_len policy would
+    discard — (id, n_toks, n_lost) with n_lost = n_toks - max_len. The
+    "what does L actually cost on this corpus" question asked when
+    choosing a context length (the alternative to chunking/packing).
+    Single-space tokens (the ``token_count_by_lang`` convention; null
+    text counts as 1 like SQL ``string_split('', ' ')``). Pure map,
+    zero shuffle."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t[col].combine_chunks(), "")
+        n = pc.cast(pc.list_value_length(pc.split_pattern(text, " ")),
+                    pa.int64())
+        keep = pc.greater(n, max_len)
+        out = pa.table({id_col: t[id_col], "n_toks": n}).filter(keep)
+        return out.append_column(
+            "n_lost", pc.subtract(out["n_toks"], pa.scalar(max_len, pa.int64()))
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -103,3 +103,24 @@ def test_cli_report_compare_to(tmp_path, capsys):
     p1 = next(r for r in lines if r["partition_id"] == "p1")
     assert p1["trend"] == "REGRESSED" and p1["violations_prev"] == 6
     assert rc == 1
+
+
+def test_cli_prepare_sharded(tmp_path):
+    out = tmp_path / "chunks"
+    res = _run(
+        "prepare", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--out", str(out), "--langs", "en", "--chunk-size", "100",
+        "--chunk-stride", "80", "--shards", "4",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert info["chunks_written"] > 0
+    dirs = sorted(p.name for p in out.iterdir() if p.is_dir())
+    assert dirs and all(d.startswith("shard=") for d in dirs)
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(str(out), partitioning="hive").to_table()
+    assert t.num_rows == info["chunks_written"]
+    # sharding is md5-deterministic: same doc never splits across shards
+    df = t.select(["doc_id", "shard"]).to_pandas()
+    assert (df.groupby("doc_id")["shard"].nunique() == 1).all()

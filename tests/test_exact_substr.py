@@ -124,3 +124,45 @@ def test_prepare_corpus_exact_substr_stage(ray_session):
         chunk_size=200, chunk_stride=200,
     ).to_pandas()
     assert set(plain["doc_id"]) == {1, 2, 3}
+
+
+def test_merge_spans_property_bruteforce():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.sets(st.integers(0, 60), min_size=1, max_size=25),
+           st.integers(1, 8))
+    def check(posset, k):
+        pos = np.array(sorted(posset), np.int64)
+        s, e = _merge_spans(pos, k)
+        # brute force: union of [p, p+k) windows, maximal runs
+        covered = np.zeros(70 + k, bool)
+        for p in pos:
+            covered[p:p + k] = True
+        idx = np.flatnonzero(covered)
+        brk = np.flatnonzero(np.diff(idx) > 1)
+        starts = idx[np.r_[0, brk + 1]]
+        ends = idx[np.r_[brk, len(idx) - 1]] + 1
+        assert list(s) == list(starts) and list(e) == list(ends)
+
+    check()
+
+
+def test_exact_substr_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    t = pa.table({
+        "doc_id": pa.array(range(30), pa.int64()),
+        "text": pa.array(
+            [f"unique{i} words only here" if i % 3 else
+             "a common shared boilerplate run appears here often"
+             for i in range(30)]),
+    })
+    outs = []
+    for parts in (1, 4, 9):
+        out = exact_substr_spans(
+            rd.from_arrow(t).repartition(parts), "text", "doc_id", k=5
+        ).to_pandas().sort_values(["doc_id", "span_start"]).reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
