@@ -3140,6 +3140,96 @@ def q_token_budget_sample(sf_dir: str):
     return token_budget_sample(ds, budget=4000)
 
 
+RP_OUT_DIM = 8
+RP_SEED = 19
+
+
+def _embedding_dim(sf_dir: str) -> int:
+    """Embedding width from the first row only (no full-file read)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first["embedding"][0])
+
+
+def _rp_matrix_file(in_dim: int) -> Path:
+    """Persist the seeded ±1 projection matrix in long format
+    (dim_out, dim_in, w) so the oracle reproduces the integer matmul
+    with a join + SUM. Keyed by (dims, seed) only — R is data-free."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import rademacher_matrix
+
+    out = Path(f"/tmp/schisma_ray_cache/"
+               f"rp_{in_dim}x{RP_OUT_DIM}_s{RP_SEED}.parquet")
+    if not out.exists():
+        out.parent.mkdir(parents=True, exist_ok=True)
+        R = rademacher_matrix(in_dim, RP_OUT_DIM, RP_SEED)
+        oo, ii = np.meshgrid(np.arange(RP_OUT_DIM), np.arange(in_dim),
+                             indexing="ij")
+        tmp = out.with_suffix(".tmp")
+        pq.write_table(pa.table({
+            "dim_out": pa.array(oo.ravel() + 1, pa.int64()),
+            "dim_in": pa.array(ii.ravel() + 1, pa.int64()),
+            "w": pa.array(R.ravel(), pa.int64()),
+        }), tmp)
+        os.replace(tmp, out)
+    return out
+
+
+def q_embedding_projected(sf_dir: str):
+    """Johnson-Lindenstrauss reduction of the embeddings table to 8
+    dims via a persisted seeded ±1 matrix, in exact integer arithmetic
+    (e6-frozen components x int weights) — the pre-ANN shrink stage.
+    Broadcast matrix, one int64 matmul per batch, zero shuffle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import random_projection
+
+    in_dim = _embedding_dim(sf_dir)
+    R = pq.read_table(str(_rp_matrix_file(in_dim)))
+    rmat = (np.asarray(R["w"])
+            .reshape(RP_OUT_DIM, in_dim).astype(np.int64))
+    return random_projection(_t(sf_dir, "embeddings"), rmat)
+
+
+def q_normalized_text_dups(sf_dir: str):
+    """Casing/punctuation-invariant exact dedup: docs whose normalized
+    text (lower, non-alnum stripped, spaces collapsed) collides, with
+    the min-id keeper — the cheap screen between byte dedup and
+    MinHash. Falsifiable via injected variants (every 9th doc gets a
+    '### '-prefixed, '!!!'-suffixed, double-spaced twin at id+1000000 —
+    byte-distinct, normalized-identical; raw exact dedup provably
+    misses them; casing untouched so no cross-engine unicode
+    upper/lower round-trip is load-bearing). One norm-hash bucket
+    shuffle."""
+    import pyarrow.compute as pc
+
+    from ..stages.dedup import normalized_text_dups
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def variants(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        sel = pa.array(ids.to_numpy(zero_copy_only=False) % 9 == 0)
+        v = t.filter(sel)
+        text = pc.replace_substring(
+            pc.fill_null(v["text"].combine_chunks(), ""), " ", "  ")
+        return pa.table({
+            "doc_id": pc.add(v["doc_id"], 1000000),
+            "text": pc.binary_join_element_wise(
+                pa.array(["### "] * len(v)), text,
+                pa.array(["!!!"] * len(v)), ""),
+        })
+
+    aug = ds.union(ds.map_batches(variants, batch_format="pyarrow",
+                                  zero_copy_batch=True))
+    return _collect(normalized_text_dups(aug),
+                    ["doc_id", "keeper", "group_size"])
+
+
 def q_truncation_waste(sf_dir: str):
     """Context-length waste audit at L=60: every doc longer than 60
     single-space tokens with the token count a truncate policy would
@@ -3628,6 +3718,40 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        CAST((2 * n_dup * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
          AS dup_frac_e6
   FROM per
+""",
+        "embedding_projected": f"""
+WITH flat AS (
+  SELECT vec_id,
+         CAST(floor(CAST(unnest(CAST(embedding AS DOUBLE[])) AS DOUBLE)
+                    * 1e6 + 0.5) AS BIGINT) AS q,
+         CAST(generate_subscripts(embedding, 1) AS BIGINT) AS j
+    FROM embeddings WHERE embedding IS NOT NULL)
+SELECT f.vec_id, r.dim_out AS dim, CAST(SUM(f.q * r.w) AS BIGINT) AS p
+  FROM flat f
+  JOIN read_parquet('{_rp_matrix_file(_embedding_dim(ORACLE_SF_DIR))}') r
+    ON r.dim_in = f.j
+ GROUP BY f.vec_id, r.dim_out
+""",
+        "normalized_text_dups": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         '### ' || replace(coalesce(text, ''), ' ', '  ') || '!!!'
+    FROM documents WHERE doc_id % 9 = 0),
+n AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+             regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'), ' ') AS norm
+    FROM aug),
+g AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY norm) AS group_size,
+         min(doc_id) OVER (PARTITION BY norm) AS keeper
+    FROM n)
+SELECT doc_id, keeper, CAST(group_size AS BIGINT) AS group_size
+  FROM g WHERE group_size > 1
 """,
         "truncation_waste": """
 WITH d AS (
@@ -5878,6 +6002,8 @@ QUERIES = {
     "token_budget_sample": q_token_budget_sample,
     "doc_repeat_upsample": q_doc_repeat_upsample,
     "truncation_waste": q_truncation_waste,
+    "embedding_projected": q_embedding_projected,
+    "normalized_text_dups": q_normalized_text_dups,
     "url_canonical_dups": q_url_canonical_dups,
     "image_payload_violations": q_image_payload_violations,
     "image_caption_conform": q_image_caption_conform,

@@ -1626,3 +1626,47 @@ def exact_substr_clean(ds, col: str, id_col: str, *, k: int = 5,
         })
 
     return both.groupby("db").map_groups(rebuild, batch_format="pandas")
+
+
+def normalized_text_dups(ds, *, col: str = "text", id_col: str = "doc_id",
+                         num_buckets: int = 32):
+    """(id, keeper, group_size) for every document whose NORMALIZED
+    text (lowercase, non-alphanumerics stripped, whitespace collapsed)
+    collides with another's — casing/punctuation-invariant exact dedup,
+    the cheap screen between byte-equality and MinHash. keeper = the
+    group's minimum id (the survivor exact-dedup would pick). The RE2
+    normalize chain is identical on both oracle sides.
+
+    Scale shape: one vectorized normalize pass, ONE norm-hash bucket
+    shuffle, per-bucket transform('size') + min — hash routes, equality
+    decides (the url_canonical_dups contract)."""
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(batch[col].combine_chunks(), ""))
+        t = pc.replace_substring_regex(t, "[^a-z0-9 ]", "")
+        t = pc.replace_substring_regex(t, " +", " ")
+        t = pc.utf8_trim(t, " ")
+        nb = (
+            pd.util.hash_array(np.asarray(t.to_pylist(), dtype=object))
+            % num_buckets
+        ).astype(np.int32)
+        return pa.table({
+            id_col: batch[id_col],
+            "norm": t,
+            "nb": pa.array(nb, pa.int32()),
+        })
+
+    def dups(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("norm")
+        size = g["norm"].transform("size")
+        keeper = g[id_col].transform("min")
+        out = group.loc[size > 1, [id_col]].copy()
+        out["keeper"] = keeper[size > 1]
+        out["group_size"] = size[size > 1].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("nb")
+        .map_groups(dups, batch_format="pandas")
+    )

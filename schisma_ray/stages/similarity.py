@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 
@@ -483,6 +484,63 @@ def quantize_embeddings(ds, *, col: str = "embedding", id_col: str = "vec_id"):
                 "scale_e6": pa.array(
                     np.repeat(np.floor(scale * 1e6 + 0.5).astype(np.int64), d)
                 ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def rademacher_matrix(in_dim: int, out_dim: int, seed: int) -> np.ndarray:
+    """Seeded ±1 (Rademacher) projection matrix, shape (out_dim,
+    in_dim) — the sparse-JL family of Achlioptas 2003 ("Database-
+    friendly random projections", public result) at density 1."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, (out_dim, in_dim)) * 2 - 1).astype(np.int64)
+
+
+def random_projection(ds, rmat: np.ndarray, *, col: str = "embedding",
+                      id_col: str = "vec_id"):
+    """Johnson-Lindenstrauss dimensionality reduction in EXACT integer
+    arithmetic — the pre-ANN shrink step (project 768-dim embeddings to
+    64 before bucketing/serving; pairwise distances preserved within
+    1±eps by the JL lemma). Components are frozen to e6 ints
+    (floor(x*1e6+0.5), the quantize_embeddings recipe) and multiplied
+    by the ±1 matrix in int64 — both sides of the oracle only sum
+    integers, so no float-summation-order risk (max |p| ~ 1e6 * in_dim,
+    far inside int64).
+
+    Output is long-format (id, dim 1-based, p). Broadcast R once
+    (ray.put), one int matmul per batch: no shuffle, no Python per row.
+    Null embeddings carry no components and are dropped (= SQL unnest)."""
+    ref = ray.put(np.ascontiguousarray(rmat, dtype=np.int64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        R = ray.get(ref)
+        out_dim = R.shape[0]
+        arr = batch[col].combine_chunks()
+        batch = batch.filter(pc.is_valid(arr))
+        arr = batch[col].combine_chunks()
+        nrows = len(arr)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        if nrows == 0 or flat.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], batch.schema.field(id_col).type),
+                    "dim": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                }
+            )
+        d = flat.size // nrows
+        e = np.floor(flat.reshape(nrows, d) * 1e6 + 0.5).astype(np.int64)
+        p = e @ R.T
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, out_dim)),
+                "dim": pa.array(
+                    np.tile(np.arange(1, out_dim + 1, dtype=np.int64), nrows)
+                ),
+                "p": pa.array(p.ravel(), pa.int64()),
             }
         )
 

@@ -127,3 +127,51 @@ def test_repeat_upsample_fractional(ray_session):
         rd.from_arrow(t), {"de": 0.5, "en": 0.5}
     ).to_pandas()
     assert set(down["doc_id"]) == {i for i in ids if buckets[i] < 5000}
+
+
+def test_random_projection_integer_exact(ray_session):
+    import numpy as np
+
+    from schisma_ray.stages.similarity import (
+        rademacher_matrix,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(17, 6)).astype(np.float32)
+    R = rademacher_matrix(6, 3, seed=11)
+    assert set(np.unique(R)) <= {-1, 1}
+    # same seed -> same matrix
+    assert np.array_equal(R, rademacher_matrix(6, 3, seed=11))
+    t = pa.table({
+        "vec_id": pa.array(range(17), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    out = random_projection(
+        rd.from_arrow(t).repartition(3), R
+    ).to_pandas().sort_values(["vec_id", "dim"]).reset_index(drop=True)
+    e = np.floor(vecs.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    expect = (e @ R.T).ravel()
+    assert np.array_equal(out["p"].to_numpy(), expect)
+    assert list(out["dim"][:3]) == [1, 2, 3]
+
+
+def test_normalized_text_dups_catches_variants(ray_session):
+    from schisma_ray.stages.dedup import normalized_text_dups
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "Hello, world!  This is fine.",
+            "hello world this is fine",       # normalized twin of 1
+            "### hello   world this is fine!!!",  # and of 1/2
+            "something else entirely",
+        ]),
+    })
+    out = normalized_text_dups(
+        rd.from_arrow(t).repartition(2)
+    ).to_pandas().sort_values("doc_id")
+    # note: casing DOES fold here (ascii lower on the Ray side)
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert set(out["keeper"]) == {1} and set(out["group_size"]) == {3}
