@@ -3741,9 +3741,9 @@ WITH aug AS (
     FROM documents WHERE doc_id % 9 = 0),
 n AS (
   SELECT doc_id,
-         trim(regexp_replace(
+         md5(trim(regexp_replace(
              regexp_replace(lower(coalesce(text, '')), '[^a-z0-9 ]', '', 'g'),
-             ' +', ' ', 'g'), ' ') AS norm
+             ' +', ' ', 'g'), ' ')) AS norm
     FROM aug),
 g AS (
   SELECT doc_id,

@@ -1637,22 +1637,24 @@ def normalized_text_dups(ds, *, col: str = "text", id_col: str = "doc_id",
     group's minimum id (the survivor exact-dedup would pick). The RE2
     normalize chain is identical on both oracle sides.
 
-    Scale shape: one vectorized normalize pass, ONE norm-hash bucket
-    shuffle, per-bucket transform('size') + min — hash routes, equality
-    decides (the url_canonical_dups contract)."""
+    Scale shape: one vectorized normalize pass that collapses the text
+    to its 128-bit md5 BEFORE the shuffle — only (id, 32-char digest)
+    rides the wire, not the corpus — then ONE digest-hash bucket
+    shuffle, per-bucket transform('size') + min. md5 both routes AND
+    decides: DuckDB's md5 is the identical function, so the oracle is
+    exact by construction (collision odds at 128 bits are nil)."""
+    from ._digest import md5_hex
 
     def norm(batch: pa.Table) -> pa.Table:
         t = pc.utf8_lower(pc.fill_null(batch[col].combine_chunks(), ""))
         t = pc.replace_substring_regex(t, "[^a-z0-9 ]", "")
         t = pc.replace_substring_regex(t, " +", " ")
         t = pc.utf8_trim(t, " ")
-        nb = (
-            pd.util.hash_array(np.asarray(t.to_pylist(), dtype=object))
-            % num_buckets
-        ).astype(np.int32)
+        h = md5_hex(t)
+        nb = (pd.util.hash_array(h) % num_buckets).astype(np.int32)
         return pa.table({
             id_col: batch[id_col],
-            "norm": t,
+            "norm": pa.array(h, pa.string()),
             "nb": pa.array(nb, pa.int32()),
         })
 
