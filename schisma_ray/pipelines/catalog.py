@@ -3316,6 +3316,114 @@ def q_url_canonical_dups(sf_dir: str):
     return url_canonical_dups(ds)
 
 
+def q_fmt_magic_mismatches(sf_dir: str):
+    """Decode-free container check: declared fmt vs the payload's
+    4-byte magic (98 wrong-container rows planted at sf0.01) — caught
+    at parquet-scan cost, zero shuffle, no codec."""
+    from ..stages.crossfield import fmt_magic_mismatches
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "bytes", "fmt"])
+    return _collect(fmt_magic_mismatches(ds),
+                    ["image_id", "fmt", "sniffed_fmt"])
+
+
+def q_dataset_card(sf_dir: str):
+    """One-row corpus data card: doc/lang/source counts, total tokens,
+    empty docs, exact-duplicate doc count — the summary block of a
+    dataset card. Everything is combiner-first partials + one tiny
+    fold, except the duplicate count which collapses text to md5
+    digests and takes ONE digest-bucket shuffle (hash routes AND
+    decides, the normalized_text_dups contract)."""
+    import pyarrow.compute as pc
+
+    from ..stages._digest import md5_hex
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang", "source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t["text"].combine_chunks()
+        filled = pc.fill_null(text, "")
+        toks = pc.cast(
+            pc.list_value_length(pc.split_pattern(filled, " ")), pa.int64())
+        empty = pc.or_(pc.is_null(text), pc.equal(filled, ""))
+        return pa.table({
+            "n_docs": pa.array([len(t)], pa.int64()),
+            "total_tokens": pa.array(
+                [pc.sum(toks).as_py() or 0], pa.int64()),
+            "n_empty": pa.array(
+                [pc.sum(pc.cast(empty, pa.int64())).as_py() or 0],
+                pa.int64()),
+        })
+
+    folded = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["n_docs", "total_tokens", "n_empty"])
+
+    def distinct_count(col: str) -> int:
+        def p(t: pa.Table) -> pa.Table:
+            return t.select([col]).group_by(col).aggregate([])
+
+        return (ds.map_batches(p, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(col).count().count())
+
+    n_langs = distinct_count("lang")
+    n_sources = distinct_count("source")
+
+    def digest(t: pa.Table) -> pa.Table:
+        h = md5_hex(pc.fill_null(t["text"].combine_chunks(), ""))
+        hb = (pd.util.hash_array(h) % 32).astype("int32")
+        return pa.table({"h": pa.array(h, pa.string()),
+                         "hb": pa.array(hb, pa.int32())})
+
+    def dup_partial(group: pd.DataFrame) -> pd.DataFrame:
+        size = group.groupby("h")["h"].transform("size")
+        return pd.DataFrame({"n_dup": [int((size > 1).sum())]})
+
+    n_dup = (ds.map_batches(digest, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby("hb").map_groups(dup_partial, batch_format="pandas")
+             .sum("n_dup"))
+
+    return pa.table({
+        "n_docs": pa.array([folded["sum(n_docs)"]], pa.int64()),
+        "n_langs": pa.array([n_langs], pa.int64()),
+        "n_sources": pa.array([n_sources], pa.int64()),
+        "total_tokens": pa.array([folded["sum(total_tokens)"]], pa.int64()),
+        "n_empty": pa.array([folded["sum(n_empty)"]], pa.int64()),
+        "n_dup_docs": pa.array([int(n_dup or 0)], pa.int64()),
+    })
+
+
+def q_caption_lang_dist(sf_dir: str):
+    """Caption language profile of the image table: the n-gram LangId
+    heuristic applied per caption (actor pool, compiled word sets in
+    __init__), collapsed to (lang_pred, n) by a combiner-first
+    groupby — text analysis on the image axis."""
+    from ..stages.text import LangId
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "caption"])
+    pred = ds.map_batches(LangId, fn_constructor_args=("caption", "image_id"),
+                          batch_format="pyarrow", concurrency=(2, 8))
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (t.select(["lang_pred"]).group_by("lang_pred")
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns(["lang_pred", "n"])
+
+    totals = (pred.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .groupby("lang_pred").sum("n"))
+    return _collect(
+        totals.map_batches(
+            lambda t: pa.table({"lang_pred": t["lang_pred"],
+                                "n": t["sum(n)"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        ["lang_pred", "n"],
+    )
+
+
 def q_image_payload_violations(sf_dir: str):
     """Decode-free truncation detection: payload bytes per claimed
     pixel (e6 int) below 1.0 means the blob cannot possibly hold the
@@ -3913,6 +4021,55 @@ SELECT n_rows, n_violations, rate_e6,
        drift_statistic <= 9.21 AS drift_ok,
        (rate_e6 <= 100000 AND drift_statistic <= 9.21) AS verdict
   FROM g
+""",
+        "dataset_card": """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(SUM(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_empty,
+       (SELECT CAST(coalesce(SUM(c), 0) AS BIGINT) FROM (
+          SELECT count(*) AS c FROM documents
+           GROUP BY md5(coalesce(text, '')) HAVING count(*) > 1))
+         AS n_dup_docs
+  FROM documents
+""",
+        "caption_lang_dist": f"""
+WITH t AS (SELECT image_id, caption AS text,
+                  string_split(lower(caption), ' ') AS words
+             FROM {img}),
+     s AS (SELECT image_id, text,
+   len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+   len(list_filter(words, x -> x IN ('der','die','das','und','ist','ein','zu','mit','von','nicht'))) AS s_de,
+   len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS s_fr,
+   len(list_filter(words, x -> x IN ('el','la','los','las','es','un','una','de','que','por'))) AS s_es,
+   length(regexp_replace(substr(text, 1, 200), '[^一-鿿]', '', 'g')) AS cjk,
+   length(substr(text, 1, 200)) AS head_len
+  FROM t),
+p AS (SELECT
+  CASE WHEN text IS NULL OR text = '' THEN 'und'
+       WHEN cjk > head_len * 0.2 THEN 'zh'
+       WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+  FROM s)
+SELECT lang_pred, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1
+""",
+        "fmt_magic_mismatches": f"""
+WITH im AS (SELECT image_id, fmt, bytes FROM {img}),
+s AS (
+  SELECT image_id, fmt,
+         CASE substr(upper(hex(bytes)), 1, 8)
+              WHEN '8946504E' THEN 'png'
+              WHEN 'FFD8464A' THEN 'jpeg'
+              WHEN '52494646' THEN 'webp' END AS sniffed_fmt
+    FROM im)
+SELECT image_id, fmt, sniffed_fmt
+  FROM s WHERE sniffed_fmt IS DISTINCT FROM fmt
 """,
         "image_payload_violations": f"""
 WITH im AS (SELECT * FROM {img})
@@ -6006,6 +6163,9 @@ QUERIES = {
     "normalized_text_dups": q_normalized_text_dups,
     "url_canonical_dups": q_url_canonical_dups,
     "image_payload_violations": q_image_payload_violations,
+    "fmt_magic_mismatches": q_fmt_magic_mismatches,
+    "caption_lang_dist": q_caption_lang_dist,
+    "dataset_card": q_dataset_card,
     "image_caption_conform": q_image_caption_conform,
     "image_clean_ids": q_image_clean_ids,
     "fmt_area_rollup": q_fmt_area_rollup,

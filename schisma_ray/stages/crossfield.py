@@ -172,3 +172,44 @@ def cross_field_violations(ds, rules=IMAGE_CROSS_RULES, *,
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def fmt_magic_mismatches(ds, *, bytes_col: str = "bytes",
+                         fmt_col: str = "fmt", id_col: str = "image_id"):
+    """Decode-free container check: the payload's 4-byte magic header
+    versus the declared format column — wrong-container rows (a jpeg
+    payload labeled png) caught at parquet-scan cost, no codec, like
+    ``payload_ratio_rule`` catches truncation. Emits (id, fmt,
+    sniffed_fmt) for every row where they differ (null-aware: an
+    unknown/absent magic with a declared fmt is a mismatch, and vice
+    versa). Pure vectorized map — ``pc.binary_slice`` + three scalar
+    equalities — zero shuffle.
+
+    Magic values are the builtin codec's container signatures
+    (sources/codec.py _MAGICS); the pil backend shares the real PNG /
+    JPEG / RIFF prefixes for the first bytes checked here."""
+    from ..sources.codec import _MAGICS
+
+    magics = {fmt: magic[:4] for fmt, magic in _MAGICS.items()}
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = batch[bytes_col].combine_chunks()
+        head = pc.binary_slice(b, 0, 4)
+        sniffed = pa.nulls(len(batch), pa.string())
+        for fmt, magic in magics.items():
+            hit = pc.fill_null(
+                pc.equal(head, pa.scalar(magic, pa.binary())), False)
+            sniffed = pc.if_else(hit, fmt, sniffed)
+        declared = batch[fmt_col].combine_chunks()
+        # null-aware inequality: mismatch unless both null or equal
+        eq = pc.fill_null(pc.equal(declared, sniffed), False)
+        both_null = pc.and_(pc.is_null(declared), pc.is_null(sniffed))
+        bad = pc.and_(pc.invert(eq), pc.invert(both_null))
+        out = pa.table({
+            id_col: batch[id_col],
+            fmt_col: declared,
+            "sniffed_fmt": sniffed,
+        })
+        return out.filter(bad)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

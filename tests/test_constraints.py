@@ -175,3 +175,24 @@ def test_normalized_text_dups_catches_variants(ray_session):
     # note: casing DOES fold here (ascii lower on the Ray side)
     assert list(out["doc_id"]) == [1, 2, 3]
     assert set(out["keeper"]) == {1} and set(out["group_size"]) == {3}
+
+
+def test_fmt_magic_mismatches(ray_session):
+    from schisma_ray.stages.crossfield import fmt_magic_mismatches
+
+    t = pa.table({
+        "image_id": pa.array(["a", "b", "c", "d", "e"]),
+        "bytes": pa.array([b"\x89FPN" + b"x" * 8,   # png magic
+                           b"\xff\xd8FJ" + b"x" * 8,  # jpeg magic
+                           b"RIFF" + b"x" * 8,        # webp magic
+                           b"garbage!",               # unknown magic
+                           None], pa.binary()),
+        "fmt": pa.array(["png", "png", "webp", "png", None]),
+    })
+    out = fmt_magic_mismatches(
+        rd.from_arrow(t).repartition(2)
+    ).to_pandas().set_index("image_id")
+    # a: match; c: match; e: both null -> not a violation
+    assert sorted(out.index) == ["b", "d"]
+    assert out.loc["b", "sniffed_fmt"] == "jpeg"
+    assert out.loc["d", "sniffed_fmt"] is None or out.loc["d"].isna()["sniffed_fmt"]
