@@ -446,6 +446,31 @@ def q_audio_features(sf_dir: str):
     return feats.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _scene_video_dir(sf_dir: str):
+    from ..sources import av_table
+
+    return av_table.generate_scene_video(av_table.rows_for_sf(sf_dir, 4_000))
+
+
+def q_video_scene_cuts(sf_dir: str):
+    """Scene-boundary detection over the scene-structured video fixture
+    (1-4 planted scenes per video): adjacent-frame exact-integer mean
+    |Δ| above 20 levels marks a cut. Actor pool decode; oracled against
+    the generator's independently-recorded planted cut positions —
+    intra-scene jitter + lossy-codec noise sit far below the
+    threshold, fresh scene bases far above, so detection must recover
+    exactly the planted set."""
+    from ..stages.multimodal import scene_cuts
+
+    ds = rd.read_parquet(str(_scene_video_dir(sf_dir) / "scene_video.parquet"),
+                         columns=["video_id", "bytes"])
+    cuts = scene_cuts(ds, concurrency=(1, 4))
+    return cuts.map_batches(
+        lambda t: t.select(["video_id", "frame_idx"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
 def q_video_frame_explode(sf_dir: str):
     """True frame explosion: every 3rd frame of each container becomes a
     row; oracled from the stored n_frames metadata."""
@@ -3737,6 +3762,10 @@ SELECT image_id, 'fmt', 'invalid', '{in_set_fmt}', fmt
 SELECT row_ref, path, code, expected, received
   FROM read_parquet('{{AUDIO_EXPECTED}}')
 """.replace("{AUDIO_EXPECTED}", str(_audio_dir(ORACLE_SF_DIR) / "expected_violations.parquet")),
+        "video_scene_cuts": f"""
+SELECT video_id, CAST(frame_idx AS BIGINT) AS frame_idx
+  FROM read_parquet('{_scene_video_dir(ORACLE_SF_DIR) / "expected_cuts.parquet"}')
+""",
         "video_frame_explode": f"""
 SELECT video_id, CAST(unnest(range(0, n_frames, 3)) AS INTEGER) AS frame_idx,
        w, h, fmt
@@ -6196,6 +6225,7 @@ QUERIES = {
     "audio_decode_violations": q_audio_decode_violations,
     "audio_features": q_audio_features,
     "video_frame_explode": q_video_frame_explode,
+    "video_scene_cuts": q_video_scene_cuts,
     "image_conform_full": q_image_conform_full,
     "image_conform_selective": q_image_conform_selective,
     "validate_documents": q_validate_documents,

@@ -148,3 +148,64 @@ def generate_video(n: int, seed: int = 42) -> Path:
         shutil.rmtree(out)
     os.rename(tmp, out)
     return out
+
+
+def generate_scene_video(n: int, seed: int = 42) -> Path:
+    """Scene-structured videos with PLANTED cuts: each video holds 1-4
+    scenes; frames within a scene are one base frame plus small ±4
+    jitter (and lossy-codec noise, both bounded far below any scene
+    change), scene boundaries are fresh random bases (~85-level mean
+    difference). ``expected_cuts.parquet`` records every planted
+    scene-start frame index (> 0) — the independently-computed truth
+    the scene-cut detector is oracled against."""
+    out = CACHE_ROOT / f"scenevid_v1_n{n}_s{seed}"
+    if (out / "_SUCCESS").exists():
+        return out
+    tmp = out.with_name(out.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+
+    ids, blobs, nfs = [], [], []
+    cut_ids, cut_idx = [], []
+    for i in range(n):
+        rng = np.random.default_rng([seed, 7, i])
+        w = int(rng.integers(8, 17))
+        h = int(rng.integers(8, 17))
+        fmt = ["png", "jpeg", "webp"][i % 3]
+        n_scenes = int(rng.integers(1, 5))
+        frames: list[np.ndarray] = []
+        vid = f"svid-{i:06d}"
+        for s in range(n_scenes):
+            if s > 0:
+                cut_ids.append(vid)
+                cut_idx.append(len(frames))
+            base = rng.integers(0, 256, (h, w, 3), dtype=np.int16)
+            for _ in range(int(rng.integers(2, 5))):
+                jitter = rng.integers(-4, 5, (h, w, 3), dtype=np.int16)
+                frames.append(
+                    np.clip(base + jitter, 0, 255).astype(np.uint8)
+                )
+        ids.append(vid)
+        blobs.append(av_codec.encode_video(frames, fps=10, fmt=fmt))
+        nfs.append(len(frames))
+    pq.write_table(
+        pa.table({
+            "video_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+            "n_frames": pa.array(nfs, pa.int32()),
+        }),
+        tmp / "scene_video.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "video_id": pa.array(cut_ids, pa.string()),
+            "frame_idx": pa.array(cut_idx, pa.int64()),
+        }),
+        tmp / "expected_cuts.parquet",
+    )
+    (tmp / "_SUCCESS").touch()
+    if out.exists():
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    return out

@@ -64,3 +64,32 @@ def test_frame_sample(images):
     assert 0 < n < total
     # deterministic across runs
     assert frame_sample(images, every_k=10).count() == n
+
+
+def test_scene_cut_detector(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schisma_ray.sources import av_codec
+    from schisma_ray.stages.multimodal import scene_cuts
+
+    rng = np.random.default_rng(5)
+    base1 = rng.integers(0, 256, (10, 12, 3), dtype=np.int16)
+    base2 = rng.integers(0, 256, (10, 12, 3), dtype=np.int16)
+    frames = []
+    for _ in range(3):  # scene 1: jittered copies of base1
+        j = rng.integers(-4, 5, base1.shape, dtype=np.int16)
+        frames.append(np.clip(base1 + j, 0, 255).astype(np.uint8))
+    for _ in range(2):  # scene 2 starts at index 3
+        j = rng.integers(-4, 5, base2.shape, dtype=np.int16)
+        frames.append(np.clip(base2 + j, 0, 255).astype(np.uint8))
+    blob = av_codec.encode_video(frames, fps=10, fmt="png")
+    t = pa.table({
+        "video_id": pa.array(["v1", "v2"], pa.string()),
+        "bytes": pa.array([blob, None], pa.binary()),  # null -> skipped
+    })
+    out = scene_cuts(rd.from_arrow(t), concurrency=1).to_pandas()
+    assert list(out["video_id"]) == ["v1"]
+    assert list(out["frame_idx"]) == [3]
+    assert (out["diff_e6"] > 20_000_000).all()
