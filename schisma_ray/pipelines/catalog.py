@@ -471,6 +471,25 @@ def q_video_scene_cuts(sf_dir: str):
     )
 
 
+def _silence_audio_dir(sf_dir: str):
+    from ..sources import av_table
+
+    return av_table.generate_silence_audio(
+        av_table.rows_for_sf(sf_dir, 10_000))
+
+
+def q_audio_silence_runs(sf_dir: str):
+    """Silence segmentation over the planted-gap audio fixture: runs of
+    160-sample windows whose max |sample| is under 300 (true zeros vs
+    thousands-amplitude tone). Actor pool decode, integer compares;
+    oracled against the generator's planted gap positions."""
+    from ..stages.multimodal import silence_runs
+
+    ds = rd.read_parquet(
+        str(_silence_audio_dir(sf_dir) / "silence_audio.parquet"))
+    return silence_runs(ds, concurrency=(1, 4))
+
+
 def q_video_frame_explode(sf_dir: str):
     """True frame explosion: every 3rd frame of each container becomes a
     row; oracled from the stored n_frames metadata."""
@@ -3762,6 +3781,10 @@ SELECT image_id, 'fmt', 'invalid', '{in_set_fmt}', fmt
 SELECT row_ref, path, code, expected, received
   FROM read_parquet('{{AUDIO_EXPECTED}}')
 """.replace("{AUDIO_EXPECTED}", str(_audio_dir(ORACLE_SF_DIR) / "expected_violations.parquet")),
+        "audio_silence_runs": f"""
+SELECT audio_id, win_start, win_end
+  FROM read_parquet('{_silence_audio_dir(ORACLE_SF_DIR) / "expected_silence.parquet"}')
+""",
         "video_scene_cuts": f"""
 SELECT video_id, CAST(frame_idx AS BIGINT) AS frame_idx
   FROM read_parquet('{_scene_video_dir(ORACLE_SF_DIR) / "expected_cuts.parquet"}')
@@ -6226,6 +6249,7 @@ QUERIES = {
     "audio_features": q_audio_features,
     "video_frame_explode": q_video_frame_explode,
     "video_scene_cuts": q_video_scene_cuts,
+    "audio_silence_runs": q_audio_silence_runs,
     "image_conform_full": q_image_conform_full,
     "image_conform_selective": q_image_conform_selective,
     "validate_documents": q_validate_documents,

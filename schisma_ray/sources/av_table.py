@@ -209,3 +209,69 @@ def generate_scene_video(n: int, seed: int = 42) -> Path:
         shutil.rmtree(out)
     os.rename(tmp, out)
     return out
+
+
+def generate_silence_audio(n: int, seed: int = 42,
+                           window: int = 160) -> Path:
+    """Tone clips with PLANTED window-aligned silent gaps: each clip is
+    the standard synth tone mix with 0-3 non-adjacent runs of whole
+    windows zeroed out (the codec is lossless zlib-over-int16, so
+    silence decodes to exact zeros). Tone windows keep max|x| in the
+    thousands; the detector threshold (300) sits an order of magnitude
+    below tone and infinitely above true zero. ``expected_silence
+    .parquet`` records every planted run as (audio_id, win_start,
+    win_end) — end exclusive, in window units."""
+    out = CACHE_ROOT / f"silaudio_v1_n{n}_s{seed}_w{window}"
+    if (out / "_SUCCESS").exists():
+        return out
+    tmp = out.with_name(out.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+
+    ids, blobs = [], []
+    run_ids, run_s, run_e = [], [], []
+    for i in range(n):
+        rng = np.random.default_rng([seed, 11, i])
+        sig = av_codec.synth_audio(int(rng.integers(0, 2**31)),
+                                   duration_s=0.8)[:, 0].copy()
+        n_wins = len(sig) // window
+        aid = f"sil-{i:06d}"
+        n_runs = int(rng.integers(0, 4))
+        used: set[int] = set()
+        runs = []
+        for _ in range(n_runs):
+            length = int(rng.integers(1, 4))
+            start = int(rng.integers(0, max(n_wins - length, 1)))
+            span = set(range(start - 1, start + length + 1))
+            if span & used:  # non-adjacent: merged runs would blur truth
+                continue
+            used |= span
+            runs.append((start, start + length))
+            sig[start * window:(start + length) * window] = 0
+        for a, b in sorted(runs):
+            run_ids.append(aid)
+            run_s.append(a)
+            run_e.append(b)
+        ids.append(aid)
+        blobs.append(av_codec.encode_audio(sig.astype(np.int16), 8000))
+    pq.write_table(
+        pa.table({
+            "audio_id": pa.array(ids, pa.string()),
+            "bytes": pa.array(blobs, pa.binary()),
+        }),
+        tmp / "silence_audio.parquet",
+    )
+    pq.write_table(
+        pa.table({
+            "audio_id": pa.array(run_ids, pa.string()),
+            "win_start": pa.array(run_s, pa.int64()),
+            "win_end": pa.array(run_e, pa.int64()),
+        }),
+        tmp / "expected_silence.parquet",
+    )
+    (tmp / "_SUCCESS").touch()
+    if out.exists():
+        shutil.rmtree(out)
+    os.rename(tmp, out)
+    return out

@@ -515,3 +515,64 @@ def scene_cuts(ds, *, threshold_e6: int = 20_000_000,
         batch_size=32,
         concurrency=concurrency,
     )
+
+
+class SilenceRunDetector:
+    """Actor: detect runs of silent fixed-size windows in an audio
+    payload — per window, silent iff max |sample| (across channels)
+    is below ``threshold``; consecutive silent windows merge to
+    (audio_id, win_start, win_end), end exclusive. Pure integer
+    compares on the decoded int16 buffer (one reshape + max per clip);
+    only full windows are scored. Undecodable clips emit nothing."""
+
+    def __init__(self, window: int = 160, threshold: int = 300,
+                 id_col: str = "audio_id"):
+        self.window = window
+        self.threshold = threshold
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources import av_codec
+
+        ids_out, s_out, e_out = [], [], []
+        for aid, blob in zip(batch[self.id_col].to_pylist(),
+                             batch["bytes"].to_pylist()):
+            if blob is None:
+                continue
+            try:
+                samples, _sr = av_codec.decode_audio(blob)
+            except av_codec.AVCodecError:
+                continue
+            flat = np.abs(samples.astype(np.int32)).max(axis=1)
+            n_wins = len(flat) // self.window
+            if n_wins == 0:
+                continue
+            wmax = flat[:n_wins * self.window].reshape(
+                n_wins, self.window).max(axis=1)
+            silent = np.flatnonzero(wmax < self.threshold)
+            if not len(silent):
+                continue
+            brk = np.flatnonzero(silent[1:] > silent[:-1] + 1)
+            starts = silent[np.r_[0, brk + 1]]
+            ends = silent[np.r_[brk, len(silent) - 1]] + 1
+            ids_out.extend([aid] * len(starts))
+            s_out.extend(starts.tolist())
+            e_out.extend(ends.tolist())
+        return pa.table({
+            self.id_col: pa.array(ids_out, pa.string()),
+            "win_start": pa.array(s_out, pa.int64()),
+            "win_end": pa.array(e_out, pa.int64()),
+        })
+
+
+def silence_runs(ds, *, window: int = 160, threshold: int = 300,
+                 id_col: str = "audio_id", concurrency=(2, 8)):
+    return ds.map_batches(
+        SilenceRunDetector,
+        fn_constructor_kwargs={"window": window, "threshold": threshold,
+                               "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=64,
+        concurrency=concurrency,
+    )

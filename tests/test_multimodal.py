@@ -93,3 +93,27 @@ def test_scene_cut_detector(ray_session):
     assert list(out["video_id"]) == ["v1"]
     assert list(out["frame_idx"]) == [3]
     assert (out["diff_e6"] > 20_000_000).all()
+
+
+def test_silence_run_detector(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from schisma_ray.sources import av_codec
+    from schisma_ray.stages.multimodal import silence_runs
+
+    W = 160
+    sig = av_codec.synth_audio(99, duration_s=0.5)[:, 0].copy()
+    sig[2 * W:4 * W] = 0          # planted run: windows 2..3
+    sig[7 * W:8 * W] = 0          # planted run: window 7
+    blob = av_codec.encode_audio(sig.astype(np.int16), 8000)
+    t = pa.table({
+        "audio_id": pa.array(["a", "b"], pa.string()),
+        "bytes": pa.array([blob, b"bogus"], pa.binary()),  # b undecodable
+    })
+    out = silence_runs(rd.from_arrow(t), window=W,
+                       concurrency=1).to_pandas()
+    got = {(r.audio_id, r.win_start, r.win_end)
+           for r in out.itertuples(index=False)}
+    assert got == {("a", 2, 4), ("a", 7, 8)}
