@@ -3172,6 +3172,18 @@ def q_dup_gram_docs(sf_dir: str):
     return dup_gram_stats(ds, "text", "doc_id")
 
 
+def q_stratified_split(sf_dir: str):
+    """Exact-count stratified 80/10/10 split per language in md5(id)
+    order — per-stratum sizes exact (half-up), not merely expected.
+    One narrow sort + block-offset ordinals + O(groups) broadcast."""
+    from ..stages.corpus import stratified_exact_split
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_exact_split(
+        ds, {"train": 0.8, "val": 0.1, "test": 0.1})
+
+
 def q_token_budget_sample(sf_dir: str):
     """Token-budget corpus mixing: each language trimmed to 4000 tokens
     in deterministic md5(doc_id) order (greedy prefix — the doc that
@@ -3936,6 +3948,21 @@ r AS (
     FROM d)
 SELECT doc_id, lang, CAST(j AS BIGINT) AS copy_idx
   FROM r, unnest(range(0, reps)) AS t(j)
+""",
+        "stratified_split": """
+WITH d AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h
+    FROM documents WHERE lang IS NOT NULL),
+r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+    FROM d)
+SELECT doc_id, lang,
+       CASE WHEN rn <= (n * 800000 + 500000) // 1000000 THEN 'train'
+            WHEN rn <= (n * 900000 + 500000) // 1000000 THEN 'val'
+            ELSE 'test' END AS split
+  FROM r
 """,
         "token_budget_sample": """
 WITH d AS (
@@ -6209,6 +6236,7 @@ QUERIES = {
     "event_user_cardinality": q_event_user_cardinality,
     "events_monotonic": q_events_monotonic,
     "token_budget_sample": q_token_budget_sample,
+    "stratified_split": q_stratified_split,
     "doc_repeat_upsample": q_doc_repeat_upsample,
     "truncation_waste": q_truncation_waste,
     "embedding_projected": q_embedding_projected,

@@ -661,3 +661,84 @@ def truncation_waste(ds, *, max_len: int, col: str = "text",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_exact_split(ds, fractions: dict, *, group_col: str = "lang",
+                           id_col: str = "doc_id"):
+    """EXACT-count stratified train/val/test assignment: within every
+    group, rows are ordered by (md5(id), id) and the first
+    ``(n_g * cumfrac_e6 + 5e5) // 1e6`` rows go to each split in
+    declaration order, the remainder to the last — so per-stratum
+    split sizes are exact (half-up rounded), not merely expected as in
+    the rate-based ``split_assign``. Deterministic at any parallelism;
+    null-group rows are excluded. Returns (id, group, split).
+
+    Scale shape: the ``grouped_ntile`` plan — narrow (id, group, md5)
+    projection, ONE sort, O(blocks) driver ints for global ordinals,
+    O(groups) start/count broadcast, vectorized per-block assignment."""
+    import ray
+
+    from ._digest import md5_hex
+    from ._fold import fold_table
+    from .rank import zip_with_index
+
+    names = list(fractions)
+    cum = np.cumsum([fractions[k] for k in names])
+    if not np.isclose(cum[-1], 1.0):
+        raise ValueError("fractions must sum to 1")
+    cum_e6 = [int(round(c * 1_000_000)) for c in cum[:-1]]
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        return pa.table({
+            id_col: t[id_col],
+            group_col: t[group_col],
+            "h": pa.array(md5_hex(t[id_col]), pa.string()),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = (t.select([group_col]).group_by(group_col)
+               .aggregate([([], "count_all")]))
+        return agg.rename_columns([group_col, "n"])
+
+    folded = fold_table(narrow.map_batches(
+        count_partial, batch_format="pyarrow", zero_copy_batch=True))
+    counts: dict = {}
+    if folded is not None:
+        for g, c in zip(folded[group_col].to_pylist(),
+                        folded["n"].to_pylist()):
+            counts[g] = counts.get(g, 0) + c
+    starts: dict = {}
+    acc = 0
+    for g in sorted(counts):
+        starts[g] = acc
+        acc += counts[g]
+    state_ref = ray.put((starts, counts))
+
+    ranked = zip_with_index(
+        narrow.sort([group_col, "h", id_col]), index_col="__rank")
+
+    def assign(t: pa.Table) -> pa.Table:
+        starts_, counts_ = ray.get(state_ref)
+        groups = t[group_col].to_pylist()
+        r = t["__rank"].combine_chunks().to_numpy(zero_copy_only=False)
+        gstart = np.fromiter((starts_[g] for g in groups), np.int64,
+                             count=len(groups))
+        gn = np.fromiter((counts_[g] for g in groups), np.int64,
+                         count=len(groups))
+        rn = r - gstart  # 1-based within-group rank
+        label = np.full(len(groups), names[-1], dtype=object)
+        for name, ce6 in zip(names[-2::-1], cum_e6[::-1]):
+            cut = (gn * ce6 + 500_000) // 1_000_000
+            label[rn <= cut] = name
+        return pa.table({
+            id_col: t[id_col],
+            group_col: t[group_col],
+            "split": pa.array(label, pa.string()),
+        })
+
+    return ranked.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -196,3 +196,32 @@ def test_fmt_magic_mismatches(ray_session):
     assert sorted(out.index) == ["b", "d"]
     assert out.loc["b", "sniffed_fmt"] == "jpeg"
     assert out.loc["d", "sniffed_fmt"] is None or out.loc["d"].isna()["sniffed_fmt"]
+
+
+def test_stratified_exact_split_counts(ray_session):
+    from schisma_ray.stages.corpus import stratified_exact_split
+
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "lang": pa.array((["en"] * 67) + (["de"] * 30) + ([None] * 3)),
+    })
+    out = stratified_exact_split(
+        rd.from_arrow(t).repartition(4),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas()
+    assert len(out) == 97  # null lang excluded
+    sizes = out.groupby(["lang", "split"]).size()
+    # per-stratum EXACT half-up cumulative cuts: en 67 -> 54/6/7
+    # (train cut 54, val cut (67*9e5+5e5)//1e6 = 60), de 30 -> 24/3/3
+    assert sizes["en"]["train"] == (67 * 800000 + 500000) // 1000000 == 54
+    assert sizes["en"]["val"] == 6 and sizes["en"]["test"] == 7
+    assert sizes["de"]["train"] == 24
+    assert sizes["de"]["val"] == 3 and sizes["de"]["test"] == 3
+    # deterministic at any parallelism
+    again = stratified_exact_split(
+        rd.from_arrow(t).repartition(9),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = again.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
