@@ -3250,6 +3250,54 @@ def q_embedding_projected(sf_dir: str):
     return random_projection(_t(sf_dir, "embeddings"), rmat)
 
 
+_LICENSE_PHRASES = (
+    "Released under Creative Commons Zero.",
+    "Licensed CC-BY 4.0",
+    "The MIT License applies.",
+    "Apache License 2.0",
+    "All rights reserved.",
+)
+
+
+def q_flesch_scores(sf_dir: str):
+    """Flesch reading-ease per doc in exact e3 integers (vowel-group
+    syllable approximation); three RE2 counts per batch, zero
+    shuffle."""
+    from ..stages.text import flesch_scores
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return flesch_scores(ds)
+
+
+def q_license_tags(sf_dir: str):
+    """License-aware curation tag (priority regex chain, first match
+    wins, 'none' otherwise) — falsifiable via injected license phrases
+    on every 6th doc cycling through all five classes."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import license_tags
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        suffix = [
+            " " + _LICENSE_PHRASES[(i // 6) % 5] if i % 6 == 0 else ""
+            for i in ids
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.binary_join_element_wise(
+                text, pa.array(suffix, pa.string()), ""),
+        })
+
+    return license_tags(ds.map_batches(
+        inject, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def q_normalized_text_dups(sf_dir: str):
     """Casing/punctuation-invariant exact dedup: docs whose normalized
     text (lower, non-alnum stripped, spaces collapsed) collides, with
@@ -3903,6 +3951,42 @@ SELECT f.vec_id, r.dim_out AS dim, CAST(SUM(f.q * r.w) AS BIGINT) AS p
   JOIN read_parquet('{_rp_matrix_file(_embedding_dim(ORACLE_SF_DIR))}') r
     ON r.dim_in = f.j
  GROUP BY f.vec_id, r.dim_out
+""",
+        "flesch_scores": r"""
+WITH d AS (
+  SELECT doc_id,
+         len(regexp_extract_all(coalesce(text, ''), '\S+')) AS w,
+         greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+           AS s,
+         len(regexp_extract_all(coalesce(text, ''), '[aeiouyAEIOUY]+')) AS y
+    FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CAST(206835 - (2 * 1015 * w * 1000 + s) // (2 * s)
+                   - (2 * 84600 * y + w) // (2 * w) AS BIGINT) AS flesch_e3
+  FROM d WHERE w > 0
+""",
+        "license_tags": r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN coalesce(text, '') || ' ' ||
+              CASE (doc_id // 6) % 5
+                   WHEN 0 THEN 'Released under Creative Commons Zero.'
+                   WHEN 1 THEN 'Licensed CC-BY 4.0'
+                   WHEN 2 THEN 'The MIT License applies.'
+                   WHEN 3 THEN 'Apache License 2.0'
+                   ELSE 'All rights reserved.' END
+              ELSE coalesce(text, '') END AS text
+    FROM documents)
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '(?i)creative commons zero|\bcc0\b|public domain') THEN 'cc0'
+       WHEN regexp_matches(text, '(?i)creative commons|\bcc[- ]by\b') THEN 'cc-by'
+       WHEN regexp_matches(text, '(?i)\bmit license\b') THEN 'mit'
+       WHEN regexp_matches(text, '(?i)apache license') THEN 'apache'
+       WHEN regexp_matches(text, '(?i)all rights reserved') THEN 'all-rights-reserved'
+       ELSE 'none' END AS license_tag
+  FROM aug
 """,
         "normalized_text_dups": """
 WITH aug AS (
@@ -6241,6 +6325,8 @@ QUERIES = {
     "truncation_waste": q_truncation_waste,
     "embedding_projected": q_embedding_projected,
     "normalized_text_dups": q_normalized_text_dups,
+    "flesch_scores": q_flesch_scores,
+    "license_tags": q_license_tags,
     "url_canonical_dups": q_url_canonical_dups,
     "image_payload_violations": q_image_payload_violations,
     "fmt_magic_mismatches": q_fmt_magic_mismatches,

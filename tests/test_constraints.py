@@ -225,3 +225,39 @@ def test_stratified_exact_split_counts(ray_session):
     a = out.sort_values("doc_id").reset_index(drop=True)
     b = again.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_flesch_scores_known_text(ray_session):
+    from schisma_ray.stages.text import flesch_scores
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["The cat sat. The dog ran!", ""]),
+    })
+    out = flesch_scores(rd.from_arrow(t)).to_pandas()
+    assert list(out["doc_id"]) == [1]          # wordless doc absent
+    row = out.iloc[0]
+    # words=6 (\S+ incl. 'sat.' etc), sentences=2, vowel groups:
+    # The(1) cat(1) sat(1) The(1) dog(1) ran(1) = 6
+    assert row["n_words"] == 6 and row["n_sentences"] == 2
+    assert row["n_syllables"] == 6
+    w, s, y = 6, 2, 6
+    expect = 206835 - (2*1015*w*1000 + s)//(2*s) - (2*84600*y + w)//(2*w)
+    assert row["flesch_e3"] == expect
+
+
+def test_license_tags_priority(ray_session):
+    from schisma_ray.stages.text import license_tags
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "Some text. All rights reserved.",
+            "Creative Commons Zero AND all rights reserved",  # cc0 wins
+            "plain text with no license words",
+            None,
+        ]),
+    })
+    out = license_tags(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert list(out["license_tag"]) == [
+        "all-rights-reserved", "cc0", "none", "none"]
