@@ -98,7 +98,8 @@ def main(argv=None) -> int:
                         "(keep each line's globally-first occurrence)")
     p.add_argument("--shards", type=int, default=0,
                    help="> 1 writes hive-partitioned output (shard = "
-                        "md5(doc_id) %% N directories) so a failed run "
+                        "md5-derived hash of doc_id modulo N, the "
+                        "engine's md5_u32 convention) so a failed run "
                         "can re-target single shards and readers prune "
                         "by path — never one giant flat directory")
     p.add_argument("--exact-substr-k", type=int, default=0,
@@ -129,6 +130,14 @@ def main(argv=None) -> int:
 
         prev = {}
         if args.compare_to:
+            from pathlib import Path as _Path
+
+            if not (_Path(args.compare_to) / "_commits").is_dir():
+                # a mistyped previous-run dir must NOT silently pass
+                # the regression gate as "everything is NEW"
+                print(f"error: --compare-to has no _commits dir: "
+                      f"{args.compare_to}", file=sys.stderr)
+                return 2
             prev = {p["partition_id"]: p
                     for p in load_records(args.compare_to)}
         failed = regressions = 0
@@ -219,12 +228,15 @@ def main(argv=None) -> int:
                 import pyarrow as pa
 
                 from schisma_ray.sources.writer import write_partitioned
-                from schisma_ray.stages.corpus import _md5_bucket
+                from schisma_ray.stages._digest import md5_u32
 
                 nshards = args.shards
 
                 def add_shard(t: pa.Table) -> pa.Table:
-                    shard = _md5_bucket(t["doc_id"].to_pylist()) % nshards
+                    # full-range md5_u32 % N (NOT the rate-sampling
+                    # %10000 bucket, which would alias shards above
+                    # 10000 and break re-target-by-formula)
+                    shard = md5_u32(t["doc_id"].to_pylist()) % nshards
                     return t.append_column(
                         "shard", pa.array(shard.astype("int64"))
                     )

@@ -3435,9 +3435,12 @@ def q_dataset_card(sf_dir: str):
     """One-row corpus data card: doc/lang/source counts, total tokens,
     empty docs, exact-duplicate doc count — the summary block of a
     dataset card. Everything is combiner-first partials + one tiny
-    fold, except the duplicate count which collapses text to md5
-    digests and takes ONE digest-bucket shuffle (hash routes AND
-    decides, the normalized_text_dups contract)."""
+    fold (sums ride one pass, both distinct counts share a second —
+    three dataset executions total), except the duplicate count which
+    collapses text to md5 digests and takes ONE digest-bucket shuffle
+    (hash routes AND decides, the normalized_text_dups contract).
+    Distinct counts exclude NULL keys, matching SQL
+    count(DISTINCT)."""
     import pyarrow.compute as pc
 
     from ..stages._digest import md5_hex
@@ -3464,16 +3467,27 @@ def q_dataset_card(sf_dir: str):
         partial, batch_format="pyarrow", zero_copy_batch=True
     ).sum(["n_docs", "total_tokens", "n_empty"])
 
-    def distinct_count(col: str) -> int:
-        def p(t: pa.Table) -> pa.Table:
-            return t.select([col]).group_by(col).aggregate([])
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        # per-batch distinct NON-NULL values of both key columns in one
+        # pass (SQL count(DISTINCT col) excludes NULLs); bounded by the
+        # true lang/source cardinality per batch
+        parts = []
+        for c in ("lang", "source"):
+            u = pc.unique(pc.drop_null(t[c].combine_chunks()))
+            parts.append(pa.table({
+                "kind": pa.array([c] * len(u), pa.string()),
+                "v": pc.cast(u, pa.string()),
+            }))
+        return pa.concat_tables(parts)
 
-        return (ds.map_batches(p, batch_format="pyarrow",
-                               zero_copy_batch=True)
-                .groupby(col).count().count())
+    from ..stages._fold import fold_table
 
-    n_langs = distinct_count("lang")
-    n_sources = distinct_count("source")
+    dfold = fold_table(ds.map_batches(
+        distinct_partial, batch_format="pyarrow", zero_copy_batch=True))
+    kinds = dfold["kind"].to_pylist() if dfold is not None else []
+    vals = dfold["v"].to_pylist() if dfold is not None else []
+    n_langs = len({v for k, v in zip(kinds, vals) if k == "lang"})
+    n_sources = len({v for k, v in zip(kinds, vals) if k == "source"})
 
     def digest(t: pa.Table) -> pa.Table:
         h = md5_hex(pc.fill_null(t["text"].combine_chunks(), ""))
@@ -3963,7 +3977,7 @@ WITH d AS (
 SELECT doc_id, CAST(w AS BIGINT) AS n_words,
        CAST(s AS BIGINT) AS n_sentences,
        CAST(y AS BIGINT) AS n_syllables,
-       CAST(206835 - (2 * 1015 * w * 1000 + s) // (2 * s)
+       CAST(206835 - (2 * 1015 * w + s) // (2 * s)
                    - (2 * 84600 * y + w) // (2 * w) AS BIGINT) AS flesch_e3
   FROM d WHERE w > 0
 """,

@@ -94,3 +94,19 @@ def frac_e6(num, den):
     safe = np.where(den > 0, den, 1)
     out = (2 * num * 1_000_000 + safe) // (2 * safe)
     return np.where(den > 0, out, 0).astype(np.int64)
+
+
+def merge_constant_windows(pos, k: int):
+    """Merge sorted k-wide windows starting at ``pos`` into maximal
+    half-open spans: windows overlap or touch when the next start is
+    <= previous start + k (constant width makes the running max end
+    ``prev + k``). Returns (span_starts, span_ends_exclusive). Shared
+    by ExactSubstr span dedup (word windows) and audio silence runs
+    (k = 1 window units); property-tested against a brute-force
+    coverage model in tests/test_exact_substr.py."""
+    import numpy as np
+
+    brk = np.flatnonzero(pos[1:] > pos[:-1] + k)
+    starts = pos[np.r_[0, brk + 1]]
+    ends = pos[np.r_[brk, len(pos) - 1]] + k
+    return starts, ends

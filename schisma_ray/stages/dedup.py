@@ -1500,15 +1500,7 @@ def _dup_positions(ds, col: str, id_col: str, k: int, num_buckets: int):
     return grams.groupby("gb").map_groups(bucket_dups, batch_format="pandas")
 
 
-def _merge_spans(pos: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Merge sorted k-wide windows at ``pos`` into maximal spans;
-    windows overlap or touch when the next start is <= previous start
-    + k (constant width makes the running max end ``prev + k``).
-    Returns (span_starts, span_ends_exclusive)."""
-    brk = np.flatnonzero(pos[1:] > pos[:-1] + k)
-    starts = pos[np.r_[0, brk + 1]]
-    ends = pos[np.r_[brk, len(pos) - 1]] + k
-    return starts, ends
+from ._math import merge_constant_windows as _merge_spans  # shared kernel
 
 
 def exact_substr_spans(ds, col: str, id_col: str, *, k: int = 5,
@@ -1539,7 +1531,8 @@ def exact_substr_spans(ds, col: str, id_col: str, *, k: int = 5,
         if not outs:
             return pd.DataFrame({id_col: pd.Series(dtype=group[id_col].dtype),
                                  "span_start": pd.Series(dtype="int64"),
-                                 "span_end": pd.Series(dtype="int64")})
+                                 "span_end": pd.Series(dtype="int64"),
+                                 "span_toks": pd.Series(dtype="int64")})
         out = pd.concat(outs, ignore_index=True)
         return out.assign(span_toks=out["span_end"] - out["span_start"])
 

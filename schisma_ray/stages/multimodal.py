@@ -552,9 +552,9 @@ class SilenceRunDetector:
             silent = np.flatnonzero(wmax < self.threshold)
             if not len(silent):
                 continue
-            brk = np.flatnonzero(silent[1:] > silent[:-1] + 1)
-            starts = silent[np.r_[0, brk + 1]]
-            ends = silent[np.r_[brk, len(silent) - 1]] + 1
+            from ..stages._math import merge_constant_windows
+
+            starts, ends = merge_constant_windows(silent, 1)
             ids_out.extend([aid] * len(starts))
             s_out.extend(starts.tolist())
             e_out.extend(ends.tolist())

@@ -1325,7 +1325,7 @@ def flesch_scores(ds, *, col: str = "text", id_col: str = "doc_id"):
         y = runs(r"[aeiouyAEIOUY]+")
         keep = w > 0
         wk, sk, yk = w[keep], s[keep], y[keep]
-        a = (2 * 1015 * wk * 1000 + sk) // (2 * sk)
+        a = (2 * 1015 * wk + sk) // (2 * sk)
         b = (2 * 84600 * yk + wk) // (2 * wk)
         return pa.table({
             id_col: t[id_col].filter(pa.array(keep)),

@@ -124,3 +124,16 @@ def test_cli_prepare_sharded(tmp_path):
     # sharding is md5-deterministic: same doc never splits across shards
     df = t.select(["doc_id", "shard"]).to_pandas()
     assert (df.groupby("doc_id")["shard"].nunique() == 1).all()
+
+
+def test_cli_report_compare_to_missing_dir(tmp_path, capsys):
+    """A mistyped --compare-to path must FAIL the gate, not pass as
+    all-NEW."""
+    from schisma_ray.cli import main
+
+    cur = tmp_path / "cur"
+    _write_commit(cur, "p0", {"bad_w": 1})
+    rc = main(["report", "--out", str(cur),
+               "--compare-to", str(tmp_path / "typo")])
+    assert rc == 2
+    assert "_commits" in capsys.readouterr().err

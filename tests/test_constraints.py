@@ -242,8 +242,11 @@ def test_flesch_scores_known_text(ray_session):
     assert row["n_words"] == 6 and row["n_sentences"] == 2
     assert row["n_syllables"] == 6
     w, s, y = 6, 2, 6
-    expect = 206835 - (2*1015*w*1000 + s)//(2*s) - (2*84600*y + w)//(2*w)
+    expect = 206835 - (2*1015*w + s)//(2*s) - (2*84600*y + w)//(2*w)
     assert row["flesch_e3"] == expect
+    # sanity: this IS the Flesch formula — true float value ~119.19
+    assert abs(row["flesch_e3"] / 1000
+               - (206.835 - 1.015 * w / s - 84.6 * y / w)) < 0.001
 
 
 def test_license_tags_priority(ray_session):
