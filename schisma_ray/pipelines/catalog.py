@@ -3593,6 +3593,21 @@ def q_image_clean_ids(sf_dir: str):
     )
 
 
+def q_image_curation(sf_dir: str):
+    """The image-side flagship composite (pipelines/curation.py):
+    validate -> quarantine violating rows (bucketed anti-join) ->
+    byte-exact dedup keep-first (md5 fingerprints) -> pHash near-dup
+    survivors (banded pairs -> components -> min-id keeper). One
+    curated survivor set, oracled end-to-end by chaining the same SQL
+    fragments as the standalone queries."""
+    from .curation import curate_images
+
+    return _collect(
+        curate_images(_img_dir(sf_dir), inject_dup_every=83),
+        ["image_id"],
+    )
+
+
 def q_fmt_area_rollup(sf_dir: str):
     """Multi-level aggregate (GROUP BY ROLLUP): per-fmt row counts and
     pixel-area sums PLUS the grand-total row (fmt NULL), computed from
@@ -4266,6 +4281,39 @@ SELECT image_id,
             WHEN length(caption) > 256 THEN substr(caption, 1, 256)
             ELSE caption END AS caption
   FROM {img}
+""",
+        "image_curation": f"""
+WITH RECURSIVE im AS (SELECT image_id, bytes, phash FROM {img}),
+clean0 AS (
+  SELECT * FROM im
+   WHERE image_id NOT IN (SELECT row_ref FROM {expviol})),
+clean AS (
+  SELECT * FROM clean0
+  UNION ALL
+  SELECT image_id || '-d', bytes, phash FROM clean0
+   WHERE CAST(substr(image_id, 5) AS BIGINT) % 83 = 0),
+keep1 AS (
+  SELECT min(image_id) AS image_id FROM clean
+   WHERE bytes IS NOT NULL GROUP BY md5(hex(bytes))),
+kept AS (SELECT c.image_id, c.phash FROM clean c JOIN keep1 USING (image_id)),
+sig AS (SELECT image_id, phash FROM kept
+         WHERE image_id IS NOT NULL AND phash IS NOT NULL),
+bands AS (
+  SELECT image_id, phash, t.b AS band, ((phash >> (16 * t.b)) & 65535) AS key
+    FROM sig, unnest([0, 1, 2, 3]) AS t(b)),
+edges AS (
+  SELECT DISTINCT x.image_id AS a, y.image_id AS b
+    FROM bands x JOIN bands y
+      ON x.band = y.band AND x.key = y.key AND x.image_id < y.image_id
+   WHERE bit_count(xor(x.phash, y.phash)) <= 3),
+und AS (SELECT a AS n, b AS m FROM edges UNION SELECT b, a FROM edges),
+reach(n, m) AS (
+  SELECT n, m FROM und
+  UNION
+  SELECT r.n, u.m FROM reach r JOIN und u ON u.n = r.m),
+root AS (SELECT n AS image_id, LEAST(n, min(m)) AS rep FROM reach GROUP BY n)
+SELECT image_id FROM sig
+ WHERE image_id NOT IN (SELECT image_id FROM root WHERE image_id != rep)
 """,
         "image_clean_ids": f"""
 SELECT image_id FROM {img}
@@ -6348,6 +6396,7 @@ QUERIES = {
     "dataset_card": q_dataset_card,
     "image_caption_conform": q_image_caption_conform,
     "image_clean_ids": q_image_clean_ids,
+    "image_curation": q_image_curation,
     "fmt_area_rollup": q_fmt_area_rollup,
     "html_extracted": q_html_extracted,
     "image_brightness": q_image_brightness,

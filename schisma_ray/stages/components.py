@@ -367,7 +367,12 @@ def near_dedup_survivors(ds, pairs, id_col: str,
 
     def keep(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].combine_chunks()
-        bad = pc.fill_null(pc.is_in(ids, value_set=ray.get(drop_ref)), False)
+        drop = ray.get(drop_ref)
+        if len(drop) == 0:
+            # an empty drop set may carry a default dtype (int64) that
+            # mismatches string ids — and there is nothing to drop
+            return batch.select([id_col])
+        bad = pc.fill_null(pc.is_in(ids, value_set=drop), False)
         return batch.filter(pc.invert(bad)).select([id_col])
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -223,3 +223,19 @@ def test_codec_malformed_payloads():
     assert codec.sniff_dims(None) is None
     out, fmt = codec.decode(good)
     assert fmt == "jpeg" and out.shape == (9, 9, 3)  # non-multiple-of-8 dims
+
+
+def test_curate_images_composite(ray_session):
+    """validate -> quarantine -> byte dedup -> phash survivors on a
+    small generated table: survivors are clean, byte-dup twins drop."""
+    from schisma_ray.pipelines.curation import curate_images
+    from schisma_ray.sources import image_table
+
+    d = image_table.generate(600)
+    out = curate_images(d, inject_dup_every=50).to_pandas()
+    ids = set(out["image_id"])
+    assert len(ids) == len(out)                  # no dup survivors
+    assert not any(i.endswith("-d") for i in ids)  # twins lost to keep-first
+    # every survivor is a clean id (no violations) — spot-check shape
+    assert all(i.startswith("img-") for i in ids)
+    assert 0 < len(ids) < 600
