@@ -8,6 +8,7 @@ owns a Ray session).
     python -m schisma_ray.cli infer     --table PATH     (schema literal from data)
     python -m schisma_ray.cli prepare   --docs P --out D (corpus prep -> chunk parquet)
     python -m schisma_ray.cli convert   --src P --out P [--fmt parquet|jsonl|csv]
+    python -m schisma_ray.cli curate    --table DIR --out P (image curation -> survivor ids)
 """
 
 from __future__ import annotations
@@ -70,6 +71,13 @@ def main(argv=None) -> int:
     cv.add_argument("--out", required=True)
     cv.add_argument("--fmt", default=None, choices=["parquet", "jsonl", "csv"],
                     help="output format (default: inferred from --out suffix, else parquet)")
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--table", required=True,
+                    help="image table dir (the generate output layout)")
+    cu.add_argument("--out", required=True,
+                    help="survivor image_id parquet")
+    cu.add_argument("--max-hamming", type=int, default=3)
 
     p = sub.add_parser("prepare")
     p.add_argument("--docs", required=True)
@@ -256,6 +264,15 @@ def main(argv=None) -> int:
                 # an all-filtered corpus writes no files at all
                 n = 0
             print(json.dumps({"chunks_written": n, "out": args.out}))
+        elif args.cmd == "curate":
+            from schisma_ray.pipelines.curation import curate_images
+
+            out = curate_images(args.table, max_hamming=args.max_hamming)
+            out.write_parquet(args.out)
+            import pyarrow.dataset as pads
+
+            n = pads.dataset(args.out).count_rows()
+            print(json.dumps({"survivors": n, "out": args.out}))
         elif args.cmd == "convert":
             from schisma_ray.sources.reader import read_table
             from schisma_ray.sources.writer import write_table

@@ -137,3 +137,13 @@ def test_cli_report_compare_to_missing_dir(tmp_path, capsys):
                "--compare-to", str(tmp_path / "typo")])
     assert rc == 2
     assert "_commits" in capsys.readouterr().err
+
+
+def test_cli_curate(tmp_path):
+    gen = _run("generate", "--rows", "1200")
+    table_dir = gen.stdout.strip().splitlines()[-1]
+    out = tmp_path / "survivors"
+    res = _run("curate", "--table", table_dir, "--out", str(out))
+    assert res.returncode == 0, res.stderr[-2000:]
+    info = json.loads(res.stdout.strip().splitlines()[-1])
+    assert 0 < info["survivors"] < 1200
