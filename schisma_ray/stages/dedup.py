@@ -1449,33 +1449,54 @@ def _positioned_gram_rows(batch: pa.Table, col: str, id_col: str,
     fewer than ``k`` tokens emit nothing (they cannot hold a k-token
     span), unlike ``_distinct_gram_rows``'s whole-doc fallback."""
     nb = np.uint64(num_buckets)
-    texts = batch[col].to_pylist()
     empty = pa.table({
         id_col: pa.array([], batch.schema.field(id_col).type),
         "pos": pa.array([], pa.int64()),
         "gram": pa.array([], pa.int64()),
         "gb": pa.array([], pa.int32()),
     })
-    if not texts:
+    if not len(batch):
         return empty
-    all_sh: list[str] = []
-    counts: list[int] = []
-    for t in texts:
-        words = (t or "").split()
-        m = max(len(words) - k + 1, 0)
-        all_sh.extend(" ".join(words[i:i + k]) for i in range(m))
-        counts.append(m)
-    if not all_sh:
+    # fully vectorized: split once with Arrow, hash each WORD once,
+    # then a k-term polynomial rolling combine over the word-hash
+    # array — no per-position Python, no joined gram strings (a gram
+    # hash collides iff the k-word sequence matches, exactly like
+    # hashing the joined string; positions make this the data-heavy
+    # emitter, ~len(corpus) rows per pass)
+    texts = pc.fill_null(batch[col].combine_chunks(), "")
+    lists = pc.utf8_split_whitespace(texts)
+    flat = pc.list_flatten(lists)
+    par = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    wcounts = (np.bincount(par[keep], minlength=len(texts))
+               if len(par) else np.zeros(len(texts), np.int64))
+    m_doc = np.maximum(wcounts - k + 1, 0).astype(np.int64)
+    total = int(m_doc.sum())
+    if total == 0:
         return empty
-    hashes = _hash_tokens(all_sh)
-    lens = np.asarray(counts, np.int64)
-    pos = np.concatenate([np.arange(m, dtype=np.int64) for m in counts if m])
-    ids = batch[id_col].take(pa.array(np.repeat(np.arange(len(texts)), lens)))
+    wh = pd.util.hash_array(
+        flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    ).astype(np.uint64)
+    offs = np.concatenate([[0], np.cumsum(wcounts)])[:-1]
+    # global word index of every gram START
+    doc_of = np.repeat(np.arange(len(texts)), m_doc)
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.cumsum(m_doc) - m_doc, m_doc))
+    start = offs[doc_of] + pos
+    # FNV prime powers mod 2^64, precomputed as Python ints (a numpy
+    # scalar *= would emit an overflow RuntimeWarning per batch; the
+    # wraparound itself is the intended ring arithmetic)
+    _B = 1099511628211
+    powers = np.array([pow(_B, j, 1 << 64) for j in range(k)], np.uint64)
+    h = np.zeros(total, np.uint64)
+    for j in range(k):
+        h += wh[start + j] * powers[j]
+    ids = batch[id_col].take(pa.array(doc_of))
     return pa.table({
         id_col: ids,
         "pos": pa.array(pos, pa.int64()),
-        "gram": pa.array(hashes.view(np.int64), pa.int64()),
-        "gb": pa.array((hashes % nb).astype(np.int32), pa.int32()),
+        "gram": pa.array(h.view(np.int64), pa.int64()),
+        "gb": pa.array((h % nb).astype(np.int32), pa.int32()),
     })
 
 
