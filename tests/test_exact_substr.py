@@ -166,3 +166,48 @@ def test_exact_substr_parallelism_invariant(ray_session):
         ).to_pandas().sort_values(["doc_id", "span_start"]).reset_index(drop=True)
         outs.append(out)
     assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+def test_positioned_grams_match_bruteforce():
+    """The rolling word-hash emitter must mark EXACTLY the positions a
+    brute-force tuple count marks (hash collisions would surface here)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schisma_ray.stages.dedup import _positioned_gram_rows
+
+    words = st.sampled_from("a b c d e aa bb cc dd".split())
+    doc = st.lists(words, min_size=0, max_size=30).map(" ".join)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=8), st.integers(2, 5))
+    def check(texts, k):
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        rows = _positioned_gram_rows(t, "text", "doc_id", k, 32)
+        # brute force: every k-tuple with its (doc, pos); dup iff the
+        # tuple occurs >= 2 times corpus-wide
+        tuples = {}
+        for d, txt in enumerate(texts):
+            w = txt.split()
+            for i in range(max(len(w) - k + 1, 0)):
+                tuples.setdefault(tuple(w[i:i + k]), []).append((d, i))
+        # 1: one row per position
+        expect_rows = sorted(p for v in tuples.values() for p in v)
+        got_rows = sorted(zip(rows["doc_id"].to_pylist(),
+                              rows["pos"].to_pylist()))
+        assert got_rows == expect_rows
+        # 2: gram-hash equality groups == tuple equality groups
+        by_hash = {}
+        for d, p, g in zip(rows["doc_id"].to_pylist(),
+                           rows["pos"].to_pylist(),
+                           rows["gram"].to_pylist()):
+            by_hash.setdefault(g, set()).add((d, p))
+        expect_groups = {frozenset(v) for v in tuples.values()}
+        assert {frozenset(v) for v in by_hash.values()} == expect_groups
+
+    check()
