@@ -271,7 +271,11 @@ def main(argv=None) -> int:
             out.write_parquet(args.out)
             import pyarrow.dataset as pads
 
-            n = pads.dataset(args.out).count_rows()
+            try:
+                n = pads.dataset(args.out).count_rows()
+            except FileNotFoundError:
+                # an all-quarantined table writes no files at all
+                n = 0
             print(json.dumps({"survivors": n, "out": args.out}))
         elif args.cmd == "convert":
             from schisma_ray.sources.reader import read_table

@@ -213,6 +213,11 @@ def prepare_corpus(
         # tokens drop out.
         from ..stages.dedup import exact_substr_clean
 
+        # the stage consumes its input twice (gram branch + text
+        # branch of the doc-hash union); materialize the narrow
+        # (id, source, text) survivors once so the whole upstream
+        # filter chain does not re-execute per branch
+        prepped = prepped.materialize()
         cleaned = exact_substr_clean(
             prepped, text_col, id_col, k=exact_substr_k,
             emit_all=True, carry_cols=(source_col,),

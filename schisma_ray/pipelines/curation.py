@@ -64,15 +64,10 @@ def curate_images(table_dir, *, max_hamming: int = 3,
     # bytes-heavy block re-serializes its parent buffer on every
     # shuffle slice — the documented 20x trap); everything downstream
     # is the narrow (image_id, fingerprint, phash) projection
-    import binascii
-    import hashlib
+    from ..stages.dedup import payload_md5_hex
 
     def fingerprint_narrow(t: pa.Table) -> pa.Table:
-        fps = [
-            None if b is None
-            else hashlib.md5(binascii.hexlify(b).upper()).hexdigest()
-            for b in t["bytes"].to_pylist()
-        ]
+        fps = payload_md5_hex(t["bytes"].to_pylist())
         return pa.table({
             "image_id": t["image_id"],
             "fingerprint": pa.array(fps, pa.string()),

@@ -106,6 +106,8 @@ def merge_constant_windows(pos, k: int):
     coverage model in tests/test_exact_substr.py."""
     import numpy as np
 
+    if len(pos) == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
     brk = np.flatnonzero(pos[1:] > pos[:-1] + k)
     starts = pos[np.r_[0, brk + 1]]
     ends = pos[np.r_[brk, len(pos) - 1]] + k

@@ -190,21 +190,28 @@ def content_fingerprint(ds, col: str, id_col: str):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def binary_fingerprint(ds, col: str, id_col: str):
-    """(id, fingerprint) for a BINARY column — md5 over the UPPERCASE
-    hex encoding of the payload, matching SQL ``md5(hex(bytes))``
-    (DuckDB's md5 only takes VARCHAR, so the hex round-trip is the
-    portable definition). The multimodal exact-dup key: identical
-    encoded images/audio collapse to one fingerprint. Null payloads
-    emit a null fingerprint."""
+def payload_md5_hex(blobs) -> list:
+    """Per-payload md5 over the UPPERCASE hex encoding, matching SQL
+    ``md5(hex(bytes))`` (DuckDB's md5 only takes VARCHAR, so the hex
+    round-trip is the portable definition — the single place this
+    SQL-parity-critical contract is spelled). None stays None."""
     import binascii
 
+    return [
+        None if b is None
+        else hashlib.md5(binascii.hexlify(b).upper()).hexdigest()
+        for b in blobs
+    ]
+
+
+def binary_fingerprint(ds, col: str, id_col: str):
+    """(id, fingerprint) for a BINARY column via ``payload_md5_hex`` —
+    the multimodal exact-dup key: identical encoded images/audio
+    collapse to one fingerprint. Null payloads emit a null
+    fingerprint."""
+
     def fn(batch: pa.Table) -> pa.Table:
-        fps = [
-            None if b is None
-            else hashlib.md5(binascii.hexlify(b).upper()).hexdigest()
-            for b in batch[col].to_pylist()
-        ]
+        fps = payload_md5_hex(batch[col].to_pylist())
         return pa.table(
             {id_col: batch[id_col], "fingerprint": pa.array(fps, pa.string())}
         )

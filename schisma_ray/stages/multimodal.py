@@ -36,7 +36,11 @@ def _resize_box(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     collapses (upsampling) degenerates to the single source row/col at
     its start — the same ``[y0, max(y1, y0+1))`` window the scalar
     definition uses, since ``reduceat`` returns ``a[idx[i]]`` when
-    ``idx[i+1] <= idx[i]``.
+    ``idx[i+1] <= idx[i]``. Row-mean-then-column-mean in float32 can
+    round ±1 level differently from a single 2D mean at exact .5
+    boundaries (~2% of random shapes), so thumbnails/phashes are not
+    byte-stable across this implementation change — no oracle or
+    stored artifact depends on exact resized pixels.
     """
     h, w, _c = pixels.shape
     ys = (np.arange(out_h + 1) * h / out_h).astype(np.int64)

@@ -211,3 +211,8 @@ def test_positioned_grams_match_bruteforce():
         assert {frozenset(v) for v in by_hash.values()} == expect_groups
 
     check()
+
+
+def test_merge_spans_empty_input():
+    s, e = _merge_spans(np.empty(0, np.int64), 3)
+    assert list(s) == [] and list(e) == []
