@@ -116,7 +116,7 @@ def curate_images(table_dir, *, max_hamming: int = 3,
     ).materialize()  # consumed by keep-first, sizing, and the semi-join
     keepers = exact_dedup_keep_first(
         fps, key="fingerprint", id_col="image_id",
-    )
+    ).materialize()  # id-only; sized AND joined (two consumers)
     kparts = derive_join_partitions(fps, keepers)
     kept = fps.join(keepers.repartition(kparts), join_type="inner",
                     num_partitions=kparts, on=("image_id",))
