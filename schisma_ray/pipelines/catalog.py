@@ -927,6 +927,84 @@ def q_orders_enriched_shuffle(sf_dir: str):
     return out.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_events_enriched_salted(sf_dir: str):
+    """SKEWED-key enrichment via the salted shuffle join: events carry
+    only ~150 distinct user ids over the whole table (every key is hot
+    relative to the key space — at web scale this is the bot-user /
+    top-domain shape), so a plain hash-shuffle join concentrates each
+    key's full volume in one task. Salting on the fact primary key
+    spreads each user over 8 sub-keys; the customer dimension ships 8
+    replicas. Output is byte-identical to the unsalted join."""
+    from ..stages.join import salted_shuffle_join
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"],
+    )
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+    out = salted_shuffle_join(
+        events, customers, on="user_id", right_on="c_custkey",
+        salt_on="event_id", salt=8,
+    )
+    return _collect(
+        out, ["event_id", "user_id", "event_type", "c_name", "c_mktsegment"]
+    )
+
+
+def q_orders_customer_full(sf_dir: str):
+    """FULL OUTER reconciliation: per-customer rollup of FULFILLED
+    ('F') orders vs the BUILDING-segment customer dimension. BUILDING
+    customers with no F orders survive with null rollup columns (13 at
+    sf0.01); F-rollups of non-BUILDING customers survive with null
+    dimension columns — both null sides are falsifiable (inner/left
+    parity would lose rows)."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    from ..stages.join import full_outer_join
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(_pc.equal(t["o_orderstatus"], "F"))
+        cents = _pc.cast(
+            _pc.round(_pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        g = pa.table({"o_custkey": t["o_custkey"], "cents": cents}).group_by(
+            "o_custkey"
+        ).aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["o_custkey", "cents_sum", "n_part"])
+
+    rollup = (
+        orders.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("cents_sum", alias_name="total_cents"),
+                   Sum("n_part", alias_name="n_orders"))
+    )
+    customers = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.filter(_pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    out = full_outer_join(rollup, customers, on="o_custkey",
+                          right_on="c_custkey")
+    # Ray's full_outer coalesces the right key into o_custkey (right-only
+    # rows carry their c_custkey there) — the oracle COALESCEs to match.
+    return _collect(
+        out,
+        ["o_custkey", "n_orders", "total_cents", "c_name", "c_mktsegment"],
+    )
+
+
 CAMPAIGN_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC
 N_CAMPAIGNS = 25
 
@@ -4833,6 +4911,22 @@ SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
        CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents
   FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """,
+        "events_enriched_salted": """
+SELECT e.event_id, e.user_id, e.event_type, c.c_name, c.c_mktsegment
+  FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+        "orders_customer_full": """
+WITH o AS (SELECT o_custkey,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS total_cents,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders
+             FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+     c AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE c_mktsegment = 'BUILDING')
+SELECT COALESCE(o.o_custkey, c.c_custkey) AS o_custkey,
+       o.n_orders, o.total_cents, c.c_name, c.c_mktsegment
+  FROM o FULL OUTER JOIN c ON o.o_custkey = c.c_custkey
+""",
         "heavy_event_users_cm": """
 WITH c AS (SELECT user_id, count(*) AS est_n FROM events GROUP BY user_id)
 SELECT user_id, est_n FROM c ORDER BY est_n DESC, user_id LIMIT 10
@@ -6444,6 +6538,8 @@ QUERIES = {
     "orders_enriched": q_orders_enriched,
     "orders_left_enriched": q_orders_left_enriched,
     "orders_enriched_shuffle": q_orders_enriched_shuffle,
+    "events_enriched_salted": q_events_enriched_salted,
+    "orders_customer_full": q_orders_customer_full,
     "top_users_per_event_type": q_top_users_per_event_type,
     "events_in_campaigns": q_events_in_campaigns,
     "heavy_event_users_cm": q_heavy_event_users_cm,

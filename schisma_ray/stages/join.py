@@ -74,6 +74,94 @@ def shuffle_hash_join(ds, ref, on: str, right_on: str | None = None,
     )
 
 
+def salted_shuffle_join(ds, ref, on: str, right_on: str | None = None,
+                        *, salt_on: str, salt: int = 8, how: str = "inner",
+                        num_partitions: int | None = None):
+    """Skew-aware hash-shuffle equi-join: a HOT join key no longer lands
+    in one straggler partition.
+
+    A plain hash-shuffle join routes every fact row for a key to one
+    partition — at web scale one dominant key (the top domain, the bot
+    user) turns the join into a single-task tail. Salting splits it:
+
+    * fact side gets ``_salt = hash(salt_on) % salt`` — ``salt_on`` is a
+      unique-ish FACT column (its primary key), so one join key's rows
+      spread uniformly over ``salt`` sub-keys, deterministically and
+      independently of block layout;
+    * dimension side is replicated once per salt value (cost: the
+      explicit ``salt``x dimension shuffle traffic traded against the
+      hot key's entire fact volume in one task);
+    * the join runs on the composite ``(key, _salt)`` and the salt
+      columns are dropped — output rows are exactly the unsalted
+      join's, every fact row probes exactly one replica of its key.
+
+    ``how``: "inner" or "left outer" (each left row still finds its
+    salt's dimension copy, so outer semantics are preserved)."""
+    import ray.data as rd
+
+    from ._bucket import key_bucket
+    from .components import derive_join_partitions
+
+    if not hasattr(ref, "map_batches"):
+        ref = rd.from_arrow(ref)
+
+    def salt_facts(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_salt", key_bucket(t[salt_on].combine_chunks(), salt)
+        )
+
+    def replicate_dim(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        rep = t.take(np.tile(np.arange(n, dtype=np.int64), salt))
+        salts = np.repeat(np.arange(salt, dtype=np.int32), n)
+        return rep.append_column("_salt_r", pa.array(salts, pa.int32()))
+
+    left = ds.map_batches(salt_facts, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    right = ref.map_batches(replicate_dim, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    joined = left.join(
+        right,
+        join_type=("left_outer" if how == "left outer" else how),
+        num_partitions=num_partitions or derive_join_partitions(ds, ref),
+        on=(on, "_salt"),
+        right_on=((right_on or on), "_salt_r"),
+    )
+
+    # Ray's join coalesces right keys into the left's columns, so only
+    # the left "_salt" survives — drop whichever salt columns exist.
+    def drop_salt(t: pa.Table) -> pa.Table:
+        return t.drop_columns(
+            [c for c in ("_salt", "_salt_r") if c in t.column_names]
+        )
+
+    return joined.map_batches(drop_salt, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def full_outer_join(ds, ref, on: str, right_on: str | None = None,
+                    *, num_partitions: int | None = None):
+    """FULL OUTER hash-shuffle equi-join: rows of either side without a
+    partner survive with the other side's columns null — the
+    reconciliation shape (expected-vs-observed manifests, two snapshot
+    versions). Thin wrapper over Ray Data's native ``full_outer`` join
+    so the join-type matrix (inner / left / full / semi / anti) is
+    complete in one module."""
+    import ray.data as rd
+
+    from .components import derive_join_partitions
+
+    if not hasattr(ref, "join"):
+        ref = rd.from_arrow(ref)
+    return ds.join(
+        ref,
+        join_type="full_outer",
+        num_partitions=num_partitions or derive_join_partitions(ds, ref),
+        on=(on,),
+        right_on=(right_on or on,),
+    )
+
+
 def range_join(ds, intervals, *, ts_col: str, start_col: str, end_col: str,
                bucket_s: int | None = None, max_bucket: int = 100_000):
     """Interval/range join WITHOUT an equi key: pair every left row with
