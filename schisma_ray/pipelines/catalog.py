@@ -2917,6 +2917,34 @@ def q_aspect_buckets(sf_dir: str):
     )
 
 
+def q_image_tiles(sf_dir: str):
+    """ViT-patch / crop-grid plan: every image exploded into its 8x8
+    tile rows (grid coords, pixel origin, edge-clipped extent).
+    Decode-free metadata arithmetic — column-pruned read, vectorized
+    explode, zero shuffle."""
+    from ..stages.multimodal import tile_grid
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "w", "h"])
+    return _collect(
+        tile_grid(ds, tile=8),
+        ["image_id", "tile_x", "tile_y", "x0", "y0", "tw", "th"],
+    )
+
+
+def q_aspect_bucket_waste(sf_dir: str):
+    """Letterbox-padding audit per aspect-ratio bucket: how many padded
+    pixels the bucket plan burns (integer fit-scale, combiner-first
+    per-bucket rollup)."""
+    from ..stages.multimodal import aspect_bucket_waste
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "w", "h"])
+    return _collect(
+        aspect_bucket_waste(ds),
+        ["bucket_w", "bucket_h", "n_images", "total_waste_px",
+         "max_waste_px"],
+    )
+
+
 def q_clip_score_filter(sf_dir: str):
     """CLIP-score-style image/caption alignment filter over the seeded
     paired-embedding fixture (every 4th pair mis-captioned): keep pairs
@@ -6043,6 +6071,54 @@ SELECT image_id, ar_e6, CAST(bw AS BIGINT) AS bucket_w,
           FROM im CROSS JOIN be)
  WHERE rn = 1
 """,
+        "image_tiles": f"""
+WITH g AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+                  CAST(CEIL(w / 8.0) AS BIGINT) AS nx,
+                  CAST(CEIL(h / 8.0) AS BIGINT) AS ny
+             FROM {img}
+            WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0),
+     tx AS (SELECT image_id, w, h, ny,
+                   CAST(unnest(range(0, nx)) AS BIGINT) AS tile_x FROM g),
+     txy AS (SELECT image_id, w, h, tile_x,
+                    CAST(unnest(range(0, ny)) AS BIGINT) AS tile_y FROM tx)
+SELECT image_id, tile_x, tile_y,
+       tile_x * 8 AS x0, tile_y * 8 AS y0,
+       LEAST(8, w - tile_x * 8) AS tw,
+       LEAST(8, h - tile_y * 8) AS th
+  FROM txy
+""",
+        "aspect_bucket_waste": f"""
+WITH b(bidx, bw, bh) AS (
+  SELECT * FROM (VALUES (0, 16, 32), (1, 16, 24), (2, 24, 24),
+                        (3, 24, 16), (4, 32, 16)) t),
+be AS (SELECT bidx, CAST(bw AS BIGINT) AS bw, CAST(bh AS BIGINT) AS bh,
+              CAST(FLOOR(CAST(bw AS DOUBLE) * 1000000.0 / bh + 0.5)
+                   AS BIGINT) AS b_e6
+         FROM b),
+im AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+              CAST(FLOOR(CAST(w AS DOUBLE) * 1000000.0 / h + 0.5)
+                   AS BIGINT) AS ar_e6
+         FROM {img}
+        WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0),
+a AS (SELECT w, h, bw, bh FROM (
+        SELECT im.w, im.h, be.bw, be.bh,
+               row_number() OVER (PARTITION BY im.image_id
+                                  ORDER BY abs(im.ar_e6 - be.b_e6),
+                                           be.bidx) AS rn
+          FROM im CROSS JOIN be)
+       WHERE rn = 1),
+sc AS (SELECT bw, bh,
+              bw * bh - (CASE WHEN w * bh >= h * bw THEN bw
+                              ELSE (w * bh) // h END)
+                      * (CASE WHEN w * bh >= h * bw THEN (h * bw) // w
+                              ELSE bh END) AS waste
+         FROM a)
+SELECT bw AS bucket_w, bh AS bucket_h,
+       CAST(count(*) AS BIGINT) AS n_images,
+       CAST(sum(waste) AS BIGINT) AS total_waste_px,
+       CAST(max(waste) AS BIGINT) AS max_waste_px
+  FROM sc GROUP BY 1, 2
+""",
         "clip_score_filter": f"""
 WITH p AS (SELECT pair_id,
                   list_cosine_similarity(CAST(img_emb AS DOUBLE[]),
@@ -6540,6 +6616,8 @@ QUERIES = {
     "orders_enriched_shuffle": q_orders_enriched_shuffle,
     "events_enriched_salted": q_events_enriched_salted,
     "orders_customer_full": q_orders_customer_full,
+    "image_tiles": q_image_tiles,
+    "aspect_bucket_waste": q_aspect_bucket_waste,
     "top_users_per_event_type": q_top_users_per_event_type,
     "events_in_campaigns": q_events_in_campaigns,
     "heavy_event_users_cm": q_heavy_event_users_cm,

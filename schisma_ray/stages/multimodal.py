@@ -508,6 +508,153 @@ class SceneCutDetector:
         })
 
 
+def tile_grid(ds, *, tile: int = 64, w_col: str = "w", h_col: str = "h",
+              id_col: str = "image_id", full_only: bool = False):
+    """Explode every image into its ViT-patch / crop-grid plan: one row
+    per ``tile x tile`` cell with the cell's grid coordinates, pixel
+    origin and (edge-clipped) extent. ``full_only=True`` keeps only
+    complete tiles (the patch-embedding shape, where partial edges are
+    discarded); the default clips edge tiles (the crop shape).
+
+    Decode-free: the plan is pure metadata arithmetic on (w, h), so it
+    runs BEFORE bytes ever move — at 10^12 images the planner's output
+    feeds the decode actor pool with exact work items instead of
+    decoding first and tiling after. Fully vectorized explode
+    (np.repeat + offset-subtracted arange, the list-explode idiom used
+    across this repo); zero shuffle. Rows with null / non-positive
+    dimensions are dropped — they belong to the validation stream."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch[w_col].combine_chunks()
+        h = batch[h_col].combine_chunks()
+        valid = pc.and_(
+            pc.and_(pc.is_valid(w), pc.is_valid(h)),
+            pc.and_(pc.greater(pc.fill_null(w, 0), 0),
+                    pc.greater(pc.fill_null(h, 0), 0)),
+        )
+        t = batch.filter(valid)
+        empty = {
+            id_col: pa.array([], batch[id_col].type),
+            "tile_x": pa.array([], pa.int64()),
+            "tile_y": pa.array([], pa.int64()),
+            "x0": pa.array([], pa.int64()),
+            "y0": pa.array([], pa.int64()),
+            "tw": pa.array([], pa.int64()),
+            "th": pa.array([], pa.int64()),
+        }
+        if t.num_rows == 0:
+            return pa.table(empty)
+        wv = t[w_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = t[h_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if full_only:
+            nx, ny = wv // tile, hv // tile
+        else:
+            nx, ny = -(-wv // tile), -(-hv // tile)
+        counts = nx * ny
+        total = int(counts.sum())
+        if total == 0:
+            return pa.table(empty)
+        parent = np.repeat(np.arange(len(wv), dtype=np.int64), counts)
+        starts = np.cumsum(counts) - counts
+        t_idx = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        nx_p = nx[parent]
+        tx = t_idx % nx_p
+        ty = t_idx // nx_p
+        x0, y0 = tx * tile, ty * tile
+        tw = np.minimum(tile, wv[parent] - x0)
+        th = np.minimum(tile, hv[parent] - y0)
+        return pa.table(
+            {
+                id_col: t[id_col].take(pa.array(parent)),
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+                "x0": pa.array(x0, pa.int64()),
+                "y0": pa.array(y0, pa.int64()),
+                "tw": pa.array(tw, pa.int64()),
+                "th": pa.array(th, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def aspect_bucket_waste(ds, *, w_col: str = "w", h_col: str = "h",
+                        id_col: str = "image_id",
+                        buckets: tuple = DEFAULT_AR_BUCKETS):
+    """Per-bucket letterbox-padding audit for the aspect-ratio batching
+    plan: each image is assigned to its nearest-AR bucket (identical
+    integer argmin as ``aspect_bucket_assign``), scaled to FIT inside
+    the bucket (integer floor on the non-binding side — width-bound
+    when ``w * bh >= h * bw``), and the padded pixels it would waste
+    are ``bw * bh - sw * sh``. Output: one row per bucket with the
+    image count and total/max waste — the "how much batch compute burns
+    on padding" report that decides whether the bucket set needs more
+    shapes.
+
+    Combiner-first: per-batch partials collapse to at most
+    ``len(buckets)`` rows before the (tiny) global groupby."""
+    from ray.data.aggregate import Max, Sum
+
+    b_e6 = np.array(
+        [int(np.floor(bw * 1_000_000.0 / bh + 0.5)) for bw, bh in buckets],
+        np.int64,
+    )
+    b_w = np.array([b[0] for b in buckets], np.int64)
+    b_h = np.array([b[1] for b in buckets], np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = batch[w_col].combine_chunks()
+        h = batch[h_col].combine_chunks()
+        valid = pc.and_(
+            pc.and_(pc.is_valid(w), pc.is_valid(h)),
+            pc.and_(pc.greater(pc.fill_null(w, 0), 0),
+                    pc.greater(pc.fill_null(h, 0), 0)),
+        )
+        t = batch.filter(valid)
+        if t.num_rows == 0:
+            return pa.table({
+                "bucket_w": pa.array([], pa.int64()),
+                "bucket_h": pa.array([], pa.int64()),
+                "n_part": pa.array([], pa.int64()),
+                "waste_part": pa.array([], pa.int64()),
+                "waste_max_part": pa.array([], pa.int64()),
+            })
+        wv = t[w_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = t[h_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ar = np.floor(
+            wv.astype(np.float64) * 1_000_000.0 / hv + 0.5
+        ).astype(np.int64)
+        idx = np.argmin(np.abs(ar[:, None] - b_e6[None, :]), axis=1)
+        bw, bh = b_w[idx], b_h[idx]
+        width_bound = wv * bh >= hv * bw
+        sw = np.where(width_bound, bw, (wv * bh) // hv)
+        sh = np.where(width_bound, (hv * bw) // wv, bh)
+        waste = bw * bh - sw * sh
+        g = pa.table({
+            "bucket_w": pa.array(bw, pa.int64()),
+            "bucket_h": pa.array(bh, pa.int64()),
+            "waste": pa.array(waste, pa.int64()),
+        }).group_by(["bucket_w", "bucket_h"]).aggregate(
+            [("waste", "count"), ("waste", "sum"), ("waste", "max")]
+        )
+        return g.rename_columns(
+            ["bucket_w", "bucket_h", "n_part", "waste_part",
+             "waste_max_part"]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return partials.groupby(["bucket_w", "bucket_h"]).aggregate(
+        Sum("n_part", alias_name="n_images"),
+        Sum("waste_part", alias_name="total_waste_px"),
+        Max("waste_max_part", alias_name="max_waste_px"),
+    )
+
+
 def scene_cuts(ds, *, threshold_e6: int = 20_000_000,
                id_col: str = "video_id", concurrency=(2, 8)):
     return ds.map_batches(
