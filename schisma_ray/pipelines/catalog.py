@@ -3104,6 +3104,19 @@ def q_gopher_format(sf_dir: str):
     )
 
 
+def q_text_hygiene(sf_dir: str):
+    """Encoding-hygiene screen (mojibake U+FFFD + C0 control chars)
+    over the seeded hygiene fixture with planted decode-corruption
+    defects. Row-local vectorized kernels, zero shuffle."""
+    from ..sources.line_fixture import hygiene_documents
+    from ..stages.text import text_hygiene
+
+    return _collect(
+        text_hygiene(rd.read_parquet(str(hygiene_documents(sf_dir)))),
+        ["doc_id", "n_chars", "n_replacement", "n_control", "passed"],
+    )
+
+
 def q_url_blocked(sf_dir: str):
     """UT1-style domain-blocklist audit over the seeded URL fixture:
     every document tagged with its host and whether the host equals or
@@ -3930,6 +3943,9 @@ def _oracle_sql() -> dict[str, str]:
     from ..sources.line_fixture import format_documents
 
     fmt_docs = f"read_parquet('{format_documents(ORACLE_SF_DIR)}')"
+    from ..sources.line_fixture import hygiene_documents
+
+    hyg_docs = f"read_parquet('{hygiene_documents(ORACLE_SF_DIR)}')"
     from ..sources.struct_fixture import struct_events
 
     struct_ev = f"read_parquet('{struct_events(ORACLE_SF_DIR)}')"
@@ -5390,6 +5406,23 @@ SELECT a, b, ROUND(sim, 6) AS sim FROM p WHERE sim >= 0.9
         # line dedup: first occurrence by (doc_id, pos) wins; documents
         # with zero surviving lines drop out of the GROUP BY on both
         # sides (documented contract)
+        # encoding hygiene: U+FFFD counted by length-diff after a
+        # single-char replace; C0 controls by RE2 class strip — DuckDB
+        # length() counts codepoints like pc.utf8_length
+        "text_hygiene": f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM {hyg_docs}),
+c AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(length(text) - length(replace(text, chr(65533), ''))
+                  AS BIGINT) AS n_replacement,
+             CAST(length(text) - length(regexp_replace(
+                    text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))
+                  AS BIGINT) AS n_control
+        FROM d)
+SELECT doc_id, n_chars, n_replacement, n_control,
+       (n_replacement = 0 AND n_control = 0) AS passed
+  FROM c
+""",
         # gopher format rules: same integer fraction expression as
         # gopher_repetition; '#'/'…' counted by length-diff, '...' by
         # non-overlapping RE2 extract on both sides
@@ -6700,6 +6733,7 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "url_blocked": q_url_blocked,
     "gopher_format": q_gopher_format,
+    "text_hygiene": q_text_hygiene,
     "classifier_scores": q_classifier_scores,
     "corpus_prepare_minhash": q_corpus_prepare_minhash,
     "cross_corpus_near_dups": q_cross_corpus_near_dups,

@@ -151,6 +151,56 @@ def format_documents(sf_dir: str, *, words_per_line: int = 8) -> Path:
     return out
 
 
+def hygiene_documents(sf_dir: str) -> Path:
+    """Fixture for the encoding-hygiene screen (mojibake / control
+    characters — the decode-corruption defects real crawls carry):
+
+    * ``doc_id % 13 == 0`` — two U+FFFD replacement characters spliced
+      mid-text (the classic mojibake signature of a botched decode),
+    * ``doc_id % 17 == 0`` — a BEL (\\x07) and an ESC (\\x1b) control
+      character spliced in (terminal-junk / binary-leak signature).
+
+    Everything is a pure function of the base table, atomically cached
+    so the Ray pipeline and the DuckDB oracle read the identical file.
+    """
+    base_path = Path(sf_dir) / "documents.parquet"
+    tag = hashlib.md5(base_path.read_bytes()).hexdigest()[:10]
+    out_dir = CACHE_ROOT / f"hygiene_docs_{tag}_v1"
+    out = out_dir / "hygiene_documents.parquet"
+    if out.exists():
+        return out
+    tmp_dir = out_dir.with_name(out_dir.name + ".tmp")
+    if tmp_dir.exists():
+        shutil.rmtree(tmp_dir)
+    tmp_dir.mkdir(parents=True)
+
+    base = pq.read_table(base_path, columns=["doc_id", "text", "lang", "source"])
+    out_texts = []
+    for doc_id, text in zip(base["doc_id"].to_pylist(), base["text"].to_pylist()):
+        t = text or ""
+        mid = len(t) // 2
+        if doc_id % 13 == 0:
+            t = t[:mid] + "��" + t[mid:]
+        if doc_id % 17 == 0:
+            third = len(t) // 3
+            t = t[:third] + "\x07" + t[third:] + "\x1b"
+        out_texts.append(t)
+
+    tbl = pa.table(
+        {
+            "doc_id": base["doc_id"],
+            "text": pa.array(out_texts, pa.string()),
+            "lang": base["lang"],
+            "source": base["source"],
+        }
+    )
+    pq.write_table(tbl, tmp_dir / "hygiene_documents.parquet")
+    if out_dir.exists():
+        shutil.rmtree(out_dir)
+    os.rename(tmp_dir, out_dir)
+    return out
+
+
 def line_documents(sf_dir: str, *, words_per_line: int = 8) -> Path:
     """Generate (or reuse) the line-wrapped table; returns the parquet path."""
     base_path = Path(sf_dir) / "documents.parquet"

@@ -662,6 +662,45 @@ def gopher_stats_values(texts: pa.Array, stopwords: tuple = GOPHER_STOPWORDS):
     return words, mean_e6, n_stop
 
 
+def text_hygiene(ds, *, col: str = "text", id_col: str = "doc_id"):
+    """Encoding-hygiene screen: per document, the count of U+FFFD
+    replacement characters (the mojibake signature a botched decode
+    leaves behind) and of C0 control characters other than
+    tab/newline/CR (terminal junk, binary leakage), plus a ``passed``
+    flag when both are zero. The standard pre-training sanity gate
+    that runs BEFORE tokenization — replacement characters silently
+    poison the token distribution.
+
+    Counts are integers, so the SQL oracle agrees exactly (DuckDB
+    ``length``/``replace``/``regexp_replace`` count the same
+    codepoints). Vectorized Arrow kernels, zero shuffle; null text
+    counts as empty and passes (the null itself is the schema
+    validator's finding, not this screen's)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[col].combine_chunks(), "")
+        n_chars = pc.cast(pc.utf8_length(texts), pa.int64())
+        n_rep = pc.cast(pc.count_substring(texts, "�"), pa.int64())
+        n_ctl = pc.cast(
+            pc.count_substring_regex(
+                texts, r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+            ),
+            pa.int64(),
+        )
+        passed = pc.and_(pc.equal(n_rep, 0), pc.equal(n_ctl, 0))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars": n_chars,
+                "n_replacement": n_rep,
+                "n_control": n_ctl,
+                "passed": passed,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def gopher_quality(ds, *, col: str = "text", id_col: str = "doc_id",
                    min_words: int = GOPHER_MIN_WORDS,
                    max_words: int = GOPHER_MAX_WORDS,

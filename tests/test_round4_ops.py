@@ -478,3 +478,41 @@ def test_minhash_blank_docs_never_pair(ray_session):
     assert minhash_dedup_pairs(ds, col="text", id_col="doc_id").num_rows == 0
     out = cross_corpus_near_duplicates(ds, ds, threshold=0.5)
     assert out.num_rows == 0
+
+
+def test_text_hygiene_known_values(ray_session):
+    from schisma_ray.stages.text import text_hygiene
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                ["clean text", "bad �� here", "ctl\x07\x1b\ttab",
+                 None],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        text_hygiene(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.n_replacement.tolist() == [0, 2, 0, 0]
+    # tab/newline/CR are allowed; BEL and ESC are not
+    assert out.n_control.tolist() == [0, 0, 2, 0]
+    assert out.passed.tolist() == [True, False, False, True]
+    assert out.n_chars.tolist() == [10, 11, 9, 0]
+
+
+def test_hygiene_fixture_plants(ray_session):
+    """The seeded fixture must actually plant both defect classes."""
+    import pyarrow.parquet as pq
+
+    from schisma_ray.sources.line_fixture import hygiene_documents
+
+    path = hygiene_documents("/root/testdata/sf0.001")
+    texts = pq.read_table(path)["text"].to_pylist()
+    assert any("�" in (x or "") for x in texts)
+    assert any("\x07" in (x or "") for x in texts)
