@@ -114,6 +114,10 @@ def main(argv=None) -> int:
                    help="> 0 adds ExactSubstr span removal (duplicated "
                         "token runs >= k words dropped from every doc) "
                         "before dedup")
+    p.add_argument("--hygiene", action="store_true",
+                   help="drop docs carrying U+FFFD replacement chars "
+                        "or disallowed C0 control chars (decode-"
+                        "corruption screen)")
     p.add_argument("--min-entropy-e6", type=int, default=0,
                    help="> 0 drops docs below this character-entropy "
                         "floor (e6-integer bits)")
@@ -228,6 +232,7 @@ def main(argv=None) -> int:
                 c4_min_lines=args.c4_min_lines,
                 gopher=args.gopher,
                 line_dedup=args.line_dedup,
+                hygiene=args.hygiene,
                 min_entropy_e6=args.min_entropy_e6,
                 max_entropy_e6=args.max_entropy_e6,
                 exact_substr_k=args.exact_substr_k,

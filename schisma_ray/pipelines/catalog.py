@@ -3056,6 +3056,26 @@ def q_corpus_prepare_lines(sf_dir: str):
     )
 
 
+def q_corpus_prepare_hygiene(sf_dir: str):
+    """Production corpus prep WITH the encoding-hygiene screen, over
+    the seeded hygiene fixture (planted U+FFFD / control-char docs):
+    email redaction -> lang + quality filter + hygiene drop -> exact
+    dedup keep-first -> per-source cap of 10 -> 80/60 chunking — the
+    ``prepare_corpus(hygiene=True)`` composite, same code path as the
+    CLI ``prepare --hygiene``."""
+    from ..sources.line_fixture import hygiene_documents
+    from .corpus_pipeline import prepare_corpus
+
+    docs = rd.read_parquet(str(hygiene_documents(sf_dir)))
+    return _collect(
+        prepare_corpus(
+            docs, hygiene=True, langs=("en",), min_quality=0.5,
+            cap_per_source=10, chunk_size=80, chunk_stride=60,
+        ),
+        ["doc_id", "chunk_idx", "chunk_text"],
+    )
+
+
 def q_corpus_prepare_substr(sf_dir: str):
     """Production corpus prep WITH the ExactSubstr span-removal stage
     (Lee et al. 2021) over the documents table (planted exact-duplicate
@@ -5724,6 +5744,45 @@ SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
        substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
   FROM capped, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
 """,
+        "corpus_prepare_hygiene": f"""
+WITH red AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+           '[EMAIL]', 'g') AS text
+    FROM {hyg_docs}),
+m AS (
+  SELECT *, CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+    FROM red),
+s AS (
+  SELECT *, ROUND(
+      0.4 * LEAST(1.0, n_words / 64.0)
+    + 0.3 * (CASE WHEN n_words > 0
+                   AND (n_chars - (n_words - 1)) / n_words >= 3
+                   AND (n_chars - (n_words - 1)) / n_words <= 12
+                  THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END), 6) AS score
+    FROM m),
+filt AS (SELECT * FROM s
+          WHERE lang = 'en' AND score >= 0.5
+            AND length(text) = length(replace(text, chr(65533), ''))
+            AND length(text) = length(regexp_replace(
+                  text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'))),
+surv AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper FROM filt)
+   WHERE doc_id = keeper),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM surv) WHERE rn <= 10)
+SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
+  FROM capped, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
+""",
         "corpus_prepare_substr": r"""
 WITH red AS (
   SELECT doc_id, source, lang,
@@ -6728,6 +6787,7 @@ QUERIES = {
     "semdedup_survivors": q_semdedup_survivors,
     "line_dedup_docs": q_line_dedup_docs,
     "corpus_prepare_lines": q_corpus_prepare_lines,
+    "corpus_prepare_hygiene": q_corpus_prepare_hygiene,
     "corpus_prepare_substr": q_corpus_prepare_substr,
     "event_type_shares": q_event_type_shares,
     "gopher_repetition": q_gopher_repetition,

@@ -41,6 +41,7 @@ def prepare_corpus(
     c4_min_lines: int = 0,
     gopher: bool = False,
     line_dedup: bool = False,
+    hygiene: bool = False,
     min_entropy_e6: int = 0,
     max_entropy_e6: int = 0,
     minhash_threshold: float = 0.8,
@@ -62,6 +63,10 @@ def prepare_corpus(
     (0 = off) band-filter on per-document character entropy (e6-integer
     bits via the frozen log2 artifact) after the quality threshold —
     the compression-style gibberish/boilerplate screen.
+    ``hygiene=True`` drops documents carrying U+FFFD replacement
+    characters or disallowed C0 control characters (the
+    decode-corruption screen; evaluated on the redacted text alongside
+    the lang/quality predicates, zero shuffle).
     ``exact_substr_k > 0`` adds ExactSubstr span removal (Lee et al.
     2021) on the filtered survivors before dedup: duplicated token runs
     >= k words are dropped from every document (docs left empty drop
@@ -166,6 +171,19 @@ def prepare_corpus(
             ),
             pa.array(score >= min_quality),
         )
+        if hygiene:
+            keep = pc.and_(
+                keep,
+                pc.and_(
+                    pc.equal(pc.count_substring(text, "�"), 0),
+                    pc.equal(
+                        pc.count_substring_regex(
+                            text, r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+                        ),
+                        0,
+                    ),
+                ),
+            )
         if gopher:
             from ..stages.text import (
                 GOPHER_MAX_MEAN_LEN_E6,

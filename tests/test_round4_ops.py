@@ -516,3 +516,26 @@ def test_hygiene_fixture_plants(ray_session):
     texts = pq.read_table(path)["text"].to_pylist()
     assert any("�" in (x or "") for x in texts)
     assert any("\x07" in (x or "") for x in texts)
+
+
+def test_prepare_corpus_hygiene_drops_planted(ray_session):
+    """hygiene=True must drop exactly the docs carrying planted
+    defects; hygiene=False must keep them (same fixture)."""
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+    from schisma_ray.sources.line_fixture import hygiene_documents
+
+    docs = rd.read_parquet(str(hygiene_documents("/root/testdata/sf0.001")))
+    on = prepare_corpus(
+        docs, hygiene=True, langs=("en",), min_quality=0.5,
+        cap_per_source=0, chunk_size=80, chunk_stride=60,
+    ).to_pandas()
+    off = prepare_corpus(
+        docs, hygiene=False, langs=("en",), min_quality=0.5,
+        cap_per_source=0, chunk_size=80, chunk_stride=60,
+    ).to_pandas()
+    dropped = set(off.doc_id) - set(on.doc_id)
+    assert dropped, "the screen must fire on the seeded fixture"
+    assert all(d % 13 == 0 or d % 17 == 0 for d in dropped)
+    # no clean doc may be dropped: ids in neither plant class survive
+    clean_off = {d for d in off.doc_id if d % 13 != 0 and d % 17 != 0}
+    assert clean_off <= set(on.doc_id)
