@@ -1104,6 +1104,44 @@ def q_lineitem_quantiles(sf_dir: str):
     return exact_quantiles(ds, "l_extendedprice", [0.5, 0.9, 0.99])
 
 
+def q_lineitem_winsorized(sf_dir: str):
+    """Percentile winsorization of the price column (two-pass: exact
+    [P05, P95] bounds broadcast -> vectorized clamp). Output keyed by
+    (l_orderkey, l_linenumber); cents integers for exact SQL parity."""
+    import pyarrow.compute as _pc
+
+    from ..stages.rank import winsorize
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+    )
+    out = winsorize(ds, "l_extendedprice", lo_q=0.05, hi_q=0.95)
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_linenumber": t["l_linenumber"],
+                "price_cents": _pc.cast(
+                    _pc.round(_pc.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+                "winsorized_cents": _pc.cast(
+                    _pc.round(
+                        _pc.multiply(t["l_extendedprice_winsorized"], 100.0)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _collect(
+        out.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey", "l_linenumber", "price_cents", "winsorized_cents"],
+    )
+
+
 def q_lineitem_quantiles_approx(sf_dir: str):
     """Mergeable-histogram approximate quantiles (two streaming passes,
     constant state — the no-sort path; error bounded by one bin width).
@@ -4848,6 +4886,21 @@ SELECT t.q, o.v AS value
   FROM o, (VALUES (0.5), (0.9), (0.99)) AS t(q)
  WHERE o.rn = CAST(floor((o.c - 1) * t.q) AS BIGINT) + 1
 """,
+        "lineitem_winsorized": """
+WITH o AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v,
+                  row_number() OVER (ORDER BY l_extendedprice) AS rn,
+                  count(*) OVER () AS c
+             FROM lineitem),
+lo AS (SELECT v FROM o WHERE rn = CAST(floor((c - 1) * 0.05) AS BIGINT) + 1),
+hi AS (SELECT v FROM o WHERE rn = CAST(floor((c - 1) * 0.95) AS BIGINT) + 1)
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_cents,
+       CAST(ROUND(LEAST(GREATEST(CAST(l_extendedprice AS DOUBLE),
+                                 (SELECT v FROM lo)),
+                        (SELECT v FROM hi)) * 100) AS BIGINT)
+         AS winsorized_cents
+  FROM lineitem
+""",
         "distinct_sources_by_lang": """
 SELECT lang, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct
   FROM documents GROUP BY lang
@@ -6716,6 +6769,7 @@ QUERIES = {
     "documents_conform_diff": q_documents_conform_diff,
     "profile_images": q_profile_images,
     "lineitem_quantiles": q_lineitem_quantiles,
+    "lineitem_winsorized": q_lineitem_winsorized,
     "lineitem_quantiles_approx": q_lineitem_quantiles_approx,
     "distinct_sources_by_lang": q_distinct_sources_by_lang,
     "distinct_sources_by_lang_hll": q_distinct_sources_by_lang_hll,

@@ -205,6 +205,45 @@ def exact_quantiles(ds, col: str, qs: list[float]) -> pa.Table:
     )
 
 
+def winsorize(ds, col: str, *, lo_q: float = 0.05, hi_q: float = 0.95,
+              out_col: str | None = None, method: str = "exact"):
+    """Two-pass percentile clamp (winsorization), the standard outlier
+    repair for heavy-tailed numeric columns before stats/training:
+    pass 1 computes the [lo_q, hi_q] bounds (``method="exact"`` via the
+    distributed order statistics of ``exact_quantiles``; ``"approx"``
+    via the mergeable histogram sketch — the 100 TB path, one scan, no
+    sort shuffle), the two scalars broadcast in the task closure, and
+    pass 2 clamps in one vectorized map. Values outside the band snap
+    to the boundary VALUE (an actual column value under ``exact``), so
+    a SQL oracle reproduces the output bit-for-bit from the same rank
+    convention.
+
+    Note the input scans twice — inherent to any percentile-then-apply
+    shape; at scale prefer ``method="approx"`` so at least no global
+    sort happens."""
+    import pyarrow.compute as pc
+
+    qt = (exact_quantiles if method == "exact" else approx_quantiles)(
+        ds, col, [lo_q, hi_q]
+    )
+    lo = qt["value"][0].as_py()
+    hi = qt["value"][1].as_py()
+    name = out_col or f"{col}_winsorized"
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = pc.cast(t[col].combine_chunks(), pa.float64())
+        w = pc.min_element_wise(
+            pc.max_element_wise(v, pa.scalar(float(lo), pa.float64())),
+            pa.scalar(float(hi), pa.float64()),
+        )
+        if name in t.column_names:
+            return t.set_column(t.schema.get_field_index(name), name, w)
+        return t.append_column(name, w)
+
+    return ds.map_batches(clamp, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def ntile_pct_rank(ds, sort_keys: list[str], *, k: int = 100,
                    keep_cols: list[str] | None = None):
     """Distributed NTILE(k) + percent_rank over a global order — the

@@ -113,3 +113,22 @@ def test_catalog_queries_smoke(ray_session):
     df = full.to_pandas()
     # the F-status filter makes both null sides live
     assert df.n_orders.isna().any() or df.c_name.isna().any()
+
+
+def test_winsorize_known_values(ray_session):
+    from schisma_ray.stages.rank import winsorize
+
+    vals = list(range(1, 101))  # 1..100
+    t = pa.table({"i": pa.array(range(100), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    # P05 rank = floor(99*0.05)+1 = 5th value = 5; P95 -> 95
+    out = (
+        winsorize(rd.from_arrow(t).repartition(4), "v",
+                  lo_q=0.05, hi_q=0.95)
+        .to_pandas().sort_values("i")
+    )
+    w = out.v_winsorized.tolist()
+    assert min(w) == 5.0 and max(w) == 95.0
+    assert w[0] == 5.0 and w[-1] == 95.0 and w[49] == 50.0
+    # untouched middle stays identical to the input
+    assert out.v.tolist()[10:90] == w[10:90]
