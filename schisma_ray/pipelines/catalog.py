@@ -1814,6 +1814,44 @@ def q_events_pivot(sf_dir: str):
     )
 
 
+def q_events_pivot_long(sf_dir: str):
+    """Round-trip reshape: the wide per-user pivot melted back to long
+    (user_id, event_type, n) rows — zeros for absent categories are
+    materialized, which is what a training-feature store expects."""
+    from ..stages.topk import pivot_counts, unpivot
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_counts(_t(sf_dir, "events"), "user_id", "event_type", cats)
+    return unpivot(wide, ["user_id"], cats,
+                   var_col="event_type", value_col="n")
+
+
+def q_split_leakage(sf_dir: str):
+    """Cross-split contamination audit: content fingerprints present in
+    BOTH the train and the val side of the deterministic md5 split —
+    the eval-inflating leak a dedup-unaware split creates. Dupes are
+    injected via the shared _synth_new_crawl re-key (verbatim copies
+    under new ids straddle the id-keyed split ~32% of the time)."""
+    from ..stages._digest import md5_hex
+    from ..stages.corpus import split_leakage
+
+    base = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    crawl = base.map_batches(_synth_new_crawl, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def fingerprint(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fp": pa.array(md5_hex(t["text"]), pa.string()),
+        })
+
+    docs = base.union(crawl).map_batches(
+        fingerprint, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return split_leakage(docs, key_col="fp", id_col="doc_id",
+                         train_pct=8, mod=10)
+
+
 def q_cross_corpus_dups(sf_dir: str):
     """Incremental dedup of a 'new crawl' against the existing corpus —
     base fingerprints broadcast once (Arrow fold), new side streams."""
@@ -6575,6 +6613,33 @@ SELECT user_id,
        CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
   FROM events GROUP BY user_id
 """,
+    "events_pivot_long": """
+WITH p AS (SELECT user_id, event_type, count(*) AS n
+             FROM events GROUP BY 1, 2),
+u AS (SELECT DISTINCT user_id FROM events),
+cats AS (SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+                AS event_type)
+SELECT u.user_id, c.event_type, CAST(coalesce(p.n, 0) AS BIGINT) AS n
+  FROM u CROSS JOIN cats c
+  LEFT JOIN p ON p.user_id = u.user_id AND p.event_type = c.event_type
+""",
+    "split_leakage": """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE ' extra' END AS text
+    FROM documents WHERE doc_id % 5 IN (0, 1)),
+s AS (
+  SELECT md5(text) AS fp,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 < 8
+              THEN 1 ELSE 0 END AS is_train
+    FROM aug WHERE text IS NOT NULL),
+c AS (SELECT fp, SUM(is_train) AS train_n, SUM(1 - is_train) AS val_n
+        FROM s GROUP BY fp)
+SELECT fp, CAST(train_n AS BIGINT) AS train_n, CAST(val_n AS BIGINT) AS val_n
+  FROM c WHERE train_n > 0 AND val_n > 0
+""",
     "inverted_index": r"""
 WITH toks AS (
   SELECT DISTINCT doc_id, t.term
@@ -6808,6 +6873,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "orders_high_value": q_orders_high_value,
     "doc_splits": q_doc_splits,
+    "events_pivot_long": q_events_pivot_long,
+    "split_leakage": q_split_leakage,
     "events_since_last_purchase": q_events_since_last_purchase,
     "doc_cap_per_source": q_doc_cap_per_source,
     "top_event_types_per_window": q_top_event_types_per_window,

@@ -742,3 +742,55 @@ def stratified_exact_split(ds, fractions: dict, *, group_col: str = "lang",
 
     return ranked.map_batches(assign, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def split_leakage(ds, *, key_col: str, id_col: str,
+                  train_pct: int = 8, mod: int = 10):
+    """Cross-split leakage audit: content keys (a phash, a text
+    fingerprint) that land in BOTH the train and the validation side of
+    the deterministic md5 split — the exact leak a dedup-unaware split
+    creates, inflating eval scores. Emits one row per leaking key with
+    its per-split counts.
+
+    Split rule is the engine's md5_u32 convention (``md5(id) % mod <
+    train_pct`` -> train), so the audit reproduces whatever
+    ``split_assign`` would have done without materializing the split.
+    Combiner-first: per-batch (key, split) partial counts, one
+    key-hash groupby of partials, filter to both-sides-positive."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ._digest import md5_u32
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        if t.num_rows == 0:
+            return pa.table({
+                key_col: pa.array([], pa.int64()),
+                "train_part": pa.array([], pa.int64()),
+                "val_part": pa.array([], pa.int64()),
+            })
+        u = md5_u32(t[id_col].combine_chunks())
+        is_train = (u % mod) < train_pct
+        g = pa.table({
+            key_col: t[key_col],
+            "train_part": pa.array(is_train.astype(np.int64), pa.int64()),
+            "val_part": pa.array((~is_train).astype(np.int64), pa.int64()),
+        }).group_by(key_col).aggregate(
+            [("train_part", "sum"), ("val_part", "sum")]
+        )
+        return g.rename_columns([key_col, "train_part", "val_part"])
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Sum("train_part", alias_name="train_n"),
+                   Sum("val_part", alias_name="val_n"))
+    )
+
+    def leaks(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.greater(t["train_n"], 0),
+                                pc.greater(t["val_n"], 0)))
+
+    return merged.map_batches(leaks, batch_format="pyarrow",
+                              zero_copy_batch=True)

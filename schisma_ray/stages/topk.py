@@ -205,3 +205,25 @@ def pivot_counts(ds, row_key: str, col_key: str, categories: list[str], *,
         return wide.reset_index()
 
     return partials.groupby("_rb").map_groups(merge, batch_format="pandas")
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str], *,
+            var_col: str = "variable", value_col: str = "value"):
+    """Long/melt reshape — the inverse of ``pivot_counts``: each input
+    row becomes ``len(value_cols)`` rows of (id..., variable, value).
+    Row-local and zero shuffle (the batch is concatenated once per
+    value column, all Arrow takes/casts); the value columns must share
+    a castable type (everything goes through int64 — counts, flags,
+    integer metrics)."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t[k] for k in id_cols}
+            cols[var_col] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_col] = pc.cast(t[c], pa.int64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
