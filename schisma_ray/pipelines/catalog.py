@@ -1814,6 +1814,101 @@ def q_events_pivot(sf_dir: str):
     )
 
 
+def q_lineitem_corr(sf_dir: str):
+    """Per-group Pearson correlation (quantity vs extendedprice, by
+    returnflag) — feature-redundancy screen; exact integer moments,
+    one float divide+sqrt per group (bit-identical to the oracle)."""
+    from ..stages.stats import grouped_corr
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(ds, "l_returnflag", "l_quantity",
+                        "l_extendedprice")
+
+
+def q_events_cube(sf_dir: str):
+    """GROUP BY CUBE(event_type, day-of-week): the 4-grouping-set BI
+    subtotal lattice from ONE combiner pass; value sums in cents.
+    dow is pure integer arithmetic (epoch-days mod 7) so both engines
+    agree without timezone/locale conventions."""
+    import pyarrow.compute as pc
+
+    from ..stages.topk import cube_counts
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000) % 7).astype(np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "dow": pa.array(dow, pa.int64()),
+            "value": t["value"],
+        })
+
+    return cube_counts(
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "dow"], "value",
+    )
+
+
+def q_user_event_mode(sf_dir: str):
+    """Per-user modal event type (most frequent, ties to the smallest
+    type) — the categorical 'typical value' aggregate."""
+    from ..stages.rank import grouped_mode
+
+    return grouped_mode(
+        rd.read_parquet(f"{sf_dir}/events.parquet",
+                        columns=["user_id", "event_type"]),
+        "user_id", "event_type",
+    )
+
+
+def q_lineitem_qty_bins(sf_dir: str):
+    """Equal-frequency quartile binning of l_quantity (bounded integer
+    domain): histogram fold -> percentile_disc breakpoints -> streaming
+    assign."""
+    from ..stages.rank import quantile_bins
+
+    return quantile_bins(
+        rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        ),
+        "l_quantity", ["l_orderkey", "l_linenumber"],
+    )
+
+
+def q_doc_sentences(sf_dir: str):
+    """Documents exploded to numbered sentences with word counts — the
+    sentence-level pipeline layout. The synthetic corpus has no
+    sentence punctuation, so boundaries are planted first (every
+    ' table ' becomes '. ' — mirrored in the oracle) to make the
+    explode genuinely multi-row."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import sentence_explode
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pc.replace_substring(
+                t["text"].combine_chunks(), " table ", ". "
+            ),
+        })
+
+    return sentence_explode(
+        docs.map_batches(plant, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    )
+
+
 def q_events_pivot_long(sf_dir: str):
     """Round-trip reshape: the wide per-user pivot melted back to long
     (user_id, event_type, n) rows — zeros for absent categories are
@@ -6613,6 +6708,85 @@ SELECT user_id,
        CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
   FROM events GROUP BY user_id
 """,
+    "lineitem_corr": """
+WITH b AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS x,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+    FROM lineitem
+   WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+     AND l_returnflag IS NOT NULL),
+m AS (
+  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM b GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN (n * sxx - sx * sx) <= 0 OR (n * syy - sy * sy) <= 0
+                 THEN 0
+                 ELSE floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                                   * CAST(n * syy - sy * sy AS DOUBLE))
+                            * 1e6 + 0.5)
+            END AS BIGINT) AS corr_e6
+  FROM m
+""",
+    "events_cube": """
+WITH b AS (
+  SELECT CAST(event_type AS VARCHAR) AS event_type,
+         CAST((epoch_us(ts) // 86400000000) % 7 AS VARCHAR) AS dow,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+    FROM events
+   WHERE event_type IS NOT NULL AND dow IS NOT NULL AND value IS NOT NULL)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dow, 'ALL') AS dow,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS sum_val
+  FROM b GROUP BY CUBE (event_type, dow)
+""",
+    "user_event_mode": """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+             FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rn
+        FROM c)
+SELECT user_id, event_type AS mode, CAST(n AS BIGINT) AS n
+  FROM r WHERE rn = 1
+""",
+    "lineitem_qty_bins": """
+WITH v AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS val
+    FROM lineitem WHERE l_quantity IS NOT NULL),
+c AS (SELECT val, count(*) AS n FROM v GROUP BY val),
+cum AS (SELECT val, sum(n) OVER (ORDER BY val) AS cum,
+               (SELECT count(*) FROM v) AS tot
+          FROM c),
+b AS (
+  SELECT min(CASE WHEN cum >= ceil(0.25 * tot) THEN val END) AS b1,
+         min(CASE WHEN cum >= ceil(0.50 * tot) THEN val END) AS b2,
+         min(CASE WHEN cum >= ceil(0.75 * tot) THEN val END) AS b3
+    FROM cum)
+SELECT v.l_orderkey, v.l_linenumber, v.val,
+       CAST(CAST(v.val > b.b1 AS INT) + CAST(v.val > b.b2 AS INT)
+            + CAST(v.val > b.b3 AS INT) AS BIGINT) AS bin
+  FROM v, b
+""",
+    "doc_sentences": """
+WITH planted AS (
+  SELECT doc_id, replace(text, ' table ', '. ') AS text
+    FROM documents WHERE text IS NOT NULL),
+s AS (
+  SELECT doc_id, unnest(string_split(text, '. ')) AS sentence,
+         generate_subscripts(string_split(text, '. '), 1) AS sent_idx
+    FROM planted)
+SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
+       CAST(len(list_filter(string_split(sentence, ' '),
+                            x -> x <> '')) AS BIGINT) AS n_words
+  FROM s
+""",
     "events_pivot_long": """
 WITH p AS (SELECT user_id, event_type, count(*) AS n
              FROM events GROUP BY 1, 2),
@@ -6875,6 +7049,11 @@ QUERIES = {
     "doc_splits": q_doc_splits,
     "events_pivot_long": q_events_pivot_long,
     "split_leakage": q_split_leakage,
+    "lineitem_corr": q_lineitem_corr,
+    "events_cube": q_events_cube,
+    "user_event_mode": q_user_event_mode,
+    "lineitem_qty_bins": q_lineitem_qty_bins,
+    "doc_sentences": q_doc_sentences,
     "events_since_last_purchase": q_events_since_last_purchase,
     "doc_cap_per_source": q_doc_cap_per_source,
     "top_event_types_per_window": q_top_event_types_per_window,

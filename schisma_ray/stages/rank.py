@@ -435,3 +435,115 @@ def grouped_exact_quantiles(ds, group_col: str, col: str,
             "value": pa.array([float(v) for v in out], pa.float64()),
         }
     )
+
+
+def grouped_mode(ds, key_col: str, val_col: str, *, num_buckets: int = 64):
+    """Per-key mode (most frequent value, ties broken by smallest
+    value) — the categorical "typical value" aggregate SQL spells as a
+    row_number-over-counts window.
+
+    Combiner-first: each batch collapses to (key, value, n) partials
+    with one Arrow group_by; the shuffle carries partials bucketed by
+    key hash (values of one key always co-locate); each bucket does one
+    vectorized pandas sum + stable sort + drop_duplicates. Null keys or
+    values are dropped (SQL WHERE ... IS NOT NULL convention)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ._bucket import key_bucket
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key_col]),
+                             pc.is_valid(t[val_col])))
+        agg = (
+            t.select([key_col, val_col])
+            .group_by([key_col, val_col])
+            .aggregate([([], "count_all")])
+        ).rename_columns([key_col, val_col, "n"])
+        return agg.append_column(
+            "_b", key_bucket(agg[key_col].combine_chunks(), num_buckets)
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = (g.groupby([key_col, val_col], sort=False)["n"].sum()
+             .reset_index())
+        c = c.sort_values([key_col, "n", val_col],
+                          ascending=[True, False, True], kind="mergesort")
+        top = c.drop_duplicates(key_col, keep="first").copy()
+        top["n"] = top["n"].astype(np.int64)
+        return (top[[key_col, val_col, "n"]]
+                .rename(columns={val_col: "mode"}))
+
+    return parts.groupby("_b").map_groups(per_bucket, batch_format="pandas")
+
+
+def quantile_bins(ds, val_col: str, id_cols: list[str], *,
+                  qs: tuple = (0.25, 0.5, 0.75), val_scale: int = 1):
+    """Equal-frequency discretization (quartile/decile binning) of a
+    BOUNDED-DOMAIN numeric column — the feature-bucketing step before
+    hashing/embedding categorical-ized numerics.
+
+    Pass 1 folds per-value integer counts (domain-bounded combiner:
+    partials are at most |domain| rows per block, folded once); the
+    breakpoints use the percentile_disc rule — smallest v with
+    cumulative count >= ceil(q*n) — so a SQL window oracle reproduces
+    them exactly. Pass 2 streams, assigning
+    ``bin = #{breakpoints < v}`` per row (vectorized searchsorted).
+    The domain must be small (integer quantities, star ratings, ages);
+    unbounded-domain columns belong to approx_quantiles' fixed-width
+    histogram instead."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def cpart(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[val_col]))
+        v = np.floor(
+            t[val_col].to_numpy(zero_copy_only=False) * val_scale + 0.5
+        ).astype(np.int64)
+        agg = (
+            pa.table({"v": pa.array(v, pa.int64())})
+            .group_by("v").aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["v", "n"])
+
+    folded = fold_table(
+        ds.map_batches(cpart, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        breaks = np.array([], np.int64)
+    else:
+        counts = (
+            folded.group_by("v").aggregate([("n", "sum")])
+            .rename_columns(["v", "n"]).sort_by("v")
+        )
+        vals = counts["v"].to_numpy(zero_copy_only=False)
+        cum = np.cumsum(counts["n"].to_numpy(zero_copy_only=False))
+        total = int(cum[-1]) if len(cum) else 0
+        breaks = np.array(
+            [vals[int(np.searchsorted(cum, math.ceil(q * total)))]
+             for q in qs],
+            np.int64,
+        ) if total else np.array([], np.int64)
+    breaks.sort()
+
+    def assign(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[val_col]))
+        v = np.floor(
+            t[val_col].to_numpy(zero_copy_only=False) * val_scale + 0.5
+        ).astype(np.int64)
+        cols = {c: t[c] for c in id_cols}
+        cols["val"] = pa.array(v, pa.int64())
+        cols["bin"] = pa.array(
+            np.searchsorted(breaks, v, side="left").astype(np.int64),
+            pa.int64(),
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -597,3 +597,72 @@ def share_of_group_total(ds, key_col: str, val_col: str, id_cols: list):
         return pa.table(cols)
 
     return ds.map_batches(apply, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_corr(ds, group_col: str, x_col: str, y_col: str, *,
+                 x_scale: int = 100, y_scale: int = 100) -> pa.Table:
+    """Per-group Pearson correlation of two numeric columns as an e6
+    integer — the feature-redundancy / leakage screen ("is this column
+    just a rescale of that one?").
+
+    Parity design: values freeze to integers (``floor(v*scale + .5)``),
+    the five moments accumulate EXACTLY (grouped_moments' combiner-first
+    integer fold), and only the last step — one divide and one sqrt per
+    GROUP, over identical integers — runs in float64, where IEEE
+    correctly-rounded ops in the same order make numpy and DuckDB
+    bit-identical. Zero-variance groups emit 0 (SQL CASE mirror).
+
+    Scale: one combiner pass (per-batch partials at group cardinality),
+    a tiny fold, O(groups) driver math. At 100 TB the int64 per-batch
+    products are safe (bounded blocks); the cross-batch fold uses
+    HUGEINT-equivalent Python ints via the final to_pylist."""
+    import math
+
+    import pyarrow.compute as pc
+
+    def proj(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+        t = t.filter(keep)
+        x = np.floor(
+            t[x_col].to_numpy(zero_copy_only=False) * x_scale + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            t[y_col].to_numpy(zero_copy_only=False) * y_scale + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            group_col: t[group_col],
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y, pa.int64()),
+        })
+
+    m = grouped_moments(
+        ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True),
+        group_col, "x", "y",
+    )
+    groups = m[group_col].to_pylist()
+    if not groups:
+        return pa.schema([
+            (group_col, m.schema.field(group_col).type),
+            ("n", pa.int64()), ("corr_e6", pa.int64()),
+        ]).empty_table()
+    out_n, out_c = [], []
+    for g, n, sx, sy, sxx, syy, sxy in zip(
+        groups, m["n"].to_pylist(), m["sum_x"].to_pylist(),
+        m["sum_y"].to_pylist(), m["sum_xx"].to_pylist(),
+        m["sum_yy"].to_pylist(), m["sum_xy"].to_pylist(),
+    ):
+        num = n * sxy - sx * sy          # exact Python ints
+        varx = n * sxx - sx * sx
+        vary = n * syy - sy * sy
+        if varx <= 0 or vary <= 0:
+            c = 0
+        else:
+            corr = float(num) / math.sqrt(float(varx) * float(vary))
+            c = int(math.floor(corr * 1e6 + 0.5))
+        out_n.append(n)
+        out_c.append(c)
+    return pa.table({
+        group_col: m[group_col].combine_chunks(),
+        "n": pa.array(out_n, pa.int64()),
+        "corr_e6": pa.array(out_c, pa.int64()),
+    })

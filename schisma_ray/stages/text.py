@@ -1410,3 +1410,51 @@ def license_tags(ds, *, col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sentence_explode(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     sep: str = ". "):
+    """Explode documents into numbered sentences with word counts —
+    the row layout sentence-level dedup / filtering / alignment
+    pipelines operate on (one doc row -> k sentence rows).
+
+    Row-local and zero shuffle; one vectorized split per batch (Arrow
+    list kernels + cumsum segment counts, no Python loop over rows or
+    sentences). The separator is a literal (default '. ') so the SQL
+    string_split oracle is exact; null texts are dropped."""
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[text_col]))
+        parts = pc.split_pattern(t[text_col].combine_chunks(), sep)
+        lens = pc.list_value_length(parts).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(parts)
+        total = int(lens.sum())
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) \
+            else np.zeros(0, np.int64)
+        sent_idx = (np.arange(total, dtype=np.int64)
+                    - np.repeat(starts, lens) + 1)
+        ids = t[id_col].combine_chunks().take(
+            pa.array(np.repeat(np.arange(len(lens)), lens), pa.int64())
+        )
+        toks = pc.split_pattern(flat, " ")
+        toffs_flat = pc.list_flatten(toks)
+        nonempty = pc.not_equal(toffs_flat, "").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        tlens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        bounds = np.concatenate([[0], np.cumsum(tlens)])
+        cs = np.concatenate([[0], np.cumsum(nonempty)])
+        n_words = cs[bounds[1:]] - cs[bounds[:-1]]
+        return pa.table({
+            id_col: ids,
+            "sent_idx": pa.array(sent_idx, pa.int64()),
+            "sentence": flat,
+            "n_words": pa.array(n_words, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -227,3 +227,75 @@ def unpivot(ds, id_cols: list[str], value_cols: list[str], *,
         return pa.concat_tables(parts)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cube_counts(ds, dims: list[str], val_col: str, *,
+                val_scale: int = 100, all_label: str = "ALL") -> pa.Table:
+    """GROUP BY CUBE over low-cardinality dimensions: row counts and an
+    integer-scaled value sum for EVERY subset of ``dims`` (the BI
+    subtotal lattice — 2^len(dims) grouping sets), rolled-up levels
+    marked with ``all_label``. Dimensions are cast to string so the
+    output schema is uniform across grouping sets.
+
+    Scale: ONE combiner pass over the data (per-batch partials at
+    finest-grouping cardinality), a bounded driver fold, then the
+    2^d expansion computed on the already-aggregated finest table —
+    never on raw rows. Dimension cardinality must be small (formats,
+    event types, weekdays); rows with a null dim or value are dropped
+    (SQL WHERE ... IS NOT NULL convention)."""
+    import itertools
+
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(t[val_col])
+        for d in dims:
+            keep = pc.and_(keep, pc.is_valid(t[d]))
+        t = t.filter(keep)
+        v = np.floor(
+            t[val_col].to_numpy(zero_copy_only=False) * val_scale + 0.5
+        ).astype(np.int64)
+        cols = {d: pc.cast(t[d], pa.string()) for d in dims}
+        cols["s"] = pa.array(v, pa.int64())
+        agg = (
+            pa.table(cols).group_by(dims)
+            .aggregate([([], "count_all"), ("s", "sum")])
+        )
+        return agg.rename_columns(list(dims) + ["n", "s"])
+
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    schema = pa.schema([(d, pa.string()) for d in dims]
+                       + [("n", pa.int64()), ("sum_val", pa.int64())])
+    if folded is None:
+        return schema.empty_table()
+    finest = (
+        folded.group_by(dims).aggregate([("n", "sum"), ("s", "sum")])
+        .rename_columns(list(dims) + ["n", "s"])
+    )
+    import pandas as pd
+
+    fin = finest.to_pandas()
+    outs = []
+    for r in range(len(dims) + 1):
+        for keep_dims in itertools.combinations(dims, r):
+            if keep_dims:
+                g = fin.groupby(list(keep_dims), sort=False, as_index=False)[
+                    ["n", "s"]].sum()
+            else:
+                g = pd.DataFrame({"n": [fin["n"].sum()],
+                                  "s": [fin["s"].sum()]})
+            for d in dims:
+                if d not in keep_dims:
+                    g[d] = all_label
+            outs.append(g[list(dims) + ["n", "s"]])
+    allg = pd.concat(outs, ignore_index=True)
+    return pa.table({
+        **{d: pa.array(allg[d].astype(str), pa.string()) for d in dims},
+        "n": pa.array(allg["n"].to_numpy().astype(np.int64), pa.int64()),
+        "sum_val": pa.array(allg["s"].to_numpy().astype(np.int64),
+                            pa.int64()),
+    })

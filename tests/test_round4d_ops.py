@@ -97,3 +97,118 @@ def test_unpivot_empty_and_multi_id(ray_session):
         (1, "x", "m1", 10), (2, "y", "m1", 20),
         (1, "x", "m2", 1), (2, "y", "m2", 0),
     }
+
+
+def test_grouped_corr_vs_numpy(ray_session):
+    from schisma_ray.stages.stats import grouped_corr
+
+    rng = np.random.default_rng(11)
+    n = 1000
+    g = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    x = rng.uniform(1, 50, n).round(2)
+    y = 3.0 * x + rng.normal(0, 10, n).round(2)
+    t = pa.table({"g": g, "x": x, "y": y})
+    out = grouped_corr(
+        rd.from_arrow(t).repartition(6), "g", "x", "y"
+    ).to_pandas().set_index("g")
+    for grp in ["a", "b"]:
+        m = g == grp
+        xi = np.floor(x[m] * 100 + 0.5)
+        yi = np.floor(y[m] * 100 + 0.5)
+        ref = np.corrcoef(xi, yi)[0, 1]
+        assert abs(out.loc[grp, "corr_e6"] / 1e6 - ref) < 1e-5
+        assert out.loc[grp, "n"] == m.sum()
+
+
+def test_grouped_corr_degenerate(ray_session):
+    from schisma_ray.stages.stats import grouped_corr
+
+    t = pa.table({"g": ["z"] * 4, "x": [5.0] * 4, "y": [1.0, 2, 3, 4]})
+    out = grouped_corr(rd.from_arrow(t), "g", "x", "y").to_pandas()
+    assert out["corr_e6"].tolist() == [0]  # zero variance -> 0
+
+
+def test_cube_counts_vs_pandas(ray_session):
+    import pandas as pd
+
+    from schisma_ray.stages.topk import cube_counts
+
+    rng = np.random.default_rng(5)
+    n = 500
+    d1 = np.array(["x", "y", "z"])[rng.integers(0, 3, n)]
+    d2 = np.array(["p", "q"])[rng.integers(0, 2, n)]
+    v = rng.uniform(0, 10, n).round(2)
+    t = pa.table({"d1": d1, "d2": d2, "v": v})
+    out = cube_counts(rd.from_arrow(t).repartition(4), ["d1", "d2"], "v")
+    got = out.to_pandas()
+    vi = np.floor(v * 100 + 0.5).astype(np.int64)
+    df = pd.DataFrame({"d1": d1, "d2": d2, "vi": vi})
+    # grand total row
+    gt = got[(got.d1 == "ALL") & (got.d2 == "ALL")]
+    assert gt["n"].tolist() == [n] and gt["sum_val"].tolist() == [vi.sum()]
+    # one marginal
+    m = got[(got.d1 == "x") & (got.d2 == "ALL")]
+    assert m["n"].tolist() == [(d1 == "x").sum()]
+    assert m["sum_val"].tolist() == [df[df.d1 == "x"]["vi"].sum()]
+    # full lattice size: 3*2 + 3 + 2 + 1
+    assert len(got) == 12
+
+
+def test_grouped_mode_tiebreak(ray_session):
+    from schisma_ray.stages.rank import grouped_mode
+
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2, 3], pa.int64()),
+        "v": pa.array(["b", "b", "a", "a", "c", None, "z"], pa.string()),
+    })
+    out = grouped_mode(rd.from_arrow(t).repartition(3), "k", "v")
+    got = {(r.k, r.mode, r.n) for r in
+           out.to_pandas().itertuples(index=False)}
+    # k=1: tie a/b at 2 -> 'a' (smallest); k=2: null dropped -> c
+    assert got == {(1, "a", 2), (2, "c", 1), (3, "z", 1)}
+
+
+def test_quantile_bins_percentile_disc(ray_session):
+    from schisma_ray.stages.rank import quantile_bins
+
+    rng = np.random.default_rng(9)
+    vals = rng.integers(1, 51, 2000).astype(np.float64)
+    t = pa.table({"id": pa.array(np.arange(2000), pa.int64()),
+                  "v": pa.array(vals, pa.float64())})
+    out = quantile_bins(rd.from_arrow(t).repartition(5), "v", ["id"])
+    got = out.to_pandas().sort_values("id").reset_index(drop=True)
+    import math
+    s = np.sort(vals.astype(np.int64))
+    n = len(s)
+    breaks = [s[math.ceil(q * n) - 1] for q in (0.25, 0.5, 0.75)]
+    exp = sum((vals.astype(np.int64)[:, None] > np.array(breaks)).T)
+    assert (got["bin"].to_numpy() == exp[np.argsort(np.argsort(np.arange(2000)))]).all()
+    # bins roughly balanced
+    counts = got["bin"].value_counts()
+    assert set(counts.index) == {0, 1, 2, 3}
+
+
+def test_sentence_explode_bruteforce(ray_session):
+    from schisma_ray.stages.text import sentence_explode
+
+    texts = [
+        "one two. three four five. six",
+        "single sentence no split",
+        "a.  b",          # double space -> empty token in word split
+        "trail. ",        # trailing sep -> empty final sentence
+        None,             # dropped
+        "",               # one empty sentence, 0 words
+    ]
+    t = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = sentence_explode(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = {(r.doc_id, r.sent_idx, r.sentence, r.n_words)
+           for r in out.itertuples(index=False)}
+    want = set()
+    for i, txt in enumerate(texts):
+        if txt is None:
+            continue
+        for j, s in enumerate(txt.split(". "), start=1):
+            nw = len([w for w in s.split(" ") if w])
+            want.add((i, j, s, nw))
+    assert got == want
