@@ -3088,6 +3088,19 @@ def q_aspect_buckets(sf_dir: str):
     )
 
 
+def q_image_res_tiers(sf_dir: str):
+    """Resolution-tier routing by min(w, h): reject / thumb / small /
+    medium / large bands — decode-free, column-pruned, zero shuffle."""
+    from ..stages.multimodal import res_tier_assign
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "w", "h"])
+    # fixture-scaled breaks (min sides run 8..32px) so every band fires
+    return _collect(
+        res_tier_assign(ds, breaks=(12, 16, 24, 32)),
+        ["image_id", "min_side", "tier", "tier_name"],
+    )
+
+
 def q_image_tiles(sf_dir: str):
     """ViT-patch / crop-grid plan: every image exploded into its 8x8
     tile rows (grid coords, pixel origin, edge-clipped extent).
@@ -6349,6 +6362,22 @@ SELECT image_id, ar_e6, CAST(bw AS BIGINT) AS bucket_w,
           FROM im CROSS JOIN be)
  WHERE rn = 1
 """,
+        "image_res_tiers": f"""
+SELECT image_id,
+       CAST(least(w, h) AS BIGINT) AS min_side,
+       CAST(CASE WHEN least(w, h) >= 32 THEN 4
+                 WHEN least(w, h) >= 24 THEN 3
+                 WHEN least(w, h) >= 16 THEN 2
+                 WHEN least(w, h) >= 12 THEN 1
+                 ELSE 0 END AS BIGINT) AS tier,
+       CASE WHEN least(w, h) >= 32 THEN 'large'
+            WHEN least(w, h) >= 24 THEN 'medium'
+            WHEN least(w, h) >= 16 THEN 'small'
+            WHEN least(w, h) >= 12 THEN 'thumb'
+            ELSE 'reject' END AS tier_name
+  FROM {img}
+ WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0
+""",
         "image_tiles": f"""
 WITH g AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
                   CAST(CEIL(w / 8.0) AS BIGINT) AS nx,
@@ -7001,6 +7030,7 @@ QUERIES = {
     "events_enriched_salted": q_events_enriched_salted,
     "orders_customer_full": q_orders_customer_full,
     "image_tiles": q_image_tiles,
+    "image_res_tiers": q_image_res_tiers,
     "aspect_bucket_waste": q_aspect_bucket_waste,
     "top_users_per_event_type": q_top_users_per_event_type,
     "events_in_campaigns": q_events_in_campaigns,

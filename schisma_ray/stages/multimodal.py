@@ -727,3 +727,44 @@ def silence_runs(ds, *, window: int = 160, threshold: int = 300,
         batch_size=64,
         concurrency=concurrency,
     )
+
+
+def res_tier_assign(ds, *, breaks: tuple = (32, 128, 384, 768),
+                    names: tuple = ("reject", "thumb", "small", "medium",
+                                    "large"),
+                    w_col: str = "w", h_col: str = "h",
+                    id_col: str = "image_id"):
+    """Resolution-tier assignment by min(w, h) — the curation gate that
+    routes images to training buckets (and rejects sub-minimum ones):
+    tier i covers min_side in [breaks[i-1], breaks[i]), the last tier is
+    open-ended, tier 0 (below the first break) is the reject band.
+
+    Decode-free metadata arithmetic (column-pruned read, vectorized
+    searchsorted, zero shuffle); rows with null/non-positive dims are
+    dropped (they belong to the schema validators, not the tiering)."""
+    import pyarrow.compute as pc
+
+    assert len(names) == len(breaks) + 1
+    bks = np.asarray(breaks, np.int64)
+    tier_names = np.asarray(names, object)
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = pc.cast(t[w_col], pa.int64())
+        h = pc.cast(t[h_col], pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.is_valid(w), pc.is_valid(h)),
+            pc.and_(pc.greater(w, 0), pc.greater(h, 0)),
+        )
+        t2 = t.filter(keep)
+        wv = pc.cast(t2[w_col], pa.int64()).to_numpy(zero_copy_only=False)
+        hv = pc.cast(t2[h_col], pa.int64()).to_numpy(zero_copy_only=False)
+        ms = np.minimum(wv, hv)
+        tier = np.searchsorted(bks, ms, side="right").astype(np.int64)
+        return pa.table({
+            id_col: t2[id_col],
+            "min_side": pa.array(ms, pa.int64()),
+            "tier": pa.array(tier, pa.int64()),
+            "tier_name": pa.array(tier_names[tier], pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -212,3 +212,25 @@ def test_sentence_explode_bruteforce(ray_session):
             nw = len([w for w in s.split(" ") if w])
             want.add((i, j, s, nw))
     assert got == want
+
+
+def test_res_tier_assign_bands(ray_session):
+    from schisma_ray.stages.multimodal import res_tier_assign
+
+    t = pa.table({
+        "image_id": pa.array([f"i{i}" for i in range(8)], pa.string()),
+        "w": pa.array([10, 32, 200, 400, 800, 0, None, 50], pa.int32()),
+        "h": pa.array([500, 40, 128, 900, 768, 5, 9, 31], pa.int32()),
+    })
+    out = res_tier_assign(rd.from_arrow(t).repartition(3)).to_pandas()
+    got = {(r.image_id, r.min_side, r.tier, r.tier_name)
+           for r in out.itertuples(index=False)}
+    # w=0 and null-w rows dropped
+    assert got == {
+        ("i0", 10, 0, "reject"),
+        ("i1", 32, 1, "thumb"),
+        ("i2", 128, 2, "small"),
+        ("i3", 400, 3, "medium"),
+        ("i4", 768, 4, "large"),
+        ("i7", 31, 0, "reject"),
+    }
