@@ -234,3 +234,63 @@ def test_res_tier_assign_bands(ray_session):
         ("i4", 768, 4, "large"),
         ("i7", 31, 0, "reject"),
     }
+
+
+def test_quantile_bins_invariants_multiseed(ray_session):
+    """Bins are monotone in value and every quartile holds >= 15% of
+    rows (equal-frequency property, slack for ties) across seeds."""
+    from schisma_ray.stages.rank import quantile_bins
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        vals = rng.integers(1, 30, 1500).astype(np.float64)
+        t = pa.table({"id": pa.array(np.arange(1500), pa.int64()),
+                      "v": pa.array(vals, pa.float64())})
+        got = quantile_bins(
+            rd.from_arrow(t).repartition(4), "v", ["id"]
+        ).to_pandas()
+        s = got.sort_values("val")
+        assert (np.diff(s["bin"].to_numpy()) >= 0).all()
+        frac = got["bin"].value_counts(normalize=True)
+        assert frac.min() > 0.10
+
+
+def test_grouped_corr_bounds_multiseed(ray_session):
+    from schisma_ray.stages.stats import grouped_corr
+
+    for seed in (4, 5):
+        rng = np.random.default_rng(seed)
+        n = 600
+        t = pa.table({
+            "g": np.array(["a", "b", "c"])[rng.integers(0, 3, n)],
+            "x": rng.uniform(0, 100, n).round(2),
+            "y": rng.uniform(0, 100, n).round(2),
+        })
+        out = grouped_corr(rd.from_arrow(t).repartition(5),
+                           "g", "x", "y").to_pandas()
+        assert (out["corr_e6"].abs() <= 1_000_000).all()
+        assert out["n"].sum() == n
+
+
+def test_cube_lattice_consistency_multiseed(ray_session):
+    """Marginals must sum to the grand total along every axis."""
+    from schisma_ray.stages.topk import cube_counts
+
+    for seed in (6, 7):
+        rng = np.random.default_rng(seed)
+        n = 400
+        t = pa.table({
+            "d1": np.array(["x", "y"])[rng.integers(0, 2, n)],
+            "d2": np.array(["p", "q", "r"])[rng.integers(0, 3, n)],
+            "v": rng.uniform(0, 5, n).round(2),
+        })
+        got = cube_counts(rd.from_arrow(t).repartition(3),
+                          ["d1", "d2"], "v").to_pandas()
+        total = got[(got.d1 == "ALL") & (got.d2 == "ALL")]["n"].iloc[0]
+        for axis, other in (("d1", "d2"), ("d2", "d1")):
+            marg = got[(got[axis] != "ALL") & (got[other] == "ALL")]
+            assert marg["n"].sum() == total
+        fin = got[(got.d1 != "ALL") & (got.d2 != "ALL")]
+        assert fin["n"].sum() == total
+        assert fin["sum_val"].sum() == \
+            got[(got.d1 == "ALL") & (got.d2 == "ALL")]["sum_val"].iloc[0]
