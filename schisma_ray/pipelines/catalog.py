@@ -3101,6 +3101,16 @@ def q_image_res_tiers(sf_dir: str):
     )
 
 
+def q_tier_fmt_residuals(sf_dir: str):
+    """Per-resolution-tier format drift: standardized residuals of the
+    (tier, fmt) contingency cells vs independence — which tier's format
+    mix diverges from the corpus."""
+    from ..stages.multimodal import tier_fmt_residuals
+
+    ds = read_images(_img_dir(sf_dir), ["w", "h", "fmt"])
+    return tier_fmt_residuals(ds, breaks=(12, 16, 24, 32))
+
+
 def q_image_tiles(sf_dir: str):
     """ViT-patch / crop-grid plan: every image exploded into its 8x8
     tile rows (grid coords, pixel origin, edge-clipped extent).
@@ -6378,6 +6388,30 @@ SELECT image_id,
   FROM {img}
  WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0
 """,
+        "tier_fmt_residuals": f"""
+WITH base AS (
+  SELECT CAST(CASE WHEN least(w, h) >= 32 THEN 4
+                   WHEN least(w, h) >= 24 THEN 3
+                   WHEN least(w, h) >= 16 THEN 2
+                   WHEN least(w, h) >= 12 THEN 1
+                   ELSE 0 END AS BIGINT) AS tier, fmt
+    FROM {img}
+   WHERE w IS NOT NULL AND h IS NOT NULL AND w > 0 AND h > 0
+     AND fmt IS NOT NULL),
+cells AS (SELECT tier, fmt, count(*) AS n FROM base GROUP BY 1, 2),
+tt AS (SELECT tier, sum(n) AS t_tot FROM cells GROUP BY tier),
+ft AS (SELECT fmt, sum(n) AS f_tot FROM cells GROUP BY fmt),
+g AS (SELECT sum(n) AS grand FROM cells)
+SELECT c.tier, c.fmt, CAST(c.n AS BIGINT) AS n,
+       CAST(floor(CAST(t_tot * f_tot AS DOUBLE) / CAST(grand AS DOUBLE)
+                  * 1e6 + 0.5) AS BIGINT) AS expected_e6,
+       CAST(floor((CAST(c.n AS DOUBLE)
+                   - CAST(t_tot * f_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+                  / sqrt(CAST(t_tot * f_tot AS DOUBLE)
+                         / CAST(grand AS DOUBLE))
+                  * 1e6 + 0.5) AS BIGINT) AS resid_e6
+  FROM cells c JOIN tt USING (tier) JOIN ft USING (fmt), g
+""",
         "image_tiles": f"""
 WITH g AS (SELECT image_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
                   CAST(CEIL(w / 8.0) AS BIGINT) AS nx,
@@ -7031,6 +7065,7 @@ QUERIES = {
     "orders_customer_full": q_orders_customer_full,
     "image_tiles": q_image_tiles,
     "image_res_tiers": q_image_res_tiers,
+    "tier_fmt_residuals": q_tier_fmt_residuals,
     "aspect_bucket_waste": q_aspect_bucket_waste,
     "top_users_per_event_type": q_top_users_per_event_type,
     "events_in_campaigns": q_events_in_campaigns,

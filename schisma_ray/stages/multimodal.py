@@ -768,3 +768,87 @@ def res_tier_assign(ds, *, breaks: tuple = (32, 128, 384, 768),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tier_fmt_residuals(ds, *, breaks: tuple = (32, 128, 384, 768),
+                       fmt_col: str = "fmt", w_col: str = "w",
+                       h_col: str = "h") -> pa.Table:
+    """Per-resolution-tier format-drift report: for every (tier, fmt)
+    cell, the observed count, the count expected under independence
+    (tier_total x fmt_total / grand_total) and the standardized
+    residual (obs - exp)/sqrt(exp) as e6 ints — "does this tier's
+    format mix diverge from the corpus?", the drilled-down complement
+    of the corpus-level chi-square drift checks.
+
+    ONE combiner pass (per-batch (tier, fmt) counts at
+    tiers x formats cardinality), a bounded fold, per-cell float math
+    over exact integer totals — the grouped_corr parity recipe, so the
+    SQL oracle is bit-identical. Rows with null/non-positive dims or a
+    null fmt are dropped."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    bks = np.asarray(breaks, np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        w = pc.cast(t[w_col], pa.int64())
+        h = pc.cast(t[h_col], pa.int64())
+        keep = pc.and_(
+            pc.and_(pc.is_valid(w), pc.is_valid(h)),
+            pc.and_(
+                pc.and_(pc.greater(w, 0), pc.greater(h, 0)),
+                pc.is_valid(t[fmt_col]),
+            ),
+        )
+        t2 = t.filter(keep)
+        wv = pc.cast(t2[w_col], pa.int64()).to_numpy(zero_copy_only=False)
+        hv = pc.cast(t2[h_col], pa.int64()).to_numpy(zero_copy_only=False)
+        tier = np.searchsorted(bks, np.minimum(wv, hv),
+                               side="right").astype(np.int64)
+        agg = (
+            pa.table({"tier": pa.array(tier, pa.int64()),
+                      fmt_col: t2[fmt_col]})
+            .group_by(["tier", fmt_col]).aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["tier", fmt_col, "n"])
+
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    schema = pa.schema([
+        ("tier", pa.int64()), (fmt_col, pa.string()),
+        ("n", pa.int64()), ("expected_e6", pa.int64()),
+        ("resid_e6", pa.int64()),
+    ])
+    if folded is None:
+        return schema.empty_table()
+    cells = (
+        folded.group_by(["tier", fmt_col]).aggregate([("n", "sum")])
+        .rename_columns(["tier", fmt_col, "n"])
+    )
+    tiers = cells["tier"].to_pylist()
+    fmts = cells[fmt_col].to_pylist()
+    ns = cells["n"].to_pylist()
+    tier_tot: dict = {}
+    fmt_tot: dict = {}
+    for t_, f_, n_ in zip(tiers, fmts, ns):
+        tier_tot[t_] = tier_tot.get(t_, 0) + n_
+        fmt_tot[f_] = fmt_tot.get(f_, 0) + n_
+    grand = sum(ns)
+    exp_e6, resid_e6 = [], []
+    for t_, f_, n_ in zip(tiers, fmts, ns):
+        # exact integer product, ONE double divide -> same bits as SQL
+        exp = float(tier_tot[t_] * fmt_tot[f_]) / float(grand)
+        exp_e6.append(int(math.floor(exp * 1e6 + 0.5)))
+        resid = (float(n_) - exp) / math.sqrt(exp)
+        resid_e6.append(int(math.floor(resid * 1e6 + 0.5)))
+    return pa.table({
+        "tier": pa.array(tiers, pa.int64()),
+        fmt_col: cells[fmt_col].combine_chunks(),
+        "n": pa.array(ns, pa.int64()),
+        "expected_e6": pa.array(exp_e6, pa.int64()),
+        "resid_e6": pa.array(resid_e6, pa.int64()),
+    })

@@ -294,3 +294,30 @@ def test_cube_lattice_consistency_multiseed(ray_session):
         assert fin["n"].sum() == total
         assert fin["sum_val"].sum() == \
             got[(got.d1 == "ALL") & (got.d2 == "ALL")]["sum_val"].iloc[0]
+
+
+def test_tier_fmt_residuals_contingency(ray_session):
+    from schisma_ray.stages.multimodal import tier_fmt_residuals
+
+    rng = np.random.default_rng(13)
+    n = 900
+    w = rng.integers(8, 1000, n).astype(np.int32)
+    h = rng.integers(8, 1000, n).astype(np.int32)
+    fmt = np.array(["png", "jpg"])[rng.integers(0, 2, n)]
+    t = pa.table({"w": w, "h": h, "fmt": fmt})
+    out = tier_fmt_residuals(
+        rd.from_arrow(t).repartition(4)
+    ).to_pandas()
+    # totals reconcile
+    assert out["n"].sum() == n
+    # expected counts under independence reconcile per tier
+    g = out.groupby("tier")[["n"]].sum()
+    e = out.groupby("tier")["expected_e6"].sum() / 1e6
+    assert np.allclose(g["n"].to_numpy(), e.to_numpy(), atol=0.01)
+    # residual definition holds per cell
+    tier_tot = out.groupby("tier")["n"].sum()
+    fmt_tot = out.groupby("fmt")["n"].sum()
+    for r in out.itertuples(index=False):
+        exp = tier_tot[r.tier] * fmt_tot[r.fmt] / n
+        resid = (r.n - exp) / np.sqrt(exp)
+        assert abs(r.resid_e6 / 1e6 - resid) < 1e-5
