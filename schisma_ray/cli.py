@@ -53,6 +53,11 @@ def main(argv=None) -> int:
     v.add_argument("--out", required=True)
     v.add_argument("--resumable", action="store_true")
     v.add_argument("--files-per-partition", type=int, default=4)
+    v.add_argument("--stats-out", default=None,
+                   help="write ds.stats() — per-stage wall/cpu/rows of "
+                        "the executed plan — to this file after the run "
+                        "(non-resumable path only; resumable runs are "
+                        "per-partition datasets)")
 
     c = sub.add_parser("conform")
     c.add_argument("--table", required=True)
@@ -211,7 +216,12 @@ def main(argv=None) -> int:
             else:
                 from schisma_ray.pipelines import validate_images
 
-                validate_images(args.table, fused=True).write_parquet(args.out)
+                ds = validate_images(args.table, fused=True)
+                ds.write_parquet(args.out)
+                if args.stats_out:
+                    from pathlib import Path as _Path
+
+                    _Path(args.stats_out).write_text(ds.stats())
         elif args.cmd == "conform":
             from schisma_ray.pipelines import conform_images
 

@@ -147,3 +147,18 @@ def test_cli_curate(tmp_path):
     assert res.returncode == 0, res.stderr[-2000:]
     info = json.loads(res.stdout.strip().splitlines()[-1])
     assert 0 < info["survivors"] < 1200
+
+
+def test_cli_validate_stats_out(tmp_path):
+    gen = _run("generate", "--rows", "1500")
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    table_dir = gen.stdout.strip().splitlines()[-1]
+    out = tmp_path / "vio"
+    stats = tmp_path / "stats.txt"
+    val = _run("validate", "--table", table_dir, "--out", str(out),
+               "--stats-out", str(stats))
+    assert val.returncode == 0, val.stderr[-2000:]
+    text = stats.read_text()
+    # the executed-plan report names the pipeline's operators
+    assert "ReadParquet" in text or "Read" in text
+    assert "MapBatches" in text
