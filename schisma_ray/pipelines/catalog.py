@@ -1909,6 +1909,18 @@ def q_doc_sentences(sf_dir: str):
     )
 
 
+def q_events_user_skew(sf_dir: str):
+    """Key-distribution skew advisor for user_id (the shuffle key the
+    salted stages exist for): distinct keys, hottest-key count, HHI
+    concentration and imbalance factor — exact e6 integers."""
+    from ..stages.stats import key_skew_report
+
+    return key_skew_report(
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"]),
+        "user_id",
+    )
+
+
 def q_events_pivot_long(sf_dir: str):
     """Round-trip reshape: the wide per-user pivot melted back to long
     (user_id, event_type, n) rows — zeros for absent categories are
@@ -6850,6 +6862,23 @@ SELECT doc_id, CAST(sent_idx AS BIGINT) AS sent_idx, sentence,
                             x -> x <> '')) AS BIGINT) AS n_words
   FROM s
 """,
+    "events_user_skew": """
+WITH c AS (SELECT user_id, count(*) AS n FROM events
+            WHERE user_id IS NOT NULL GROUP BY user_id),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS n_keys,
+             CAST(sum(n) AS HUGEINT) AS total,
+             CAST(max(n) AS HUGEINT) AS max_n,
+             CAST(sum(n * n) AS HUGEINT) AS sum_n2
+        FROM c)
+SELECT CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(total AS BIGINT) AS total,
+       CAST(max_n AS BIGINT) AS max_n,
+       CAST((2 * sum_n2 * 1000000 + total * total)
+            // (2 * total * total) AS BIGINT) AS hhi_e6,
+       CAST((2 * max_n * n_keys * 1000000 + total)
+            // (2 * total) AS BIGINT) AS imbalance_e6
+  FROM a
+""",
     "events_pivot_long": """
 WITH p AS (SELECT user_id, event_type, count(*) AS n
              FROM events GROUP BY 1, 2),
@@ -7113,6 +7142,7 @@ QUERIES = {
     "orders_high_value": q_orders_high_value,
     "doc_splits": q_doc_splits,
     "events_pivot_long": q_events_pivot_long,
+    "events_user_skew": q_events_user_skew,
     "split_leakage": q_split_leakage,
     "lineitem_corr": q_lineitem_corr,
     "events_cube": q_events_cube,

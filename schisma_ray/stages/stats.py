@@ -666,3 +666,96 @@ def grouped_corr(ds, group_col: str, x_col: str, y_col: str, *,
         "n": pa.array(out_n, pa.int64()),
         "corr_e6": pa.array(out_c, pa.int64()),
     })
+
+
+def _exact_dot(n: np.ndarray) -> int:
+    """Exact sum of squares of an int64 count vector. Vectorized int64
+    dot when provably overflow-free (hottest key < ~2^31 AND the total
+    fits), Python-int fallback otherwise (exactness is load-bearing for
+    the oracle; the fallback only triggers on astronomically hot keys).
+    Caller note: the per-block partial must itself fit int64 — true
+    whenever the result path is reachable (the fallback raises past
+    2^63, which would need a single key hotter than 3e9 rows)."""
+    if len(n) == 0:
+        return 0
+    mx = int(n.max())
+    if mx < 2**31 and len(n) * mx * mx < 2**62:
+        return int(np.dot(n, n))
+    total = sum(int(x) * int(x) for x in n)
+    if total >= 2**63:
+        raise OverflowError(
+            "key_skew_report partial sum-of-squares exceeds int64 — "
+            "a single key exceeds ~3e9 rows; pre-aggregate or sample"
+        )
+    return total
+
+
+def key_skew_report(ds, key_col: str) -> pa.Table:
+    """One-row key-distribution skew report — the "should I salt this
+    shuffle?" advisor that pairs with salted_aggregate /
+    salted_shuffle_join: distinct keys, total rows, the heaviest key's
+    count, the Herfindahl concentration index (sum over keys of
+    (n_i/N)^2; 1e6/n_keys = uniform, 1e6 = one key owns everything)
+    and the imbalance factor max/mean — all as exact e6 integers
+    (half-up integer divides, no float anywhere).
+
+    Two combiner passes: per-batch (key, n) partials -> one
+    key-cardinality groupby -> per-block (cnt, sum, sum-of-squares,
+    max) moment partials folded driver-side with Python ints (the
+    grouped_moments overflow-free recipe). Null keys dropped."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        agg = (
+            t.select([key_col]).group_by(key_col)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns([key_col, "n"])
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def moments(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "keys": pa.array([len(n)], pa.int64()),
+            "total": pa.array([int(n.sum())], pa.int64()),
+            "sum_n2": pa.array([_exact_dot(n)], pa.int64()),
+            "max_n": pa.array([int(n.max()) if len(n) else 0], pa.int64()),
+        })
+
+    folded = fold_table(
+        counts.map_batches(moments, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    )
+    schema = pa.schema([
+        ("n_keys", pa.int64()), ("total", pa.int64()),
+        ("max_n", pa.int64()), ("hhi_e6", pa.int64()),
+        ("imbalance_e6", pa.int64()),
+    ])
+    if folded is None:
+        return schema.empty_table()
+    n_keys = sum(folded["keys"].to_pylist())
+    total = sum(folded["total"].to_pylist())
+    sum_n2 = sum(folded["sum_n2"].to_pylist())
+    max_n = max(folded["max_n"].to_pylist())
+    if total == 0:
+        return schema.empty_table()
+    hhi_e6 = (2 * sum_n2 * 1_000_000 + total * total) // (2 * total * total)
+    imb_e6 = (2 * max_n * n_keys * 1_000_000 + total) // (2 * total)
+    return pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "total": pa.array([total], pa.int64()),
+        "max_n": pa.array([max_n], pa.int64()),
+        "hhi_e6": pa.array([hhi_e6], pa.int64()),
+        "imbalance_e6": pa.array([imb_e6], pa.int64()),
+    })

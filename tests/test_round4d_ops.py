@@ -321,3 +321,41 @@ def test_tier_fmt_residuals_contingency(ray_session):
         exp = tier_tot[r.tier] * fmt_tot[r.fmt] / n
         resid = (r.n - exp) / np.sqrt(exp)
         assert abs(r.resid_e6 / 1e6 - resid) < 1e-5
+
+
+def test_key_skew_report_bruteforce(ray_session):
+    from schisma_ray.stages.stats import key_skew_report
+
+    rng = np.random.default_rng(17)
+    # zipf-ish: one hot key plus a uniform tail, and some nulls
+    keys = np.concatenate([
+        np.zeros(300, np.int64),
+        rng.integers(1, 100, 700),
+    ])
+    arr = pa.array(list(keys) + [None, None], pa.int64())
+    out = key_skew_report(
+        rd.from_arrow(pa.table({"k": arr})).repartition(6), "k"
+    ).to_pandas()
+    import collections
+    c = collections.Counter(keys.tolist())
+    n = len(keys)
+    assert out["n_keys"].iloc[0] == len(c)
+    assert out["total"].iloc[0] == n
+    assert out["max_n"].iloc[0] == max(c.values())
+    hhi = sum(v * v for v in c.values()) / (n * n)
+    imb = max(c.values()) * len(c) / n
+    assert abs(out["hhi_e6"].iloc[0] / 1e6 - hhi) < 2e-6
+    assert abs(out["imbalance_e6"].iloc[0] / 1e6 - imb) < 2e-6
+
+
+def test_exact_dot_paths():
+    from schisma_ray.stages.stats import _exact_dot
+
+    assert _exact_dot(np.array([], np.int64)) == 0
+    assert _exact_dot(np.array([3, 4], np.int64)) == 25
+    big = np.array([2**31, 5], np.int64)  # forces the Python-int path
+    assert _exact_dot(big) == (2**31) ** 2 + 25
+    import pytest
+
+    with pytest.raises(OverflowError):
+        _exact_dot(np.array([2**32, 5], np.int64))  # 2^64 > int64
