@@ -7012,10 +7012,405 @@ SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim
           FROM s)
  WHERE rn <= 10
 """,
+        "script_mix": """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'Привет мир это кириллический текст для проверки'
+              WHEN doc_id % 5 = 1
+              THEN '你好世界这是用于检查的中文文本没有空格'
+              ELSE coalesce(text, '') END AS text
+    FROM documents),
+c AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS total,
+         CAST(len(regexp_extract_all(text, '\\p{Latin}')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit,
+         CAST(len(regexp_extract_all(text, '\\p{Han}')) AS BIGINT) AS n_cjk,
+         CAST(len(regexp_extract_all(text, '\\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+         CAST(len(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_space
+    FROM aug)
+SELECT doc_id, n_latin, n_digit, n_cjk, n_cyrillic, n_space,
+       total - n_latin - n_digit - n_cjk - n_cyrillic - n_space AS n_other,
+       CASE
+         WHEN n_latin >= n_digit AND n_latin >= n_cjk
+              AND n_latin >= n_cyrillic AND n_latin >= n_space
+              AND n_latin >= total - n_latin - n_digit - n_cjk
+                              - n_cyrillic - n_space THEN 'latin'
+         WHEN n_digit >= n_cjk AND n_digit >= n_cyrillic
+              AND n_digit >= n_space
+              AND n_digit >= total - n_latin - n_digit - n_cjk
+                              - n_cyrillic - n_space THEN 'digit'
+         WHEN n_cjk >= n_cyrillic AND n_cjk >= n_space
+              AND n_cjk >= total - n_latin - n_digit - n_cjk
+                           - n_cyrillic - n_space THEN 'cjk'
+         WHEN n_cyrillic >= n_space
+              AND n_cyrillic >= total - n_latin - n_digit - n_cjk
+                                - n_cyrillic - n_space THEN 'cyrillic'
+         WHEN n_space >= total - n_latin - n_digit - n_cjk
+                         - n_cyrillic - n_space THEN 'space'
+         ELSE 'other' END AS dominant
+  FROM c
+""",
+        "lexical_diversity": r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS word
+    FROM documents),
+wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY doc_id, word),
+per AS (SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_hapax
+          FROM wc GROUP BY doc_id)
+SELECT doc_id, n_words, n_distinct, n_hapax,
+       (2 * n_distinct * 1000000 + n_words) // (2 * n_words) AS ttr_e6
+  FROM per WHERE n_words > 0
+""",
+        "benford_totalprice": """
+WITH c AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS BIGINT) AS digit
+    FROM orders
+   WHERE o_totalprice IS NOT NULL
+     AND floor(o_totalprice * 100 + 0.5) > 0),
+g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY digit),
+t AS (SELECT CAST(coalesce(SUM(n_obs), 0) AS HUGEINT) AS total FROM g),
+p AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+                            (4, 96910), (5, 79181), (6, 66947),
+                            (7, 57992), (8, 51153), (9, 45757))
+              AS v(digit, p_e6)),
+d AS (SELECT p.digit,
+             CAST(coalesce(g.n_obs, 0) AS HUGEINT) AS n_obs,
+             t.total * p.p_e6 AS exp_e6,
+             CAST(coalesce(g.n_obs, 0) AS HUGEINT) * 1000000
+               - t.total * p.p_e6 AS diff
+        FROM p LEFT JOIN g ON g.digit = p.digit CROSS JOIN t)
+SELECT CAST(digit AS BIGINT) AS digit,
+       CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(exp_e6 AS BIGINT) AS expected_e6,
+       CAST(CASE WHEN exp_e6 = 0 THEN 0
+                 ELSE (2 * diff * diff + exp_e6 * 1000000)
+                      // (2 * exp_e6 * 1000000) END AS BIGINT)
+         AS chi2_term_e6
+  FROM d
+""",
+        "order_totals_reconcile": """
+WITH l AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS line_cents
+    FROM lineitem GROUP BY l_orderkey),
+o AS (SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS o_cents
+        FROM orders)
+SELECT o.o_orderkey, o.o_cents,
+       CAST(coalesce(l.line_cents, 0) AS BIGINT) AS line_cents,
+       o.o_cents - CAST(coalesce(l.line_cents, 0) AS BIGINT) AS diff_cents,
+       (o.o_cents - coalesce(l.line_cents, 0)) = 0 AS matched
+  FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+""",
+        "event_volume_drift": """
+WITH b AS (SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+                   + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid
+             FROM events WHERE ts IS NOT NULL),
+c AS (SELECT event_type,
+             CAST(SUM(CASE WHEN epoch_us(ts) < b.mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_first,
+             CAST(SUM(CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_second
+        FROM events, b
+       WHERE ts IS NOT NULL AND event_type IS NOT NULL
+       GROUP BY event_type),
+r AS (SELECT event_type, n_first, n_second,
+             CASE WHEN n_first > 0
+                  THEN (2 * n_second * 1000000 + n_first) // (2 * n_first)
+                  ELSE -1 END AS ratio_e6
+        FROM c)
+SELECT event_type, n_first, n_second, ratio_e6,
+       (n_first = 0 OR abs(ratio_e6 - 1000000) > 50000) AS drifted
+  FROM r
+""",
+        "lineitem_shipdate_violations": """
+SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate, o.o_orderdate
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+ WHERE l.l_shipdate < o.o_orderdate
+""",
+        "dedup_yield_report": r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+   WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) BETWEEN 1 AND 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+            FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+           GROUP BY 1, 2),
+edges AS (
+  SELECT a, b FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+                         JOIN sizes sb ON sb.doc_id = inter.b
+   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+und AS (SELECT a AS n, b AS m FROM edges UNION SELECT b, a FROM edges),
+reach(n, m) AS (
+  SELECT n, m FROM und
+  UNION
+  SELECT r.n, u.m FROM reach r JOIN und u ON u.n = r.m),
+root AS (SELECT n AS doc_id, LEAST(n, min(m)) AS rep FROM reach GROUP BY n),
+cl AS (SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size
+         FROM root GROUP BY rep)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
+  FROM cl GROUP BY cluster_size
+""",
     }
 
 
+# pure-script replacement texts for the script_mix falsifiability
+# injection (doc_id % 5 == 0 -> Cyrillic-dominant, == 1 -> Han-dominant);
+# the SQL oracle carries the same literals
+_CYR_TEXT = "Привет мир это кириллический текст для проверки"
+_CJK_TEXT = "你好世界这是用于检查的中文文本没有空格"
+
+
+def q_script_mix(sf_dir: str):
+    """Unicode-script composition audit with dominant-class assignment
+    — falsifiable via injected pure-Cyrillic / pure-Han replacement
+    docs (every 5th / 5th+1), so the cyrillic and cjk branches and the
+    first-max dominance rule all provably fire."""
+    import pyarrow.compute as pc
+
+    from ..stages.text import script_mix
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks()
+        mod = pc.cast(
+            pa.array(ids.to_numpy(zero_copy_only=False) % 5, pa.int64()),
+            pa.int64(),
+        )
+        text = pc.fill_null(t["text"].combine_chunks(), "")
+        text = pc.if_else(pc.equal(mod, 0),
+                          pa.scalar(_CYR_TEXT, pa.string()), text)
+        text = pc.if_else(pc.equal(mod, 1),
+                          pa.scalar(_CJK_TEXT, pa.string()), text)
+        return pa.table({"doc_id": t["doc_id"], "text": text})
+
+    return script_mix(ds.map_batches(
+        inject, batch_format="pyarrow", zero_copy_batch=True))
+
+
+def q_lexical_diversity(sf_dir: str):
+    """Per-doc type/token-ratio + hapax audit (vocabulary richness);
+    one whitespace explode + pandas value_counts per batch, zero
+    shuffle."""
+    from ..stages.text import lexical_diversity
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return lexical_diversity(ds)
+
+
+def q_benford_totalprice(sf_dir: str):
+    """Benford first-digit audit over order totals in cents: 9-row
+    digit distribution + exact e6 chi-square terms; per-batch bincount
+    partials, O(blocks x 9) driver fold."""
+    from ..stages.stats import benford_digits
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_totalprice"])
+    return benford_digits(ds, "o_totalprice")
+
+
+def q_order_totals_reconcile(sf_dir: str):
+    """Cross-table control-total reconciliation: every order's header
+    total vs the integer-cents sum of its lineitems — the classic
+    ingest-audit invariant (fact rows must roll up to the manifest).
+    Combiner-first per-batch lineitem partials -> one grouped sum ->
+    LEFT OUTER hash-shuffle join with the orders header (orders with no
+    lineitems reconcile against 0). All money frozen as
+    floor(x*100+0.5) cents so diff/matched are integer-exact."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import shuffle_hash_join
+
+    line = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_orderkey", "l_extendedprice"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["l_extendedprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ) * 100.0 + 0.5
+        ).astype(np.int64)
+        tt = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "cents": pa.array(cents, pa.int64()),
+        })
+        agg = tt.group_by("l_orderkey").aggregate([("cents", "sum")])
+        return agg.rename_columns(["l_orderkey", "cents"])
+
+    sums = (
+        line.map_batches(line_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .sum("cents")
+    )
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            t["o_totalprice"].combine_chunks().to_numpy(
+                zero_copy_only=False
+            ) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_cents": pa.array(cents, pa.int64()),
+        })
+
+    o = orders.map_batches(o_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    from ..stages.components import derive_join_partitions
+
+    # normalize the aggregated side to Arrow-lineage blocks before the
+    # hash-shuffle join — the aggregate can emit column-less empty
+    # blocks that the join aggregator rejects (the components.py fix)
+    parts = derive_join_partitions(o, sums)
+    sums = sums.repartition(parts)
+    j = shuffle_hash_join(o, sums, on="o_orderkey",
+                          right_on="l_orderkey", how="left outer",
+                          num_partitions=parts)
+
+    def finish(t: pa.Table) -> pa.Table:
+        line_cents = pc.fill_null(pc.cast(t["sum(cents)"], pa.int64()), 0)
+        diff = pc.subtract(t["o_cents"], line_cents)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_cents": t["o_cents"],
+            "line_cents": line_cents,
+            "diff_cents": diff,
+            "matched": pc.equal(diff, 0),
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
+def q_dedup_yield_report(sf_dir: str):
+    """Near-dup cluster-size histogram + dedup yield: how many
+    duplicate clusters of each size the MinHash chain found and how
+    many docs dedup would remove — the ops-report view of the dedup
+    stage (the number a pipeline owner actually reads before enabling
+    it). Fully-Dataset chain: LSH pairs -> distributed components ->
+    per-component counts -> per-size partials, driver fold bounded by
+    DISTINCT CLUSTER SIZES (a few dozen at any scale), never by docs
+    or pairs."""
+    import pyarrow.compute as pc
+
+    from ..stages._fold import fold_table
+    from ..stages.components import components_distributed
+
+    docs = _t(sf_dir, "documents")
+    pairs = minhash_dedup_pairs(docs, col="text", id_col="doc_id",
+                                threshold=0.8, as_dataset=True)
+    # bounded by construction (verified near-dup pairs); materialized
+    # once so the emptiness probe and the components chain don't
+    # re-execute the LSH pipeline (the multi-consumer lesson)
+    pairs = pairs.materialize()
+    schema = pa.schema([
+        ("cluster_size", pa.int64()), ("n_clusters", pa.int64()),
+        ("docs_removed", pa.int64()),
+    ])
+    if pairs.count() == 0:
+        return schema.empty_table()
+    sizes = components_distributed(pairs).groupby("component").count()
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            "cluster_size": pc.cast(t["count()"], pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        agg = tt.group_by("cluster_size").aggregate([("one", "sum")])
+        return agg.rename_columns(["cluster_size", "n"])
+
+    folded = fold_table(
+        sizes.map_batches(hist_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    merged = (
+        folded.group_by("cluster_size").aggregate([("n", "sum")])
+        .rename_columns(["cluster_size", "n_clusters"])
+    )
+    size = merged["cluster_size"].to_numpy(zero_copy_only=False)
+    n = pc.cast(merged["n_clusters"], pa.int64()).to_numpy(
+        zero_copy_only=False
+    )
+    return pa.table({
+        "cluster_size": pa.array(size, pa.int64()),
+        "n_clusters": pa.array(n, pa.int64()),
+        "docs_removed": pa.array((size - 1) * n, pa.int64()),
+    })
+
+
+def q_event_volume_drift(sf_dir: str):
+    """Per-event-type volume drift between the first and second half of
+    the capture window (ratio as half-up e6 ints, 5% flag) — two
+    bounded combiner passes over a column-pruned read."""
+    from ..stages.stats import volume_drift
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+    return volume_drift(ds, "ts", "event_type")
+
+
+def q_lineitem_shipdate_violations(sf_dir: str):
+    """Cross-table temporal-order constraint: lineitems shipped BEFORE
+    their order's date (physically impossible — an ingest-corruption
+    signature). The row-level complement of the control-total
+    reconciliation: one hash-shuffle equi-join of the two fact tables
+    on the order key, then a vectorized timestamp compare; output is
+    the violating rows with both timestamps for triage."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import shuffle_hash_join
+
+    line = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_shipdate"],
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+    j = shuffle_hash_join(line, orders, on="l_orderkey",
+                          right_on="o_orderkey")
+
+    def flag(t: pa.Table) -> pa.Table:
+        bad = pc.less(t["l_shipdate"], t["o_orderdate"])
+        return t.filter(pc.fill_null(bad, False)).select(
+            ["l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate"]
+        )
+
+    return j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 QUERIES = {
+    "dedup_yield_report": q_dedup_yield_report,
+    "event_volume_drift": q_event_volume_drift,
+    "lineitem_shipdate_violations": q_lineitem_shipdate_violations,
+    "script_mix": q_script_mix,
+    "lexical_diversity": q_lexical_diversity,
+    "benford_totalprice": q_benford_totalprice,
+    "order_totals_reconcile": q_order_totals_reconcile,
     "image_schema_violations": q_image_schema_violations,
     "image_decode_violations": q_image_decode_violations,
     "image_validate_full": q_image_validate_full,

@@ -759,3 +759,171 @@ def key_skew_report(ds, key_col: str) -> pa.Table:
         "hhi_e6": pa.array([hhi_e6], pa.int64()),
         "imbalance_e6": pa.array([imb_e6], pa.int64()),
     })
+
+
+# floor(log10(1 + 1/d) * 1e6 + 0.5) for d = 1..9 — sums to exactly
+# 1_000_000; the same literals appear in the SQL oracle's VALUES list
+BENFORD_P_E6 = (301030, 176091, 124939, 96910, 79181, 66947, 57992,
+                51153, 45757)
+
+
+def benford_digits(ds, col: str, *, cents: bool = True) -> pa.Table:
+    """First-significant-digit distribution audit vs Benford's law —
+    the classic fabricated-/synthetic-data detector for positive
+    numeric columns spanning several orders of magnitude (amounts,
+    populations, file sizes). Emits one row per digit 1..9 with the
+    observed count, the Benford-expected count in e6 units
+    (``total * p_e6``, exact int) and the chi-square contribution
+    ``(obs - exp)^2 / exp`` as a half-up e6 integer, so the oracle
+    agrees bit-for-bit (HUGEINT on the SQL side, Python ints here).
+
+    Distributed shape: per-batch first-digit bincount partials (one
+    float->cents vectorized pass + one Arrow int->string slice, no
+    Python loop), folded driver-side — 9 ints per block, so the fold
+    is O(blocks * 9) regardless of data size. ``cents=True`` freezes
+    doubles as ``floor(x*100 + 0.5)`` (the shared money recipe);
+    null / non-positive values are excluded on both sides."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].combine_chunks().drop_null()
+        x = v.to_numpy(zero_copy_only=False)
+        n = (
+            np.floor(x * 100.0 + 0.5).astype(np.int64)
+            if cents else x.astype(np.int64)
+        )
+        n = n[n > 0]
+        if len(n):
+            digits = pc.cast(
+                pc.utf8_slice_codeunits(
+                    pc.cast(pa.array(n, pa.int64()), pa.string()), 0, 1
+                ),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            counts = np.bincount(digits, minlength=10)[1:10]
+        else:
+            counts = np.zeros(9, np.int64)
+        return pa.table(
+            {f"d{d}": pa.array([int(counts[d - 1])], pa.int64())
+             for d in range(1, 10)}
+        )
+
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    obs = [
+        (sum(folded[f"d{d}"].to_pylist()) if folded is not None else 0)
+        for d in range(1, 10)
+    ]
+    total = sum(obs)
+    exp_e6 = [total * p for p in BENFORD_P_E6]
+    term_e6 = [
+        0 if e == 0 else
+        (2 * (o * 1_000_000 - e) ** 2 + e * 1_000_000)
+        // (2 * e * 1_000_000)
+        for o, e in zip(obs, exp_e6)
+    ]
+    return pa.table({
+        "digit": pa.array(list(range(1, 10)), pa.int64()),
+        "n_obs": pa.array(obs, pa.int64()),
+        "expected_e6": pa.array(exp_e6, pa.int64()),
+        "chi2_term_e6": pa.array(term_e6, pa.int64()),
+    })
+
+
+def volume_drift(ds, ts_col: str, key_col: str, *,
+                 threshold_e6: int = 50_000) -> pa.Table:
+    """Temporal volume-drift audit: per key, the row count in the first
+    vs second half of the table's time range and their half-up e6
+    ratio, flagging keys whose volume moved more than ``threshold_e6``
+    (default 5%) — the monitoring staple that catches a source that
+    went quiet or a bot that spun up mid-capture.
+
+    Two combiner passes, both bounded: (1) per-block (min, max)
+    timestamp partials folded to the global midpoint in integer
+    microseconds (identical to SQL ``epoch_us``); (2) per-batch
+    (key, half) count partials folded per key — ``key_col`` must be
+    low-cardinality by contract (event types, languages, formats).
+    Null timestamps / keys are excluded on both sides. Keys absent
+    from a half report 0; ``ratio_e6`` is -1 when the first half has
+    no rows (division undefined, always drifted)."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def minmax(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col].combine_chunks(), pa.int64()).drop_null()
+        if len(us) == 0:
+            return pa.schema(
+                [("mn", pa.int64()), ("mx", pa.int64())]
+            ).empty_table()
+        return pa.table({
+            "mn": pa.array([pc.min(us).as_py()], pa.int64()),
+            "mx": pa.array([pc.max(us).as_py()], pa.int64()),
+        })
+
+    schema = pa.schema([
+        (key_col, pa.string()), ("n_first", pa.int64()),
+        ("n_second", pa.int64()), ("ratio_e6", pa.int64()),
+        ("drifted", pa.bool_()),
+    ])
+    bounds = fold_table(
+        ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if bounds is None:
+        return schema.empty_table()
+    mn = min(bounds["mn"].to_pylist())
+    mx = max(bounds["mx"].to_pylist())
+    mid = (mn + mx) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col].combine_chunks(), pa.int64())
+        tt = pa.table({
+            key_col: t[key_col],
+            "second": pc.greater_equal(us, mid),
+        }).filter(
+            pc.and_(pc.is_valid(t[key_col].combine_chunks()),
+                    pc.is_valid(us))
+        )
+        agg = tt.group_by([key_col, "second"]).aggregate([([], "count_all")])
+        return agg.rename_columns([key_col, "second", "n"])
+
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    merged = (
+        folded.group_by([key_col, "second"]).aggregate([("n", "sum")])
+        .rename_columns([key_col, "second", "n"])
+    )
+    df = merged.to_pandas().pivot_table(
+        index=key_col, columns="second", values="n",
+        aggfunc="sum", fill_value=0,
+    )
+    keys = df.index.to_numpy()
+    n_first = (
+        df[False].to_numpy(np.int64) if False in df.columns
+        else np.zeros(len(df), np.int64)
+    )
+    n_second = (
+        df[True].to_numpy(np.int64) if True in df.columns
+        else np.zeros(len(df), np.int64)
+    )
+    ratio = np.where(
+        n_first > 0,
+        (2 * n_second * 1_000_000 + n_first) // (2 * np.maximum(n_first, 1)),
+        -1,
+    ).astype(np.int64)
+    drifted = (n_first == 0) | (np.abs(ratio - 1_000_000) > threshold_e6)
+    order = np.argsort(keys, kind="stable")
+    return pa.table({
+        key_col: pa.array(keys[order]),
+        "n_first": pa.array(n_first[order], pa.int64()),
+        "n_second": pa.array(n_second[order], pa.int64()),
+        "ratio_e6": pa.array(ratio[order], pa.int64()),
+        "drifted": pa.array(drifted[order], pa.bool_()),
+    })

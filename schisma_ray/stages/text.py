@@ -1458,3 +1458,113 @@ def sentence_explode(ds, *, id_col: str = "doc_id", text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lexical_diversity(ds, *, col: str = "text", id_col: str = "doc_id"):
+    """Per-document lexical-diversity audit: word count, distinct-word
+    count, hapax-legomena count (words occurring exactly once in the
+    doc) and the type/token ratio as an e6 integer — the standard
+    repetitiveness / vocabulary-richness signal that complements the
+    Gopher repetition rules (a doc can pass dup-line checks yet cycle a
+    tiny vocabulary).
+
+    Vectorized per batch: one whitespace explode, empty tokens dropped
+    (so counts equal the oracle's ``regexp_extract_all('\\S+')``), then
+    a pandas (doc, word) value_counts — C-level group machinery, no
+    Python loop over rows. A doc lives wholly in one batch, so per-batch
+    stats are exact; zero shuffle. Docs with no words are dropped on
+    both sides (TTR undefined). ``ttr_e6`` is the half-up integer
+    divide ``(2*distinct*1e6 + words) // (2*words)``, bit-exact vs the
+    SQL oracle."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[col].combine_chunks(), "")
+        wsplit = pc.split_pattern_regex(texts, r"\s+")
+        lens = pc.list_value_length(wsplit).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        flat = pc.list_flatten(wsplit)
+        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        parent = parent[keep]
+        words = flat.filter(pa.array(keep))
+        if len(parent) == 0:
+            return pa.schema([
+                (id_col, batch.schema.field(id_col).type),
+                ("n_words", pa.int64()), ("n_distinct", pa.int64()),
+                ("n_hapax", pa.int64()), ("ttr_e6", pa.int64()),
+            ]).empty_table()
+        wc = pd.DataFrame(
+            {"p": parent, "w": words.to_numpy(zero_copy_only=False)}
+        ).groupby(["p", "w"], sort=False).size()
+        per_doc = wc.groupby(level=0)
+        n_words = per_doc.sum()
+        n_distinct = per_doc.size()
+        n_hapax = (wc == 1).groupby(level=0).sum()
+        pids = n_words.index.to_numpy()
+        nw = n_words.to_numpy(np.int64)
+        nd = n_distinct.to_numpy(np.int64)
+        return pa.table({
+            id_col: batch[id_col].combine_chunks().take(
+                pa.array(pids, pa.int64())
+            ),
+            "n_words": pa.array(nw, pa.int64()),
+            "n_distinct": pa.array(nd, pa.int64()),
+            "n_hapax": pa.array(n_hapax.to_numpy(np.int64), pa.int64()),
+            "ttr_e6": pa.array(
+                (2 * nd * 1_000_000 + nw) // (2 * nw), pa.int64()
+            ),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# fixed evaluation order for the dominant script tie-break (first max
+# wins) — shared by the stage and mirrored in the SQL oracle's CASE
+# chain
+SCRIPT_CLASSES = (
+    ("latin", r"\p{Latin}"),
+    ("digit", r"[0-9]"),
+    ("cjk", r"\p{Han}"),
+    ("cyrillic", r"\p{Cyrillic}"),
+    ("space", r"\s"),
+)
+
+
+def script_mix(ds, *, col: str = "text", id_col: str = "doc_id"):
+    """Per-document Unicode-script composition audit: codepoint counts
+    for Latin letters, ASCII digits, Han (CJK), Cyrillic and whitespace,
+    the remainder as ``n_other``, plus the dominant class (first-max
+    wins over the fixed SCRIPT_CLASSES order, ``other`` last) — the
+    mixed-script / wrong-script screen run before language-specific
+    processing (a "Latin" corpus with CJK-dominant rows is a scrape
+    bug).
+
+    RE2 script classes (``\\p{Han}``...) count identically in Arrow and
+    DuckDB (both RE2), so every column is integer-exact vs the SQL
+    oracle. One ``count_substring_regex`` per class per batch, zero
+    shuffle; null text counts as empty."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch[col].combine_chunks(), "")
+        total = pc.cast(pc.utf8_length(texts), pa.int64()).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        counts = {}
+        for name, pat in SCRIPT_CLASSES:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(texts, pat), pa.int64()
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+        other = total - sum(counts.values())
+        mat = np.stack(list(counts.values()) + [other])
+        dom_idx = np.argmax(mat, axis=0)  # first max wins, rows in order
+        names = np.array([n for n, _ in SCRIPT_CLASSES] + ["other"])
+        cols = {id_col: batch[id_col]}
+        for name in counts:
+            cols[f"n_{name}"] = pa.array(counts[name], pa.int64())
+        cols["n_other"] = pa.array(other, pa.int64())
+        cols["dominant"] = pa.array(names[dom_idx], pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

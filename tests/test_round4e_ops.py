@@ -1,0 +1,212 @@
+"""Round-4 fifth batch: Benford digit audit, lexical diversity,
+script mix, cross-table control-total reconciliation."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_benford_constants_pin_float_meaning():
+    # the e6 constants are frozen log10(1 + 1/d); pin the FLOAT meaning
+    # so a stray scale factor can't hide on both sides of the oracle
+    from schisma_ray.stages.stats import BENFORD_P_E6
+
+    for d, p in zip(range(1, 10), BENFORD_P_E6):
+        assert p == round(math.log10(1 + 1 / d) * 1_000_000)
+    assert sum(BENFORD_P_E6) == 1_000_000
+
+
+def test_benford_digits_bruteforce(ray_session):
+    from schisma_ray.stages.stats import BENFORD_P_E6, benford_digits
+
+    rng = np.random.default_rng(3)
+    # log-uniform positive values + nulls + non-positives (excluded)
+    vals = list(10.0 ** rng.uniform(-1, 4, 300)) + [None, 0.0, -5.0]
+    t = pa.table({"v": pa.array(vals, pa.float64())})
+    out = benford_digits(
+        rd.from_arrow(t).repartition(4), "v"
+    ).to_pandas().set_index("digit")
+
+    cents = np.floor(np.array(vals[:300]) * 100.0 + 0.5).astype(np.int64)
+    cents = cents[cents > 0]
+    first = np.array([int(str(c)[0]) for c in cents])
+    total = len(first)
+    for d in range(1, 10):
+        n_obs = int((first == d).sum())
+        assert out.loc[d, "n_obs"] == n_obs
+        exp = total * BENFORD_P_E6[d - 1]
+        assert out.loc[d, "expected_e6"] == exp
+        # chi2 term agrees with the float formula to 1 ulp of e6
+        want = ((n_obs * 1e6 - exp) ** 2) / (exp * 1e6)
+        assert abs(out.loc[d, "chi2_term_e6"] - want) <= 1.0
+
+    empty = benford_digits(
+        rd.from_arrow(pa.table({"v": pa.array([], pa.float64())})), "v"
+    ).to_pandas()
+    assert len(empty) == 9 and empty["n_obs"].sum() == 0
+    assert (empty["chi2_term_e6"] == 0).all()
+
+
+def test_lexical_diversity_bruteforce(ray_session):
+    from schisma_ray.stages.text import lexical_diversity
+
+    docs = {
+        1: "a b a c a",          # words=5 distinct=3 hapax=2 (b, c)
+        2: "x x x x",            # words=4 distinct=1 hapax=0
+        3: "  spaced   out  ",   # words=2 distinct=2 hapax=2
+        4: "",                   # dropped
+        5: None,                 # dropped
+        6: "word",               # words=1 distinct=1 hapax=1 ttr=1e6
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    })
+    out = lexical_diversity(
+        rd.from_arrow(t).repartition(3)
+    ).to_pandas().set_index("doc_id")
+    assert set(out.index) == {1, 2, 3, 6}
+    assert tuple(out.loc[1, ["n_words", "n_distinct", "n_hapax"]]) == (5, 3, 2)
+    assert tuple(out.loc[2, ["n_words", "n_distinct", "n_hapax"]]) == (4, 1, 0)
+    assert tuple(out.loc[3, ["n_words", "n_distinct", "n_hapax"]]) == (2, 2, 2)
+    assert out.loc[6, "ttr_e6"] == 1_000_000
+    # half-up integer divide: 3/5 -> 600000, 1/4 -> 250000
+    assert out.loc[1, "ttr_e6"] == 600_000
+    assert out.loc[2, "ttr_e6"] == 250_000
+
+
+def test_script_mix_counts_and_dominance(ray_session):
+    from schisma_ray.stages.text import script_mix
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "Hello 99",          # latin 5, digit 2, space 1
+            "Привет мир",        # cyrillic 9, space 1
+            "你好 ab",            # cjk 2, latin 2, space 1 -> tie latin? no: cjk=2, latin=2 -> first-max order puts latin first
+            None,                # all zero -> 'latin' by first-max
+            "....",              # other 4
+        ], pa.string()),
+    })
+    out = script_mix(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert tuple(out.loc[1, ["n_latin", "n_digit", "n_space"]]) == (5, 2, 1)
+    assert out.loc[1, "dominant"] == "latin"
+    assert out.loc[2, "n_cyrillic"] == 9
+    assert out.loc[2, "dominant"] == "cyrillic"
+    # latin ties cjk at 2 -> latin listed first wins
+    assert out.loc[3, "n_cjk"] == 2 and out.loc[3, "n_latin"] == 2
+    assert out.loc[3, "dominant"] == "latin"
+    assert out.loc[4, "dominant"] == "latin"  # empty: all-zero tie
+    assert out.loc[5, "n_other"] == 4 and out.loc[5, "dominant"] == "other"
+
+
+def test_order_totals_reconcile_catalog(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from schisma_ray.pipelines.catalog import QUERIES
+
+    # orders: 1 reconciles, 2 differs, 3 has no lineitems
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_totalprice": pa.array([30.00, 10.00, 7.50], pa.float64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_extendedprice": pa.array([10.00, 20.00, 9.99], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+
+    out = QUERIES["order_totals_reconcile"](str(tmp_path)).to_pandas()
+    out = out.set_index("o_orderkey").sort_index()
+    assert out.loc[1, "matched"] and out.loc[1, "diff_cents"] == 0
+    assert not out.loc[2, "matched"] and out.loc[2, "diff_cents"] == 1
+    assert out.loc[3, "line_cents"] == 0 and out.loc[3, "diff_cents"] == 750
+
+
+def test_volume_drift_bruteforce(ray_session):
+    import pandas as pd
+
+    from schisma_ray.stages.stats import volume_drift
+
+    # key 'a': balanced; 'b': second half doubles; 'c': only second half
+    ts, key = [], []
+    base = 1_700_000_000_000_000  # us epoch
+    for i in range(40):
+        ts.append(base + i * 1_000_000)
+        key.append("a")
+    for i in range(10):
+        ts.append(base + i * 1_000_000)
+        key.append("b")
+    for i in range(20):
+        ts.append(base + 30_000_000 + i * 500_000)
+        key.append("b")
+    for i in range(5):
+        ts.append(base + 35_000_000 + i * 100_000)
+        key.append("c")
+    ts.append(None)
+    key.append("a")
+    t = pa.table({
+        "ts": pa.array(
+            pd.to_datetime(ts, unit="us"), pa.timestamp("us")
+        ),
+        "k": pa.array(key, pa.string()),
+    })
+    out = volume_drift(
+        rd.from_arrow(t).repartition(3), "ts", "k"
+    ).to_pandas().set_index("k")
+
+    us = np.array([x for x in ts if x is not None], np.int64)
+    mid = (int(us.min()) + int(us.max())) // 2
+    for k in ("a", "b", "c"):
+        mask = np.array([kk == k and tt is not None
+                         for kk, tt in zip(key, ts)])
+        vals = np.array([tt for kk, tt in zip(key, ts)
+                         if kk == k and tt is not None], np.int64)
+        nf = int((vals < mid).sum())
+        nsec = int((vals >= mid).sum())
+        assert out.loc[k, "n_first"] == nf
+        assert out.loc[k, "n_second"] == nsec
+        if nf > 0:
+            assert out.loc[k, "ratio_e6"] == (
+                2 * nsec * 1_000_000 + nf) // (2 * nf)
+        else:
+            assert out.loc[k, "ratio_e6"] == -1 and out.loc[k, "drifted"]
+    assert out.loc["c", "drifted"]
+
+    empty = volume_drift(
+        rd.from_arrow(t.slice(0, 0)), "ts", "k")
+    assert empty.num_rows == 0
+
+
+def test_dedup_yield_report_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from schisma_ray.pipelines.catalog import QUERIES
+
+    # 3 identical docs (one size-3 cluster), 2 identical (size-2),
+    # 3 unique docs (not reported)
+    texts = (["alpha beta gamma delta epsilon zeta"] * 3
+             + ["one two three four five six seven"] * 2
+             + ["totally different words here now",
+                "another unique document text body",
+                "yet more unrelated content lives"])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    }), tmp_path / "documents.parquet")
+
+    out = QUERIES["dedup_yield_report"](str(tmp_path))
+    df = out.to_pandas().set_index("cluster_size").sort_index()
+    assert df.loc[2, "n_clusters"] == 1 and df.loc[2, "docs_removed"] == 1
+    assert df.loc[3, "n_clusters"] == 1 and df.loc[3, "docs_removed"] == 2
+
+    # no duplicates at all -> empty report with stable schema
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa bb cc dd", "ee ff gg hh"], pa.string()),
+    }), tmp_path / "documents.parquet")
+    empty = QUERIES["dedup_yield_report"](str(tmp_path))
+    assert empty.num_rows == 0
+    assert empty.schema.names == ["cluster_size", "n_clusters",
+                                  "docs_removed"]
