@@ -9,6 +9,7 @@ owns a Ray session).
     python -m schisma_ray.cli prepare   --docs P --out D (corpus prep -> chunk parquet)
     python -m schisma_ray.cli convert   --src P --out P [--fmt parquet|jsonl|csv]
     python -m schisma_ray.cli curate    --table DIR --out P (image curation -> survivor ids)
+    python -m schisma_ray.cli profile   --table PATH        (per-column profile JSON)
 """
 
 from __future__ import annotations
@@ -129,6 +130,17 @@ def main(argv=None) -> int:
     p.add_argument("--max-entropy-e6", type=int, default=0,
                    help="> 0 drops docs above this character-entropy "
                         "ceiling (e6-integer bits)")
+
+    pr = sub.add_parser("profile")
+    pr.add_argument("--table", required=True,
+                    help="parquet/csv/jsonl path or glob")
+    pr.add_argument("--columns", default=None,
+                    help="comma list (default: every column; numeric "
+                         "stats run on the numeric subset)")
+    pr.add_argument("--cooccurrence", action="store_true",
+                    help="add the pairwise null-co-occurrence matrix "
+                         "(columns^2 driver memory — keep the column "
+                         "list small)")
 
     r = sub.add_parser("report")
     r.add_argument("--out", required=True)
@@ -298,6 +310,49 @@ def main(argv=None) -> int:
 
             write_table(read_table(args.src), args.out, fmt=args.fmt)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "profile":
+            import pyarrow as pa
+
+            from schisma_ray.sources.reader import read_table
+            from schisma_ray.stages.profile import (
+                null_cooccurrence,
+                profile_table,
+            )
+            from schisma_ray.stages.stats import numeric_stats
+
+            ds = read_table(args.table)
+            schema = ds.schema()
+            cols = (args.columns.split(",") if args.columns
+                    else list(schema.names))
+            type_of = dict(zip(schema.names, schema.types))
+            prof = profile_table(ds, cols)
+            by_col = {
+                r["column"]: {"n_rows": r["n_rows"],
+                              "n_nulls": r["n_nulls"],
+                              "null_rate": r["null_rate"]}
+                for r in prof.take_all()
+            }
+            numeric = [
+                c for c in cols
+                if pa.types.is_integer(type_of[c])
+                or pa.types.is_floating(type_of[c])
+            ]
+            if numeric:
+                # hash-magnitude int64 columns overflow Ray's Std —
+                # restrict variance to floats (the std_columns knob)
+                floats = [c for c in numeric
+                          if pa.types.is_floating(type_of[c])]
+                for c, st in numeric_stats(
+                    ds, numeric, std_columns=floats
+                ).items():
+                    by_col[c].update(st)
+            for c in cols:
+                print(json.dumps({"column": c,
+                                  "type": str(type_of[c]), **by_col[c]},
+                                 default=str))
+            if args.cooccurrence:
+                for row in null_cooccurrence(ds, cols).to_pylist():
+                    print(json.dumps({"pair": True, **row}))
         elif args.cmd == "infer":
             from schisma_ray.schema.infer import infer_schema_literal, literal_repr
             from schisma_ray.sources.reader import read_table

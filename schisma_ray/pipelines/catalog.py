@@ -7168,6 +7168,59 @@ SELECT cluster_size,
        CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
   FROM cl GROUP BY cluster_size
 """,
+        "null_cooccurrence": """
+WITH aug AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN NULL ELSE text END AS text,
+         CASE WHEN doc_id % 14 = 0 THEN NULL ELSE lang END AS lang,
+         CASE WHEN doc_id % 3 = 0 THEN NULL ELSE source END AS source
+    FROM documents),
+c AS (
+  SELECT CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+         CAST(SUM(CASE WHEN text IS NULL AND lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ntl,
+         CAST(SUM(CASE WHEN text IS NULL AND source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nts,
+         CAST(SUM(CASE WHEN lang IS NULL AND source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nls
+    FROM aug),
+p AS (
+  SELECT 'text' AS col_a, 'lang' AS col_b, nt AS n_a_null, nl AS n_b_null,
+         ntl AS n_both_null FROM c
+  UNION ALL
+  SELECT 'text', 'source', nt, ns, nts FROM c
+  UNION ALL
+  SELECT 'lang', 'source', nl, ns, nls FROM c)
+SELECT col_a, col_b, n_a_null, n_b_null, n_both_null,
+       CASE WHEN n_a_null + n_b_null - n_both_null = 0 THEN 0
+            ELSE (2 * n_both_null * 1000000
+                  + (n_a_null + n_b_null - n_both_null))
+                 // (2 * (n_a_null + n_b_null - n_both_null)) END
+         AS jaccard_e6
+  FROM p
+""",
+        "lang_confusion": """
+WITH t AS (SELECT doc_id, text, lang,
+                  string_split(lower(text), ' ') AS words
+             FROM documents),
+     s AS (SELECT doc_id, text, lang,
+   len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+   len(list_filter(words, x -> x IN ('der','die','das','und','ist','ein','zu','mit','von','nicht'))) AS s_de,
+   len(list_filter(words, x -> x IN ('le','la','les','et','est','un','une','de','que','pour'))) AS s_fr,
+   len(list_filter(words, x -> x IN ('el','la','los','las','es','un','una','de','que','por'))) AS s_es,
+   length(regexp_replace(substr(text, 1, 200), '[^一-鿿]', '', 'g')) AS cjk,
+   length(substr(text, 1, 200)) AS head_len
+  FROM t),
+pred AS (SELECT lang,
+  CASE WHEN text IS NULL OR text = '' THEN 'und'
+       WHEN cjk > head_len * 0.2 THEN 'zh'
+       WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+       WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+       WHEN s_de = GREATEST(s_en, s_de, s_fr, s_es) THEN 'de'
+       WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+       ELSE 'es' END AS lang_pred
+  FROM s)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY lang, lang_pred
+""",
     }
 
 
@@ -7305,6 +7358,49 @@ def q_order_totals_reconcile(sf_dir: str):
                          zero_copy_batch=True)
 
 
+def q_null_cooccurrence(sf_dir: str):
+    """Pairwise null-co-occurrence over documents with injected null
+    patterns (text null on every 7th id, lang on every 14th, source on
+    every 3rd — so the pairs overlap at 14/21/42-cycles and every
+    Jaccard cell is provably non-trivial)."""
+    import pyarrow.compute as pc
+
+    from ..stages.profile import null_cooccurrence
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"])
+
+    def inject(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+
+        def nulled(col, k):
+            mask = pa.array(ids % k == 0)
+            return pc.if_else(mask, pa.scalar(None, pa.string()),
+                              t[col].combine_chunks())
+
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": nulled("text", 7),
+            "lang": nulled("lang", 14),
+            "source": nulled("source", 3),
+        })
+
+    return null_cooccurrence(
+        ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True),
+        ["text", "lang", "source"],
+    )
+
+
+def q_lang_confusion(sf_dir: str):
+    """Declared-vs-predicted language confusion matrix (langs^2 cells,
+    actor-pool partials + bounded driver fold)."""
+    from ..stages.text import lang_confusion
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    return lang_confusion(ds)
+
+
 def q_dedup_yield_report(sf_dir: str):
     """Near-dup cluster-size histogram + dedup yield: how many
     duplicate clusters of each size the MinHash chain found and how
@@ -7404,6 +7500,8 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "null_cooccurrence": q_null_cooccurrence,
+    "lang_confusion": q_lang_confusion,
     "dedup_yield_report": q_dedup_yield_report,
     "event_volume_drift": q_event_volume_drift,
     "lineitem_shipdate_violations": q_lineitem_shipdate_violations,

@@ -227,3 +227,72 @@ def group_cardinality_violations(ds, *, key_cols: list[str],
 
     return totals.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def null_cooccurrence(ds, columns: list[str]):
+    """Pairwise null-co-occurrence audit: for every column pair, how
+    often both are null together and the Jaccard overlap of their null
+    sets (as a half-up e6 integer) — the missing-data STRUCTURE view
+    that per-column null rates can't give (nulls that always travel
+    together point at one upstream failure; independent nulls at many).
+
+    One streaming pass: per batch the k null masks become a k x k
+    joint-count matrix via one boolean matmul (vectorized, no Python
+    loop over rows); partials are k^2 ints per block, folded
+    driver-side — bounded by columns squared, never by rows.
+    ``jaccard_e6`` is -0- when neither column has nulls."""
+    import numpy as np
+
+    from ._fold import fold_table
+
+    k = len(columns)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.stack([
+            pc.is_null(batch[c].combine_chunks()).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            for c in columns
+        ])
+        joint = m @ m.T  # diagonal = per-column null counts
+        ii, jj = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+        return pa.table({
+            "i": pa.array(ii.ravel(), pa.int64()),
+            "j": pa.array(jj.ravel(), pa.int64()),
+            "n": pa.array(joint.ravel(), pa.int64()),
+        })
+
+    schema = pa.schema([
+        ("col_a", pa.string()), ("col_b", pa.string()),
+        ("n_a_null", pa.int64()), ("n_b_null", pa.int64()),
+        ("n_both_null", pa.int64()), ("jaccard_e6", pa.int64()),
+    ])
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    tot = np.zeros((k, k), np.int64)
+    np.add.at(
+        tot,
+        (folded["i"].to_numpy(zero_copy_only=False),
+         folded["j"].to_numpy(zero_copy_only=False)),
+        folded["n"].to_numpy(zero_copy_only=False),
+    )
+    rows = {name: [] for name in schema.names}
+    for a in range(k):
+        for b in range(a + 1, k):
+            na, nb, both = int(tot[a, a]), int(tot[b, b]), int(tot[a, b])
+            union = na + nb - both
+            jac = 0 if union == 0 else (
+                (2 * both * 1_000_000 + union) // (2 * union)
+            )
+            rows["col_a"].append(columns[a])
+            rows["col_b"].append(columns[b])
+            rows["n_a_null"].append(na)
+            rows["n_b_null"].append(nb)
+            rows["n_both_null"].append(both)
+            rows["jaccard_e6"].append(jac)
+    return pa.table(
+        {n: pa.array(rows[n], schema.field(n).type) for n in schema.names}
+    )

@@ -1568,3 +1568,59 @@ def script_mix(ds, *, col: str = "text", id_col: str = "doc_id"):
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangConfusion(LangId):
+    """Per-batch (declared, predicted) language confusion partials —
+    LangMismatch's aggregate sibling: the whole matrix, not just the
+    disagreeing rows. Emits a tiny grouped count per batch (bounded by
+    langs^2), so the driver fold is O(blocks x langs^2)."""
+
+    def __init__(self, col: str = "text", id_col: str = "doc_id",
+                 lang_col: str = "lang"):
+        super().__init__(col, id_col)
+        self.lang_col = lang_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t or "") for t in batch[self.col].to_pylist()]
+        t = pa.table({
+            self.lang_col: batch[self.lang_col],
+            "lang_pred": pa.array(preds, pa.string()),
+        })
+        agg = t.group_by([self.lang_col, "lang_pred"]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns([self.lang_col, "lang_pred", "n"])
+
+
+def lang_confusion(ds, *, col: str = "text", id_col: str = "doc_id",
+                   lang_col: str = "lang", concurrency=(1, 8)) -> pa.Table:
+    """Declared-vs-predicted language confusion matrix: (lang,
+    lang_pred, n) — the label-quality summary behind the
+    ``lang_mismatches`` row-level audit (which cell is big tells you
+    WHICH mislabeling happened, not just how much). Actor-pool
+    partials (stopword tables built once per actor), driver fold
+    bounded by langs^2."""
+    from ._fold import fold_table
+
+    partials = ds.map_batches(
+        LangConfusion,
+        fn_constructor_args=(col, id_col, lang_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+    folded = fold_table(partials)
+    schema = pa.schema([
+        (lang_col, pa.string()), ("lang_pred", pa.string()),
+        ("n", pa.int64()),
+    ])
+    if folded is None:
+        return schema.empty_table()
+    merged = (
+        folded.group_by([lang_col, "lang_pred"]).aggregate([("n", "sum")])
+        .rename_columns([lang_col, "lang_pred", "n"])
+    )
+    return merged.set_column(
+        2, "n", pc.cast(merged["n"], pa.int64())
+    )

@@ -162,3 +162,22 @@ def test_cli_validate_stats_out(tmp_path):
     # the executed-plan report names the pipeline's operators
     assert "ReadParquet" in text or "Read" in text
     assert "MapBatches" in text
+
+
+def test_cli_profile():
+    res = _run("profile", "--table", "/root/testdata/sf0.001/orders.parquet",
+               "--columns", "o_orderkey,o_totalprice,o_orderstatus",
+               "--cooccurrence")
+    assert res.returncode == 0, res.stderr[-2000:]
+    lines = [json.loads(x) for x in res.stdout.strip().splitlines()
+             if x.startswith("{")]
+    cols = {r["column"]: r for r in lines if "column" in r}
+    assert cols["o_orderkey"]["n_rows"] == 1500
+    assert cols["o_orderkey"]["min"] == 0
+    assert cols["o_totalprice"]["null_rate"] == 0.0
+    assert "std" in cols["o_totalprice"]          # float column gets Std
+    assert "std" not in cols["o_orderkey"]        # int column skips Std
+    assert "min" not in cols["o_orderstatus"]     # non-numeric: nulls only
+    pairs = [r for r in lines if r.get("pair")]
+    assert len(pairs) == 3
+    assert all(p["n_both_null"] == 0 for p in pairs)

@@ -210,3 +210,47 @@ def test_dedup_yield_report_planted(ray_session, tmp_path):
     assert empty.num_rows == 0
     assert empty.schema.names == ["cluster_size", "n_clusters",
                                   "docs_removed"]
+
+
+def test_null_cooccurrence_bruteforce(ray_session):
+    from schisma_ray.stages.profile import null_cooccurrence
+
+    a = [None, None, 1, 2, None, 3, 4, None]
+    b = [None, 5, None, 6, None, 7, 8, None]
+    c = [9, 10, 11, 12, 13, 14, 15, 16]  # no nulls
+    t = pa.table({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64()),
+        "c": pa.array(c, pa.int64()),
+    })
+    out = null_cooccurrence(
+        rd.from_arrow(t).repartition(3), ["a", "b", "c"]
+    ).to_pandas().set_index(["col_a", "col_b"])
+    # a nulls: 4, b nulls: 4, both: 3 -> union 5 -> jaccard 600000
+    r = out.loc[("a", "b")]
+    assert (r.n_a_null, r.n_b_null, r.n_both_null) == (4, 4, 3)
+    assert r.jaccard_e6 == 600_000
+    # c has no nulls -> union with a is 4, both 0
+    r = out.loc[("a", "c")]
+    assert (r.n_a_null, r.n_b_null, r.n_both_null) == (4, 0, 0)
+    assert r.jaccard_e6 == 0
+    # all-null-free pair -> union 0 -> defined as 0
+    t2 = pa.table({"x": pa.array([1, 2], pa.int64()),
+                   "y": pa.array([3, 4], pa.int64())})
+    out2 = null_cooccurrence(rd.from_arrow(t2), ["x", "y"]).to_pandas()
+    assert out2.iloc[0].jaccard_e6 == 0
+
+
+def test_lang_confusion_matches_mismatch_rows(ray_session):
+    from schisma_ray.pipelines.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    conf = QUERIES["lang_confusion"](sf).to_pandas()
+    mism = QUERIES["lang_mismatches"](sf).to_pandas()
+    # confusion totals must equal the corpus size, and the off-diagonal
+    # mass must equal the row-level mismatch audit's row count
+    import pyarrow.parquet as pq
+    n_docs = pq.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert conf["n"].sum() == n_docs
+    off = conf[conf["lang"] != conf["lang_pred"]]["n"].sum()
+    assert off == len(mism)
