@@ -131,6 +131,19 @@ def main(argv=None) -> int:
                    help="> 0 drops docs above this character-entropy "
                         "ceiling (e6-integer bits)")
 
+    rn = sub.add_parser("run")
+    rn.add_argument("--query", default=None,
+                    help="catalog query name (see --list)")
+    rn.add_argument("--sf", default="/root/testdata/sf0.001",
+                    help="input table directory")
+    rn.add_argument("--out", default=None,
+                    help="write the result as parquet here instead of "
+                         "printing sample rows")
+    rn.add_argument("--limit", type=int, default=10,
+                    help="rows to print when no --out is given")
+    rn.add_argument("--list", action="store_true",
+                    help="print available query names and exit")
+
     pr = sub.add_parser("profile")
     pr.add_argument("--table", required=True,
                     help="parquet/csv/jsonl path or glob")
@@ -153,6 +166,14 @@ def main(argv=None) -> int:
                         "(or that vanished) fails the report")
 
     args = ap.parse_args(argv)
+
+    if args.cmd == "run" and args.list:
+        from schisma_ray.pipelines.catalog import QUERIES, oracle_sql
+
+        oracled = set(oracle_sql())
+        for name in sorted(QUERIES):
+            print(f"{name}\t{'oracle' if name in oracled else 'rows-only'}")
+        return 0
 
     if args.cmd == "report":
         from schisma_ray.state import load_records
@@ -310,6 +331,46 @@ def main(argv=None) -> int:
 
             write_table(read_table(args.src), args.out, fmt=args.fmt)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "run":
+            import pandas as pd
+            import pyarrow as pa
+
+            from schisma_ray.pipelines.catalog import QUERIES
+
+            if not args.query:
+                print("error: --query or --list required", file=sys.stderr)
+                return 2
+            if args.query not in QUERIES:
+                print(f"error: unknown query {args.query!r} "
+                      f"(use run --list)", file=sys.stderr)
+                return 2
+            result = QUERIES[args.query](args.sf)
+            if args.out:
+                if hasattr(result, "write_parquet"):  # ray Dataset
+                    result.write_parquet(args.out)
+                else:
+                    import pyarrow.parquet as pq
+
+                    tbl = (pa.Table.from_pandas(result)
+                           if isinstance(result, pd.DataFrame) else result)
+                    pq.write_table(tbl, args.out)
+                import pyarrow.dataset as pads
+
+                try:
+                    n = pads.dataset(args.out).count_rows()
+                except FileNotFoundError:
+                    n = 0  # empty Dataset writes nothing
+                print(json.dumps({"query": args.query, "rows": n,
+                                  "out": args.out}))
+            else:
+                if hasattr(result, "write_parquet"):
+                    df = result.limit(args.limit).to_pandas()
+                elif isinstance(result, pa.Table):
+                    df = result.slice(0, args.limit).to_pandas()
+                else:
+                    df = result.head(args.limit)
+                for rec in df.to_dict("records"):
+                    print(json.dumps(rec, default=str))
         elif args.cmd == "profile":
             import pyarrow as pa
 

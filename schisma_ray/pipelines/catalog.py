@@ -7221,6 +7221,40 @@ pred AS (SELECT lang,
 SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
   FROM pred GROUP BY lang, lang_pred
 """,
+        "mixture_plan": """
+WITH g AS (SELECT lang AS key, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+             FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+w AS (SELECT * FROM (VALUES ('de', 150000), ('en', 400000),
+                            ('es', 150000), ('fr', 150000),
+                            ('ko', 0), ('zh', 150000)) v(key, w_e6)),
+j AS (SELECT coalesce(w.key, g.key) AS key,
+             CAST(coalesce(g.n_tokens, 0) AS BIGINT) AS n_tokens,
+             CAST(coalesce(w.w_e6, 0) AS BIGINT) AS weight_e6
+        FROM w FULL OUTER JOIN g ON g.key = w.key),
+t AS (SELECT key, n_tokens, weight_e6,
+             CAST((2 * CAST(weight_e6 AS HUGEINT) * 2500000 + 1000000)
+                  // 2000000 AS BIGINT) AS target_tokens
+        FROM j)
+SELECT key, n_tokens, weight_e6, target_tokens,
+       CASE WHEN n_tokens = 0 THEN -1
+            ELSE CAST((2 * CAST(target_tokens AS HUGEINT) * 1000000
+                       + n_tokens) // (2 * n_tokens) AS BIGINT) END
+         AS repeat_e6
+  FROM t
+""",
+        "token_fertility": r"""
+WITH g AS (
+  SELECT lang,
+         CAST(SUM(strlen(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+         CAST(SUM(len(regexp_extract_all(coalesce(text, ''), '\S+')))
+              AS BIGINT) AS n_tokens
+    FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+SELECT lang, n_bytes, n_tokens,
+       CASE WHEN n_tokens = 0 THEN -1
+            ELSE (2 * n_bytes * 1000000 + n_tokens) // (2 * n_tokens) END
+         AS bytes_per_token_e6
+  FROM g
+""",
     }
 
 
@@ -7356,6 +7390,37 @@ def q_order_totals_reconcile(sf_dir: str):
 
     return j.map_batches(finish, batch_format="pyarrow",
                          zero_copy_batch=True)
+
+
+# target mixture for the mixture_plan query: e6 weights summing to 1e6,
+# 'ko' deliberately absent from the corpus (exercises the
+# unsatisfiable-key path); total budget 2.5M proxy tokens
+_MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
+                       "es": 150_000, "zh": 150_000, "ko": 0}
+_MIXTURE_TARGET = 2_500_000
+
+
+def q_mixture_plan(sf_dir: str):
+    """Token-budget mixture planner over per-language char counts:
+    available vs target tokens and the e6 repeat factor feeding the
+    upsample/subsample stages. One combiner-first grouped sum."""
+    from ..stages.corpus import mixture_plan
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return mixture_plan(ds, "lang", "n_chars", _MIXTURE_WEIGHTS_E6,
+                        _MIXTURE_TARGET)
+
+
+def q_token_fertility(sf_dir: str):
+    """Bytes-per-token by language (half-up e6) — the tokenizer
+    capacity-planning audit; one combiner pass, two Arrow kernels per
+    batch."""
+    from ..stages.text import token_fertility
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang"])
+    return token_fertility(ds)
 
 
 def q_null_cooccurrence(sf_dir: str):
@@ -7500,6 +7565,8 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "mixture_plan": q_mixture_plan,
+    "token_fertility": q_token_fertility,
     "null_cooccurrence": q_null_cooccurrence,
     "lang_confusion": q_lang_confusion,
     "dedup_yield_report": q_dedup_yield_report,

@@ -794,3 +794,48 @@ def split_leakage(ds, *, key_col: str, id_col: str,
 
     return merged.map_batches(leaks, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def mixture_plan(ds, key_col: str, token_col: str,
+                 weights_e6: dict[str, int], total_target: int) -> pa.Table:
+    """Epoch/repeat planner closing the loop between token accounting
+    and mixture sampling: given each key's available token count, the
+    target mixture weights (e6 ints summing to 1e6) and a total token
+    budget, emit per key the available tokens, the target token count
+    and the repeat factor (``target / available`` as a half-up e6 int
+    — >1e6 means upsample/repeat epochs, <1e6 means subsample; feeds
+    ``doc_repeat_upsample`` / ``sample_by_rate`` directly).
+
+    One combiner-first grouped-sum pass (key cardinality bounded by
+    contract); every derived number is an exact integer on both sides.
+    Keys absent from ``weights_e6`` get weight 0; keys in the plan but
+    absent from the corpus report 0 available tokens and repeat -1
+    (unsatisfiable)."""
+    from .stats import _grouped_int_sums
+
+    got = _grouped_int_sums(ds, key_col, token_col)
+    have = {k: int(v) for k, v in zip(got[key_col].to_pylist(),
+                                      got["total"].to_pylist())}
+    # the grouped sum keeps Arrow's null-key group; a null mixture key
+    # is meaningless (SQL side filters `key IS NOT NULL`)
+    have.pop(None, None)
+    keys = sorted(set(have) | set(weights_e6))
+    rows = {"key": [], "n_tokens": [], "weight_e6": [],
+            "target_tokens": [], "repeat_e6": []}
+    for k in keys:
+        n = have.get(k, 0)
+        w = int(weights_e6.get(k, 0))
+        target = (2 * w * total_target + 1_000_000) // 2_000_000
+        rep = -1 if n == 0 else (2 * target * 1_000_000 + n) // (2 * n)
+        rows["key"].append(k)
+        rows["n_tokens"].append(n)
+        rows["weight_e6"].append(w)
+        rows["target_tokens"].append(target)
+        rows["repeat_e6"].append(rep)
+    return pa.table({
+        "key": pa.array(rows["key"], pa.string()),
+        "n_tokens": pa.array(rows["n_tokens"], pa.int64()),
+        "weight_e6": pa.array(rows["weight_e6"], pa.int64()),
+        "target_tokens": pa.array(rows["target_tokens"], pa.int64()),
+        "repeat_e6": pa.array(rows["repeat_e6"], pa.int64()),
+    })

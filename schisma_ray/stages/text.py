@@ -1624,3 +1624,57 @@ def lang_confusion(ds, *, col: str = "text", id_col: str = "doc_id",
     return merged.set_column(
         2, "n", pc.cast(merged["n"], pa.int64())
     )
+
+
+def token_fertility(ds, *, col: str = "text", key_col: str = "lang"):
+    """Per-key tokenizer-fertility audit: total UTF-8 bytes, total
+    whitespace tokens and bytes-per-token as a half-up e6 integer —
+    the capacity-planning number (how many bytes buy a token) that
+    differs sharply across languages and catches a tokenizer that
+    fragments one language into byte soup.
+
+    One combiner-first pass: per-batch (key, bytes, tokens) partials
+    via two Arrow kernels, then a tiny key-cardinality groupby; null
+    text contributes 0/0, null keys are dropped. Integer-exact vs the
+    SQL oracle (DuckDB ``strlen`` = bytes, ``regexp_extract_all('\\S+')``
+    = the same token rule)."""
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t[col].combine_chunks(), "")
+        tt = pa.table({
+            key_col: t[key_col],
+            "b": pc.cast(pc.binary_length(texts), pa.int64()),
+            "tok": pc.cast(
+                pc.count_substring_regex(texts, r"\S+"), pa.int64()
+            ),
+        }).filter(pc.is_valid(t[key_col].combine_chunks()))
+        agg = tt.group_by(key_col).aggregate([("b", "sum"), ("tok", "sum")])
+        return agg.rename_columns([key_col, "b", "tok"])
+
+    schema = pa.schema([
+        (key_col, pa.string()), ("n_bytes", pa.int64()),
+        ("n_tokens", pa.int64()), ("bytes_per_token_e6", pa.int64()),
+    ])
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    merged = (
+        folded.group_by(key_col).aggregate([("b", "sum"), ("tok", "sum")])
+        .rename_columns([key_col, "b", "tok"])
+    )
+    b = merged["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tok = merged["tok"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bpt = np.where(
+        tok > 0,
+        (2 * b * 1_000_000 + tok) // (2 * np.maximum(tok, 1)),
+        -1,
+    ).astype(np.int64)
+    return pa.table({
+        key_col: merged[key_col],
+        "n_bytes": pa.array(b, pa.int64()),
+        "n_tokens": pa.array(tok, pa.int64()),
+        "bytes_per_token_e6": pa.array(bpt, pa.int64()),
+    })

@@ -181,3 +181,27 @@ def test_cli_profile():
     pairs = [r for r in lines if r.get("pair")]
     assert len(pairs) == 3
     assert all(p["n_both_null"] == 0 for p in pairs)
+
+
+def test_cli_run_list_and_query(tmp_path):
+    ls = _run("run", "--list")
+    assert ls.returncode == 0, ls.stderr[-2000:]
+    names = dict(line.split("\t") for line in ls.stdout.strip().splitlines())
+    assert len(names) >= 200
+    assert names["benford_totalprice"] == "oracle"
+
+    res = _run("run", "--query", "benford_totalprice",
+               "--sf", "/root/testdata/sf0.001")
+    assert res.returncode == 0, res.stderr[-2000:]
+    rows = [json.loads(x) for x in res.stdout.strip().splitlines()
+            if x.startswith("{")]
+    assert len(rows) == 9 and rows[0]["digit"] == 1
+
+    out = tmp_path / "vd.parquet"
+    res2 = _run("run", "--query", "event_volume_drift",
+                "--sf", "/root/testdata/sf0.001", "--out", str(out))
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    assert json.loads(res2.stdout.strip().splitlines()[-1])["rows"] == 5
+
+    bad = _run("run", "--query", "nope_not_real")
+    assert bad.returncode == 2

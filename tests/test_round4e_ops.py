@@ -254,3 +254,46 @@ def test_lang_confusion_matches_mismatch_rows(ray_session):
     assert conf["n"].sum() == n_docs
     off = conf[conf["lang"] != conf["lang_pred"]]["n"].sum()
     assert off == len(mism)
+
+
+def test_mixture_plan_bruteforce(ray_session):
+    from schisma_ray.stages.corpus import mixture_plan
+
+    t = pa.table({
+        "lang": pa.array(["en", "en", "de", None], pa.string()),
+        "tok": pa.array([100, 200, 50, 999], pa.int64()),
+    })
+    out = mixture_plan(
+        rd.from_arrow(t).repartition(2), "lang", "tok",
+        {"en": 600_000, "de": 300_000, "ko": 100_000}, 1000,
+    ).to_pandas().set_index("key")
+    # en: have 300, target 600 -> repeat 2e6; de: have 50, target 300 ->
+    # repeat 6e6; ko: have 0 -> unsatisfiable
+    assert out.loc["en", "n_tokens"] == 300
+    assert out.loc["en", "target_tokens"] == 600
+    assert out.loc["en", "repeat_e6"] == 2_000_000
+    assert out.loc["de", "repeat_e6"] == 6_000_000
+    assert out.loc["ko", "n_tokens"] == 0
+    assert out.loc["ko", "repeat_e6"] == -1
+    # null keys dropped entirely (999 appears nowhere)
+    assert out["n_tokens"].sum() == 350
+
+
+def test_token_fertility_bruteforce(ray_session):
+    from schisma_ray.stages.text import token_fertility
+
+    t = pa.table({
+        "lang": pa.array(["en", "en", "zh", None], pa.string()),
+        "text": pa.array(["ab cd", "xyz", "你好", "dropped"], pa.string()),
+    })
+    out = token_fertility(
+        rd.from_arrow(t).repartition(2)
+    ).to_pandas().set_index("lang")
+    # en: bytes 5+3=8, tokens 2+1=3 -> 8/3 e6 half-up = 2666667
+    assert out.loc["en", "n_bytes"] == 8
+    assert out.loc["en", "n_tokens"] == 3
+    assert out.loc["en", "bytes_per_token_e6"] == 2_666_667
+    # zh: 6 utf-8 bytes, 1 token
+    assert out.loc["zh", "n_bytes"] == 6
+    assert out.loc["zh", "bytes_per_token_e6"] == 6_000_000
+    assert len(out) == 2
