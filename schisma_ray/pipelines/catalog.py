@@ -7255,6 +7255,24 @@ SELECT lang, n_bytes, n_tokens,
          AS bytes_per_token_e6
   FROM g
 """,
+        "caption_dupes": f"""
+SELECT caption, CAST(count(*) AS BIGINT) AS n
+  FROM {img}
+ WHERE caption IS NOT NULL
+ GROUP BY caption HAVING count(*) > 1
+""",
+        "image_bytes_outliers": f"""
+WITH s AS (SELECT image_id, fmt, octet_length(bytes) AS b
+             FROM {img}
+            WHERE fmt IS NOT NULL AND bytes IS NOT NULL),
+z AS (SELECT image_id, fmt,
+             ROUND(CASE WHEN stddev_samp(b) OVER w > 0
+                        THEN (b - AVG(b) OVER w)
+                             / (stddev_samp(b) OVER w)
+                        ELSE 0 END, 6) AS z
+        FROM s WINDOW w AS (PARTITION BY fmt))
+SELECT image_id, fmt, z FROM z WHERE abs(z) >= 2.5
+""",
     }
 
 
@@ -7398,6 +7416,54 @@ def q_order_totals_reconcile(sf_dir: str):
 _MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
                        "es": 150_000, "zh": 150_000, "ko": 0}
 _MIXTURE_TARGET = 2_500_000
+
+
+def q_caption_dupes(sf_dir: str):
+    """Boilerplate-caption detector: captions shared by more than one
+    image (the stock-photo / placeholder-text signature that poisons
+    caption-supervised training). Combiner-first distinct counts —
+    the duplicate_keys machinery pointed at a text column."""
+    from ..stages.uniqueness import duplicate_keys
+
+    ds = read_images(_img_dir(sf_dir), ["caption"])
+    return duplicate_keys(ds, "caption").rename_columns(["caption", "n"])
+
+
+def q_image_bytes_outliers(sf_dir: str):
+    """Compression-anomaly screen: images whose payload size is a
+    >=2.5-sigma outlier WITHIN their format (a png 6 sigma over its
+    format's size distribution is corrupt, mislabeled or hiding data;
+    absolute-size rules can't see this because formats differ by an
+    order of magnitude). Reuses the grouped z-score machinery on
+    byte length; two streaming passes, one tiny moments broadcast."""
+    import pyarrow.compute as pc
+
+    from ..stages.stats import zscore_by_group
+
+    ds = read_images(_img_dir(sf_dir), ["image_id", "bytes", "fmt"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.is_valid(t["fmt"].combine_chunks()),
+            pc.is_valid(t["bytes"].combine_chunks()),
+        )
+        t = t.filter(m)
+        return pa.table({
+            "image_id": t["image_id"],
+            "fmt": t["fmt"],
+            "blen": pc.cast(
+                pc.binary_length(t["bytes"].combine_chunks()), pa.float64()
+            ),
+        })
+
+    z = zscore_by_group(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        "blen", "fmt", ["image_id"],
+    )
+    return z.map_batches(
+        lambda t: t.filter(pc.greater_equal(pc.abs(t["z"]), 2.5)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
 
 
 def q_mixture_plan(sf_dir: str):
@@ -7565,6 +7631,8 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "caption_dupes": q_caption_dupes,
+    "image_bytes_outliers": q_image_bytes_outliers,
     "mixture_plan": q_mixture_plan,
     "token_fertility": q_token_fertility,
     "null_cooccurrence": q_null_cooccurrence,

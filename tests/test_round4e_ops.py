@@ -297,3 +297,17 @@ def test_token_fertility_bruteforce(ray_session):
     assert out.loc["zh", "n_bytes"] == 6
     assert out.loc["zh", "bytes_per_token_e6"] == 6_000_000
     assert len(out) == 2
+
+
+def test_caption_dupes_and_bytes_outliers(ray_session):
+    from schisma_ray.pipelines.catalog import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    dup = QUERIES["caption_dupes"](sf).to_pandas()
+    assert list(dup.columns) == ["caption", "n"]
+    assert (dup["n"] >= 2).all()
+
+    out = QUERIES["image_bytes_outliers"](sf).to_pandas()
+    assert set(out.columns) == {"image_id", "fmt", "z"}
+    assert (out["z"].abs() >= 2.5).all()
+    assert len(out) > 0
