@@ -170,9 +170,17 @@ def main(argv=None) -> int:
     if args.cmd == "run" and args.list:
         from schisma_ray.pipelines.catalog import QUERIES, oracle_sql
 
-        oracled = set(oracle_sql())
+        # rendering the oracle SQL generates fixture parquet for the
+        # pinned oracle sf dir as a side effect; on a machine without
+        # that testdata the LISTING must still work
+        try:
+            oracled = set(oracle_sql())
+        except Exception:
+            oracled = None
         for name in sorted(QUERIES):
-            print(f"{name}\t{'oracle' if name in oracled else 'rows-only'}")
+            status = ("unknown" if oracled is None
+                      else "oracle" if name in oracled else "rows-only")
+            print(f"{name}\t{status}")
         return 0
 
     if args.cmd == "report":
@@ -344,6 +352,12 @@ def main(argv=None) -> int:
                 print(f"error: unknown query {args.query!r} "
                       f"(use run --list)", file=sys.stderr)
                 return 2
+            from pathlib import Path as _Path
+
+            if not _Path(args.sf).is_dir():
+                print(f"error: --sf dir not found: {args.sf}",
+                      file=sys.stderr)
+                return 2
             result = QUERIES[args.query](args.sf)
             if args.out:
                 if hasattr(result, "write_parquet"):  # ray Dataset
@@ -373,47 +387,52 @@ def main(argv=None) -> int:
                     print(json.dumps(rec, default=str))
         elif args.cmd == "profile":
             import pyarrow as pa
+            from ray.data.aggregate import Count, Max, Mean, Min, Std
 
             from schisma_ray.sources.reader import read_table
-            from schisma_ray.stages.profile import (
-                null_cooccurrence,
-                profile_table,
-            )
-            from schisma_ray.stages.stats import numeric_stats
+            from schisma_ray.stages.profile import null_cooccurrence
+            from schisma_ray.stages.stats import HLL, NullCount
 
             ds = read_table(args.table)
             schema = ds.schema()
-            cols = (args.columns.split(",") if args.columns
-                    else list(schema.names))
             type_of = dict(zip(schema.names, schema.types))
-            prof = profile_table(ds, cols)
-            by_col = {
-                r["column"]: {"n_rows": r["n_rows"],
-                              "n_nulls": r["n_nulls"],
-                              "null_rate": r["null_rate"]}
-                for r in prof.take_all()
-            }
-            numeric = [
-                c for c in cols
-                if pa.types.is_integer(type_of[c])
-                or pa.types.is_floating(type_of[c])
-            ]
-            if numeric:
-                # hash-magnitude int64 columns overflow Ray's Std —
-                # restrict variance to floats (the std_columns knob)
-                floats = [c for c in numeric
-                          if pa.types.is_floating(type_of[c])]
-                for c, st in numeric_stats(
-                    ds, numeric, std_columns=floats
-                ).items():
-                    by_col[c].update(st)
+            cols = ([c.strip() for c in args.columns.split(",")]
+                    if args.columns else list(schema.names))
+            unknown = [c for c in cols if c not in type_of]
+            if unknown:
+                print(f"error: columns not in table: "
+                      f"{', '.join(unknown)} (have: "
+                      f"{', '.join(schema.names)})", file=sys.stderr)
+                return 2
+            # ONE aggregation pass over everything: null counts + HLL
+            # distinct for every column, min/max/mean for numerics, Std
+            # for floats only (hash-magnitude int64 overflows Ray's Std)
+            aggs = [Count(alias_name="__rows__")]
             for c in cols:
-                print(json.dumps({"column": c,
-                                  "type": str(type_of[c]), **by_col[c]},
-                                 default=str))
+                aggs.append(NullCount(c, alias_name=f"nulls:{c}"))
+                aggs.append(HLL(c, alias_name=f"distinct:{c}"))
+                if (pa.types.is_integer(type_of[c])
+                        or pa.types.is_floating(type_of[c])):
+                    aggs += [Min(c, alias_name=f"min:{c}"),
+                             Max(c, alias_name=f"max:{c}"),
+                             Mean(c, alias_name=f"mean:{c}")]
+                if pa.types.is_floating(type_of[c]):
+                    aggs.append(Std(c, alias_name=f"std:{c}"))
+            row = ds.aggregate(*aggs)
+            n_rows = row["__rows__"]
+            for c in cols:
+                rec = {"column": c, "type": str(type_of[c]),
+                       "n_rows": n_rows, "n_nulls": row[f"nulls:{c}"],
+                       "null_rate": round(
+                           row[f"nulls:{c}"] / max(n_rows, 1), 6),
+                       "distinct_hll": row[f"distinct:{c}"]}
+                for k in ("min", "max", "mean", "std"):
+                    if f"{k}:{c}" in row:
+                        rec[k] = row[f"{k}:{c}"]
+                print(json.dumps(rec, default=str))
             if args.cooccurrence:
-                for row in null_cooccurrence(ds, cols).to_pylist():
-                    print(json.dumps({"pair": True, **row}))
+                for r in null_cooccurrence(ds, cols).to_pylist():
+                    print(json.dumps({"pair": True, **r}))
         elif args.cmd == "infer":
             from schisma_ray.schema.infer import infer_schema_literal, literal_repr
             from schisma_ray.sources.reader import read_table

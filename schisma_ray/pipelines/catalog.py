@@ -7091,8 +7091,8 @@ SELECT CAST(digit AS BIGINT) AS digit,
        CAST(n_obs AS BIGINT) AS n_obs,
        CAST(exp_e6 AS BIGINT) AS expected_e6,
        CAST(CASE WHEN exp_e6 = 0 THEN 0
-                 ELSE (2 * diff * diff + exp_e6 * 1000000)
-                      // (2 * exp_e6 * 1000000) END AS BIGINT)
+                 ELSE (2 * diff * diff + exp_e6)
+                      // (2 * exp_e6) END AS BIGINT)
          AS chi2_term_e6
   FROM d
 """,
@@ -7200,7 +7200,7 @@ SELECT col_a, col_b, n_a_null, n_b_null, n_both_null,
         "lang_confusion": """
 WITH t AS (SELECT doc_id, text, lang,
                   string_split(lower(text), ' ') AS words
-             FROM documents),
+             FROM documents WHERE lang IS NOT NULL),
      s AS (SELECT doc_id, text, lang,
    len(list_filter(words, x -> x IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
    len(list_filter(words, x -> x IN ('der','die','das','und','ist','ein','zu','mit','von','nicht'))) AS s_de,

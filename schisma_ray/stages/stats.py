@@ -820,10 +820,13 @@ def benford_digits(ds, col: str, *, cents: bool = True) -> pa.Table:
     ]
     total = sum(obs)
     exp_e6 = [total * p for p in BENFORD_P_E6]
+    # diff = obs_e6 - exp_e6 = 1e6*(obs - exp); diff^2/exp_e6 =
+    # 1e6*(obs-exp)^2/exp — the chi-square term ALREADY e6-scaled, so
+    # the divisor is exp_e6 alone (an extra 1e6 would floor every
+    # term < 0.5 to zero and destroy the audit's resolution)
     term_e6 = [
         0 if e == 0 else
-        (2 * (o * 1_000_000 - e) ** 2 + e * 1_000_000)
-        // (2 * e * 1_000_000)
+        (2 * (o * 1_000_000 - e) ** 2 + e) // (2 * e)
         for o, e in zip(obs, exp_e6)
     ]
     return pa.table({

@@ -1587,6 +1587,11 @@ class LangConfusion(LangId):
             self.lang_col: batch[self.lang_col],
             "lang_pred": pa.array(preds, pa.string()),
         })
+        # drop null declared labels so the off-diagonal mass equals the
+        # LangMismatch row count exactly (its null != pred compare is
+        # null -> filtered; a (NULL, pred) cell here would break the
+        # invariant on corpora with unlabeled rows)
+        t = t.filter(pc.is_valid(t[self.lang_col].combine_chunks()))
         agg = t.group_by([self.lang_col, "lang_pred"]).aggregate(
             [([], "count_all")]
         )

@@ -1,5 +1,7 @@
-"""Round-4 fifth batch: Benford digit audit, lexical diversity,
-script mix, cross-table control-total reconciliation."""
+"""Round-4 sixth batch: Benford digit audit, temporal volume drift,
+cross-table control-total reconciliation, lexical diversity, script
+mix, dedup yield report, null co-occurrence, language confusion,
+mixture planner, token fertility, caption dupes, byte outliers."""
 
 import math
 
@@ -38,8 +40,10 @@ def test_benford_digits_bruteforce(ray_session):
         assert out.loc[d, "n_obs"] == n_obs
         exp = total * BENFORD_P_E6[d - 1]
         assert out.loc[d, "expected_e6"] == exp
-        # chi2 term agrees with the float formula to 1 ulp of e6
-        want = ((n_obs * 1e6 - exp) ** 2) / (exp * 1e6)
+        # chi2 term is the e6-scaled float value (pin the SCALE, not
+        # just both-sides agreement — the gate can't see a factor
+        # mirrored into the oracle)
+        want = 1e6 * ((n_obs - exp / 1e6) ** 2) / (exp / 1e6)
         assert abs(out.loc[d, "chi2_term_e6"] - want) <= 1.0
 
     empty = benford_digits(
