@@ -205,3 +205,27 @@ def test_cli_run_list_and_query(tmp_path):
 
     bad = _run("run", "--query", "nope_not_real")
     assert bad.returncode == 2
+
+
+def test_cli_validate_incremental_new_shard(tmp_path):
+    import shutil
+
+    gen = _run("generate", "--rows", "1500")
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    src = Path(gen.stdout.strip().splitlines()[-1])
+    table = tmp_path / "table"
+    shutil.copytree(src, table)
+    out = tmp_path / "vio"
+    v1 = _run("validate", "--table", str(table), "--out", str(out),
+              "--resumable", "--files-per-partition", "1")
+    assert v1.returncode == 0, v1.stderr[-2000:]
+    n1 = json.loads(v1.stdout.strip().splitlines()[-1])["partitions_run"]
+    assert n1 >= 1
+
+    # a NEW shard lands in the table dir: only its partition may run
+    files = sorted((table / "images").glob("*.parquet"))
+    shutil.copy(files[0], table / "images" / "part-zz-new.parquet")
+    v2 = _run("validate", "--table", str(table), "--out", str(out),
+              "--resumable", "--files-per-partition", "1")
+    assert v2.returncode == 0, v2.stderr[-2000:]
+    assert json.loads(v2.stdout.strip().splitlines()[-1])["partitions_run"] == 1

@@ -1,0 +1,123 @@
+"""Property tests for the round-4 sixth-batch kernels, brute-forced
+against definitional implementations on randomized inputs:
+
+* benford_digits == a Python-loop digit count, invariant to
+  partition layout, chi-square terms within 1e-6 of the float formula
+* lexical_diversity == collections.Counter per doc
+* volume_drift == a pure-pandas half-split count, partition-invariant
+* null_cooccurrence == itertools pair loop over null masks
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("parts", [1, 5])
+def test_benford_bruteforce_and_partition_invariance(ray_session, seed, parts):
+    from schisma_ray.stages.stats import BENFORD_P_E6, benford_digits
+
+    rng = np.random.default_rng(seed)
+    vals = 10.0 ** rng.uniform(-2, 5, 400)
+    vals[rng.integers(0, 400, 20)] = 0.0
+    t = pa.table({"v": pa.array(list(vals), pa.float64())})
+    out = benford_digits(
+        rd.from_arrow(t).repartition(parts), "v"
+    ).to_pandas().set_index("digit")
+
+    cents = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+    cents = cents[cents > 0]
+    counts = collections.Counter(int(str(c)[0]) for c in cents)
+    total = sum(counts.values())
+    for d in range(1, 10):
+        assert out.loc[d, "n_obs"] == counts.get(d, 0)
+        p = BENFORD_P_E6[d - 1] / 1e6
+        want = 1e6 * ((counts.get(d, 0) - total * p) ** 2) / (total * p)
+        assert abs(out.loc[d, "chi2_term_e6"] - want) <= 1.0
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lexical_diversity_matches_counter(ray_session, seed):
+    from schisma_ray.stages.text import lexical_diversity
+
+    rng = np.random.default_rng(seed)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+            for _ in range(60)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(60)), pa.int64()),
+        "text": pa.array(docs, pa.string()),
+    })
+    out = lexical_diversity(
+        rd.from_arrow(t).repartition(4)
+    ).to_pandas().set_index("doc_id")
+    for i, doc in enumerate(docs):
+        words = doc.split()
+        if not words:
+            assert i not in out.index
+            continue
+        c = collections.Counter(words)
+        assert out.loc[i, "n_words"] == len(words)
+        assert out.loc[i, "n_distinct"] == len(c)
+        assert out.loc[i, "n_hapax"] == sum(v == 1 for v in c.values())
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_volume_drift_partition_invariance(ray_session, seed):
+    from schisma_ray.stages.stats import volume_drift
+
+    rng = np.random.default_rng(seed)
+    n = 300
+    base = 1_600_000_000_000_000
+    us = base + rng.integers(0, 10_000_000, n)
+    keys = rng.choice(["x", "y", "z"], n)
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime(us, unit="us"), pa.timestamp("us")),
+        "k": pa.array(keys, pa.string()),
+    })
+    a = volume_drift(rd.from_arrow(t).repartition(1), "ts", "k").to_pandas()
+    b = volume_drift(rd.from_arrow(t).repartition(7), "ts", "k").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+    mid = (int(us.min()) + int(us.max())) // 2
+    df = pd.DataFrame({"k": keys, "us": us})
+    for k, g in df.groupby("k"):
+        row = a[a["k"] == k].iloc[0]
+        assert row["n_first"] == int((g["us"] < mid).sum())
+        assert row["n_second"] == int((g["us"] >= mid).sum())
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_null_cooccurrence_matches_pair_loop(ray_session, seed):
+    import itertools
+
+    from schisma_ray.stages.profile import null_cooccurrence
+
+    rng = np.random.default_rng(seed)
+    n, cols = 200, ["a", "b", "c", "d"]
+    data = {}
+    masks = {}
+    for c in cols:
+        m = rng.random(n) < rng.uniform(0.05, 0.4)
+        masks[c] = m
+        data[c] = pa.array(
+            [None if mm else int(i) for i, mm in enumerate(m)], pa.int64()
+        )
+    out = null_cooccurrence(
+        rd.from_arrow(pa.table(data)).repartition(3), cols
+    ).to_pandas().set_index(["col_a", "col_b"])
+    for a, b in itertools.combinations(cols, 2):
+        na, nb = int(masks[a].sum()), int(masks[b].sum())
+        both = int((masks[a] & masks[b]).sum())
+        row = out.loc[(a, b)]
+        assert (row.n_a_null, row.n_b_null, row.n_both_null) == (na, nb, both)
+        union = na + nb - both
+        want = 0 if union == 0 else (2 * both * 1_000_000 + union) // (2 * union)
+        assert row.jaccard_e6 == want
