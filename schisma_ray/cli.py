@@ -10,6 +10,8 @@ owns a Ray session).
     python -m schisma_ray.cli convert   --src P --out P [--fmt parquet|jsonl|csv]
     python -m schisma_ray.cli curate    --table DIR --out P (image curation -> survivor ids)
     python -m schisma_ray.cli profile   --table PATH        (per-column profile JSON)
+    python -m schisma_ray.cli run       --query NAME --sf DIR (any catalog query)
+    python -m schisma_ray.cli diff      --old P --new P --key K (version diff)
 """
 
 from __future__ import annotations
@@ -130,6 +132,17 @@ def main(argv=None) -> int:
     p.add_argument("--max-entropy-e6", type=int, default=0,
                    help="> 0 drops docs above this character-entropy "
                         "ceiling (e6-integer bits)")
+
+    df = sub.add_parser("diff")
+    df.add_argument("--old", required=True, help="previous table version")
+    df.add_argument("--new", required=True, help="current table version")
+    df.add_argument("--key", required=True, help="unique key column")
+    df.add_argument("--columns", default=None,
+                    help="comma list of compared columns (default: all "
+                         "shared non-key columns)")
+    df.add_argument("--out", default=None,
+                    help="write (key, change) parquet; default prints "
+                         "the change summary only")
 
     rn = sub.add_parser("run")
     rn.add_argument("--query", default=None,
@@ -339,6 +352,48 @@ def main(argv=None) -> int:
 
             write_table(read_table(args.src), args.out, fmt=args.fmt)
             print(json.dumps({"out": args.out}))
+        elif args.cmd == "diff":
+            from schisma_ray.sources.reader import read_table
+            from schisma_ray.stages.diff import table_diff
+
+            ds_old = read_table(args.old)
+            ds_new = read_table(args.new)
+            if args.columns:
+                cols = [c.strip() for c in args.columns.split(",")]
+            else:
+                shared = [c for c in ds_old.schema().names
+                          if c in set(ds_new.schema().names)]
+                cols = [c for c in shared if c != args.key]
+            if not cols:
+                print("error: no shared non-key columns to compare",
+                      file=sys.stderr)
+                return 2
+            diff = table_diff(ds_old, ds_new, args.key, cols)
+            if args.out:
+                diff.write_parquet(args.out)
+            tally = {"added": 0, "removed": 0, "changed": 0}
+            if not args.out:
+                import pyarrow as pa
+
+                for b in diff.iter_batches(batch_format="pyarrow",
+                                           batch_size=None):
+                    t = (b if isinstance(b, pa.Table)
+                         else pa.Table.from_batches([b]))
+                    for ch in t["change"].to_pylist():
+                        tally[ch] += 1
+            else:
+                import pyarrow.dataset as pads
+
+                try:
+                    fragments = pads.dataset(args.out).to_table(
+                        columns=["change"]
+                    )["change"].to_pylist()
+                except FileNotFoundError:
+                    fragments = []  # no differences -> nothing written
+                for ch in fragments:
+                    tally[ch] += 1
+            print(json.dumps({**tally, "columns": cols,
+                              **({"out": args.out} if args.out else {})}))
         elif args.cmd == "run":
             import pandas as pd
             import pyarrow as pa

@@ -7255,6 +7255,28 @@ SELECT lang, n_bytes, n_tokens,
          AS bytes_per_token_e6
   FROM g
 """,
+        "daily_volume_anomalies": """
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+o AS (SELECT day_idx, n,
+             CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS rn
+        FROM d),
+e(rn, day_idx, n, s) AS (
+  SELECT rn, day_idx, n, CAST(n AS HUGEINT) * 1000000 FROM o WHERE rn = 1
+  UNION ALL
+  SELECT o.rn, o.day_idx, o.n,
+         (2 * (300000 * CAST(o.n AS HUGEINT) * 1000000 + 700000 * e.s)
+          + 1000000) // 2000000
+    FROM e JOIN o ON o.rn = e.rn + 1)
+SELECT e.day_idx, e.n,
+       CAST(coalesce(p.s, -1) AS BIGINT) AS ewma_prev_e6,
+       CASE WHEN p.s IS NULL THEN FALSE
+            ELSE abs(CAST(e.n AS HUGEINT) * 1000000 - p.s) * 1000000
+                 > 100000 * p.s END AS anomalous
+  FROM e LEFT JOIN e p ON p.rn = e.rn - 1
+""",
         "caption_dupes": f"""
 SELECT caption, CAST(count(*) AS BIGINT) AS n
   FROM {img}
@@ -7416,6 +7438,16 @@ def q_order_totals_reconcile(sf_dir: str):
 _MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
                        "es": 150_000, "zh": 150_000, "ko": 0}
 _MIXTURE_TARGET = 2_500_000
+
+
+def q_daily_volume_anomalies(sf_dir: str):
+    """EWMA daily-volume anomaly alarm over events (alpha 0.3, 10%
+    deviation flag, exact integer fixed-point smoothing) — bounded
+    per-batch day-count partials, recursion over the day table only."""
+    from ..stages.stats import ewma_anomalies
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return ewma_anomalies(ds, "ts")
 
 
 def q_caption_dupes(sf_dir: str):
@@ -7631,6 +7663,7 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "daily_volume_anomalies": q_daily_volume_anomalies,
     "caption_dupes": q_caption_dupes,
     "image_bytes_outliers": q_image_bytes_outliers,
     "mixture_plan": q_mixture_plan,

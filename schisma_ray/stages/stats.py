@@ -930,3 +930,72 @@ def volume_drift(ds, ts_col: str, key_col: str, *,
         "ratio_e6": pa.array(ratio[order], pa.int64()),
         "drifted": pa.array(drifted[order], pa.bool_()),
     })
+
+
+def ewma_anomalies(ds, ts_col: str, *, alpha_e6: int = 300_000,
+                   threshold_e6: int = 100_000,
+                   day_us: int = 86_400_000_000) -> pa.Table:
+    """Daily-volume anomaly detection via an exponentially-weighted
+    moving average: each day's row count is compared against the EWMA
+    of the PRECEDING days and flagged when it deviates by more than
+    ``threshold_e6`` (e6 ratio, default 10%) — the capture-side
+    monitoring alarm for a source that spiked or died (the sequential
+    complement of ``volume_drift``'s two-halves view).
+
+    Distributed shape: per-batch (day, n) count partials (day = integer
+    microseconds // day_us, identical to SQL ``epoch_us // day_us``),
+    folded and summed driver-side — bounded by DISTINCT DAYS, never
+    rows. The EWMA recursion runs over that day table (sequential by
+    definition; bounded by construction). All smoothing state is exact
+    integer fixed-point: ``s_t = halfup((a*n_t*1e6 + (1e6-a)*s_{t-1}) /
+    1e6)`` — bit-identical to the recursive-CTE oracle. The first day
+    has no baseline: ``ewma_prev_e6 = -1``, never anomalous."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col].combine_chunks(), pa.int64()).drop_null()
+        day = pc.divide(us, day_us)  # int64 floor division
+        tt = pa.table({"day_idx": day})
+        agg = tt.group_by("day_idx").aggregate([([], "count_all")])
+        return agg.rename_columns(["day_idx", "n"])
+
+    schema = pa.schema([
+        ("day_idx", pa.int64()), ("n", pa.int64()),
+        ("ewma_prev_e6", pa.int64()), ("anomalous", pa.bool_()),
+    ])
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    merged = (
+        folded.group_by("day_idx").aggregate([("n", "sum")])
+        .rename_columns(["day_idx", "n"])
+    )
+    days = merged["day_idx"].to_numpy(zero_copy_only=False)
+    ns = merged["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(days, kind="stable")
+    days, ns = days[order], ns[order]
+    prev_e6, flags = [], []
+    s = None
+    for n in ns:
+        n = int(n)
+        if s is None:
+            prev_e6.append(-1)
+            flags.append(False)
+            s = n * 1_000_000
+        else:
+            prev_e6.append(s)
+            flags.append(
+                abs(n * 1_000_000 - s) * 1_000_000 > threshold_e6 * s
+            )
+            num = alpha_e6 * n * 1_000_000 + (1_000_000 - alpha_e6) * s
+            s = (2 * num + 1_000_000) // 2_000_000
+    return pa.table({
+        "day_idx": pa.array(days.astype(np.int64), pa.int64()),
+        "n": pa.array(ns.astype(np.int64), pa.int64()),
+        "ewma_prev_e6": pa.array(prev_e6, pa.int64()),
+        "anomalous": pa.array(flags, pa.bool_()),
+    })

@@ -229,3 +229,31 @@ def test_cli_validate_incremental_new_shard(tmp_path):
               "--resumable", "--files-per-partition", "1")
     assert v2.returncode == 0, v2.stderr[-2000:]
     assert json.loads(v2.stdout.strip().splitlines()[-1])["partitions_run"] == 1
+
+
+def test_cli_diff(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    old = tmp_path / "old.parquet"
+    new = tmp_path / "new.parquet"
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "v": pa.array(["a", "b", "c"], pa.string()),
+    }), old)
+    pq.write_table(pa.table({
+        "id": pa.array([2, 3, 4], pa.int64()),      # 1 removed, 4 added
+        "v": pa.array(["b", "CHANGED", "d"], pa.string()),
+    }), new)
+    res = _run("diff", "--old", str(old), "--new", str(new), "--key", "id")
+    assert res.returncode == 0, res.stderr[-2000:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert (summary["added"], summary["removed"], summary["changed"]) == (1, 1, 1)
+    assert summary["columns"] == ["v"]
+
+    out = tmp_path / "diff.parquet"
+    res2 = _run("diff", "--old", str(old), "--new", str(new), "--key", "id",
+                "--out", str(out))
+    assert res2.returncode == 0, res2.stderr[-2000:]
+    s2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert (s2["added"], s2["removed"], s2["changed"]) == (1, 1, 1)

@@ -121,3 +121,44 @@ def test_null_cooccurrence_matches_pair_loop(ray_session, seed):
         union = na + nb - both
         want = 0 if union == 0 else (2 * both * 1_000_000 + union) // (2 * union)
         assert row.jaccard_e6 == want
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_ewma_anomalies_bruteforce(ray_session, seed):
+    from schisma_ray.stages.stats import ewma_anomalies
+
+    rng = np.random.default_rng(seed)
+    n_days = 15
+    day_us = 86_400_000_000
+    counts = rng.integers(1, 40, n_days)
+    counts[rng.integers(0, n_days)] *= 5  # plant a spike
+    us = np.concatenate([
+        d * day_us + rng.integers(0, day_us, c)
+        for d, c in enumerate(counts)
+    ])
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime(us, unit="us"), pa.timestamp("us")),
+    })
+    out = ewma_anomalies(
+        rd.from_arrow(t).repartition(4), "ts"
+    ).to_pandas().sort_values("day_idx").reset_index(drop=True)
+
+    # integer fixed-point recursion reproduced independently
+    s = None
+    for i, c in enumerate(counts):
+        row = out.iloc[i]
+        assert row["day_idx"] == i and row["n"] == c
+        if s is None:
+            assert row["ewma_prev_e6"] == -1 and not row["anomalous"]
+            s = int(c) * 1_000_000
+        else:
+            assert row["ewma_prev_e6"] == s
+            want_flag = abs(int(c) * 1_000_000 - s) * 1_000_000 > 100_000 * s
+            assert bool(row["anomalous"]) == want_flag
+            # integer EWMA tracks the float recursion within 1 ulp e6
+            num = 300_000 * int(c) * 1_000_000 + 700_000 * s
+            s = (2 * num + 1_000_000) // 2_000_000
+    # the planted 5x spike must flag (unless it is day 0)
+    spike = int(np.argmax(counts))
+    if spike > 0:
+        assert bool(out.iloc[spike]["anomalous"])
