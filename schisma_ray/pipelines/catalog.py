@@ -7255,6 +7255,39 @@ SELECT lang, n_bytes, n_tokens,
          AS bytes_per_token_e6
   FROM g
 """,
+        "error_rate_ci": """
+WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                       AS BIGINT) AS k
+             FROM events)
+SELECT n, k,
+       (2 * k * 1000000 + n) // (2 * n) AS rate_e6,
+       ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+              - 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n), 6) AS lo,
+       ROUND((CAST(k AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n)
+              + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n) / n
+                            + 1.96 * 1.96 / (4.0 * n * n)))
+             / (1.0 + 1.96 * 1.96 / n), 6) AS hi
+  FROM c WHERE n > 0
+""",
+        "daily_active_users": """
+WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+                  user_id
+             FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+d AS (SELECT day_idx, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM e GROUP BY 1),
+f AS (SELECT user_id, min(day_idx) AS first_day FROM e GROUP BY 1),
+n AS (SELECT first_day AS day_idx, CAST(count(*) AS BIGINT) AS new_users
+        FROM f GROUP BY 1)
+SELECT d.day_idx, d.dau,
+       CAST(coalesce(n.new_users, 0) AS BIGINT) AS new_users
+  FROM d LEFT JOIN n USING (day_idx)
+""",
         "daily_volume_anomalies": """
 WITH RECURSIVE d AS (
   SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
@@ -7438,6 +7471,29 @@ def q_order_totals_reconcile(sf_dir: str):
 _MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
                        "es": 150_000, "zh": 150_000, "ko": 0}
 _MIXTURE_TARGET = 2_500_000
+
+
+def q_error_rate_ci(sf_dir: str):
+    """Wilson 95% interval for the error-event rate — the sample-size-
+    aware release-gate bound (compare the UPPER bound to the budget,
+    not the point rate). Integer count partials; one float expression
+    shared verbatim with the oracle."""
+    from ..stages.stats import rate_wilson_ci
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    return rate_wilson_ci(ds, "event_type", "error")
+
+
+def q_daily_active_users(sf_dir: str):
+    """Exact DAU + first-seen new users per day (two-level distinct:
+    batch-local pair dedup -> one distributed distinct -> bounded
+    folds)."""
+    from ..stages.stats import daily_active_users
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "user_id"])
+    return daily_active_users(ds, "ts", "user_id")
 
 
 def q_daily_volume_anomalies(sf_dir: str):
@@ -7663,6 +7719,8 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "error_rate_ci": q_error_rate_ci,
+    "daily_active_users": q_daily_active_users,
     "daily_volume_anomalies": q_daily_volume_anomalies,
     "caption_dupes": q_caption_dupes,
     "image_bytes_outliers": q_image_bytes_outliers,

@@ -999,3 +999,139 @@ def ewma_anomalies(ds, ts_col: str, *, alpha_e6: int = 300_000,
         "ewma_prev_e6": pa.array(prev_e6, pa.int64()),
         "anomalous": pa.array(flags, pa.bool_()),
     })
+
+
+def daily_active_users(ds, ts_col: str, user_col: str, *,
+                       day_us: int = 86_400_000_000) -> pa.Table:
+    """Daily-active / new-user audit: per day the EXACT distinct user
+    count and how many of those users appeared for the first time —
+    the engagement-shape check that catches id-space resets (every
+    user suddenly "new") and logging dropouts (DAU cliff).
+
+    Scale shape: per-batch local (day, user) dedup shrinks the input
+    before ONE distributed distinct groupby; per-day counts and
+    first-seen days then fold from DISTINCT-PAIR partials, bounded by
+    days x blocks and users respectively, and the final assembly is a
+    days-sized driver table. Null timestamps / users are excluded."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def pairs(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col].combine_chunks(), pa.int64())
+        tt = pa.table({
+            "day_idx": pc.divide(us, day_us),
+            user_col: t[user_col],
+        }).filter(
+            pc.and_(pc.is_valid(us),
+                    pc.is_valid(t[user_col].combine_chunks()))
+        )
+        return tt.group_by(["day_idx", user_col]).aggregate([])
+
+    distinct = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day_idx", user_col])
+        .count()
+    )
+
+    def day_partial(t: pa.Table) -> pa.Table:
+        agg = t.select(["day_idx"]).group_by("day_idx").aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns(["day_idx", "n"])
+
+    schema = pa.schema([
+        ("day_idx", pa.int64()), ("dau", pa.int64()),
+        ("new_users", pa.int64()),
+    ])
+    dau_folded = fold_table(
+        distinct.map_batches(day_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    )
+    if dau_folded is None:
+        return schema.empty_table()
+    dau = dict(zip(
+        *(lambda m: (m["day_idx"].to_pylist(), m["n"].to_pylist()))(
+            dau_folded.group_by("day_idx").aggregate([("n", "sum")])
+            .rename_columns(["day_idx", "n"])
+        )
+    ))
+    first = distinct.groupby(user_col).min("day_idx")
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        agg = (
+            pa.table({"day_idx": t["min(day_idx)"]})
+            .group_by("day_idx").aggregate([([], "count_all")])
+        )
+        return agg.rename_columns(["day_idx", "n"])
+
+    new_folded = fold_table(
+        first.map_batches(first_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    )
+    new = {}
+    if new_folded is not None:
+        m = (new_folded.group_by("day_idx").aggregate([("n", "sum")])
+             .rename_columns(["day_idx", "n"]))
+        new = dict(zip(m["day_idx"].to_pylist(), m["n"].to_pylist()))
+    days = sorted(dau)
+    return pa.table({
+        "day_idx": pa.array(days, pa.int64()),
+        "dau": pa.array([int(dau[d]) for d in days], pa.int64()),
+        "new_users": pa.array([int(new.get(d, 0)) for d in days],
+                              pa.int64()),
+    })
+
+
+def rate_wilson_ci(ds, col: str, value, *, z: float = 1.96) -> pa.Table:
+    """One-row Wilson score interval for the rate of ``col == value``:
+    (n, k, rate_e6, lo, hi) — the sample-size-aware version of a flat
+    rate threshold (a 2% error rate over 100 rows and over 10 million
+    rows are different facts; a release gate should compare the BOUND,
+    not the point estimate).
+
+    Counts fold from per-batch integer partials (bounded, exact). The
+    interval itself is one float expression over those two integers,
+    written identically in the SQL oracle and rounded to 6dp on both
+    sides (the grouped-corr recipe: correctly-rounded IEEE div/sqrt
+    over identical integers). Null cells count in n, not in k."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        k = pc.sum(pc.equal(c, value)).as_py() or 0
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "k": pa.array([int(k)], pa.int64()),
+        })
+
+    schema = pa.schema([
+        ("n", pa.int64()), ("k", pa.int64()), ("rate_e6", pa.int64()),
+        ("lo", pa.float64()), ("hi", pa.float64()),
+    ])
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    n = sum(folded["n"].to_pylist())
+    k = sum(folded["k"].to_pylist())
+    if n == 0:
+        return schema.empty_table()
+    p = k / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2.0 * n)
+    margin = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "rate_e6": pa.array([(2 * k * 1_000_000 + n) // (2 * n)],
+                            pa.int64()),
+        "lo": pa.array([round((center - margin) / denom, 6)], pa.float64()),
+        "hi": pa.array([round((center + margin) / denom, 6)], pa.float64()),
+    })

@@ -162,3 +162,53 @@ def test_ewma_anomalies_bruteforce(ray_session, seed):
     spike = int(np.argmax(counts))
     if spike > 0:
         assert bool(out.iloc[spike]["anomalous"])
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_daily_active_users_bruteforce(ray_session, seed):
+    from schisma_ray.stages.stats import daily_active_users
+
+    rng = np.random.default_rng(seed)
+    n = 500
+    day_us = 86_400_000_000
+    days = rng.integers(0, 10, n)
+    users = rng.integers(0, 25, n)
+    us = days * day_us + rng.integers(0, day_us, n)
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime(us, unit="us"), pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+    })
+    out = daily_active_users(
+        rd.from_arrow(t).repartition(5), "ts", "user_id"
+    ).to_pandas().set_index("day_idx")
+
+    df = pd.DataFrame({"d": days, "u": users})
+    dau = df.groupby("d")["u"].nunique()
+    first = df.groupby("u")["d"].min().value_counts()
+    for d in dau.index:
+        assert out.loc[d, "dau"] == dau[d]
+        assert out.loc[d, "new_users"] == int(first.get(d, 0))
+    assert out["new_users"].sum() == df["u"].nunique()
+
+
+def test_rate_wilson_ci_properties(ray_session):
+    from schisma_ray.stages.stats import rate_wilson_ci
+
+    t = pa.table({"c": pa.array(["e"] * 20 + ["x"] * 80, pa.string())})
+    out = rate_wilson_ci(
+        rd.from_arrow(t).repartition(3), "c", "e"
+    ).to_pandas().iloc[0]
+    assert (out["n"], out["k"], out["rate_e6"]) == (100, 20, 200_000)
+    # Wilson bounds bracket the point estimate and tighten with n
+    assert out["lo"] < 0.2 < out["hi"]
+    big = pa.table({"c": pa.array((["e"] * 20 + ["x"] * 80) * 50,
+                                  pa.string())})
+    wide = out["hi"] - out["lo"]
+    out2 = rate_wilson_ci(rd.from_arrow(big), "c", "e").to_pandas().iloc[0]
+    assert (out2["hi"] - out2["lo"]) < wide / 4
+    # hand-computed check: k=20 n=100 z=1.96 -> [0.1334, 0.2888] (4dp)
+    assert abs(out["lo"] - 0.13337) < 5e-4 and abs(out["hi"] - 0.28883) < 5e-4
+    # nulls count in n, not k
+    t3 = pa.table({"c": pa.array(["e", None, "x", None], pa.string())})
+    out3 = rate_wilson_ci(rd.from_arrow(t3), "c", "e").to_pandas().iloc[0]
+    assert (out3["n"], out3["k"]) == (4, 1)
