@@ -126,6 +126,13 @@ def main(argv=None) -> int:
                    help="drop docs carrying U+FFFD replacement chars "
                         "or disallowed C0 control chars (decode-"
                         "corruption screen)")
+    p.add_argument("--classifier-model", default=None,
+                   help="(word, weight_e6) parquet from "
+                        "train_word_classifier: adds the model-based "
+                        "quality filter (fastText/DCLM slot)")
+    p.add_argument("--min-classifier-e6", type=int, default=0,
+                   help="minimum integer classifier score (with "
+                        "--classifier-model)")
     p.add_argument("--min-entropy-e6", type=int, default=0,
                    help="> 0 drops docs below this character-entropy "
                         "floor (e6-integer bits)")
@@ -284,6 +291,12 @@ def main(argv=None) -> int:
             from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
             from schisma_ray.sources.reader import read_table
 
+            clf_model = None
+            if args.classifier_model:
+                import pyarrow.parquet as pq
+
+                clf_model = pq.read_table(args.classifier_model)
+
             out = prepare_corpus(
                 read_table(args.docs),
                 bench=read_table(args.bench) if args.bench else None,
@@ -300,6 +313,8 @@ def main(argv=None) -> int:
                 min_entropy_e6=args.min_entropy_e6,
                 max_entropy_e6=args.max_entropy_e6,
                 exact_substr_k=args.exact_substr_k,
+                classifier_model=clf_model,
+                min_classifier_e6=args.min_classifier_e6,
             )
             if args.shards > 1:
                 import pyarrow as pa

@@ -7255,6 +7255,72 @@ SELECT lang, n_bytes, n_tokens,
          AS bytes_per_token_e6
   FROM g
 """,
+        "corpus_prepare_classifier": f"""
+WITH red AS (
+  SELECT doc_id, source, lang,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}',
+           '[EMAIL]', 'g') AS text
+    FROM documents),
+m AS (
+  SELECT *, CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS n_upper
+    FROM red),
+s AS (
+  SELECT *, ROUND(
+      0.4 * LEAST(1.0, n_words / 64.0)
+    + 0.3 * (CASE WHEN n_words > 0
+                   AND (n_chars - (n_words - 1)) / n_words >= 3
+                   AND (n_chars - (n_words - 1)) / n_words <= 12
+                  THEN 1.0 ELSE 0.0 END)
+    + 0.3 * (1.0 - CASE WHEN n_chars > 0 THEN n_upper / n_chars ELSE 0.0 END), 6) AS score
+    FROM m),
+filt AS (SELECT doc_id, source, text FROM s
+          WHERE lang = 'en' AND score >= 0.5),
+wrd AS (
+  SELECT doc_id, x AS word
+    FROM filt, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> x <> '')) AS t(x)),
+clf AS (
+  SELECT w.doc_id, CAST(SUM(mm.weight_e6) AS BIGINT) AS clf_score
+    FROM wrd w JOIN read_parquet('{_word_classifier_file(ORACLE_SF_DIR)}') mm
+      USING (word)
+   GROUP BY 1),
+kept AS (
+  SELECT f.* FROM filt f LEFT JOIN clf USING (doc_id)
+   WHERE coalesce(clf.clf_score, 0) >= 0),
+surv AS (
+  SELECT * FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper FROM kept)
+   WHERE doc_id = keeper),
+capped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM surv) WHERE rn <= 10)
+SELECT doc_id, CAST(i // 60 AS BIGINT) AS chunk_idx,
+       substring(text, CAST(i+1 AS BIGINT), 80) AS chunk_text
+  FROM capped, unnest(range(0, greatest(length(text), 1), 60)) AS t(i)
+""",
+        "string_length_profile": """
+WITH u AS (
+  SELECT 'text' AS "column", text AS v FROM documents
+  UNION ALL SELECT 'lang', lang FROM documents
+  UNION ALL SELECT 'source', source FROM documents)
+SELECT "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(SUM(CASE WHEN v = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+       CAST(coalesce(min(length(v)), -1) AS BIGINT) AS min_len,
+       CAST(coalesce(max(length(v)), -1) AS BIGINT) AS max_len,
+       CAST(CASE WHEN count(v) = 0 THEN -1
+                 ELSE (2 * SUM(CAST(length(v) AS BIGINT)) * 1000000
+                       + count(v)) // (2 * count(v)) END AS BIGINT)
+         AS mean_len_e6
+  FROM u GROUP BY "column"
+""",
         "error_rate_ci": """
 WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
@@ -7471,6 +7537,41 @@ def q_order_totals_reconcile(sf_dir: str):
 _MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
                        "es": 150_000, "zh": 150_000, "ko": 0}
 _MIXTURE_TARGET = 2_500_000
+
+
+def q_corpus_prepare_classifier(sf_dir: str):
+    """Production corpus prep WITH the model-based quality filter
+    (the fastText/DCLM/FineWeb-Edu slot): email redaction -> lang +
+    quality filter -> classifier score >= 0 over the persisted
+    naive-Bayes word model -> exact dedup keep-first -> per-source cap
+    of 10 -> 80/60 chunking — the
+    ``prepare_corpus(classifier_model=...)`` composite, same code path
+    as CLI ``prepare --classifier-model``."""
+    import pyarrow.parquet as pq
+
+    from .corpus_pipeline import prepare_corpus
+
+    docs = _t(sf_dir, "documents")
+    model = pq.read_table(_word_classifier_file(sf_dir))
+    return _collect(
+        prepare_corpus(
+            docs, classifier_model=model, min_classifier_e6=0,
+            langs=("en",), min_quality=0.5, cap_per_source=10,
+            chunk_size=80, chunk_stride=60,
+        ),
+        ["doc_id", "chunk_idx", "chunk_text"],
+    )
+
+
+def q_string_length_profile(sf_dir: str):
+    """Codepoint-length profile of the document string columns
+    (nulls/empties/min/max/half-up e6 mean) — the VARCHAR-bounds
+    sanity sweep; five-int partials per column per block."""
+    from ..stages.profile import string_length_profile
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["text", "lang", "source"])
+    return string_length_profile(ds, ["text", "lang", "source"])
 
 
 def q_error_rate_ci(sf_dir: str):
@@ -7719,6 +7820,8 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "corpus_prepare_classifier": q_corpus_prepare_classifier,
+    "string_length_profile": q_string_length_profile,
     "error_rate_ci": q_error_rate_ci,
     "daily_active_users": q_daily_active_users,
     "daily_volume_anomalies": q_daily_volume_anomalies,

@@ -46,6 +46,8 @@ def prepare_corpus(
     max_entropy_e6: int = 0,
     minhash_threshold: float = 0.8,
     exact_substr_k: int = 0,
+    classifier_model=None,
+    min_classifier_e6: int = 0,
 ):
     """documents Dataset -> (id, chunk_idx, chunk_text) Dataset.
 
@@ -72,6 +74,15 @@ def prepare_corpus(
     >= k words are dropped from every document (docs left empty drop
     out); removing shared boilerplate first makes more near-identical
     texts exactly identical for the dedup pass.
+
+    ``classifier_model`` (a (word, weight_e6) table from
+    ``train_word_classifier``) adds the fastText/DCLM/FineWeb-style
+    model-based quality filter: each doc's integer word-weight sum over
+    the redacted text must reach ``min_classifier_e6`` (docs with no
+    vocabulary hits score 0). The model broadcasts once via
+    ``ray.put``; scoring is the shared ``classifier_score_values``
+    kernel — vectorized, zero shuffle, applied with the other row-local
+    predicates BEFORE dedup.
 
     ``dedup`` picks the exact-dedup survivor attachment:
 
@@ -125,6 +136,15 @@ def prepare_corpus(
             docs, text_col=text_col, id_col=id_col,
             min_lines=c4_min_lines, carry_cols=(lang_col, source_col),
         )
+
+    clf_ref = None
+    if classifier_model is not None:
+        clf_ref = ray.put((
+            classifier_model["word"].combine_chunks(),
+            classifier_model["weight_e6"].to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64),
+        ))
 
     ent_ref = None
     if min_entropy_e6 > 0 or max_entropy_e6 > 0:
@@ -219,6 +239,14 @@ def prepare_corpus(
             if max_entropy_e6 > 0:
                 e_ok &= ent <= max_entropy_e6
             out = out.filter(pa.array(e_ok))
+        if clf_ref is not None and out.num_rows:
+            from ..stages.text import classifier_score_values
+
+            vocab, weights = ray.get(clf_ref)
+            clf_score, _ = classifier_score_values(
+                out[text_col].combine_chunks(), vocab, weights
+            )
+            out = out.filter(pa.array(clf_score >= min_classifier_e6))
         return out
 
     prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)

@@ -296,3 +296,85 @@ def null_cooccurrence(ds, columns: list[str]):
     return pa.table(
         {n: pa.array(rows[n], schema.field(n).type) for n in schema.names}
     )
+
+
+def string_length_profile(ds, columns: list[str]):
+    """Per-string-column length profile: row/null/empty counts and
+    min/max/total codepoint length (mean as a half-up e6 integer) —
+    the width-sanity sweep a schema migration runs before declaring
+    VARCHAR bounds (a 0-char name and a 4000-char status are both
+    schema smells that type checks alone never see).
+
+    One streaming pass; per-batch partials are five ints per column,
+    folded driver-side (bounded by columns x blocks). Null cells count
+    in ``n_nulls`` only; empty strings in ``n_empty`` and the length
+    stats (length 0)."""
+    from ._fold import fold_table
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"column": [], "n_rows": [], "n_nulls": [], "n_empty": [],
+                "min_len": [], "max_len": [], "sum_len": []}
+        for c in columns:
+            col = batch[c].combine_chunks()
+            valid = col.drop_null()
+            lens = pc.utf8_length(valid)
+            n_valid = len(valid)
+            rows["column"].append(c)
+            rows["n_rows"].append(batch.num_rows)
+            rows["n_nulls"].append(col.null_count)
+            rows["n_empty"].append(
+                pc.sum(pc.equal(lens, 0)).as_py() or 0 if n_valid else 0
+            )
+            rows["min_len"].append(
+                pc.min(lens).as_py() if n_valid else None
+            )
+            rows["max_len"].append(
+                pc.max(lens).as_py() if n_valid else None
+            )
+            rows["sum_len"].append(
+                pc.sum(lens).as_py() or 0 if n_valid else 0
+            )
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n_rows": pa.array(rows["n_rows"], pa.int64()),
+            "n_nulls": pa.array(rows["n_nulls"], pa.int64()),
+            "n_empty": pa.array(rows["n_empty"], pa.int64()),
+            "min_len": pa.array(rows["min_len"], pa.int64()),
+            "max_len": pa.array(rows["max_len"], pa.int64()),
+            "sum_len": pa.array(rows["sum_len"], pa.int64()),
+        })
+
+    schema = pa.schema([
+        ("column", pa.string()), ("n_rows", pa.int64()),
+        ("n_nulls", pa.int64()), ("n_empty", pa.int64()),
+        ("min_len", pa.int64()), ("max_len", pa.int64()),
+        ("mean_len_e6", pa.int64()),
+    ])
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    df = folded.to_pandas()
+    out = {n: [] for n in schema.names}
+    for c in columns:
+        g = df[df["column"] == c]
+        n_rows = int(g["n_rows"].sum())
+        n_nulls = int(g["n_nulls"].sum())
+        n_valid = n_rows - n_nulls
+        sum_len = int(g["sum_len"].sum())
+        mins = g["min_len"].dropna()
+        maxs = g["max_len"].dropna()
+        out["column"].append(c)
+        out["n_rows"].append(n_rows)
+        out["n_nulls"].append(n_nulls)
+        out["n_empty"].append(int(g["n_empty"].sum()))
+        out["min_len"].append(int(mins.min()) if len(mins) else -1)
+        out["max_len"].append(int(maxs.max()) if len(maxs) else -1)
+        out["mean_len_e6"].append(
+            -1 if n_valid == 0
+            else (2 * sum_len * 1_000_000 + n_valid) // (2 * n_valid)
+        )
+    return pa.table(
+        {n: pa.array(out[n], schema.field(n).type) for n in schema.names}
+    )

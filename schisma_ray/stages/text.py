@@ -1280,20 +1280,7 @@ def classifier_score(ds, model: pa.Table, *, col: str = "text",
     def fn(batch: pa.Table) -> pa.Table:
         vocab, weights = ray.get(model_ref)
         texts = pc.fill_null(batch[col].combine_chunks(), "")
-        wsplit = pc.split_pattern_regex(texts, r"\s+")
-        lens = pc.list_value_length(wsplit).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        flat = pc.list_flatten(wsplit)
-        parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        # index_in yields NULL (not -1) for out-of-vocab words
-        idx = pc.fill_null(pc.index_in(flat, value_set=vocab), -1).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        hit = idx >= 0
-        w = np.where(hit, weights[np.where(hit, idx, 0)], 0)
-        score = np.bincount(parent, weights=w, minlength=len(lens)).astype(np.int64)
-        hits = np.bincount(parent, weights=hit, minlength=len(lens)).astype(np.int64)
+        score, hits = classifier_score_values(texts, vocab, weights)
         return pa.table(
             {
                 id_col: batch[id_col],
@@ -1303,6 +1290,30 @@ def classifier_score(ds, model: pa.Table, *, col: str = "text",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def classifier_score_values(texts: pa.Array, vocab: pa.Array,
+                            weights: np.ndarray):
+    """(score_e6, n_hits) int64 arrays for one (null-free) Arrow string
+    array under a frozen integer-weight word model — the kernel shared
+    by the ``classifier_score`` stage and the ``prepare_corpus``
+    classifier filter. One whitespace explode + one ``pc.index_in`` +
+    two bincounts; out-of-vocab words contribute 0."""
+    wsplit = pc.split_pattern_regex(texts, r"\s+")
+    lens = pc.list_value_length(wsplit).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    flat = pc.list_flatten(wsplit)
+    parent = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    # index_in yields NULL (not -1) for out-of-vocab words
+    idx = pc.fill_null(pc.index_in(flat, value_set=vocab), -1).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    hit = idx >= 0
+    w = np.where(hit, weights[np.where(hit, idx, 0)], 0)
+    score = np.bincount(parent, weights=w, minlength=len(lens)).astype(np.int64)
+    hits = np.bincount(parent, weights=hit, minlength=len(lens)).astype(np.int64)
+    return score, hits
 
 
 class LangMismatch(LangId):

@@ -257,3 +257,21 @@ def test_cli_diff(tmp_path):
     assert res2.returncode == 0, res2.stderr[-2000:]
     s2 = json.loads(res2.stdout.strip().splitlines()[-1])
     assert (s2["added"], s2["removed"], s2["changed"]) == (1, 1, 1)
+
+
+def test_cli_prepare_classifier(tmp_path):
+    from schisma_ray.pipelines.catalog import _word_classifier_file
+
+    sf = "/root/testdata/sf0.001"
+    model = str(_word_classifier_file(sf))
+    out = tmp_path / "chunks"
+    res = _run("prepare", "--docs", f"{sf}/documents.parquet",
+               "--out", str(out), "--classifier-model", model,
+               "--min-classifier-e6", "0")
+    assert res.returncode == 0, res.stderr[-2000:]
+    n_clf = json.loads(res.stdout.strip().splitlines()[-1])["chunks_written"]
+    out2 = tmp_path / "chunks_plain"
+    res2 = _run("prepare", "--docs", f"{sf}/documents.parquet",
+                "--out", str(out2))
+    n_plain = json.loads(res2.stdout.strip().splitlines()[-1])["chunks_written"]
+    assert 0 < n_clf < n_plain

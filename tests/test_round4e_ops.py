@@ -315,3 +315,31 @@ def test_caption_dupes_and_bytes_outliers(ray_session):
     assert set(out.columns) == {"image_id", "fmt", "z"}
     assert (out["z"].abs() >= 2.5).all()
     assert len(out) > 0
+
+
+def test_prepare_corpus_classifier_filter(ray_session):
+    import pyarrow.parquet as pq
+
+    from schisma_ray.pipelines.catalog import _t, _word_classifier_file
+    from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
+
+    sf = "/root/testdata/sf0.001"
+    docs = _t(sf, "documents")
+    model = pq.read_table(_word_classifier_file(sf))
+    base = prepare_corpus(
+        docs, langs=("en",), min_quality=0.5,
+        chunk_size=80, chunk_stride=60,
+    ).to_pandas()
+    clf = prepare_corpus(
+        docs, classifier_model=model, min_classifier_e6=0,
+        langs=("en",), min_quality=0.5, chunk_size=80, chunk_stride=60,
+    ).to_pandas()
+    # the model filter strictly shrinks the output and keeps a subset
+    assert 0 < clf["doc_id"].nunique() < base["doc_id"].nunique()
+    assert set(clf["doc_id"]) <= set(base["doc_id"])
+    # a stricter threshold shrinks it further (monotone)
+    strict = prepare_corpus(
+        docs, classifier_model=model, min_classifier_e6=1_000_000,
+        langs=("en",), min_quality=0.5, chunk_size=80, chunk_stride=60,
+    ).to_pandas()
+    assert set(strict["doc_id"]) <= set(clf["doc_id"])

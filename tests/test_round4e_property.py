@@ -212,3 +212,22 @@ def test_rate_wilson_ci_properties(ray_session):
     t3 = pa.table({"c": pa.array(["e", None, "x", None], pa.string())})
     out3 = rate_wilson_ci(rd.from_arrow(t3), "c", "e").to_pandas().iloc[0]
     assert (out3["n"], out3["k"]) == (4, 1)
+
+
+def test_string_length_profile_bruteforce(ray_session):
+    from schisma_ray.stages.profile import string_length_profile
+
+    t = pa.table({
+        "a": pa.array(["abc", "", None, "fifty", "x"], pa.string()),
+        "b": pa.array([None, None, None, None, None], pa.string()),
+    })
+    out = string_length_profile(
+        rd.from_arrow(t).repartition(3), ["a", "b"]
+    ).to_pandas().set_index("column")
+    r = out.loc["a"]
+    assert (r.n_rows, r.n_nulls, r.n_empty) == (5, 1, 1)
+    assert (r.min_len, r.max_len) == (0, 5)
+    # mean over valid: (3+0+5+1)/4 = 2.25 -> 2250000
+    assert r.mean_len_e6 == 2_250_000
+    rb = out.loc["b"]
+    assert (rb.n_nulls, rb.min_len, rb.max_len, rb.mean_len_e6) == (5, -1, -1, -1)
