@@ -7255,6 +7255,31 @@ SELECT lang, n_bytes, n_tokens,
          AS bytes_per_token_e6
   FROM g
 """,
+        "conform_repair_summary": f"""
+WITH j AS (
+  SELECT r.w AS rw, e.w AS ew, r.h AS rh, e.h AS eh,
+         r.fmt AS rf, e.fmt AS ef, r.caption AS rc, e.caption AS ec,
+         r.phash AS rp, e.phash AS ep
+    FROM {img} r
+    JOIN {expconf} e USING (image_id)),
+u AS (
+  SELECT 'w' AS "column",
+         CAST(SUM(CASE WHEN rw IS DISTINCT FROM ew THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_repaired FROM j
+  UNION ALL
+  SELECT 'h', CAST(SUM(CASE WHEN rh IS DISTINCT FROM eh THEN 1 ELSE 0 END)
+              AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'fmt', CAST(SUM(CASE WHEN rf IS DISTINCT FROM ef THEN 1 ELSE 0 END)
+              AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'caption', CAST(SUM(CASE WHEN rc IS DISTINCT FROM ec THEN 1 ELSE 0 END)
+              AS BIGINT) FROM j
+  UNION ALL
+  SELECT 'phash', CAST(SUM(CASE WHEN rp IS DISTINCT FROM ep THEN 1 ELSE 0 END)
+              AS BIGINT) FROM j)
+SELECT * FROM u
+""",
         "corpus_prepare_classifier": f"""
 WITH red AS (
   SELECT doc_id, source, lang,
@@ -7539,6 +7564,54 @@ _MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
 _MIXTURE_TARGET = 2_500_000
 
 
+def q_conform_repair_summary(sf_dir: str):
+    """Per-column conform repair counts: how many cells each metadata
+    column had REPAIRED by the full conform pass — the aggregate 'what
+    did conform actually do' report behind the row-level conform-diff
+    query (the number a schema owner reads before trusting auto-repair
+    in production). Actor-pool conformer (state per actor), null-aware
+    vectorized compare per batch, 5-int partials folded driver-side."""
+    import pyarrow.compute as pc
+
+    from ..stages._fold import fold_table
+    from .validate_pipeline import FusedConformer, read_images
+
+    cols = ["w", "h", "fmt", "caption", "phash"]
+
+    class RepairCount:
+        def __init__(self):
+            self.conform = FusedConformer()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = self.conform(t)  # row order preserved (pure map)
+            counts = {}
+            for c in cols:
+                a = t[c].combine_chunks()
+                b = out[c].combine_chunks()
+                both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+                neq = pc.fill_null(pc.not_equal(a, b), True)
+                changed = pc.and_(neq, pc.invert(both_null))
+                counts[c] = pa.array(
+                    [int(pc.sum(changed).as_py() or 0)], pa.int64()
+                )
+            return pa.table(counts)
+
+    folded = fold_table(
+        read_images(_img_dir(sf_dir)).map_batches(
+            RepairCount, batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=(1, 4),
+        )
+    )
+    totals = {
+        c: (sum(folded[c].to_pylist()) if folded is not None else 0)
+        for c in cols
+    }
+    return pa.table({
+        "column": pa.array(cols, pa.string()),
+        "n_repaired": pa.array([totals[c] for c in cols], pa.int64()),
+    })
+
+
 def q_corpus_prepare_classifier(sf_dir: str):
     """Production corpus prep WITH the model-based quality filter
     (the fastText/DCLM/FineWeb-Edu slot): email redaction -> lang +
@@ -7820,6 +7893,7 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "conform_repair_summary": q_conform_repair_summary,
     "corpus_prepare_classifier": q_corpus_prepare_classifier,
     "string_length_profile": q_string_length_profile,
     "error_rate_ci": q_error_rate_ci,

@@ -343,3 +343,16 @@ def test_prepare_corpus_classifier_filter(ray_session):
         langs=("en",), min_quality=0.5, chunk_size=80, chunk_stride=60,
     ).to_pandas()
     assert set(strict["doc_id"]) <= set(clf["doc_id"])
+
+
+def test_conform_repair_summary(ray_session):
+    from schisma_ray.pipelines.catalog import QUERIES
+
+    out = QUERIES["conform_repair_summary"](
+        "/root/testdata/sf0.001"
+    ).to_pandas().set_index("column")
+    assert set(out.index) == {"w", "h", "fmt", "caption", "phash"}
+    # seeded defects guarantee every column has repairs at sf0.001
+    assert (out["n_repaired"] > 0).all()
+    # and conform never rewrites the whole table
+    assert (out["n_repaired"] < 1500).all()
