@@ -291,6 +291,11 @@ def main(argv=None) -> int:
             from schisma_ray.pipelines.corpus_pipeline import prepare_corpus
             from schisma_ray.sources.reader import read_table
 
+            if args.min_classifier_e6 and not args.classifier_model:
+                # a threshold without a model would silently not filter
+                print("error: --min-classifier-e6 requires "
+                      "--classifier-model", file=sys.stderr)
+                return 2
             clf_model = None
             if args.classifier_model:
                 import pyarrow.parquet as pq
@@ -373,40 +378,31 @@ def main(argv=None) -> int:
 
             ds_old = read_table(args.old)
             ds_new = read_table(args.new)
+            shared = [c for c in ds_old.schema().names
+                      if c in set(ds_new.schema().names)]
             if args.columns:
                 cols = [c.strip() for c in args.columns.split(",")]
+                bad = [c for c in cols if not c or c not in shared]
+                if bad:
+                    print(f"error: columns not shared by both tables: "
+                          f"{', '.join(repr(c) for c in bad)} (shared: "
+                          f"{', '.join(shared)})", file=sys.stderr)
+                    return 2
             else:
-                shared = [c for c in ds_old.schema().names
-                          if c in set(ds_new.schema().names)]
                 cols = [c for c in shared if c != args.key]
             if not cols:
                 print("error: no shared non-key columns to compare",
                       file=sys.stderr)
                 return 2
-            diff = table_diff(ds_old, ds_new, args.key, cols)
+            # one materialized pass: the tally always comes from THIS
+            # run's Dataset (a reused --out dir may hold other runs'
+            # files), and a later write doesn't re-execute the diff
+            diff = table_diff(ds_old, ds_new, args.key, cols).materialize()
+            tally = {"added": 0, "removed": 0, "changed": 0}
+            for row in diff.groupby("change").count().take_all():
+                tally[row["change"]] = int(row["count()"])
             if args.out:
                 diff.write_parquet(args.out)
-            tally = {"added": 0, "removed": 0, "changed": 0}
-            if not args.out:
-                import pyarrow as pa
-
-                for b in diff.iter_batches(batch_format="pyarrow",
-                                           batch_size=None):
-                    t = (b if isinstance(b, pa.Table)
-                         else pa.Table.from_batches([b]))
-                    for ch in t["change"].to_pylist():
-                        tally[ch] += 1
-            else:
-                import pyarrow.dataset as pads
-
-                try:
-                    fragments = pads.dataset(args.out).to_table(
-                        columns=["change"]
-                    )["change"].to_pylist()
-                except FileNotFoundError:
-                    fragments = []  # no differences -> nothing written
-                for ch in fragments:
-                    tally[ch] += 1
             print(json.dumps({**tally, "columns": cols,
                               **({"out": args.out} if args.out else {})}))
         elif args.cmd == "run":

@@ -243,8 +243,11 @@ def prepare_corpus(
             from ..stages.text import classifier_score_values
 
             vocab, weights = ray.get(clf_ref)
+            # the kernel requires null-free text (a null survives the
+            # quality filter at min_quality <= 0.3); null scores 0
             clf_score, _ = classifier_score_values(
-                out[text_col].combine_chunks(), vocab, weights
+                pc.fill_null(out[text_col].combine_chunks(), ""),
+                vocab, weights,
             )
             out = out.filter(pa.array(clf_score >= min_classifier_e6))
         return out

@@ -1028,10 +1028,14 @@ def daily_active_users(ds, ts_col: str, user_col: str, *,
         )
         return tt.group_by(["day_idx", user_col]).aggregate([])
 
+    # materialized: BOTH the per-day fold and the first-seen branch
+    # consume it — without this the read + dedup + distinct shuffle
+    # would re-execute per consumer (the multi-consumer lesson)
     distinct = (
         ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["day_idx", user_col])
         .count()
+        .materialize()
     )
 
     def day_partial(t: pa.Table) -> pa.Table:
@@ -1050,12 +1054,9 @@ def daily_active_users(ds, ts_col: str, user_col: str, *,
     )
     if dau_folded is None:
         return schema.empty_table()
-    dau = dict(zip(
-        *(lambda m: (m["day_idx"].to_pylist(), m["n"].to_pylist()))(
-            dau_folded.group_by("day_idx").aggregate([("n", "sum")])
-            .rename_columns(["day_idx", "n"])
-        )
-    ))
+    m = (dau_folded.group_by("day_idx").aggregate([("n", "sum")])
+         .rename_columns(["day_idx", "n"]))
+    dau = dict(zip(m["day_idx"].to_pylist(), m["n"].to_pylist()))
     first = distinct.groupby(user_col).min("day_idx")
 
     def first_partial(t: pa.Table) -> pa.Table:

@@ -275,3 +275,41 @@ def test_cli_prepare_classifier(tmp_path):
                 "--out", str(out2))
     n_plain = json.loads(res2.stdout.strip().splitlines()[-1])["chunks_written"]
     assert 0 < n_clf < n_plain
+
+
+def test_cli_diff_guards_and_stable_tally(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    old = tmp_path / "old.parquet"
+    new = tmp_path / "new.parquet"
+    pq.write_table(pa.table({
+        "id": pa.array([1, 2], pa.int64()),
+        "v": pa.array(["a", "b"], pa.string()),
+    }), old)
+    pq.write_table(pa.table({
+        "id": pa.array([1, 3], pa.int64()),
+        "v": pa.array(["a", "c"], pa.string()),
+    }), new)
+    # unknown / empty column entries fail fast with exit 2
+    bad = _run("diff", "--old", str(old), "--new", str(new), "--key", "id",
+               "--columns", "v,")
+    assert bad.returncode == 2 and "not shared" in bad.stderr
+    # reusing --out must not double-count stale files from a prior run
+    out = tmp_path / "d"
+    r1 = _run("diff", "--old", str(old), "--new", str(new), "--key", "id",
+              "--out", str(out))
+    r2 = _run("diff", "--old", str(old), "--new", str(new), "--key", "id",
+              "--out", str(out))
+    s1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    s2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert (s1["added"], s1["removed"]) == (1, 1)
+    assert (s2["added"], s2["removed"]) == (1, 1)
+
+
+def test_cli_prepare_classifier_threshold_requires_model(tmp_path):
+    res = _run("prepare", "--docs",
+               "/root/testdata/sf0.001/documents.parquet",
+               "--out", str(tmp_path / "o"), "--min-classifier-e6", "5")
+    assert res.returncode == 2
+    assert "--classifier-model" in res.stderr
