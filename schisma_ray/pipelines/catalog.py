@@ -7255,6 +7255,35 @@ SELECT lang, n_bytes, n_tokens,
          AS bytes_per_token_e6
   FROM g
 """,
+        "hourly_profile_drift": """
+WITH b AS (SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+                   + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid
+             FROM events WHERE ts IS NOT NULL),
+h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+             CASE WHEN epoch_us(ts) >= b.mid THEN 1 ELSE 0 END AS second
+        FROM events, b WHERE ts IS NOT NULL),
+hours AS (SELECT CAST(x AS BIGINT) AS hour FROM unnest(range(0, 24)) t(x)),
+c AS (SELECT hours.hour,
+             CAST(coalesce(SUM(CASE WHEN h.second = 0 THEN 1 END), 0)
+                  AS BIGINT) AS n_first,
+             CAST(coalesce(SUM(CASE WHEN h.second = 1 THEN 1 END), 0)
+                  AS BIGINT) AS n_second
+        FROM hours LEFT JOIN h ON h.hour = hours.hour
+       GROUP BY hours.hour),
+t AS (SELECT SUM(n_first) AS tf, SUM(n_second) AS ts FROM c)
+SELECT c.hour, c.n_first, c.n_second,
+       CAST(CASE WHEN t.tf > 0
+                 THEN (2 * c.n_first * 1000000 + t.tf) // (2 * t.tf)
+                 ELSE -1 END AS BIGINT) AS share_first_e6,
+       CAST(CASE WHEN t.ts > 0
+                 THEN (2 * c.n_second * 1000000 + t.ts) // (2 * t.ts)
+                 ELSE -1 END AS BIGINT) AS share_second_e6,
+       CAST(CASE WHEN t.tf > 0 AND t.ts > 0
+                 THEN (2 * c.n_second * 1000000 + t.ts) // (2 * t.ts)
+                      - (2 * c.n_first * 1000000 + t.tf) // (2 * t.tf)
+                 ELSE 0 END AS BIGINT) AS delta_e6
+  FROM c CROSS JOIN t
+""",
         "conform_repair_summary": f"""
 WITH j AS (
   SELECT r.w AS rw, e.w AS ew, r.h AS rh, e.h AS eh,
@@ -7562,6 +7591,15 @@ def q_order_totals_reconcile(sf_dir: str):
 _MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
                        "es": 150_000, "zh": 150_000, "ko": 0}
 _MIXTURE_TARGET = 2_500_000
+
+
+def q_hourly_profile_drift(sf_dir: str):
+    """Hour-of-day profile drift between capture halves (24 rows,
+    shares as half-up e6 ints; two bounded combiner passes)."""
+    from ..stages.stats import hourly_profile_drift
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return hourly_profile_drift(ds, "ts")
 
 
 def q_conform_repair_summary(sf_dir: str):
@@ -7893,6 +7931,7 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "hourly_profile_drift": q_hourly_profile_drift,
     "conform_repair_summary": q_conform_repair_summary,
     "corpus_prepare_classifier": q_corpus_prepare_classifier,
     "string_length_profile": q_string_length_profile,

@@ -1136,3 +1136,85 @@ def rate_wilson_ci(ds, col: str, value, *, z: float = 1.96) -> pa.Table:
         "lo": pa.array([round((center - margin) / denom, 6)], pa.float64()),
         "hi": pa.array([round((center + margin) / denom, 6)], pa.float64()),
     })
+
+
+def hourly_profile_drift(ds, ts_col: str, *,
+                         hour_us: int = 3_600_000_000) -> pa.Table:
+    """Hour-of-day seasonality drift: the 24-bin hour profile of the
+    first vs second half of the capture window, each hour's share of
+    its half as half-up e6 integers, and the share delta — the
+    cyclical complement of ``volume_drift`` (a bot ramping up at night
+    moves the PROFILE long before it moves daily totals).
+
+    Two bounded combiner passes (global midpoint in integer
+    microseconds, then per-(hour, half) count partials folded
+    driver-side — 48 ints per block). All 24 hours emit a row (zeros
+    included); shares are -1 for an empty half."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def minmax(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col].combine_chunks(), pa.int64()).drop_null()
+        if len(us) == 0:
+            return pa.schema(
+                [("mn", pa.int64()), ("mx", pa.int64())]
+            ).empty_table()
+        return pa.table({
+            "mn": pa.array([pc.min(us).as_py()], pa.int64()),
+            "mx": pa.array([pc.max(us).as_py()], pa.int64()),
+        })
+
+    schema = pa.schema([
+        ("hour", pa.int64()), ("n_first", pa.int64()),
+        ("n_second", pa.int64()), ("share_first_e6", pa.int64()),
+        ("share_second_e6", pa.int64()), ("delta_e6", pa.int64()),
+    ])
+    bounds = fold_table(
+        ds.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if bounds is None:
+        return schema.empty_table()
+    mid = (min(bounds["mn"].to_pylist()) + max(bounds["mx"].to_pylist())) // 2
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col].combine_chunks(), pa.int64()).drop_null()
+        v = us.to_numpy(zero_copy_only=False)
+        hour = (v // hour_us) % 24
+        second = (v >= mid).astype(np.int64)
+        counts = np.zeros((24, 2), np.int64)
+        np.add.at(counts, (hour, second), 1)
+        return pa.table({
+            "hour": pa.array(np.arange(24, dtype=np.int64), pa.int64()),
+            "f": pa.array(counts[:, 0], pa.int64()),
+            "s": pa.array(counts[:, 1], pa.int64()),
+        })
+
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    m = (folded.group_by("hour").aggregate([("f", "sum"), ("s", "sum")])
+         .rename_columns(["hour", "f", "s"]))
+    order = np.argsort(m["hour"].to_numpy(zero_copy_only=False))
+    f = m["f"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+    s = m["s"].to_numpy(zero_copy_only=False)[order].astype(np.int64)
+    tf, ts_ = int(f.sum()), int(s.sum())
+    sf = (
+        (2 * f * 1_000_000 + tf) // (2 * tf) if tf > 0
+        else np.full(24, -1, np.int64)
+    )
+    ss = (
+        (2 * s * 1_000_000 + ts_) // (2 * ts_) if ts_ > 0
+        else np.full(24, -1, np.int64)
+    )
+    delta = np.where((tf > 0) & (ts_ > 0), ss - sf, 0)
+    return pa.table({
+        "hour": pa.array(np.arange(24, dtype=np.int64), pa.int64()),
+        "n_first": pa.array(f, pa.int64()),
+        "n_second": pa.array(s, pa.int64()),
+        "share_first_e6": pa.array(sf, pa.int64()),
+        "share_second_e6": pa.array(ss, pa.int64()),
+        "delta_e6": pa.array(np.asarray(delta, np.int64), pa.int64()),
+    })

@@ -231,3 +231,37 @@ def test_string_length_profile_bruteforce(ray_session):
     assert r.mean_len_e6 == 2_250_000
     rb = out.loc["b"]
     assert (rb.n_nulls, rb.min_len, rb.max_len, rb.mean_len_e6) == (5, -1, -1, -1)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_hourly_profile_drift_bruteforce(ray_session, seed):
+    from schisma_ray.stages.stats import hourly_profile_drift
+
+    rng = np.random.default_rng(seed)
+    n = 600
+    hour_us = 3_600_000_000
+    us = 1_600_000_000_000_000 + rng.integers(0, 200 * hour_us, n)
+    t = pa.table({
+        "ts": pa.array(pd.to_datetime(us, unit="us"), pa.timestamp("us")),
+    })
+    out = hourly_profile_drift(
+        rd.from_arrow(t).repartition(4), "ts"
+    ).to_pandas().set_index("hour")
+    assert len(out) == 24
+
+    mid = (int(us.min()) + int(us.max())) // 2
+    hours = (us // hour_us) % 24
+    second = us >= mid
+    tf, ts_ = int((~second).sum()), int(second.sum())
+    for h in range(24):
+        nf = int(((hours == h) & ~second).sum())
+        nsec = int(((hours == h) & second).sum())
+        assert out.loc[h, "n_first"] == nf
+        assert out.loc[h, "n_second"] == nsec
+        assert out.loc[h, "share_first_e6"] == (
+            2 * nf * 1_000_000 + tf) // (2 * tf)
+    # shares of each half sum to ~1e6 (within 24 half-up roundings)
+    assert abs(out["share_first_e6"].sum() - 1_000_000) <= 12
+    assert abs(out["share_second_e6"].sum() - 1_000_000) <= 12
+    assert (out["delta_e6"]
+            == out["share_second_e6"] - out["share_first_e6"]).all()
