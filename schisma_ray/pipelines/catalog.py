@@ -7255,6 +7255,25 @@ SELECT lang, n_bytes, n_tokens,
          AS bytes_per_token_e6
   FROM g
 """,
+        "event_share_ci": """
+WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS v
+             FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type),
+t AS (SELECT CAST(SUM(v) AS BIGINT) AS n FROM c)
+SELECT c.event_type, c.v AS n_key,
+       (2 * c.v * 1000000 + t.n) // (2 * t.n) AS share_e6,
+       ROUND((CAST(c.v AS DOUBLE) / t.n + 1.96 * 1.96 / (2.0 * t.n)
+              - 1.96 * sqrt((CAST(c.v AS DOUBLE) / t.n)
+                            * (1.0 - CAST(c.v AS DOUBLE) / t.n) / t.n
+                            + 1.96 * 1.96 / (4.0 * t.n * t.n)))
+             / (1.0 + 1.96 * 1.96 / t.n), 6) AS lo,
+       ROUND((CAST(c.v AS DOUBLE) / t.n + 1.96 * 1.96 / (2.0 * t.n)
+              + 1.96 * sqrt((CAST(c.v AS DOUBLE) / t.n)
+                            * (1.0 - CAST(c.v AS DOUBLE) / t.n) / t.n
+                            + 1.96 * 1.96 / (4.0 * t.n * t.n)))
+             / (1.0 + 1.96 * 1.96 / t.n), 6) AS hi
+  FROM c CROSS JOIN t
+""",
         "hourly_profile_drift": """
 WITH b AS (SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
                    + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid
@@ -7591,6 +7610,17 @@ def q_order_totals_reconcile(sf_dir: str):
 _MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
                        "es": 150_000, "zh": 150_000, "ko": 0}
 _MIXTURE_TARGET = 2_500_000
+
+
+def q_event_share_ci(sf_dir: str):
+    """Per-event-type share of total with Wilson 95% bounds (the
+    error-bar percent-of-total report); one combiner count pass, one
+    shared float expression per key."""
+    from ..stages.stats import grouped_share_ci
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type"])
+    return grouped_share_ci(ds, "event_type")
 
 
 def q_hourly_profile_drift(sf_dir: str):
@@ -7931,6 +7961,7 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "event_share_ci": q_event_share_ci,
     "hourly_profile_drift": q_hourly_profile_drift,
     "conform_repair_summary": q_conform_repair_summary,
     "corpus_prepare_classifier": q_corpus_prepare_classifier,

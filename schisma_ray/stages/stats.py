@@ -1218,3 +1218,50 @@ def hourly_profile_drift(ds, ts_col: str, *,
         "share_second_e6": pa.array(ss, pa.int64()),
         "delta_e6": pa.array(np.asarray(delta, np.int64), pa.int64()),
     })
+
+
+def grouped_share_ci(ds, key_col: str, *, z: float = 1.96) -> pa.Table:
+    """Per-key share of total with Wilson 95% bounds — the error-bar
+    version of the percent-of-total report (a dashboard that renders a
+    2% share from 50 rows and from 5 million rows identically is
+    lying about certainty).
+
+    One combiner-first count pass (key cardinality bounded by
+    contract); shares as half-up e6 ints; the bounds are one float
+    expression per key over exact integers, written identically in the
+    SQL oracle and rounded to 6dp (the Wilson/corr parity recipe).
+    Null keys are excluded from n entirely."""
+    import math
+
+    keys_tbl = _grouped_int_sums(ds, key_col, None)
+    pairs = [
+        (k, int(v))
+        for k, v in zip(keys_tbl[key_col].to_pylist(),
+                        keys_tbl["total"].to_pylist())
+        if k is not None
+    ]
+    pairs.sort()
+    n = sum(v for _, v in pairs)
+    schema = pa.schema([
+        (key_col, pa.string()), ("n_key", pa.int64()),
+        ("share_e6", pa.int64()), ("lo", pa.float64()),
+        ("hi", pa.float64()),
+    ])
+    if n == 0:
+        return schema.empty_table()
+    z2 = z * z
+    rows = {name: [] for name in schema.names}
+    for k, v in pairs:
+        p = v / n
+        denom = 1.0 + z2 / n
+        center = p + z2 / (2.0 * n)
+        margin = z * math.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        rows[key_col].append(k)
+        rows["n_key"].append(v)
+        rows["share_e6"].append((2 * v * 1_000_000 + n) // (2 * n))
+        rows["lo"].append(round((center - margin) / denom, 6))
+        rows["hi"].append(round((center + margin) / denom, 6))
+    return pa.table(
+        {name: pa.array(rows[name], schema.field(name).type)
+         for name in schema.names}
+    )

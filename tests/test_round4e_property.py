@@ -265,3 +265,21 @@ def test_hourly_profile_drift_bruteforce(ray_session, seed):
     assert abs(out["share_second_e6"].sum() - 1_000_000) <= 12
     assert (out["delta_e6"]
             == out["share_second_e6"] - out["share_first_e6"]).all()
+
+
+def test_grouped_share_ci_properties(ray_session):
+    from schisma_ray.stages.stats import grouped_share_ci
+
+    t = pa.table({"k": pa.array(["a"] * 30 + ["b"] * 70 + [None] * 5,
+                                pa.string())})
+    out = grouped_share_ci(
+        rd.from_arrow(t).repartition(3), "k"
+    ).to_pandas().set_index("k")
+    assert len(out) == 2
+    # null keys excluded from n entirely
+    assert out["n_key"].sum() == 100
+    assert out.loc["a", "share_e6"] == 300_000
+    assert out.loc["a", "lo"] < 0.3 < out.loc["a", "hi"]
+    assert out.loc["b", "lo"] < 0.7 < out.loc["b", "hi"]
+    # shares sum to 1e6 and the bounds bracket consistently
+    assert out["share_e6"].sum() == 1_000_000
