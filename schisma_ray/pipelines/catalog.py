@@ -7255,6 +7255,24 @@ SELECT lang, n_bytes, n_tokens,
          AS bytes_per_token_e6
   FROM g
 """,
+        "user_behavior_entropy": f"""
+WITH c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+             FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2),
+per AS (SELECT c.user_id,
+               CAST(SUM(c.c) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CAST(c.c AS HUGEINT) * l.l_e12) AS HUGEINT)
+                 AS sum_cl
+          FROM c JOIN read_parquet('{_log2_table_file()}') l ON l.m = c.c
+         GROUP BY 1)
+SELECT per.user_id, per.n, per.n_keys,
+       CAST((CAST(per.n AS HUGEINT) * ln.l_e12 - per.sum_cl
+             + CAST(per.n AS HUGEINT) * 500000)
+            // (CAST(per.n AS HUGEINT) * 1000000) AS BIGINT) AS entropy_e6
+  FROM per JOIN read_parquet('{_log2_table_file()}') ln ON ln.m = per.n
+""",
         "event_share_ci": """
 WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS v
              FROM events WHERE event_type IS NOT NULL
@@ -7612,6 +7630,22 @@ _MIXTURE_WEIGHTS_E6 = {"en": 400_000, "de": 150_000, "fr": 150_000,
 _MIXTURE_TARGET = 2_500_000
 
 
+def q_user_behavior_entropy(sf_dir: str):
+    """Per-user Shannon entropy over event-type usage (e6-integer bits
+    via the persisted log2 artifact) — the behavioral-diversity
+    fingerprint; fully distributed two-groupby chain."""
+    import pyarrow.parquet as pq
+
+    from ..stages.stats import grouped_key_entropy
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    L = pq.read_table(_log2_table_file())["l_e12"].to_numpy(
+        zero_copy_only=False
+    )
+    return grouped_key_entropy(ds, "user_id", "event_type", L)
+
+
 def q_event_share_ci(sf_dir: str):
     """Per-event-type share of total with Wilson 95% bounds (the
     error-bar percent-of-total report); one combiner count pass, one
@@ -7961,6 +7995,7 @@ def q_lineitem_shipdate_violations(sf_dir: str):
 
 
 QUERIES = {
+    "user_behavior_entropy": q_user_behavior_entropy,
     "event_share_ci": q_event_share_ci,
     "hourly_profile_drift": q_hourly_profile_drift,
     "conform_repair_summary": q_conform_repair_summary,

@@ -1265,3 +1265,94 @@ def grouped_share_ci(ds, key_col: str, *, z: float = 1.96) -> pa.Table:
         {name: pa.array(rows[name], schema.field(name).type)
          for name in schema.names}
     )
+
+
+def grouped_key_entropy(ds, group_col: str, key_col: str,
+                        log2_e12: np.ndarray) -> "object":
+    """Per-group Shannon entropy of the key distribution (e6-integer
+    bits) + event and distinct-key counts — the behavioral-diversity
+    fingerprint (a user whose events are one type at entropy 0 is a
+    bot or a broken logger; the same signal flags single-value columns
+    per partition).
+
+    INTEGER-EXACT via the frozen log2 artifact (the char_entropy
+    recipe): with L(m) = floor(log2(m)*1e12 + 0.5),
+    ``H_num = N*L(N) - sum_k c_k*L(c_k)`` and
+    ``entropy_e6 = (H_num + N*500000) // (N*1000000)`` — both sides do
+    pure int64/HUGEINT arithmetic. Distributed shape: per-batch
+    (group, key) count partials -> one distributed (group, key) groupby
+    -> vectorized c*L(c) map -> one tiny (group) groupby -> final
+    vectorized entropy map. ``log2_e12`` is the artifact's l_e12 array
+    (1-indexed by count); counts beyond its range raise."""
+    import pyarrow.compute as pc
+    import ray
+
+    L = np.concatenate(([0], log2_e12)).astype(np.int64)
+    L_ref = ray.put(L)
+
+    def partial(t: pa.Table) -> pa.Table:
+        tt = pa.table({
+            group_col: t[group_col],
+            key_col: t[key_col],
+        }).filter(
+            pc.and_(pc.is_valid(t[group_col].combine_chunks()),
+                    pc.is_valid(t[key_col].combine_chunks()))
+        )
+        agg = tt.group_by([group_col, key_col]).aggregate(
+            [([], "count_all")]
+        )
+        return agg.rename_columns([group_col, key_col, "c"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, key_col])
+        .sum("c")
+    )
+
+    def to_cl(t: pa.Table) -> pa.Table:
+        Lw = ray.get(L_ref)
+        c = pc.cast(t["sum(c)"], pa.int64()).to_numpy(zero_copy_only=False)
+        if len(c) and int(c.max()) >= len(Lw):
+            raise ValueError(
+                f"count {int(c.max())} exceeds the log2 artifact range "
+                f"({len(Lw) - 1}); rebuild with a larger table"
+            )
+        return pa.table({
+            group_col: t[group_col],
+            "c": pa.array(c, pa.int64()),
+            "cl": pa.array(c * Lw[c], pa.int64()),
+            "one": pa.array(np.ones(len(c), np.int64)),
+        })
+
+    per = (
+        counts.map_batches(to_cl, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(group_col)
+        .sum(["c", "cl", "one"])
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        Lw = ray.get(L_ref)
+        n = pc.cast(t["sum(c)"], pa.int64()).to_numpy(zero_copy_only=False)
+        scl = pc.cast(t["sum(cl)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        keys = pc.cast(t["sum(one)"], pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(n) and int(n.max()) >= len(Lw):
+            raise ValueError(
+                f"group size {int(n.max())} exceeds the log2 artifact "
+                f"range ({len(Lw) - 1}); rebuild with a larger table"
+            )
+        h_num = n * Lw[n] - scl
+        ent = (h_num + n * 500_000) // (n * 1_000_000)
+        return pa.table({
+            group_col: t[group_col],
+            "n": pa.array(n, pa.int64()),
+            "n_keys": pa.array(keys, pa.int64()),
+            "entropy_e6": pa.array(ent, pa.int64()),
+        })
+
+    return per.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -283,3 +283,39 @@ def test_grouped_share_ci_properties(ray_session):
     assert out.loc["b", "lo"] < 0.7 < out.loc["b", "hi"]
     # shares sum to 1e6 and the bounds bracket consistently
     assert out["share_e6"].sum() == 1_000_000
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_grouped_key_entropy_bruteforce(ray_session, seed):
+    import math
+
+    from schisma_ray.stages.text import build_log2_table
+    from schisma_ray.stages.stats import grouped_key_entropy
+
+    rng = np.random.default_rng(seed)
+    n = 400
+    users = rng.integers(0, 12, n)
+    types = rng.choice(["a", "b", "c", "d"], n)
+    # one pure-single-type user: entropy must be exactly 0
+    users = np.concatenate([users, np.full(20, 99)])
+    types = np.concatenate([types, np.array(["a"] * 20)])
+    t = pa.table({
+        "u": pa.array(users, pa.int64()),
+        "k": pa.array(types, pa.string()),
+    })
+    L = build_log2_table(1024)["l_e12"].to_numpy(zero_copy_only=False)
+    out = grouped_key_entropy(
+        rd.from_arrow(t).repartition(4), "u", "k", L
+    ).to_pandas().set_index("u")
+
+    import collections
+    per_user = collections.defaultdict(collections.Counter)
+    for u, k in zip(users, types):
+        per_user[int(u)][k] += 1
+    for u, cnt in per_user.items():
+        nn = sum(cnt.values())
+        row = out.loc[u]
+        assert row["n"] == nn and row["n_keys"] == len(cnt)
+        want = -sum((c / nn) * math.log2(c / nn) for c in cnt.values())
+        assert abs(row["entropy_e6"] - want * 1e6) <= 1.0
+    assert out.loc[99, "entropy_e6"] == 0
