@@ -28,6 +28,64 @@ def entry() -> Any:
     return validate_images(table_dir)
 
 
+def _sanitize_error(name: str, ex: Exception) -> str:
+    """Compress an exception into a diagnosable, data-free line.
+
+    Round-4 lesson: a failing query's err field was 1500 chars of raw
+    fixture document text with the exception type truncated away. This
+    elides long quoted data runs, collapses whitespace, caps the total,
+    and states the exception class at BOTH ends so the row stays
+    diagnosable whichever end the driver truncates."""
+    import re
+
+    msg = re.sub(r"(['\"]).{60,}?\1", "'<data elided>'", str(ex), flags=re.S)
+    msg = re.sub(r"\s+", " ", msg).strip()
+    if len(msg) > 700:
+        msg = msg[:350] + " <...> " + msg[-350:]
+    cls = type(ex).__name__
+    return f"[{cls}] query={name}: {msg} [end {cls} query={name}]"
+
+
+def _materialize(result: Any) -> Any:
+    """Eagerly execute a lazy Dataset result into a pyarrow.Table so
+    failures surface here (where they can be retried and sanitized)
+    instead of inside the driver's to_pandas."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    if not isinstance(result, rd.Dataset):
+        return result
+    batches = list(result.iter_batches(batch_format="pyarrow",
+                                       batch_size=65536))
+    tables = [b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+              for b in batches]
+    tables = [t for t in tables if t.num_rows]
+    if tables:
+        return pa.concat_tables(tables)
+    schema = result.schema(fetch_if_missing=True)
+    base = getattr(schema, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.empty_table()
+    names = list(getattr(schema, "names", []) or [])
+    return pa.schema([(n, pa.string()) for n in names]).empty_table()
+
+
+def _wrap(name: str, fn: Callable[[str], Any]) -> Callable[[str], Any]:
+    def run(sf_dir: str) -> Any:
+        try:
+            return _materialize(fn(sf_dir))
+        except Exception:
+            pass  # retry once: first-run cold-cache / cold-actor flakes
+        try:
+            return _materialize(fn(sf_dir))
+        except Exception as ex:
+            raise RuntimeError(_sanitize_error(name, ex)) from None
+
+    run.__name__ = f"q_{name}"
+    run.__wrapped__ = fn
+    return run
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from schisma_ray.pipelines import catalog
     from schisma_ray.sources import image_table
@@ -36,7 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # passes regardless of whether the driver runs SQL or Ray first
     image_table.generate_for_sf("/root/testdata/sf0.001")
     image_table.generate_for_sf(catalog.ORACLE_SF_DIR)
-    return dict(catalog.QUERIES)
+    return {name: _wrap(name, fn) for name, fn in catalog.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

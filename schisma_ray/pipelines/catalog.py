@@ -3660,21 +3660,27 @@ def q_normalized_text_dups(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
 
-    def variants(t: pa.Table) -> pa.Table:
+    def augment(t: pa.Table) -> pa.Table:
+        # originals + variants from ONE map_batches (no Dataset.union —
+        # fewer operators, no union cold-start edge; same multiset)
         ids = t["doc_id"].combine_chunks()
+        base = pa.table({
+            "doc_id": ids,
+            "text": pc.fill_null(t["text"].combine_chunks(), ""),
+        })
         sel = pa.array(ids.to_numpy(zero_copy_only=False) % 9 == 0)
-        v = t.filter(sel)
-        text = pc.replace_substring(
-            pc.fill_null(v["text"].combine_chunks(), ""), " ", "  ")
-        return pa.table({
+        v = base.filter(sel)
+        text = pc.replace_substring(v["text"].combine_chunks(), " ", "  ")
+        variants = pa.table({
             "doc_id": pc.add(v["doc_id"], 1000000),
             "text": pc.binary_join_element_wise(
                 pa.array(["### "] * len(v)), text,
                 pa.array(["!!!"] * len(v)), ""),
         })
+        return pa.concat_tables([base, variants])
 
-    aug = ds.union(ds.map_batches(variants, batch_format="pyarrow",
-                                  zero_copy_batch=True))
+    aug = ds.map_batches(augment, batch_format="pyarrow",
+                         zero_copy_batch=True)
     return _collect(normalized_text_dups(aug),
                     ["doc_id", "keeper", "group_size"])
 

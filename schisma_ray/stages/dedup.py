@@ -1736,14 +1736,21 @@ def normalized_text_dups(ds, *, col: str = "text", id_col: str = "doc_id",
             "nb": pa.array(nb, pa.int32()),
         })
 
-    def dups(group: pd.DataFrame) -> pd.DataFrame:
+    def dups(group: pd.DataFrame) -> pa.Table:
+        # return an explicitly-typed Arrow table: groups with zero dups
+        # emit an EMPTY block, and an empty pandas block is schema-less
+        # through Ray's bundle path ("new schema: ." warnings; ArrowInvalid
+        # on some lineages). Building from the always-non-empty group and
+        # filtering in Arrow keeps the schema pinned even at zero rows.
         g = group.groupby("norm")
-        size = g["norm"].transform("size")
+        size = g["norm"].transform("size").to_numpy()
         keeper = g[id_col].transform("min")
-        out = group.loc[size > 1, [id_col]].copy()
-        out["keeper"] = keeper[size > 1]
-        out["group_size"] = size[size > 1].astype(np.int64)
-        return out
+        t = pa.table({
+            id_col: pa.Array.from_pandas(group[id_col]),
+            "keeper": pa.Array.from_pandas(keeper),
+            "group_size": pa.array(size.astype(np.int64), pa.int64()),
+        })
+        return t.filter(pa.array(size > 1))
 
     return (
         ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)

@@ -16,12 +16,37 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _count_local_topk_fn(group_col: str, item_col: str, k: int):
+    """Per-block local top-k over the collapsed (group, item) totals —
+    module-level so the skew bound (at most k rows per group per block
+    entering the final merge) is directly unit-testable. Exact, not a
+    heuristic: after the global groupby-sum each (group, item) total is
+    exactly one row, so any item outside a block's per-group top k is
+    outside the global top k too."""
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        g = t.to_pandas()
+        g = g.sort_values(["sum(n)", item_col], ascending=[False, True],
+                          kind="mergesort")
+        return pa.Table.from_pandas(
+            g.groupby(group_col, sort=False).head(k), preserve_index=False
+        )
+
+    return local_topk
+
+
 def grouped_count_topk(ds, group_col: str, item_col: str, *, k: int = 3):
     """(group, item, n): the k most frequent items per group.
 
     Deterministic order: n desc, item asc (the same ordering as SQL
     ``row_number() OVER (PARTITION BY group ORDER BY count(*) DESC,
     item)``).
+
+    Skew shape (the tfidf_top_terms / bm25_topk pattern): the final
+    per-group task never receives a hot group's full distinct-item set
+    — each block of the collapsed totals keeps only its local top k
+    per group first, so the merge group is bounded by k x blocks, not
+    by the group's item cardinality.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -34,9 +59,13 @@ def grouped_count_topk(ds, group_col: str, item_col: str, *, k: int = 3):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     totals = partials.groupby([group_col, item_col]).sum("n")
+    locals_ds = totals.map_batches(
+        _count_local_topk_fn(group_col, item_col, k), batch_format="pyarrow"
+    )
 
     def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["sum(n)", item_col], ascending=[False, True]).head(k)
+        g = group.sort_values(["sum(n)", item_col], ascending=[False, True],
+                              kind="mergesort").head(k)
         return pd.DataFrame(
             {
                 group_col: g[group_col].to_numpy(),
@@ -45,7 +74,7 @@ def grouped_count_topk(ds, group_col: str, item_col: str, *, k: int = 3):
             }
         )
 
-    return totals.groupby(group_col).map_groups(topk, batch_format="pandas")
+    return locals_ds.groupby(group_col).map_groups(topk, batch_format="pandas")
 
 
 def grouped_vector_mean(ds, group_col: str, vec_col: str):

@@ -872,12 +872,16 @@ def event_gaps(
     return gaps.map_batches(restore, batch_format="pyarrow", zero_copy_batch=True)
 
 
+OVERFLOW_TYPE = "__overflow_keys__"
+
+
 def event_type_cooccurrence(
     ds,
     *,
     key_col: str = "user_id",
     type_col: str = "event_type",
     num_buckets: int = 64,
+    max_types_per_key: int | None = 64,
 ):
     """(type_a, type_b, n_users) for every unordered type pair with
     type_a < type_b: how many keys exhibit both (market-basket
@@ -887,7 +891,15 @@ def event_type_cooccurrence(
     merge (sorted keys -> segment offsets -> per-segment triangle),
     and a final tiny groupby folds pair counts. The pair space is
     O(distinct types squared) — type vocabularies are small by nature;
-    keys never pair across buckets because a key lives in one bucket."""
+    keys never pair across buckets because a key lives in one bucket.
+
+    ``max_types_per_key`` ENFORCES the small-vocabulary assumption the
+    triangle relies on: a key with more distinct types than the cap
+    emits no pairs (its triangle would be O(cap^2)-unbounded) and is
+    instead counted in one overflow marker row
+    (type_a = type_b = OVERFLOW_TYPE, n_users = capped-key count), so
+    pointing this at a high-cardinality column degrades loudly instead
+    of exploding a bucket task. ``None`` disables the guard."""
     import numpy as np
     import pandas as pd
 
@@ -916,19 +928,45 @@ def event_type_cooccurrence(
         g = g.sort_values([key_col, type_col], kind="mergesort")
         keys = g[key_col].to_numpy()
         types = g[type_col].to_numpy()
-        n = len(g)
-        seg_start = np.flatnonzero(
-            np.concatenate(([True], keys[1:] != keys[:-1]))
-        )
-        seg_end = np.concatenate((seg_start[1:], [n]))
-        seg_len = seg_end - seg_start
+
+        def segments(ks):
+            m = len(ks)
+            if m == 0:
+                z = np.zeros(0, np.int64)
+                return z, z, z
+            start = np.flatnonzero(
+                np.concatenate(([True], ks[1:] != ks[:-1]))
+            )
+            end = np.concatenate((start[1:], [m]))
+            return start, end, end - start
+
+        seg_start, seg_end, seg_len = segments(keys)
+        n_over = 0
+        if max_types_per_key is not None:
+            over = seg_len > max_types_per_key
+            n_over = int(over.sum())
+            if n_over:
+                keep = ~np.repeat(over, seg_len)
+                keys = keys[keep]
+                types = types[keep]
+                seg_start, seg_end, seg_len = segments(keys)
+        n = len(keys)
+
+        def with_overflow(df):
+            if n_over:
+                marker = pd.DataFrame({
+                    "type_a": [OVERFLOW_TYPE], "type_b": [OVERFLOW_TYPE],
+                    "n": np.array([n_over], np.int64),
+                })
+                return pd.concat([df, marker], ignore_index=True)
+            return df
         # per-row count of partners to its right within the segment
         reps = np.repeat(seg_end, seg_len) - np.arange(n) - 1
         total = int(reps.sum())
         if total == 0:
             e = types[:0]
-            return pd.DataFrame({"type_a": e, "type_b": e,
-                                 "n": np.zeros(0, np.int64)})
+            return with_overflow(pd.DataFrame(
+                {"type_a": e, "type_b": e, "n": np.zeros(0, np.int64)}))
         a_idx = np.repeat(np.arange(n), reps)
         cum = np.concatenate(([0], np.cumsum(reps)))
         b_idx = (np.arange(total) - np.repeat(cum[:-1], reps)
@@ -938,7 +976,7 @@ def event_type_cooccurrence(
             .groupby(["type_a", "type_b"], sort=True)
             .size().rename("n").reset_index()
         )
-        return out
+        return with_overflow(out)
 
     per = pairs_in.groupby("bucket").map_groups(per_bucket,
                                                 batch_format="pandas")

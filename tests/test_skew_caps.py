@@ -98,3 +98,78 @@ def test_tfidf_top_terms_end_to_end_replicated_vocab(ray_session):
     # ties break word-ascending
     assert out["word"].tolist() == [f"w{i:03d}" for i in range(5)]
     assert (out["score"] == 0.0).all()
+
+
+def test_grouped_count_topk_local_stage_is_capped(ray_session):
+    """VERDICT r4 #2: the final per-group task must never receive a hot
+    group's full distinct-item set — each block forwards at most k rows
+    per group."""
+    from schisma_ray.stages.topk import _count_local_topk_fn
+
+    k = 3
+    hot = pa.table({
+        "g": pa.array(["hot"] * 500 + ["cold"] * 4),
+        "u": pa.array([f"u{i:04d}" for i in range(500)] + list("abcd")),
+        "sum(n)": pa.array(list(range(1, 501)) + [9, 9, 9, 9], pa.int64()),
+    })
+    out = _count_local_topk_fn("g", "u", k)(hot).to_pandas()
+    assert out.groupby("g").size().max() == k
+    assert out[out["g"] == "hot"]["u"].tolist() == ["u0499", "u0498", "u0497"]
+    # ties within a block break item-ascending
+    assert out[out["g"] == "cold"]["u"].tolist() == ["a", "b", "c"]
+
+
+def test_grouped_count_topk_end_to_end_replicated(ray_session):
+    """Same answer with the hot key spread over many blocks: local
+    top-k over collapsed totals is exact, merge is k x blocks bounded."""
+    from schisma_ray.stages.topk import grouped_count_topk
+
+    # item i appears i+1 times for the hot group across 8 partitions
+    rows_g, rows_u = [], []
+    for i in range(40):
+        rows_g += ["hot"] * (i + 1)
+        rows_u += [f"u{i:02d}"] * (i + 1)
+    rows_g += ["cold", "cold", "cold"]
+    rows_u += ["x", "x", "y"]
+    t = pa.table({"g": pa.array(rows_g), "u": pa.array(rows_u)})
+    out = (
+        grouped_count_topk(rd.from_arrow(t).repartition(8), "g", "u", k=2)
+        .to_pandas()
+        .sort_values(["g", "n"], ascending=[True, False])
+    )
+    assert out[out["g"] == "hot"]["u"].tolist() == ["u39", "u38"]
+    assert out[out["g"] == "hot"]["n"].tolist() == [40, 39]
+    assert out[out["g"] == "cold"]["u"].tolist() == ["x", "y"]
+
+
+def test_event_type_cooccurrence_cap_emits_overflow_marker(ray_session):
+    """VERDICT r4 #3: a key whose distinct-type set exceeds
+    max_types_per_key emits no pairs — only one overflow marker row
+    counting the capped keys — so a high-cardinality column degrades
+    loudly instead of exploding a bucket task O(k^2)."""
+    from schisma_ray.stages.window import OVERFLOW_TYPE, event_type_cooccurrence
+
+    rows_k, rows_t = [], []
+    # two hot keys with 50 distinct types each; two small keys sharing a pair
+    for key in ("hot1", "hot2"):
+        for i in range(50):
+            rows_k.append(key)
+            rows_t.append(f"t{i:02d}")
+    for key in ("a", "b"):
+        rows_k += [key, key]
+        rows_t += ["x", "y"]
+    t = pa.table({"user_id": pa.array(rows_k), "event_type": pa.array(rows_t)})
+    out = event_type_cooccurrence(
+        rd.from_arrow(t).repartition(4), max_types_per_key=10
+    ).to_pandas().sort_values(["type_a", "type_b"]).reset_index(drop=True)
+    marker = out[out["type_a"] == OVERFLOW_TYPE]
+    assert len(marker) == 1
+    assert marker["n_users"].iloc[0] == 2  # both hot keys capped
+    pairs = out[out["type_a"] != OVERFLOW_TYPE]
+    assert pairs[["type_a", "type_b", "n_users"]].values.tolist() == [["x", "y", 2]]
+    # uncapped: hot keys contribute their full triangles, no marker
+    full = event_type_cooccurrence(
+        rd.from_arrow(t).repartition(4), max_types_per_key=None
+    ).to_pandas()
+    assert OVERFLOW_TYPE not in set(full["type_a"])
+    assert full["n_users"].sum() == 2 * (50 * 49) // 2 + 2
