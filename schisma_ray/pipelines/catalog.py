@@ -3759,6 +3759,80 @@ def q_exact_substr_clean(sf_dir: str):
     return exact_substr_clean(ds, "text", "doc_id", k=5)
 
 
+_CJK26 = "".join(chr(0x4E00 + i) for i in range(26))
+_ASCII27 = " abcdefghijklmnopqrstuvwxyz"
+_ZH_SENTINEL_SRC = "duplicated boilerplate sentinel run here"
+
+
+def _to_unsegmented_cjk(s: str) -> str:
+    """Deterministic zh-like rewrite shared verbatim with the oracle's
+    ``translate(s, ' a..z', CJK26)``: spaces removed, a-z mapped onto
+    the first 26 CJK codepoints — an unsegmented script where
+    whitespace tokenization degenerates to whole-line granularity."""
+    table = {ord(" "): None}
+    table.update({ord(_ASCII27[i + 1]): _CJK26[i] for i in range(26)})
+    return s.translate(table)
+
+
+def q_exact_substr_char_spans(sf_dir: str):
+    """ExactSubstr span extraction at CHARACTER granularity (k=25
+    codepoints) over a zh-like unsegmented corpus: documents mapped to
+    CJK with spaces removed (word shingles would see one giant token
+    per line), every 7th doc appending a shared 36-codepoint
+    boilerplate run — falsifiable: those runs MUST surface as
+    cross-doc spans the word mode cannot position. Same two bucketed
+    shuffles as the word mode; span units are codepoints."""
+    from ..stages.dedup import exact_substr_spans
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sentinel = _to_unsegmented_cjk(_ZH_SENTINEL_SRC)
+
+    def zhify(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t["text"].combine_chunks(), "").to_pylist()
+        out = [
+            _to_unsegmented_cjk(s) + (sentinel if i % 7 == 0 else "")
+            for i, s in zip(ids, texts)
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(out, pa.string()),
+        })
+
+    zh = ds.map_batches(zhify, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_substr_spans(zh, "text", "doc_id", k=25,
+                              granularity="char")
+
+
+def q_exact_substr_char_clean(sf_dir: str):
+    """ExactSubstr removal at CHARACTER granularity on the same zh-like
+    corpus: docs holding a duplicated >= 25-codepoint run rebuilt with
+    covered codepoints dropped (no separator), plus the removed-
+    codepoint count."""
+    from ..stages.dedup import exact_substr_clean
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    sentinel = _to_unsegmented_cjk(_ZH_SENTINEL_SRC)
+
+    def zhify(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        texts = pc.fill_null(t["text"].combine_chunks(), "").to_pylist()
+        out = [
+            _to_unsegmented_cjk(s) + (sentinel if i % 7 == 0 else "")
+            for i, s in zip(ids, texts)
+        ]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": pa.array(out, pa.string()),
+        })
+
+    zh = ds.map_batches(zhify, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_substr_clean(zh, "text", "doc_id", k=25,
+                              granularity="char")
+
+
 def q_url_canonical_dups(sf_dir: str):
     """Canonical-URL duplicate groups: rows whose canonicalized url
     (scheme/www/fragment/query/trailing-slash stripped — RE2 chain,
@@ -4704,6 +4778,69 @@ s6 AS (SELECT doc_id,
         FROM s5),
 s7 AS (SELECT doc_id, regexp_replace(t, '\\s+', ' ', 'g') AS t FROM s6)
 SELECT doc_id, trim(t, ' ') AS text FROM s7
+""",
+        "exact_substr_char_spans": r"""
+WITH src AS (
+  SELECT doc_id,
+         translate(coalesce(text, ''), 'abcdefghijklmnopqrstuvwxyz ',
+                   '一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙') ||
+         CASE WHEN doc_id % 7 = 0
+              THEN translate('duplicated boilerplate sentinel run here',
+                             'abcdefghijklmnopqrstuvwxyz ', '一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙')
+              ELSE '' END AS s
+    FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS p, substr(s, i, 25) AS g
+    FROM src, unnest(range(1, greatest(length(s) - 25 + 1, 0) + 1)) AS t(i)
+   WHERE length(s) >= 25),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+dup AS (SELECT doc_id, p FROM grams JOIN cnt USING (g) WHERE c > 1),
+isl AS (
+  SELECT doc_id, p,
+         CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 25
+              THEN 1 ELSE 0 END AS brk
+    FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+grp AS (
+  SELECT doc_id, p,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY p) AS gid
+    FROM isl)
+SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + 25 AS BIGINT) AS span_end,
+       CAST(MAX(p) + 25 - MIN(p) AS BIGINT) AS span_toks
+  FROM grp GROUP BY doc_id, gid
+""",
+        "exact_substr_char_clean": r"""
+WITH src AS (
+  SELECT doc_id,
+         translate(coalesce(text, ''), 'abcdefghijklmnopqrstuvwxyz ',
+                   '一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙') ||
+         CASE WHEN doc_id % 7 = 0
+              THEN translate('duplicated boilerplate sentinel run here',
+                             'abcdefghijklmnopqrstuvwxyz ', '一丁丂七丄丅丆万丈三上下丌不与丏丐丑丒专且丕世丗丘丙')
+              ELSE '' END AS s
+    FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS p, substr(s, i, 25) AS g
+    FROM src, unnest(range(1, greatest(length(s) - 25 + 1, 0) + 1)) AS t(i)
+   WHERE length(s) >= 25),
+cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+dup AS (SELECT doc_id, p FROM grams JOIN cnt USING (g) WHERE c > 1),
+covered AS (
+  SELECT DISTINCT doc_id, p + j AS cp
+    FROM dup, unnest(range(0, 25)) AS u(j)),
+kept AS (
+  SELECT t.doc_id, i - 1 AS p, substr(s, i, 1) AS ch
+    FROM src t
+    JOIN (SELECT DISTINCT doc_id FROM dup) d USING (doc_id),
+         unnest(range(1, length(s) + 1)) AS t2(i)
+   WHERE NOT EXISTS (SELECT 1 FROM covered c
+                      WHERE c.doc_id = t.doc_id AND c.cp = i - 1))
+SELECT d.doc_id,
+       coalesce((SELECT string_agg(ch, '' ORDER BY p)
+                   FROM kept k WHERE k.doc_id = d.doc_id), '') AS clean_text,
+       (SELECT count(*) FROM covered c WHERE c.doc_id = d.doc_id)
+         AS n_removed_toks
+  FROM (SELECT DISTINCT doc_id FROM dup) d
 """,
         "url_canonical_dups": rf"""
 WITH canon AS (
@@ -8032,6 +8169,8 @@ QUERIES = {
     "dup_gram_docs": q_dup_gram_docs,
     "exact_substr_spans": q_exact_substr_spans,
     "exact_substr_clean": q_exact_substr_clean,
+    "exact_substr_char_spans": q_exact_substr_char_spans,
+    "exact_substr_char_clean": q_exact_substr_char_clean,
     "event_user_cardinality": q_event_user_cardinality,
     "events_monotonic": q_events_monotonic,
     "token_budget_sample": q_token_budget_sample,

@@ -216,3 +216,77 @@ def test_positioned_grams_match_bruteforce():
 def test_merge_spans_empty_input():
     s, e = _merge_spans(np.empty(0, np.int64), 3)
     assert list(s) == [] and list(e) == []
+
+
+def test_positioned_char_grams_match_bruteforce():
+    """The codepoint-window emitter must mark exactly the positions a
+    brute-force substring count marks, including non-ASCII codepoints."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from schisma_ray.stages.dedup import _positioned_char_gram_rows
+
+    alphabet = "ab一丁é"  # ascii + CJK + accented
+    doc = st.text(alphabet=alphabet, min_size=0, max_size=25)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(doc, min_size=1, max_size=6), st.integers(2, 5))
+    def check(texts, k):
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        })
+        rows = _positioned_char_gram_rows(t, "text", "doc_id", k, 32)
+        subs = {}
+        for d, txt in enumerate(texts):
+            for i in range(max(len(txt) - k + 1, 0)):
+                subs.setdefault(txt[i:i + k], []).append((d, i))
+        expect_rows = sorted(p for v in subs.values() for p in v)
+        got_rows = sorted(zip(rows["doc_id"].to_pylist(),
+                              rows["pos"].to_pylist()))
+        assert got_rows == expect_rows
+        by_hash = {}
+        for d, p, g in zip(rows["doc_id"].to_pylist(),
+                           rows["pos"].to_pylist(),
+                           rows["gram"].to_pylist()):
+            by_hash.setdefault(g, set()).add((d, p))
+        assert ({frozenset(v) for v in by_hash.values()}
+                == {frozenset(v) for v in subs.values()})
+
+    check()
+
+
+def test_exact_substr_char_spans_unsegmented(ray_session):
+    """Char granularity positions duplicated runs INSIDE unsegmented
+    lines, which word granularity cannot (each line is one token)."""
+    boiler = "一二三四五六七八"  # 8 cjk
+    docs = _docs([
+        (0, "x" * 4 + boiler + "y" * 4),
+        (1, "z" * 6 + boiler + "w" * 2),
+        (2, "qrstuvabcdefghijklmn"),  # 20 distinct chars, no dup run
+    ])
+    out = (exact_substr_spans(docs, "text", "doc_id", k=8,
+                              granularity="char")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["span_start"].tolist() == [4, 6]
+    assert out["span_end"].tolist() == [12, 14]
+    assert out["span_toks"].tolist() == [8, 8]
+    # word mode sees three distinct single-token lines: nothing
+    word = exact_substr_spans(docs, "text", "doc_id", k=1).to_pandas()
+    assert len(word) == 0
+
+
+def test_exact_substr_char_clean_rebuild(ray_session):
+    boiler = "一二三四五六七八"
+    docs = _docs([
+        (0, "abcd" + boiler + "efgh"),
+        (1, boiler + "ijkl"),
+        (2, "mnopqrstuv"),
+    ])
+    out = (exact_substr_clean(docs, "text", "doc_id", k=8,
+                              granularity="char")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["clean_text"].tolist() == ["abcdefgh", "ijkl"]
+    assert out["n_removed_toks"].tolist() == [8, 8]
