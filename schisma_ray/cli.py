@@ -139,6 +139,17 @@ def main(argv=None) -> int:
     p.add_argument("--max-entropy-e6", type=int, default=0,
                    help="> 0 drops docs above this character-entropy "
                         "ceiling (e6-integer bits)")
+    p.add_argument("--resumable", action="store_true",
+                   help="plan/apply checkpointed run: --docs must be a "
+                        "directory of parquet fragments; survivor ids "
+                        "commit once under {out}/_plan, then each input "
+                        "partition commits independently and a re-run "
+                        "skips committed partitions (broadcast-dedup "
+                        "feature set; incompatible with --dedup join/"
+                        "minhash, --line-dedup, --exact-substr-k, "
+                        "--shards)")
+    p.add_argument("--files-per-partition", type=int, default=4,
+                   help="input fragments per resumable partition")
 
     df = sub.add_parser("diff")
     df.add_argument("--old", required=True, help="previous table version")
@@ -301,6 +312,46 @@ def main(argv=None) -> int:
                 import pyarrow.parquet as pq
 
                 clf_model = pq.read_table(args.classifier_model)
+
+            if args.resumable:
+                from schisma_ray.pipelines.corpus_pipeline import (
+                    prepare_resumable,
+                )
+
+                incompatible = []
+                if args.dedup != "broadcast":
+                    incompatible.append(f"--dedup {args.dedup}")
+                if args.line_dedup:
+                    incompatible.append("--line-dedup")
+                if args.exact_substr_k:
+                    incompatible.append("--exact-substr-k")
+                if args.shards > 1:
+                    incompatible.append("--shards")
+                if incompatible:
+                    print("error: --resumable does not support "
+                          + ", ".join(incompatible)
+                          + " (corpus-rewrite/shuffle-attach modes need "
+                          "the one-shot prepare)", file=sys.stderr)
+                    return 2
+                recs = prepare_resumable(
+                    args.docs, args.out,
+                    files_per_partition=args.files_per_partition,
+                    bench=read_table(args.bench) if args.bench else None,
+                    langs=tuple(args.langs.split(",")),
+                    min_quality=args.min_quality,
+                    cap_per_source=args.cap_per_source,
+                    chunk_size=args.chunk_size,
+                    chunk_stride=args.chunk_stride,
+                    c4_min_lines=args.c4_min_lines,
+                    gopher=args.gopher,
+                    hygiene=args.hygiene,
+                    min_entropy_e6=args.min_entropy_e6,
+                    max_entropy_e6=args.max_entropy_e6,
+                    classifier_model=clf_model,
+                    min_classifier_e6=args.min_classifier_e6,
+                )
+                print(json.dumps({"partitions_run": len(recs)}))
+                return 0
 
             out = prepare_corpus(
                 read_table(args.docs),

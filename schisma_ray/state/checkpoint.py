@@ -50,8 +50,13 @@ from .. import __version__
 SCHEMA_VERSION = 1
 
 
-def partition_inputs(table_dir: str | Path, files_per_partition: int = 4) -> list[list[str]]:
-    files = sorted(str(p) for p in (Path(table_dir) / "images").glob("*.parquet"))
+def partition_inputs(table_dir: str | Path, files_per_partition: int = 4,
+                     subdir: str = "images") -> list[list[str]]:
+    """Group a table's parquet fragments into partition input lists.
+    ``subdir=""`` partitions the directory itself (text corpora);
+    the default matches the image-table layout."""
+    root = Path(table_dir) / subdir if subdir else Path(table_dir)
+    files = sorted(str(p) for p in root.glob("*.parquet"))
     return [
         files[i : i + files_per_partition]
         for i in range(0, len(files), files_per_partition)

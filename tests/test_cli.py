@@ -313,3 +313,43 @@ def test_cli_prepare_classifier_threshold_requires_model(tmp_path):
                "--out", str(tmp_path / "o"), "--min-classifier-e6", "5")
     assert res.returncode == 2
     assert "--classifier-model" in res.stderr
+
+
+def test_cli_prepare_resumable(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    for frag in range(2):
+        ids = list(range(frag * 8, frag * 8 + 8))
+        pq.write_table(
+            pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(
+                    [f"a perfectly fine english document number {i % 4} "
+                     "with plenty of words" for i in ids], pa.string()),
+                "lang": pa.array(["en"] * 8, pa.string()),
+                "source": pa.array(["web"] * 8, pa.string()),
+            }),
+            docs / f"part-{frag:02d}.parquet",
+        )
+    out = tmp_path / "out"
+    res = _run("prepare", "--docs", str(docs), "--out", str(out),
+               "--resumable", "--files-per-partition", "1",
+               "--min-quality", "0.2", "--chunk-size", "40",
+               "--chunk-stride", "30")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert json.loads(res.stdout.strip().splitlines()[-1])["partitions_run"] == 2
+    assert (out / "_plan" / "plan.json").exists()
+    # resume: nothing left to run
+    res2 = _run("prepare", "--docs", str(docs), "--out", str(out),
+                "--resumable", "--files-per-partition", "1",
+                "--min-quality", "0.2", "--chunk-size", "40",
+                "--chunk-stride", "30")
+    assert json.loads(res2.stdout.strip().splitlines()[-1])["partitions_run"] == 0
+    # corpus-rewrite modes refuse loudly
+    bad = _run("prepare", "--docs", str(docs), "--out", str(tmp_path / "x"),
+               "--resumable", "--line-dedup")
+    assert bad.returncode == 2
+    assert "--line-dedup" in bad.stderr
