@@ -2134,6 +2134,18 @@ def q_ann_ivf(sf_dir: str):
     return ann_ivf(ds, mat, ids, k=10, n_centroids=16, n_probe=4)
 
 
+def q_ann_ivf_distributed(sf_dir: str):
+    """IVF top-k with centroids from FULL-corpus distributed spherical
+    k-means (no driver training sample — the 100 TB IVF path). Rows-only
+    check: a SQL oracle cannot replay distributed training; correctness
+    is pinned by recall + parallelism-invariance tests
+    (tests/test_ops.py::test_ann_ivf_distributed_training_recall)."""
+    mat, ids = _query_vectors(sf_dir)
+    ds = _t(sf_dir, "embeddings")
+    return ann_ivf(ds, mat, ids, k=10, n_centroids=16, n_probe=4,
+                   train="distributed")
+
+
 def q_image_drift_psi(sf_dir: str):
     """Population Stability Index of fmt vs the stored reference profile
     (third drift statistic alongside chi-square and KS)."""
@@ -8309,6 +8321,7 @@ QUERIES = {
     "cross_corpus_dups_shuffle": q_cross_corpus_dups_shuffle,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "ann_ivf_distributed": q_ann_ivf_distributed,
     "minhash_dedup_groups": q_minhash_dedup_groups,
     "image_w_quantiles_by_fmt": q_image_w_quantiles_by_fmt,
     "retention_weekly": q_retention_weekly,

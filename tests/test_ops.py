@@ -276,3 +276,40 @@ def test_batch_validator_conf_flags(ray_session):
         ts, conf={"ignoreUnexpected": True, "ignoreRequired": True}
     )(tbl)
     assert relaxed.num_rows == 0
+
+
+def test_ann_ivf_distributed_training_recall(vectors):
+    """train='distributed' (full-corpus spherical k-means, no driver
+    sample) must deliver comparable recall and be deterministic across
+    repartitioning (sorted folds)."""
+    import numpy as np
+
+    from schisma_ray.stages.similarity import ann_ivf, knn_brute_force
+
+    tbl = vectors.take_all()
+    q = np.stack([np.array(tbl[i]["embedding"], dtype=np.float64)
+                  for i in (3, 11)])
+    exact = knn_brute_force(vectors, q, [3, 11], k=5).to_pandas()
+    approx = ann_ivf(vectors, q, [3, 11], k=5, n_centroids=4, n_probe=2,
+                     train="distributed").to_pandas()
+    for qid in (3, 11):
+        a = set(approx[approx.query_id == qid]["neighbor_id"])
+        e = set(exact[exact.query_id == qid]["neighbor_id"])
+        assert qid in a  # self always found
+        assert len(a & e) >= 3
+    # parallelism-invariant: same result from a different block layout
+    again = ann_ivf(vectors.repartition(7), q, [3, 11], k=5, n_centroids=4,
+                    n_probe=2, train="distributed").to_pandas()
+    key = ["query_id", "neighbor_id"]
+    assert sorted(map(tuple, approx[key].values.tolist())) == \
+           sorted(map(tuple, again[key].values.tolist()))
+
+
+def test_ivf_train_distributed_centroids_normalized(vectors):
+    import numpy as np
+
+    from schisma_ray.stages.similarity import ivf_train_distributed
+
+    c = ivf_train_distributed(vectors, n_centroids=4, iters=3)
+    assert c.shape == (4, 16)
+    assert np.allclose(np.linalg.norm(c, axis=1), 1.0)
