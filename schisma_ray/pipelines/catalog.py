@@ -4791,6 +4791,97 @@ s6 AS (SELECT doc_id,
 s7 AS (SELECT doc_id, regexp_replace(t, '\\s+', ' ', 'g') AS t FROM s6)
 SELECT doc_id, trim(t, ' ') AS text FROM s7
 """,
+        "event_transitions": """
+WITH s AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+    FROM events)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+""",
+        "repeat_purchase_gap": """
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders)
+SELECT a.o_custkey,
+       CAST(date_diff('microsecond', a.o_orderdate, b.o_orderdate)
+            // 86400000000 AS BIGINT) AS gap_days
+  FROM r a JOIN r b USING (o_custkey)
+ WHERE a.rn = 1 AND b.rn = 2
+""",
+        "event_trend_slope": """
+WITH d AS (
+  SELECT event_type,
+         CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(day) AS HUGEINT) AS sx,
+         CAST(sum(cnt) AS HUGEINT) AS sy,
+         sum(CAST(day AS HUGEINT) * cnt) AS sxy,
+         sum(CAST(day AS HUGEINT) * day) AS sxx
+    FROM d GROUP BY 1)
+SELECT event_type,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+  FROM m WHERE n >= 2 AND n * sxx - sx * sx <> 0
+""",
+        "weighted_median_price": """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS v,
+         sum(CAST(l_quantity AS BIGINT)) AS wt
+    FROM lineitem GROUP BY 1, 2),
+c AS (
+  SELECT l_returnflag, v,
+         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+         sum(wt) OVER (PARTITION BY l_returnflag) AS tot
+    FROM w)
+SELECT l_returnflag, min(v) AS wmedian
+  FROM c WHERE cum * 2 >= tot GROUP BY l_returnflag
+""",
+        "embedding_dim_profile": """
+SELECT CAST(dim AS BIGINT) AS dim,
+       round(sum(v) / count(*), 6) AS mean_v,
+       round(sqrt(greatest(sum(v * v) / count(*)
+                           - (sum(v) / count(*)) * (sum(v) / count(*)),
+                           0)), 6) AS std_v
+  FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS v,
+               generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+ GROUP BY dim
+""",
+        "word_pmi_top": r"""
+WITH w AS (
+  SELECT DISTINCT doc_id, word
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(
+                     coalesce(text, ''), '\s+'), x -> x <> '')) AS word
+            FROM documents)),
+df AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
+v AS (SELECT word, df FROM df ORDER BY df DESC, word LIMIT 20),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+p AS (
+  SELECT a.word AS word_a, b.word AS word_b, count(*) AS n_ab
+    FROM w a JOIN w b USING (doc_id)
+    JOIN v va ON va.word = a.word
+    JOIN v vb ON vb.word = b.word
+   WHERE a.word < b.word GROUP BY 1, 2),
+s AS (
+  SELECT word_a, word_b, CAST(n_ab AS BIGINT) AS n_ab,
+         round(ln(CAST(n_ab AS DOUBLE) * n_docs / (va.df * vb.df)), 6)
+           AS pmi
+    FROM p
+    JOIN v va ON va.word = word_a
+    JOIN v vb ON vb.word = word_b, nd
+   WHERE n_ab >= 5)
+SELECT word_a, word_b, n_ab, pmi FROM s
+ ORDER BY pmi DESC, word_a, word_b LIMIT 20
+""",
         "exact_substr_char_spans": r"""
 WITH src AS (
   SELECT doc_id,
@@ -8149,6 +8240,75 @@ def q_lineitem_shipdate_violations(sf_dir: str):
     return j.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
 
 
+
+def q_event_transitions(sf_dir: str):
+    """Markov event-type transition counts: (prev_type, next_type, n)
+    over each user's (ts, event_id)-ordered consecutive pairs — the
+    behavioral sequence profile. One narrow user-hash shuffle, segmented
+    adjacency scan, tiny global fold."""
+    from ..stages.window import event_transition_counts
+
+    return event_transition_counts(_t(sf_dir, "events"))
+
+
+def q_repeat_purchase_gap(sf_dir: str):
+    """Time-to-repeat: per customer with >= 2 orders, whole days between
+    the first and second order ((date, key)-ordered) — the
+    re-engagement-latency metric. One narrow custkey-hash shuffle."""
+    from ..stages.window import first_repeat_gap
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return first_repeat_gap(ds)
+
+
+def q_event_trend_slope(sf_dir: str):
+    """Per-event-type OLS slope of daily counts vs epoch day — the
+    volume-trend detector. Exact integer moments (Python big-int ==
+    HUGEINT), one float divide, round 6."""
+    from ..stages.stats import grouped_trend_slope
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    return grouped_trend_slope(ds, "event_type")
+
+
+def q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted (lower) median of l_extendedprice per
+    l_returnflag — robust grouped central tendency under heavy weights.
+    The grouped order-statistics plan generalized to weight ranks: one
+    sort, O(blocks x groups) weight partials, one in-block scan per
+    group; the driver never holds a group's value set."""
+    from ..stages.rank import grouped_weighted_median
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_extendedprice",
+                                  "l_quantity"])
+    return grouped_weighted_median(ds, "l_returnflag", "l_extendedprice",
+                                   "l_quantity")
+
+
+def q_embedding_dim_profile(sf_dir: str):
+    """Per-dimension mean/std of the embedding table (1-based dims) —
+    the dead/degenerate-dimension audit. One combiner pass, O(blocks)
+    driver fold, round 6."""
+    from ..stages.similarity import embedding_dim_profile
+
+    return embedding_dim_profile(_t(sf_dir, "embeddings"))
+
+
+def q_word_pmi_top(sf_dir: str):
+    """Top-20 PMI word pairs over the 20 most document-frequent words
+    (doc-level co-occurrence, pairs with < 5 co-docs dropped) — the
+    collocation profile. De-skewed vocab top-k + the doc-bucket
+    cooccurrence triangle; final table bounded by vocab^2."""
+    from ..stages.text import word_pmi_top
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return word_pmi_top(ds)
+
+
 QUERIES = {
     "user_behavior_entropy": q_user_behavior_entropy,
     "event_share_ci": q_event_share_ci,
@@ -8321,6 +8481,12 @@ QUERIES = {
     "cross_corpus_dups_shuffle": q_cross_corpus_dups_shuffle,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "event_transitions": q_event_transitions,
+    "repeat_purchase_gap": q_repeat_purchase_gap,
+    "event_trend_slope": q_event_trend_slope,
+    "weighted_median_price": q_weighted_median_price,
+    "embedding_dim_profile": q_embedding_dim_profile,
+    "word_pmi_top": q_word_pmi_top,
     "ann_ivf_distributed": q_ann_ivf_distributed,
     "minhash_dedup_groups": q_minhash_dedup_groups,
     "image_w_quantiles_by_fmt": q_image_w_quantiles_by_fmt,

@@ -547,3 +547,88 @@ def quantile_bins(ds, val_col: str, id_cols: list[str], *,
 
     return ds.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def grouped_weighted_median(ds, group_col: str, val_col: str,
+                            weight_col: str) -> pa.Table:
+    """EXACT per-group weighted median: the smallest value v in each
+    group with ``2 * sum(weight | value <= v) >= total_weight`` — the
+    lower weighted median, SQL-mirrorable as
+    ``min(v) FILTER (2*cum >= tot)`` over a cumulative window.
+
+    Scale shape (the grouped_exact_quantiles plan generalized from row
+    ranks to WEIGHT ranks): one sort by (group, value) co-locates and
+    orders every group; per-block (group, weight-sum) partials — a
+    driver fold of O(blocks x groups) tiny rows — locate the single
+    block where each group's cumulative weight crosses half; one remote
+    scan per hit block finds the crossing row. The driver never holds a
+    group's value set. Weights are int64-cast (exact comparisons);
+    groups must fit a dict (formats, flags)."""
+    mat = ds.sort([group_col, val_col]).materialize()
+    refs: list = []
+    metas: list = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
+            refs.append(block_ref)
+            metas.append(meta.num_rows)
+    empty = pa.table({group_col: pa.array([], pa.string()),
+                      "wmedian": pa.array([], pa.float64())})
+    if not refs:
+        return empty
+
+    @ray.remote
+    def block_weights(block):
+        t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+        agg = t.select([group_col, weight_col]).group_by(group_col).aggregate(
+            [(weight_col, "sum")])
+        return list(zip(agg[group_col].to_pylist(),
+                        [int(v) for v in agg[f"{weight_col}_sum"].to_pylist()]))
+
+    per_block = ray.get([block_weights.remote(r) for r in refs])
+    totals: dict = {}
+    for rows in per_block:
+        for g, w in rows:
+            totals[g] = totals.get(g, 0) + w
+    # walk blocks in sort order; find, per group, the first block where
+    # cumulative weight reaches half the total
+    cum: dict = {}
+    hit_block: dict = {}
+    cum_before: dict = {}
+    for bi, rows in enumerate(per_block):
+        for g, w in rows:
+            prev = cum.get(g, 0)
+            if g not in hit_block and 2 * (prev + w) >= totals[g]:
+                hit_block[g] = bi
+                cum_before[g] = prev
+            cum[g] = prev + w
+
+    @ray.remote
+    def pick(block, wanted: list):
+        t = block if isinstance(block, pa.Table) else pa.Table.from_batches([block])
+        groups = t[group_col].to_pylist()
+        vals = t[val_col].to_pylist()
+        ws = [int(v) for v in t[weight_col].to_pylist()]
+        out = []
+        for g, before, tot in wanted:
+            c = before
+            for gg, v, w in zip(groups, vals, ws):
+                if gg != g:
+                    continue
+                c += w
+                if 2 * c >= tot:
+                    out.append((g, v))
+                    break
+        return out
+
+    by_block: dict = {}
+    for g, bi in hit_block.items():
+        by_block.setdefault(bi, []).append((g, cum_before[g], totals[g]))
+    results = ray.get([
+        pick.remote(refs[bi], wanted) for bi, wanted in by_block.items()
+    ])
+    found = dict(pair for rows in results for pair in rows)
+    keys = sorted(found, key=lambda x: (x is not None, x))
+    return pa.table({
+        group_col: pa.array(keys),
+        "wmedian": pa.array([float(found[k]) for k in keys], pa.float64()),
+    })

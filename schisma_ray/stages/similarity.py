@@ -651,3 +651,57 @@ def random_projection(ds, rmat: np.ndarray, *, col: str = "embedding",
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_dim_profile(ds, *, col: str = "embedding") -> pa.Table:
+    """(dim, mean_v, std_v): per-dimension global mean and population
+    std of an embedding column, 1-based dims — the dead/degenerate-
+    dimension audit (a dim with ~zero std carries no information; a
+    shifted mean flags preprocessing drift). Combiner-first: each batch
+    emits ONE (vsum, vsumsq, n) partial row; the driver folds O(blocks)
+    rows, never vectors. Rounded to 6dp (the label_centroids float
+    convention — order-of-addition noise is ~1e-12 against it)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, col)
+        if mat.shape[0] == 0:
+            return pa.table({
+                "vsum": pa.array([], pa.list_(pa.float64())),
+                "vsq": pa.array([], pa.list_(pa.float64())),
+                "n": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            "vsum": pa.array([mat.sum(axis=0).tolist()],
+                             pa.list_(pa.float64())),
+            "vsq": pa.array([(mat * mat).sum(axis=0).tolist()],
+                            pa.list_(pa.float64())),
+            "n": pa.array([mat.shape[0]], pa.int64()),
+        })
+
+    vsum = None
+    vsq = None
+    n = 0
+    for b in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for s, q, m in zip(t["vsum"].to_pylist(), t["vsq"].to_pylist(),
+                           t["n"].to_pylist()):
+            s = np.asarray(s)
+            q = np.asarray(q)
+            if vsum is None:
+                vsum, vsq = s, q
+            else:
+                vsum = vsum + s
+                vsq = vsq + q
+            n += m
+    if vsum is None or n == 0:
+        return pa.table({"dim": pa.array([], pa.int64()),
+                         "mean_v": pa.array([], pa.float64()),
+                         "std_v": pa.array([], pa.float64())})
+    mean = vsum / n
+    var = np.maximum(vsq / n - mean * mean, 0.0)
+    return pa.table({
+        "dim": pa.array(np.arange(1, len(mean) + 1), pa.int64()),
+        "mean_v": pa.array(np.round(mean, 6), pa.float64()),
+        "std_v": pa.array(np.round(np.sqrt(var), 6), pa.float64()),
+    })

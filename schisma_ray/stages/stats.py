@@ -1356,3 +1356,61 @@ def grouped_key_entropy(ds, group_col: str, key_col: str,
 
     return per.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def grouped_trend_slope(ds, group_col: str, ts_col: str = "ts"):
+    """(group, slope): per-group OLS slope of DAILY ROW COUNTS against
+    the epoch-day index — the volume-trend detector ("which event types
+    are growing/shrinking, how fast"). SQL mirror: regr_slope over the
+    daily-count CTE, spelled as the integer-moment formula so both
+    sides divide IDENTICAL exact integers (the grouped_corr recipe):
+
+        slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),  round 6
+
+    Combiner-first: per-batch Arrow (group, day) count partials -> one
+    small groupby-sum (rows bounded by groups x days) -> per-group
+    Python-int moments (n*Sxy overflows int64 at 100 TB daily counts;
+    exact big-int == the oracle's HUGEINT) and ONE float divide.
+    Groups with < 2 distinct days (or zero day variance) are omitted —
+    a slope needs two x values."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    day_us = 86_400_000_000
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch[ts_col].combine_chunks(), pa.int64())
+        day = pc.divide(ts, day_us)  # integer division on int64
+        t = pa.table({group_col: batch[group_col], "day": day})
+        agg = t.group_by([group_col, "day"]).aggregate([([], "count_all")])
+        return agg.rename_columns([group_col, "day", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    totals = partials.groupby([group_col, "day"]).sum("cnt")
+
+    def slope(group: pd.DataFrame) -> pa.Table:
+        days = [int(v) for v in group["day"]]
+        cnts = [int(v) for v in group["sum(cnt)"]]
+        n = len(days)
+        gtype = pa.Array.from_pandas(group[group_col].iloc[:1]).type
+        empty = pa.table({group_col: pa.array([], gtype),
+                          "slope": pa.array([], pa.float64())})
+        if n < 2:
+            return empty
+        sx = sum(days)
+        sy = sum(cnts)
+        sxy = sum(d * c for d, c in zip(days, cnts))
+        sxx = sum(d * d for d in days)
+        den = n * sxx - sx * sx
+        if den == 0:
+            return empty
+        val = round(float(n * sxy - sx * sy) / float(den), 6)
+        return pa.table({
+            group_col: pa.Array.from_pandas(group[group_col].iloc[:1],
+                                            type=gtype),
+            "slope": pa.array([val], pa.float64()),
+        })
+
+    return totals.groupby(group_col).map_groups(slope,
+                                                batch_format="pandas")

@@ -1694,3 +1694,117 @@ def token_fertility(ds, *, col: str = "text", key_col: str = "lang"):
         "n_tokens": pa.array(tok, pa.int64()),
         "bytes_per_token_e6": pa.array(bpt, pa.int64()),
     })
+
+
+def word_pmi_top(ds, *, col: str = "text", id_col: str = "doc_id",
+                 vocab_k: int = 20, top_pairs: int = 20, min_pair: int = 5):
+    """(word_a, word_b, n_ab, pmi): the ``top_pairs`` highest-PMI
+    unordered word pairs over the ``vocab_k`` most document-frequent
+    words — the collocation/topical-association profile
+    (pmi = ln(n_ab * n_docs / (df_a * df_b)), doc-level events,
+    round 6; pairs below ``min_pair`` co-occurrences are noise and
+    dropped).
+
+    Scale shape: df partials collapse per batch (a doc lives in one
+    batch, so distinct-(doc, word) partials sum exactly); the vocabulary
+    is a de-skewed global top-k (per-block local top-k, bounded merge —
+    never the full vocab in one task); pair counting reuses the
+    ``event_type_cooccurrence`` doc-bucket triangle over the
+    vocab-restricted (doc, word) rows (per-doc distinct vocab words
+    <= vocab_k by construction); the final PMI table is
+    <= vocab_k^2/2 rows — bounded by construction."""
+    import ray
+
+    from .window import event_type_cooccurrence
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.fill_null(t[col].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        tri = pa.table({
+            id_col: t[id_col].combine_chunks().take(parent),
+            "word": flat,
+        }).filter(pc.not_equal(flat, ""))
+        agg = tri.group_by("word").aggregate([(id_col, "count_distinct")])
+        return agg.rename_columns(["word", "df"])
+
+    totals = ds.map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("word").sum("df")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(["sum(df)", "word"],
+                                      ascending=[False, True],
+                                      kind="mergesort").head(vocab_k)
+        return pa.table({
+            "word": pa.array(g["word"], pa.string()),
+            "df": pa.array(g["sum(df)"].to_numpy(np.int64), pa.int64()),
+        })
+
+    vocab_rows = []
+    for b in totals.map_batches(
+        local_topk, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        vocab_rows += list(zip(t["word"].to_pylist(), t["df"].to_pylist()))
+    vocab_rows.sort(key=lambda x: (-x[1], x[0]))
+    vocab = dict(vocab_rows[:vocab_k])  # word -> df
+    n_docs = ds.count()
+    vref = ray.put(vocab)
+
+    def restrict(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.fill_null(t[col].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        keep = pc.is_in(flat, value_set=pa.array(sorted(ray.get(vref))))
+        return pa.table({
+            id_col: t[id_col].combine_chunks().take(parent),
+            "word": flat,
+        }).filter(keep)
+
+    pairs = event_type_cooccurrence(
+        ds.map_batches(restrict, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col=id_col, type_col="word",
+        max_types_per_key=vocab_k,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        dfm = ray.get(vref)
+        a = t["type_a"].to_pylist()
+        b = t["type_b"].to_pylist()
+        n_ab = t["n_users"].to_pylist()
+        # the cooccurrence overflow marker cannot fire here (per-doc
+        # distinct vocab words <= vocab_k == the cap) — but filter
+        # defensively so a marker never KeyErrors the df lookup
+        keep = [n >= min_pair and x in dfm and y in dfm
+                for x, y, n in zip(a, b, n_ab)]
+        pmi = [
+            round(float(np.log(float(n) * n_docs / (dfm[x] * dfm[y]))), 6)
+            if k else 0.0
+            for x, y, n, k in zip(a, b, n_ab, keep)
+        ]
+        return pa.table({
+            "word_a": pa.array(a, pa.string()),
+            "word_b": pa.array(b, pa.string()),
+            "n_ab": pa.array(n_ab, pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        }).filter(pa.array(keep, pa.bool_()))
+
+    scored = pairs.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def final_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["pmi", "word_a", "word_b"],
+                              ascending=[False, True, True],
+                              kind="mergesort").head(top_pairs)
+        return g[["word_a", "word_b", "n_ab", "pmi"]]
+
+    def tag(t: pa.Table) -> pa.Table:
+        return t.append_column("one", pa.array([1] * len(t), pa.int8()))
+
+    return (scored.map_batches(tag, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("one").map_groups(final_topk, batch_format="pandas"))

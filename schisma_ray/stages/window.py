@@ -1062,3 +1062,130 @@ def monotonic_violations(
 
     return narrow.groupby("bucket").map_groups(per_bucket,
                                                batch_format="pandas")
+
+
+def event_transition_counts(
+    ds,
+    *,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+):
+    """Markov transition counts: (prev_type, next_type, n) over every
+    key's (ts, id)-ordered consecutive event pair — the behavioral
+    sequence profile (what follows what). One narrow key-hash shuffle
+    co-locates a key's events; each bucket does a segmented vectorized
+    adjacency scan and collapses to per-bucket pair counts; a tiny
+    global groupby folds them. Wire cost after the shuffle is
+    O(type-vocab^2) per bucket, never per-event."""
+    import numpy as np
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = t[key_col].combine_chunks()
+        return pa.table({
+            key_col: key,
+            id_col: t[id_col],
+            "ts_us": pc.cast(t[ts_col], pa.int64()),
+            type_col: t[type_col],
+            "bucket": _key_bucket(key, num_buckets),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, "ts_us", id_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ty = g[type_col].to_numpy()
+        empty = pa.table({
+            "prev_type": pa.array([], pa.string()),
+            "next_type": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if len(g) < 2:
+            return empty
+        same = k[1:] == k[:-1]
+        if not same.any():
+            return empty
+        pairs = (
+            pd.DataFrame({"prev_type": ty[:-1][same],
+                          "next_type": ty[1:][same]})
+            .groupby(["prev_type", "next_type"], sort=True, dropna=False)
+            .size().rename("n").reset_index()
+        )
+        return pa.table({
+            "prev_type": pa.array(pairs["prev_type"], pa.string()),
+            "next_type": pa.array(pairs["next_type"], pa.string()),
+            "n": pa.array(pairs["n"].to_numpy(np.int64), pa.int64()),
+        })
+
+    per = narrow.groupby("bucket").map_groups(per_bucket,
+                                              batch_format="pandas")
+    total = per.groupby(["prev_type", "next_type"]).sum("n")
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "prev_type": t["prev_type"],
+            "next_type": t["next_type"],
+            "n": pc.cast(t["sum(n)"], pa.int64()),
+        })
+
+    return total.map_batches(project, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+
+def first_repeat_gap(
+    ds,
+    *,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    id_col: str = "o_orderkey",
+    num_buckets: int = 64,
+):
+    """Time-to-repeat (survival-style): for every key with >= 2 rows,
+    the whole-day gap between its FIRST and SECOND row in (ts, id)
+    order — the repeat-purchase / re-engagement latency metric.
+    Output (key, gap_days). One narrow key-hash shuffle; per bucket a
+    segmented scan keeps each key's first two rows only."""
+    import numpy as np
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = t[key_col].combine_chunks()
+        return pa.table({
+            key_col: key,
+            id_col: t[id_col],
+            "ts_us": pc.cast(t[ts_col], pa.int64()),
+            "bucket": _key_bucket(key, num_buckets),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pa.Table:
+        g = group.sort_values([key_col, "ts_us", id_col], kind="stable")
+        k = g[key_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        id_type = pa.Array.from_pandas(group[key_col].iloc[:1]).type
+        if len(g) < 2:
+            return pa.table({
+                key_col: pa.array([], id_type),
+                "gap_days": pa.array([], pa.int64()),
+            })
+        starts = np.concatenate(([True], k[1:] != k[:-1]))
+        second = np.concatenate(([False], starts[:-1]))  # row after a start
+        # rows that are both "second row of a segment" and same key as prev
+        hit = second & np.concatenate(([False], k[1:] == k[:-1]))
+        gaps = np.zeros(len(g), np.int64)
+        gaps[1:] = ts[1:] - ts[:-1]
+        return pa.table({
+            key_col: pa.Array.from_pandas(
+                pd.Series(k[hit], dtype=group[key_col].dtype), type=id_type),
+            "gap_days": pa.array(gaps[hit] // 86_400_000_000, pa.int64()),
+        })
+
+    return narrow.groupby("bucket").map_groups(per_bucket,
+                                               batch_format="pandas")
