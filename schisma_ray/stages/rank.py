@@ -566,11 +566,10 @@ def grouped_weighted_median(ds, group_col: str, val_col: str,
     groups must fit a dict (formats, flags)."""
     mat = ds.sort([group_col, val_col]).materialize()
     refs: list = []
-    metas: list = []
     for bundle in mat.iter_internal_ref_bundles():
         for block_ref, meta in zip(bundle.block_refs, bundle.metadata):
-            refs.append(block_ref)
-            metas.append(meta.num_rows)
+            if meta.num_rows:  # empty blocks can be schema-less
+                refs.append(block_ref)
     empty = pa.table({group_col: pa.array([], pa.string()),
                       "wmedian": pa.array([], pa.float64())})
     if not refs:
