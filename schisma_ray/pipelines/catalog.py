@@ -7135,6 +7135,43 @@ SELECT u.user_id, c.event_type, CAST(coalesce(p.n, 0) AS BIGINT) AS n
   FROM u CROSS JOIN cats c
   LEFT JOIN p ON p.user_id = u.user_id AND p.event_type = c.event_type
 """,
+    "split_leakage_near": r"""
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         text || CASE WHEN doc_id % 5 = 0 THEN '' ELSE ' extra' END AS text
+    FROM documents WHERE doc_id % 5 IN (0, 1)),
+toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+    FROM aug),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w)-2, 0)+1)) AS t(i)
+   WHERE len(w) >= 3
+  UNION
+  SELECT doc_id, array_to_string(w, ' ') FROM toks WHERE len(w) BETWEEN 1 AND 2),
+sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS i
+            FROM grams ga JOIN grams gb ON ga.g = gb.g AND ga.doc_id < gb.doc_id
+           GROUP BY 1, 2),
+pairs AS (
+  SELECT a, b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = inter.a
+               JOIN sizes sb ON sb.doc_id = inter.b
+   WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+split AS (
+  SELECT doc_id,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10 < 8 THEN 1 ELSE 0 END AS is_train
+    FROM aug)
+SELECT CASE WHEN sa.is_train = 1 THEN a ELSE b END AS train_id,
+       CASE WHEN sa.is_train = 1 THEN b ELSE a END AS val_id,
+       jaccard
+  FROM pairs JOIN split sa ON sa.doc_id = pairs.a
+             JOIN split sb ON sb.doc_id = pairs.b
+ WHERE sa.is_train <> sb.is_train
+""",
     "split_leakage": """
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -8309,6 +8346,48 @@ def q_word_pmi_top(sf_dir: str):
     return word_pmi_top(ds)
 
 
+
+def q_split_leakage_near(sf_dir: str):
+    """NEAR-duplicate cross-split contamination (the leak exact
+    fingerprint leakage misses): MinHash-verified pairs (Jaccard >= 0.8
+    over 3-shingles) whose two sides land on OPPOSITE sides of the
+    deterministic md5 split — an eval doc that is a near-copy of a
+    train doc inflates benchmarks just like a verbatim one. Uses the
+    shared _synth_new_crawl re-key (verbatim copies AND ' extra'-
+    suffixed near-misses; both straddle the id-keyed split). The split
+    flag is a FUNCTION of the id (md5), so tagging pairs needs no join.
+    Output (train_id, val_id, jaccard)."""
+    import numpy as np
+
+    from ..stages._digest import md5_u32
+    from ..stages.dedup import minhash_dedup_pairs
+
+    base = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    crawl = base.map_batches(_synth_new_crawl, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    pairs = minhash_dedup_pairs(base.union(crawl), col="text",
+                                id_col="doc_id", threshold=0.8)
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks()
+        b = t["b"].combine_chunks()
+        ta = (md5_u32(a) % 10 < 8)
+        tb = (md5_u32(b) % 10 < 8)
+        cross = pa.array(ta != tb)
+        an = a.to_numpy(zero_copy_only=False)
+        bn = b.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "train_id": pa.array(np.where(ta, an, bn), pa.int64()),
+            "val_id": pa.array(np.where(ta, bn, an), pa.int64()),
+            "jaccard": t["jaccard"],
+        }).filter(cross)
+
+    if isinstance(pairs, rd.Dataset):
+        return pairs.map_batches(tag, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return tag(pairs)
+
+
 QUERIES = {
     "user_behavior_entropy": q_user_behavior_entropy,
     "event_share_ci": q_event_share_ci,
@@ -8462,6 +8541,7 @@ QUERIES = {
     "events_pivot_long": q_events_pivot_long,
     "events_user_skew": q_events_user_skew,
     "split_leakage": q_split_leakage,
+    "split_leakage_near": q_split_leakage_near,
     "lineitem_corr": q_lineitem_corr,
     "events_cube": q_events_cube,
     "user_event_mode": q_user_event_mode,
