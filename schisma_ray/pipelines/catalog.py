@@ -7172,6 +7172,66 @@ SELECT CASE WHEN sa.is_train = 1 THEN a ELSE b END AS train_id,
              JOIN split sb ON sb.doc_id = pairs.b
  WHERE sa.is_train <> sb.is_train
 """,
+    "split_balance": r"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 10 < 8 THEN 1 ELSE 0 END AS tr
+    FROM documents WHERE lang IS NOT NULL),
+per AS (SELECT lang, SUM(tr) AS n_train, SUM(1 - tr) AS n_val
+          FROM d GROUP BY 1),
+g AS (SELECT (2000000 * SUM(n_train) + SUM(n_train + n_val))
+             // (2 * SUM(n_train + n_val)) AS gs FROM per)
+SELECT lang,
+       CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_val AS BIGINT) AS n_val,
+       CAST((2000000 * n_train + n_train + n_val)
+            // (2 * (n_train + n_val)) AS BIGINT) AS train_share_e6,
+       CAST(gs AS BIGINT) AS global_share_e6,
+       CAST(abs((2000000 * n_train + n_train + n_val)
+                // (2 * (n_train + n_val)) - gs) AS BIGINT) AS diff_e6,
+       abs((2000000 * n_train + n_train + n_val)
+           // (2 * (n_train + n_val)) - gs) > 20000 AS flagged
+  FROM per CROSS JOIN g
+""",
+    "vocab_stats": r"""
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split_regex(
+             coalesce(text, ''), '\s+'), x -> x <> '')) AS word
+    FROM documents WHERE lang IS NOT NULL),
+wc AS (SELECT lang, word, count(*) AS n FROM toks GROUP BY 1, 2),
+per AS (SELECT lang, SUM(n) AS n_tokens, count(*) AS n_types,
+               SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS n_hapax
+          FROM wc GROUP BY 1)
+SELECT lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_types AS BIGINT) AS n_types,
+       CAST(n_hapax AS BIGINT) AS n_hapax,
+       CAST((2000000 * n_types + n_tokens) // (2 * n_tokens) AS BIGINT)
+         AS ttr_e6,
+       CAST((2000000 * n_hapax + n_types) // (2 * n_types) AS BIGINT)
+         AS hapax_e6
+  FROM per
+""",
+    "doc_novelty": r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\s+'),
+                             x -> x <> '') AS w
+    FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+    FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+   WHERE len(w) >= 3),
+df AS (SELECT g, count(*) AS df FROM grams GROUP BY 1),
+per AS (SELECT doc_id, count(*) AS n_grams,
+               SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_novel
+          FROM grams JOIN df USING (g) GROUP BY 1)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(n_novel AS BIGINT) AS n_novel,
+       CAST((2000000 * n_novel + n_grams) // (2 * n_grams) AS BIGINT)
+         AS novelty_e6
+  FROM per
+""",
     "split_leakage": """
 WITH aug AS (
   SELECT doc_id, text FROM documents
@@ -8388,6 +8448,96 @@ def q_split_leakage_near(sf_dir: str):
     return tag(pairs)
 
 
+def q_split_balance(sf_dir: str):
+    """Split-fairness audit: per-language train/val counts under the
+    deterministic md5 doc split and each language's e6 train share vs
+    the global share, flagging strata off by more than 2% — the check
+    that an id-hash split didn't lopside a small language's eval
+    slice. Exact integer shares; combiner-first partials."""
+    from ..stages.corpus import split_balance
+
+    ds = _t(sf_dir, "documents").select_columns(["doc_id", "lang"])
+    return split_balance(ds, group_col="lang", id_col="doc_id")
+
+
+def q_vocab_stats(sf_dir: str):
+    """Corpus-level vocabulary profile per language: token
+    occurrences, distinct types, hapax legomena, type-token ratio and
+    hapax share (half-up e6 ints) — the Zipf-tail health check for
+    tokenizer/mixture decisions."""
+    from ..stages.text import vocab_stats
+
+    ds = _t(sf_dir, "documents").select_columns(["text", "lang"])
+    return vocab_stats(ds)
+
+
+def q_doc_novelty(sf_dir: str):
+    """Per-document novelty: share of a doc's distinct word 3-grams
+    appearing in no other document (df == 1), as a half-up e6 int —
+    high novelty marks original content worth upsampling; near-zero
+    marks template spam."""
+    from ..stages.text import doc_novelty
+
+    ds = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return doc_novelty(ds)
+
+
+def q_word_pagerank(sf_dir: str):
+    """Weighted PageRank (5 fixed iterations, exact e6 integer
+    arithmetic) over the doc-co-occurrence graph of the 30 most
+    document-frequent words — an oracled iterative algorithm: the
+    DuckDB side unrolls the same five power iterations as CTEs over
+    HUGEINTs, so results agree bit-for-bit."""
+    from ..stages.text import word_pagerank
+
+    ds = _t(sf_dir, "documents").select_columns(["doc_id", "text"])
+    return word_pagerank(ds)
+
+
+def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
+                       damping_pct: int = 85) -> str:
+    """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
+    each one exact HUGEINT floor-division arithmetic mirroring
+    stages.text.word_pagerank step for step."""
+    head = r"""
+WITH w AS (
+  SELECT DISTINCT doc_id, word
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(
+                     coalesce(text, ''), '\s+'), x -> x <> '')) AS word
+            FROM documents)),
+df AS (SELECT word, count(*) AS df FROM w GROUP BY 1),
+v AS (SELECT word FROM df ORDER BY df DESC, word LIMIT {K}),
+e0 AS (SELECT a.word AS wa, b.word AS wb, CAST(count(*) AS HUGEINT) AS n
+        FROM w a JOIN w b USING (doc_id)
+        JOIN v va ON va.word = a.word
+        JOIN v vb ON vb.word = b.word
+       WHERE a.word < b.word GROUP BY 1, 2),
+e AS (SELECT wa AS u, wb AS t, n FROM e0
+      UNION ALL SELECT wb, wa, n FROM e0),
+ow AS (SELECT u, SUM(n) AS ow FROM e GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n_nodes FROM v),
+pr0 AS (SELECT word, CAST(1000000 AS HUGEINT) // n_nodes AS pr
+          FROM v CROSS JOIN nn)""".replace("{K}", str(vocab_k))
+    base_e6 = 1_000_000 - damping_pct * 10_000
+    step = """,
+pr{i} AS (SELECT v.word,
+               CAST({B} AS HUGEINT) // nn.n_nodes
+               + ({D} * coalesce(c.s, CAST(0 AS HUGEINT))) // 100 AS pr
+          FROM v CROSS JOIN nn
+          LEFT JOIN (SELECT e.t AS word, SUM((p.pr * e.n) // ow.ow) AS s
+                       FROM e JOIN pr{j} p ON p.word = e.u
+                       JOIN ow ON ow.u = e.u
+                      GROUP BY 1) c ON c.word = v.word)"""
+    body = "".join(
+        step.replace("{i}", str(i)).replace("{j}", str(i - 1))
+            .replace("{B}", str(base_e6)).replace("{D}", str(damping_pct))
+        for i in range(1, iters + 1)
+    )
+    return (head + body
+            + f"\nSELECT word, CAST(pr AS BIGINT) AS pr_e6 FROM pr{iters}\n")
+
+
 QUERIES = {
     "user_behavior_entropy": q_user_behavior_entropy,
     "event_share_ci": q_event_share_ci,
@@ -8542,6 +8692,10 @@ QUERIES = {
     "events_user_skew": q_events_user_skew,
     "split_leakage": q_split_leakage,
     "split_leakage_near": q_split_leakage_near,
+    "split_balance": q_split_balance,
+    "vocab_stats": q_vocab_stats,
+    "doc_novelty": q_doc_novelty,
+    "word_pagerank": q_word_pagerank,
     "lineitem_corr": q_lineitem_corr,
     "events_cube": q_events_cube,
     "user_event_mode": q_user_event_mode,
@@ -8639,4 +8793,5 @@ def oracle_sql() -> dict[str, str]:
     out["ngram_jaccard_dedup"] = out["minhash_dedup"]
     out["cross_corpus_dups_shuffle"] = out["cross_corpus_dups"]
     out["minhash_dedup_groups_ds"] = out["minhash_dedup_groups"]
+    out["word_pagerank"] = _word_pagerank_sql()
     return out

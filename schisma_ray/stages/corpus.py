@@ -839,3 +839,79 @@ def mixture_plan(ds, key_col: str, token_col: str,
         "target_tokens": pa.array(rows["target_tokens"], pa.int64()),
         "repeat_e6": pa.array(rows["repeat_e6"], pa.int64()),
     })
+
+
+def split_balance(ds, *, group_col: str, id_col: str,
+                  train_pct: int = 8, mod: int = 10,
+                  threshold_e6: int = 20_000) -> pa.Table:
+    """Split-fairness audit: per stratum (language, source, format),
+    the train/val counts under the deterministic md5 split and the
+    stratum's half-up e6 train share against the GLOBAL train share —
+    flagging strata whose share deviates by more than ``threshold_e6``
+    (default 2%). An id-keyed hash split is only fair in expectation;
+    a small or adversarially-keyed stratum can land lopsided, silently
+    starving its eval slice. Same split rule as ``split_leakage`` /
+    ``split_assign`` (``md5_u32(id) % mod < train_pct``), so the audit
+    reports on the split the pipeline would actually produce.
+
+    Combiner-first: per-batch (stratum, is_train) count partials — two
+    ints per stratum per batch — folded driver-side; the result is
+    |strata| rows by contract (strata are low-cardinality columns).
+    Null strata are excluded on both sides. All shares are exact
+    half-up integer math (``(2e6*x + d) // (2d)``)."""
+    from ._digest import md5_u32
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        if t.num_rows == 0:
+            return pa.schema(
+                [(group_col, pa.string()), ("n_train", pa.int64()),
+                 ("n_val", pa.int64())]
+            ).empty_table()
+        u = md5_u32(t[id_col].combine_chunks())
+        is_train = (u % mod) < train_pct
+        g = pa.table({
+            group_col: t[group_col],
+            "n_train": pa.array(is_train.astype(np.int64), pa.int64()),
+            "n_val": pa.array((~is_train).astype(np.int64), pa.int64()),
+        }).group_by(group_col).aggregate(
+            [("n_train", "sum"), ("n_val", "sum")]
+        )
+        return g.rename_columns([group_col, "n_train", "n_val"])
+
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    if folded is None:
+        return pa.table({
+            group_col: pa.array([], pa.string()),
+            "n_train": pa.array([], pa.int64()),
+            "n_val": pa.array([], pa.int64()),
+            "train_share_e6": pa.array([], pa.int64()),
+            "global_share_e6": pa.array([], pa.int64()),
+            "diff_e6": pa.array([], pa.int64()),
+            "flagged": pa.array([], pa.bool_()),
+        })
+    merged = folded.group_by(group_col).aggregate(
+        [("n_train", "sum"), ("n_val", "sum")]
+    ).rename_columns([group_col, "n_train", "n_val"])
+    tr = merged["n_train"].to_numpy(zero_copy_only=False).astype(np.int64)
+    va = merged["n_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = tr + va
+    g_tr = int(tr.sum())
+    g_tot = int(tot.sum())
+    global_e6 = (2_000_000 * g_tr + g_tot) // (2 * g_tot) if g_tot else 0
+    share_e6 = (2_000_000 * tr + tot) // (2 * tot)
+    diff = np.abs(share_e6 - global_e6)
+    return pa.table({
+        group_col: merged[group_col],
+        "n_train": pa.array(tr, pa.int64()),
+        "n_val": pa.array(va, pa.int64()),
+        "train_share_e6": pa.array(share_e6, pa.int64()),
+        "global_share_e6": pa.array(
+            np.full(len(tr), global_e6, np.int64), pa.int64()),
+        "diff_e6": pa.array(diff, pa.int64()),
+        "flagged": pa.array(diff > threshold_e6),
+    })

@@ -1808,3 +1808,320 @@ def word_pmi_top(ds, *, col: str = "text", id_col: str = "doc_id",
     return (scored.map_batches(tag, batch_format="pyarrow",
                                zero_copy_batch=True)
             .groupby("one").map_groups(final_topk, batch_format="pandas"))
+
+
+def vocab_stats(ds, *, col: str = "text", lang_col: str = "lang"):
+    """Corpus-level vocabulary profile per language: total token
+    occurrences, distinct types, hapax legomena (corpus frequency
+    exactly 1), plus type-token ratio and hapax share as half-up e6
+    integers — the Zipf-tail health check a tokenizer/mixture decision
+    wants (a language whose hapax share explodes is OCR noise or
+    boilerplate soup; a collapsing TTR means dedup missed a template).
+
+    Scale shape: per-batch (lang, word) count partials collapse each
+    batch to its distinct pairs before ONE (lang, word) groupby — the
+    only vocabulary-sized shuffle; after it every (lang, word) row is
+    globally unique, so per-block per-lang partials (sum/count/hapax
+    count) sum exactly into a |langs|-row groupby. Null langs and empty
+    tokens are excluded on both sides (oracle parity with DuckDB
+    ``string_split_regex``). Ratios are exact half-up integer math:
+    ``(2e6*x + d) // (2d)``."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        lang = t[lang_col].combine_chunks()
+        keep = pc.is_valid(lang)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.schema(
+                [(lang_col, pa.string()), ("word", pa.string()),
+                 ("n", pa.int64())]
+            ).empty_table()
+        words = pc.split_pattern_regex(
+            pc.fill_null(t[col].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        tri = pa.table({
+            lang_col: t[lang_col].combine_chunks().take(parent),
+            "word": flat,
+        }).filter(pc.not_equal(flat, ""))
+        agg = tri.group_by([lang_col, "word"]).aggregate(
+            [("word", "count")]
+        )
+        return agg.rename_columns([lang_col, "word", "n"])
+
+    totals = (
+        ds.map_batches(pair_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby([lang_col, "word"]).sum("n")
+    )
+
+    def lang_partial(t: pa.Table) -> pa.Table:
+        n = t["sum(n)"].combine_chunks()
+        g = pa.table({
+            lang_col: t[lang_col],
+            "n_tokens": n,
+            "n_types": pa.array(np.ones(len(n), np.int64), pa.int64()),
+            "n_hapax": pc.cast(pc.equal(n, 1), pa.int64()),
+        })
+        agg = g.group_by(lang_col).aggregate(
+            [("n_tokens", "sum"), ("n_types", "sum"), ("n_hapax", "sum")]
+        )
+        return agg.rename_columns([lang_col, "n_tokens", "n_types",
+                                   "n_hapax"])
+
+    folded = (
+        totals.map_batches(lang_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby(lang_col)
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("n_types", alias_name="n_types"),
+                   Sum("n_hapax", alias_name="n_hapax"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        typ = t["n_types"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hap = t["n_hapax"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ttr = (2_000_000 * typ + tok) // (2 * tok)
+        hshare = (2_000_000 * hap + typ) // (2 * typ)
+        return pa.table({
+            lang_col: t[lang_col],
+            "n_tokens": pa.array(tok, pa.int64()),
+            "n_types": pa.array(typ, pa.int64()),
+            "n_hapax": pa.array(hap, pa.int64()),
+            "ttr_e6": pa.array(ttr, pa.int64()),
+            "hapax_e6": pa.array(hshare, pa.int64()),
+        })
+
+    return folded.map_batches(final, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def doc_novelty(ds, *, col: str = "text", id_col: str = "doc_id",
+                k: int = 3):
+    """Per-document novelty score: the share of a document's distinct
+    word ``k``-grams that appear in NO other document (corpus document
+    frequency exactly 1), as a half-up e6 integer — high novelty marks
+    original content worth upsampling; near-zero novelty marks template
+    spam the dedup family should have caught. Documents with fewer than
+    ``k`` words emit no row (no grams, ratio undefined) — oracle
+    matches.
+
+    Scale shape: gram construction is one vectorized pass per batch
+    (Arrow split/flatten + numpy object-concat over the flat word array
+    with doc-boundary masking — no per-row Python loop); a document's
+    row is atomic to one batch, so in-batch per-doc distinct == global
+    per-doc distinct. The only corpus-sized exchange is the gram-keyed
+    groupby for document frequency; novel grams carry their single
+    owner doc_id out of that groupby for free (``min(doc_id)`` of a
+    df==1 gram IS the owner), so no text-to-gram join is ever needed.
+    The final (doc_id) groupby folds |docs|-sized partial rows."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    def grams_partial(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [(id_col, pa.int64()), ("g", pa.string())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        words = pc.split_pattern_regex(
+            pc.fill_null(t[col].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        keep = pc.not_equal(flat, "")
+        w = flat.filter(keep).to_numpy(zero_copy_only=False)
+        p = parent.filter(keep).to_numpy(zero_copy_only=False)
+        m = len(w) - k + 1
+        if m <= 0:
+            return empty
+        ok = np.ones(m, bool)
+        g = w[:m].astype(object)
+        for j in range(1, k):
+            ok &= p[:m] == p[j:m + j]
+            g = g + " " + w[j:m + j]
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        tri = pa.table({
+            id_col: pa.array(ids[p[:m][ok]], pa.int64()),
+            "g": pa.array(g[ok], pa.string()),
+        })
+        return tri.group_by([id_col, "g"]).aggregate([])
+
+    grams = ds.map_batches(grams_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+    totals = grams.groupby(id_col).aggregate(
+        Count(alias_name="n_grams"))
+
+    dfreq = grams.groupby("g").aggregate(
+        Count(alias_name="df"), Min(id_col, alias_name="owner"))
+
+    def novel_partial(t: pa.Table) -> pa.Table:
+        hit = t.filter(pc.equal(t["df"], 1))
+        g = pa.table({
+            id_col: pc.cast(hit["owner"], pa.int64()),
+            "one": pa.array(np.ones(hit.num_rows, np.int64), pa.int64()),
+        }).group_by(id_col).aggregate([("one", "sum")])
+        return g.rename_columns([id_col, "n_novel"])
+
+    novel = dfreq.map_batches(novel_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def as_tot(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_grams": pc.cast(t["n_grams"], pa.int64()),
+            "n_novel": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+        })
+
+    def as_nov(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_grams": pa.array(np.zeros(t.num_rows, np.int64), pa.int64()),
+            "n_novel": pc.cast(t["n_novel"], pa.int64()),
+        })
+
+    merged = (
+        totals.map_batches(as_tot, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .union(novel.map_batches(as_nov, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+        .groupby(id_col)
+        .aggregate(Sum("n_grams", alias_name="n_grams"),
+                   Sum("n_novel", alias_name="n_novel"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        ng = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = t["n_novel"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e6 = (2_000_000 * nv + ng) // (2 * ng)
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "n_grams": pa.array(ng, pa.int64()),
+            "n_novel": pa.array(nv, pa.int64()),
+            "novelty_e6": pa.array(e6, pa.int64()),
+        })
+
+    return merged.map_batches(final, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def word_pagerank(ds, *, col: str = "text", id_col: str = "doc_id",
+                  vocab_k: int = 30, iters: int = 5,
+                  damping_pct: int = 85) -> pa.Table:
+    """Weighted PageRank over the document-co-occurrence graph of the
+    ``vocab_k`` most document-frequent words — the centrality profile
+    of a corpus's topical core (a word with high PageRank co-occurs
+    with *other* well-connected words, not merely often). Runs a FIXED
+    ``iters`` power iterations in exact e6 integer arithmetic (floor
+    division at every step), so the DuckDB oracle — the same five
+    iterations unrolled as CTEs over HUGEINTs — agrees bit-for-bit;
+    no float summation order can drift.
+
+    pr_0(v) = 1e6 // n;  pr_{i+1}(v) =
+    (1e6 - d_e6) // n + (d_pct * sum_u floor(pr_i(u) * w(u,v) /
+    out_w(u))) // 100, with out_w(u) the weighted degree.
+
+    Scale shape: document frequencies and the co-occurrence triangle
+    are the distributed part (same de-skewed plan as ``word_pmi_top``:
+    per-batch df partials, per-block local top-k vocab with a bounded
+    merge, ``event_type_cooccurrence`` doc-bucket triangle capped at
+    ``vocab_k`` types per doc). The graph itself is
+    <= vocab_k*(vocab_k-1)/2 edges BY CONSTRUCTION, so the power
+    iteration runs driver-side on a bounded table — the standard
+    split for iterative algorithms over a reduced graph."""
+    import ray
+
+    from .window import OVERFLOW_TYPE, event_type_cooccurrence
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.fill_null(t[col].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        tri = pa.table({
+            id_col: t[id_col].combine_chunks().take(parent),
+            "word": flat,
+        }).filter(pc.not_equal(flat, ""))
+        agg = tri.group_by("word").aggregate([(id_col, "count_distinct")])
+        return agg.rename_columns(["word", "df"])
+
+    totals = ds.map_batches(
+        df_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("word").sum("df")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F401  (sort via pandas mergesort)
+
+        g = t.to_pandas().sort_values(["sum(df)", "word"],
+                                      ascending=[False, True],
+                                      kind="mergesort").head(vocab_k)
+        return pa.table({
+            "word": pa.array(g["word"], pa.string()),
+            "df": pa.array(g["sum(df)"].to_numpy(np.int64), pa.int64()),
+        })
+
+    from ._fold import fold_table
+
+    folded = fold_table(
+        totals.map_batches(local_topk, batch_format="pyarrow")
+    )
+    vocab_rows = (
+        list(zip(folded["word"].to_pylist(), folded["df"].to_pylist()))
+        if folded is not None else []
+    )
+    vocab_rows.sort(key=lambda x: (-x[1], x[0]))
+    vocab = sorted(w for w, _ in vocab_rows[:vocab_k])
+    if not vocab:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "pr_e6": pa.array([], pa.int64())})
+    vref = ray.put(vocab)
+
+    def restrict(t: pa.Table) -> pa.Table:
+        words = pc.split_pattern_regex(
+            pc.fill_null(t[col].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        keep = pc.is_in(flat, value_set=pa.array(ray.get(vref)))
+        return pa.table({
+            id_col: t[id_col].combine_chunks().take(parent),
+            "word": flat,
+        }).filter(keep)
+
+    pairs = fold_table(event_type_cooccurrence(
+        ds.map_batches(restrict, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        key_col=id_col, type_col="word",
+        max_types_per_key=vocab_k,
+    ))
+
+    idx = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab)
+    edges: list[tuple[int, int, int]] = []
+    if pairs is not None:
+        for a, b, w in zip(pairs["type_a"].to_pylist(),
+                           pairs["type_b"].to_pylist(),
+                           pairs["n_users"].to_pylist()):
+            # the cap equals the per-doc vocab bound, so the overflow
+            # marker cannot fire; guard anyway
+            if a == OVERFLOW_TYPE or b == OVERFLOW_TYPE:
+                continue
+            edges.append((idx[a], idx[b], int(w)))
+    out_w = [0] * n
+    for a, b, w in edges:
+        out_w[a] += w
+        out_w[b] += w
+
+    base = (1_000_000 - damping_pct * 10_000) // n
+    pr = [1_000_000 // n] * n
+    for _ in range(iters):
+        contrib = [0] * n
+        for a, b, w in edges:
+            contrib[b] += pr[a] * w // out_w[a]
+            contrib[a] += pr[b] * w // out_w[b]
+        pr = [base + (damping_pct * c) // 100 for c in contrib]
+
+    return pa.table({
+        "word": pa.array(vocab, pa.string()),
+        "pr_e6": pa.array(pr, pa.int64()),
+    })

@@ -1,0 +1,203 @@
+"""Round-5 second batch: split balance, vocab stats, doc novelty,
+word PageRank — brute-force parity + determinism across block layouts."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+DOCS = [
+    (1, "the cat sat on the mat", "en"),
+    (2, "the cat sat on the rug", "en"),
+    (3, "a dog ran in the park", "en"),
+    (4, "der hund lief im park", "de"),
+    (5, "der hund lief im wald", "de"),
+    (6, "one two", "en"),          # < 3 words: no novelty row
+    (7, None, "en"),               # null text
+    (8, "unique words entirely here now", None),  # null lang
+    (9, "the cat sat on the mat", "en"),  # exact dup of doc 1
+]
+
+
+def _docs(repartition=3):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in DOCS], pa.int64()),
+        "text": pa.array([d[1] for d in DOCS], pa.string()),
+        "lang": pa.array([d[2] for d in DOCS], pa.string()),
+    })).repartition(repartition)
+
+
+def _md5_train(doc_id, mod=10, pct=8):
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % mod < pct
+
+
+def _half_up(num, den):
+    return (2 * num + den) // (2 * den)
+
+
+def test_split_balance_bruteforce(ray_session):
+    from schisma_ray.stages.corpus import split_balance
+
+    out = split_balance(_docs(), group_col="lang", id_col="doc_id",
+                        threshold_e6=1).to_pandas()
+    rows = [(d[0], d[2]) for d in DOCS if d[2] is not None]
+    per = {}
+    for doc_id, lang in rows:
+        tr = _md5_train(doc_id)
+        a, b = per.get(lang, (0, 0))
+        per[lang] = (a + tr, b + (not tr))
+    g_tr = sum(a for a, _ in per.values())
+    g_tot = sum(a + b for a, b in per.values())
+    g_e6 = _half_up(1_000_000 * g_tr, g_tot)
+    got = {r.lang: r for r in out.itertuples()}
+    assert set(got) == set(per)
+    for lang, (a, b) in per.items():
+        r = got[lang]
+        assert (r.n_train, r.n_val) == (a, b)
+        share = _half_up(1_000_000 * a, a + b)
+        assert r.train_share_e6 == share
+        assert r.global_share_e6 == g_e6
+        assert r.diff_e6 == abs(share - g_e6)
+        assert bool(r.flagged) == (abs(share - g_e6) > 1)
+
+
+def test_vocab_stats_bruteforce(ray_session):
+    from schisma_ray.stages.text import vocab_stats
+
+    out = vocab_stats(_docs()).to_pandas()
+    per = {}
+    for _, text, lang in DOCS:
+        if lang is None or text is None:
+            continue
+        for w in text.split():
+            per.setdefault(lang, {}).setdefault(w, 0)
+            per[lang][w] += 1
+    got = {r.lang: r for r in out.itertuples()}
+    assert set(got) == set(per)
+    for lang, wc in per.items():
+        r = got[lang]
+        n_tokens = sum(wc.values())
+        n_types = len(wc)
+        n_hapax = sum(1 for n in wc.values() if n == 1)
+        assert (r.n_tokens, r.n_types, r.n_hapax) == (
+            n_tokens, n_types, n_hapax)
+        assert r.ttr_e6 == _half_up(1_000_000 * n_types, n_tokens)
+        assert r.hapax_e6 == _half_up(1_000_000 * n_hapax, n_types)
+
+
+def _brute_novelty(k=3):
+    grams = {}
+    for doc_id, text, _ in DOCS:
+        if text is None:
+            continue
+        w = text.split()
+        if len(w) < k:
+            continue
+        grams[doc_id] = {" ".join(w[i:i + k]) for i in range(len(w) - k + 1)}
+    df = {}
+    for gs in grams.values():
+        for g in gs:
+            df[g] = df.get(g, 0) + 1
+    return {
+        d: (len(gs), sum(1 for g in gs if df[g] == 1))
+        for d, gs in grams.items()
+    }
+
+
+def test_doc_novelty_bruteforce(ray_session):
+    from schisma_ray.stages.text import doc_novelty
+
+    out = doc_novelty(_docs()).to_pandas()
+    want = _brute_novelty()
+    got = {r.doc_id: r for r in out.itertuples()}
+    assert set(got) == set(want)
+    for d, (ng, nv) in want.items():
+        r = got[d]
+        assert (r.n_grams, r.n_novel) == (ng, nv)
+        assert r.novelty_e6 == _half_up(1_000_000 * nv, ng)
+    # exact duplicate docs share every gram: zero novelty both sides
+    assert got[1].n_novel == 0 and got[9].n_novel == 0
+
+
+def _brute_pagerank(vocab_k=30, iters=5, damping_pct=85):
+    docs = {d: set(t.split()) for d, t, _ in DOCS if t is not None}
+    df = {}
+    for ws in docs.values():
+        for w in ws:
+            df[w] = df.get(w, 0) + 1
+    vocab = sorted(sorted(df), key=lambda w: (-df[w], w))[:vocab_k]
+    vocab = sorted(vocab)
+    idx = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab)
+    pair_n = {}
+    for ws in docs.values():
+        vs = sorted(w for w in ws if w in idx)
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                pair_n[(vs[i], vs[j])] = pair_n.get((vs[i], vs[j]), 0) + 1
+    out_w = [0] * n
+    for (a, b), w in pair_n.items():
+        out_w[idx[a]] += w
+        out_w[idx[b]] += w
+    base = (1_000_000 - damping_pct * 10_000) // n
+    pr = [1_000_000 // n] * n
+    for _ in range(iters):
+        contrib = [0] * n
+        for (a, b), w in pair_n.items():
+            ia, ib = idx[a], idx[b]
+            contrib[ib] += pr[ia] * w // out_w[ia]
+            contrib[ia] += pr[ib] * w // out_w[ib]
+        pr = [base + (damping_pct * c) // 100 for c in contrib]
+    return dict(zip(vocab, pr))
+
+
+def test_word_pagerank_bruteforce(ray_session):
+    from schisma_ray.stages.text import word_pagerank
+
+    out = word_pagerank(_docs()).to_pandas()
+    want = _brute_pagerank()
+    got = dict(zip(out["word"], out["pr_e6"]))
+    assert got == want
+    # probability mass sanity: e6 floor arithmetic only loses mass
+    assert 0 < sum(got.values()) <= 1_000_000
+
+
+def test_new_ops_layout_invariant(ray_session):
+    """Identical results across block layouts (1 vs 5 partitions)."""
+    from schisma_ray.stages.corpus import split_balance
+    from schisma_ray.stages.text import doc_novelty, vocab_stats
+
+    for rep in (1, 5):
+        ds = _docs(rep)
+        sb = split_balance(
+            ds, group_col="lang", id_col="doc_id"
+        ).to_pandas().sort_values("lang").reset_index(drop=True)
+        vs = vocab_stats(ds).to_pandas().sort_values(
+            "lang").reset_index(drop=True)
+        nv = doc_novelty(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        if rep == 1:
+            sb1, vs1, nv1 = sb, vs, nv
+        else:
+            assert sb.equals(sb1)
+            assert vs.equals(vs1)
+            assert nv.equals(nv1)
+
+
+def test_split_leakage_near_tags_cross_split_only(ray_session):
+    """Every reported near-dup pair straddles the md5 split, train id
+    first; jaccard >= 0.8."""
+    import pyarrow.parquet  # noqa: F401
+
+    from schisma_ray.pipelines.catalog import q_split_leakage_near
+
+    out = q_split_leakage_near("/root/testdata/sf0.001")
+    df = out.to_pandas() if not hasattr(out, "to_pandas_df") else out
+    if not isinstance(df, __import__("pandas").DataFrame):
+        df = df.to_pandas()
+    assert len(df) > 0
+    assert (df["jaccard"] >= 0.8).all()
+    for r in df.itertuples():
+        assert _md5_train(r.train_id)
+        assert not _md5_train(r.val_id)
