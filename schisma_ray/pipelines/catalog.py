@@ -7172,6 +7172,95 @@ SELECT CASE WHEN sa.is_train = 1 THEN a ELSE b END AS train_id,
              JOIN split sb ON sb.doc_id = pairs.b
  WHERE sa.is_train <> sb.is_train
 """,
+    "session_bounce": """
+WITH o AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+    FROM o),
+per AS (
+  SELECT user_id, sid, count(*) AS len, min(ts) AS t0
+    FROM s GROUP BY 1, 2),
+d AS (
+  SELECT epoch_us(t0) // 86400000000 AS day,
+         count(*) AS n_sessions,
+         SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS n_bounce
+    FROM per GROUP BY 1)
+SELECT CAST(day AS BIGINT) AS day,
+       CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(n_bounce AS BIGINT) AS n_bounce,
+       CAST((2000000 * n_bounce + n_sessions) // (2 * n_sessions)
+            AS BIGINT) AS bounce_e6
+  FROM d
+""",
+    "dedup_lang_shift": """
+WITH d AS (
+  SELECT doc_id, text, lang FROM documents
+   WHERE text IS NOT NULL AND lang IS NOT NULL),
+surv AS (
+  SELECT lang FROM (
+    SELECT lang, doc_id,
+           min(doc_id) OVER (PARTITION BY text) AS keep
+      FROM d) WHERE doc_id = keep),
+b AS (SELECT lang, count(*) AS n_before FROM d GROUP BY 1),
+a AS (SELECT lang, count(*) AS n_after FROM surv GROUP BY 1),
+t AS (SELECT SUM(n_before) AS tb FROM b),
+u AS (SELECT SUM(n_after) AS ta FROM a)
+SELECT b.lang,
+       CAST(b.n_before AS BIGINT) AS n_before,
+       CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+       CAST((2000000 * b.n_before + t.tb) // (2 * t.tb) AS BIGINT)
+         AS share_before_e6,
+       CAST((2000000 * coalesce(a.n_after, 0) + u.ta) // (2 * u.ta)
+            AS BIGINT) AS share_after_e6,
+       CAST((2000000 * coalesce(a.n_after, 0) + u.ta) // (2 * u.ta)
+            - (2000000 * b.n_before + t.tb) // (2 * t.tb) AS BIGINT)
+         AS shift_e6
+  FROM b LEFT JOIN a ON a.lang = b.lang
+  CROSS JOIN t CROSS JOIN u
+""",
+    "shipping_priority": """
+WITH rev AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS r
+    FROM lineitem
+   WHERE l_shipdate > TIMESTAMP '1998-01-01'
+   GROUP BY 1)
+SELECT o.o_orderkey, o.o_orderpriority,
+       CAST(rev.r AS BIGINT) AS revenue_c4
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN rev ON rev.l_orderkey = o.o_orderkey
+ WHERE o.o_orderdate < TIMESTAMP '1998-01-01'
+   AND c.c_mktsegment = 'BUILDING'
+ ORDER BY revenue_c4 DESC, o.o_orderkey
+ LIMIT 10
+""",
+    "promo_revenue_share": """
+WITH j AS (
+  SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+           AS month,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS rev,
+         CASE WHEN p.p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+m AS (
+  SELECT month, SUM(rev) AS total_c4,
+         SUM(rev * promo) AS promo_c4
+    FROM j GROUP BY 1)
+SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
+       CAST(promo_c4 AS BIGINT) AS promo_c4,
+       CAST((2000000 * promo_c4 + total_c4) // (2 * total_c4) AS BIGINT)
+         AS promo_share_e6
+  FROM m
+""",
     "split_balance": r"""
 WITH d AS (
   SELECT lang,
@@ -8494,6 +8583,195 @@ def q_word_pagerank(sf_dir: str):
     return word_pagerank(ds)
 
 
+def q_session_bounce(sf_dir: str):
+    """Per-day bounce rate: sessions started and single-event sessions
+    per day under the 30-min-gap session rule, with the bounce share
+    as a half-up e6 int — the engagement canary."""
+    from ..stages.window import session_bounce_by_day
+
+    ds = _t(sf_dir, "events").select_columns(["user_id", "ts"])
+    return session_bounce_by_day(ds)
+
+
+def q_dedup_lang_shift(sf_dir: str):
+    """Dedup survivorship-bias audit: per-language row counts and e6
+    shares before vs after exact keep-first dedup, plus the signed
+    share shift — did dedup silently reweight the corpus mixture?"""
+    from ..stages.dedup import dedup_lang_shift
+
+    ds = _t(sf_dir, "documents").select_columns(["doc_id", "text", "lang"])
+    return dedup_lang_shift(ds)
+
+
+_Q3_CUTOFF_US = 883_612_800_000_000  # 1998-01-01 in epoch microseconds
+
+
+def q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape: the 10 highest-revenue orders placed before
+    1998-01-01 by BUILDING-segment customers, counting only lineitems
+    shipped after the cutoff. Revenue is exact integer hundredths of
+    cents (cents * (100 - discount_pct)). Plan: combiner-first revenue
+    rollup on lineitem (filter at the read, per-batch partials), two
+    hash-shuffle equi-joins on narrow projections, then per-block local
+    top-10 with a bounded driver merge — no full sort, no broadcast of
+    a large side."""
+    from ..stages._fold import fold_table
+    from ..stages.join import shuffle_hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"].combine_chunks(), pa.int64())
+        t = t.filter(pc.greater(ship, _Q3_CUTOFF_US))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": rev,
+        }).group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("l_orderkey").sum("rev")
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    )
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"].combine_chunks(), pa.int64())
+        return t.filter(pc.less(od, _Q3_CUTOFF_US)).select(
+            ["o_orderkey", "o_custkey", "o_orderpriority"])
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    )
+
+    def cust_f(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.equal(t["c_mktsegment"].combine_chunks(), "BUILDING")
+        ).select(["c_custkey"])
+
+    qualified = shuffle_hash_join(
+        orders.map_batches(orders_f, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        cust.map_batches(cust_f, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        on="o_custkey", right_on="c_custkey",
+    )
+    joined = shuffle_hash_join(qualified, rev,
+                               on="o_orderkey", right_on="l_orderkey")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(
+            ["sum(rev)", "o_orderkey"], ascending=[False, True],
+            kind="mergesort").head(10)
+        return pa.table({
+            "o_orderkey": pa.array(g["o_orderkey"].to_numpy(np.int64),
+                                   pa.int64()),
+            "o_orderpriority": pa.array(g["o_orderpriority"], pa.string()),
+            "revenue_c4": pa.array(g["sum(rev)"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    folded = fold_table(
+        joined.map_batches(local_topk, batch_format="pyarrow")
+    )
+    if folded is None:
+        return pa.table({
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderpriority": pa.array([], pa.string()),
+            "revenue_c4": pa.array([], pa.int64()),
+        })
+    df = folded.to_pandas().sort_values(
+        ["revenue_c4", "o_orderkey"], ascending=[False, True],
+        kind="mergesort").head(10)
+    return pa.Table.from_pandas(df.reset_index(drop=True))
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 shape: per ship month, the e6 share of revenue coming
+    from PROMO-type parts. One hash-shuffle join of narrow lineitem
+    and part projections, then per-batch (month, promo/total) integer
+    partials into a |months|-row groupby — exact hundredths-of-cents
+    arithmetic end to end."""
+    from ..stages.join import shuffle_hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    )
+    part = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"],
+    )
+    joined = shuffle_hash_join(li, part,
+                               on="l_partkey", right_on="p_partkey")
+
+    def partial(t: pa.Table) -> pa.Table:
+        ship = t["l_shipdate"].combine_chunks()
+        month = pc.add(
+            pc.multiply(pc.cast(pc.year(ship), pa.int64()),
+                        pa.scalar(100, pa.int64())),
+            pc.cast(pc.month(ship), pa.int64()),
+        )
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        promo = pc.cast(pc.equal(t["p_type"], "PROMO"), pa.int64())
+        g = pa.table({
+            "month": month,
+            "total_c4": rev,
+            "promo_c4": pc.multiply(rev, promo),
+        }).group_by("month").aggregate(
+            [("total_c4", "sum"), ("promo_c4", "sum")]
+        )
+        return g.rename_columns(["month", "total_c4", "promo_c4"])
+
+    from ray.data.aggregate import Sum
+
+    folded = (
+        joined.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(Sum("total_c4", alias_name="total_c4"),
+                   Sum("promo_c4", alias_name="promo_c4"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        tot = t["total_c4"].to_pylist()
+        pr = t["promo_c4"].to_pylist()
+        # Python ints: 2e6 * a month's c4 revenue overflows int64 well
+        # below 100-TB scale (the oracle's HUGEINT equivalent)
+        e6 = [(2_000_000 * p + n) // (2 * n) for p, n in zip(pr, tot)]
+        return pa.table({
+            "month": pc.cast(t["month"], pa.int64()),
+            "total_c4": pa.array(tot, pa.int64()),
+            "promo_c4": pa.array(pr, pa.int64()),
+            "promo_share_e6": pa.array(e6, pa.int64()),
+        })
+
+    return folded.map_batches(final, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -8696,6 +8974,10 @@ QUERIES = {
     "vocab_stats": q_vocab_stats,
     "doc_novelty": q_doc_novelty,
     "word_pagerank": q_word_pagerank,
+    "session_bounce": q_session_bounce,
+    "dedup_lang_shift": q_dedup_lang_shift,
+    "shipping_priority": q_shipping_priority,
+    "promo_revenue_share": q_promo_revenue_share,
     "lineitem_corr": q_lineitem_corr,
     "events_cube": q_events_cube,
     "user_event_mode": q_user_event_mode,

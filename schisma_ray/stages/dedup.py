@@ -1857,3 +1857,112 @@ def normalized_text_dups(ds, *, col: str = "text", id_col: str = "doc_id",
         .groupby("nb")
         .map_groups(dups, batch_format="pandas")
     )
+
+
+def dedup_lang_shift(ds, *, key: str = "text", id_col: str = "doc_id",
+                     group_col: str = "lang"):
+    """Dedup survivorship-bias audit: per stratum (language, source),
+    the row count and e6 share BEFORE exact dedup vs AFTER
+    keep-first dedup, plus the signed share shift — the check that
+    deduplication didn't silently reweight the corpus mixture (a
+    heavily-templated language loses disproportionately many rows; a
+    mixture tuned on pre-dedup shares is then wrong).
+
+    The survivor of a key group is the minimum id; its stratum must
+    ride the min aggregation, so the per-batch partial packs
+    ``(zero-padded id | stratum)`` into one string whose lexicographic
+    min IS the numeric id min — an exact argmin through a plain string
+    ``min`` aggregate, no join back to the corpus. Null key / stratum
+    rows are excluded on both sides. Combiner-first everywhere: batch
+    partials collapse before the one key-hash groupby; the final table
+    is |strata| rows."""
+    from ray.data.aggregate import Sum
+
+    def before_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key]),
+                             pc.is_valid(t[group_col])))
+        g = pa.table({
+            group_col: t[group_col],
+            "n_before": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+        }).group_by(group_col).aggregate([("n_before", "sum")])
+        return g.rename_columns([group_col, "n_before"])
+
+    before = (
+        ds.map_batches(before_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(group_col).sum("n_before")
+    )
+
+    def pack_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[key]),
+                             pc.is_valid(t[group_col])))
+        if t.num_rows == 0:
+            return pa.schema(
+                [(key, pa.string()), ("packed", pa.string())]
+            ).empty_table()
+        ids = pc.cast(t[id_col], pa.string())
+        padded = pc.utf8_lpad(ids, 20, "0")
+        packed = pc.binary_join_element_wise(
+            padded, pc.cast(t[group_col], pa.string()), "|")
+        g = pa.table({key: t[key], "packed": packed}).group_by(
+            key).aggregate([("packed", "min")])
+        return g.rename_columns([key, "packed"])
+
+    survivors = (
+        ds.map_batches(pack_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(key).min("packed")
+    )
+
+    def after_partial(t: pa.Table) -> pa.Table:
+        packed = t["min(packed)"].combine_chunks()
+        lang = pc.utf8_slice_codeunits(packed, 21, 2_147_483_647)
+        g = pa.table({
+            group_col: lang,
+            "n_after": pa.array(np.ones(len(lang), np.int64), pa.int64()),
+        }).group_by(group_col).aggregate([("n_after", "sum")])
+        return g.rename_columns([group_col, "n_after"])
+
+    after = (
+        survivors.map_batches(after_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby(group_col).sum("n_after")
+    )
+
+    from ._fold import fold_table
+
+    bt = fold_table(before)
+    at = fold_table(after)
+    per: dict[str, list[int]] = {}
+    if bt is not None:
+        for lang, n in zip(bt[group_col].to_pylist(),
+                           bt["sum(n_before)"].to_pylist()):
+            per.setdefault(lang, [0, 0])[0] = int(n)
+    if at is not None:
+        for lang, n in zip(at[group_col].to_pylist(),
+                           at["sum(n_after)"].to_pylist()):
+            per.setdefault(lang, [0, 0])[1] = int(n)
+    langs = sorted(per)
+    tot_b = sum(v[0] for v in per.values())
+    tot_a = sum(v[1] for v in per.values())
+
+    def share(n, d):
+        return (2_000_000 * n + d) // (2 * d) if d else 0
+
+    rows = {
+        group_col: langs,
+        "n_before": [per[g][0] for g in langs],
+        "n_after": [per[g][1] for g in langs],
+        "share_before_e6": [share(per[g][0], tot_b) for g in langs],
+        "share_after_e6": [share(per[g][1], tot_a) for g in langs],
+    }
+    rows["shift_e6"] = [a - b for a, b in zip(rows["share_after_e6"],
+                                              rows["share_before_e6"])]
+    return pa.table({
+        group_col: pa.array(rows[group_col], pa.string()),
+        "n_before": pa.array(rows["n_before"], pa.int64()),
+        "n_after": pa.array(rows["n_after"], pa.int64()),
+        "share_before_e6": pa.array(rows["share_before_e6"], pa.int64()),
+        "share_after_e6": pa.array(rows["share_after_e6"], pa.int64()),
+        "shift_e6": pa.array(rows["shift_e6"], pa.int64()),
+    })

@@ -1189,3 +1189,100 @@ def first_repeat_gap(
 
     return narrow.groupby("bucket").map_groups(per_bucket,
                                                batch_format="pandas")
+
+
+def session_bounce_by_day(
+    ds,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap_s: int = 1800,
+    num_buckets: int = 64,
+):
+    """Bounce-rate audit: per DAY of session start, how many sessions
+    began and how many were single-event "bounces", plus the bounce
+    share as a half-up e6 integer — the engagement canary (a bounce
+    spike on one day means a broken landing flow or a bot wave).
+
+    Session rule is ``session_agg``'s (same-key events closer than
+    ``gap_s``); a session belongs to the day of its FIRST event. Ties
+    on ts are harmless by construction: a tied pair contributes gap 0,
+    so boundaries — and therefore session lengths and start days —
+    depend only on the sorted ts multiset, never on tie order (the SQL
+    oracle's window functions agree for the same reason).
+
+    Scale shape: one (key, ts) shuffle into hash buckets; each bucket
+    runs a single segmented numpy scan over all its users (boundary =
+    key change OR gap; session lengths via bincount on the boundary
+    prefix-sum) and emits per-day partial counts — |days| rows per
+    bucket — folded by a tiny day groupby."""
+    import numpy as np
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    gap_us = gap_s * 1_000_000
+    day_us = 86_400_000_000
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = t[key_col].combine_chunks()
+        return pa.table({
+            key_col: key,
+            "ts_us": pc.cast(t[ts_col], pa.int64()),
+            "bucket": _key_bucket(key, num_buckets),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([key_col, "ts_us"], kind="mergesort")
+        k = g[key_col].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "day": np.zeros(0, np.int64),
+                "n_sessions": np.zeros(0, np.int64),
+                "n_bounce": np.zeros(0, np.int64),
+            })
+        new_s = np.ones(n, dtype=bool)
+        if n > 1:
+            new_s[1:] = ~((k[1:] == k[:-1]) & ((ts[1:] - ts[:-1]) <= gap_us))
+        sid = np.cumsum(new_s) - 1
+        lengths = np.bincount(sid)
+        first = np.flatnonzero(new_s)
+        day = ts[first] // day_us
+        out = (
+            pd.DataFrame({"day": day, "bounce": (lengths == 1)})
+            .groupby("day", sort=False)
+            .agg(n_sessions=("bounce", "size"), n_bounce=("bounce", "sum"))
+            .reset_index()
+        )
+        out["n_sessions"] = out["n_sessions"].astype("int64")
+        out["n_bounce"] = out["n_bounce"].astype("int64")
+        return out
+
+    folded = (
+        narrow.groupby("bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+        .groupby("day")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                   Sum("n_bounce", alias_name="n_bounce"))
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ns = t["n_sessions"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["n_bounce"].to_numpy(zero_copy_only=False).astype(np.int64)
+        e6 = (2_000_000 * nb + ns) // (2 * ns)
+        return pa.table({
+            "day": pc.cast(t["day"], pa.int64()),
+            "n_sessions": pa.array(ns, pa.int64()),
+            "n_bounce": pa.array(nb, pa.int64()),
+            "bounce_e6": pa.array(e6, pa.int64()),
+        })
+
+    return folded.map_batches(final, batch_format="pyarrow",
+                              zero_copy_batch=True)

@@ -201,3 +201,116 @@ def test_split_leakage_near_tags_cross_split_only(ray_session):
     for r in df.itertuples():
         assert _md5_train(r.train_id)
         assert not _md5_train(r.val_id)
+
+
+def test_session_bounce_bruteforce(ray_session):
+    from schisma_ray.stages.window import session_bounce_by_day
+
+    rng = np.random.default_rng(11)
+    n = 400
+    ts = rng.integers(0, 5 * 86_400_000_000, n)  # 5 days of us
+    users = rng.integers(0, 25, n)
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })).repartition(4)
+    out = session_bounce_by_day(ds).to_pandas()
+    # brute force
+    per_day = {}
+    for u in np.unique(users):
+        t = np.sort(ts[users == u])
+        breaks = np.flatnonzero(
+            np.concatenate(([True], (t[1:] - t[:-1]) > 1_800_000_000)))
+        lengths = np.diff(np.concatenate((breaks, [len(t)])))
+        for b, ln in zip(breaks, lengths):
+            day = int(t[b] // 86_400_000_000)
+            s, bo = per_day.get(day, (0, 0))
+            per_day[day] = (s + 1, bo + (ln == 1))
+    got = {r.day: r for r in out.itertuples()}
+    assert set(got) == set(per_day)
+    for day, (s, bo) in per_day.items():
+        r = got[day]
+        assert (r.n_sessions, r.n_bounce) == (s, bo)
+        assert r.bounce_e6 == _half_up(1_000_000 * bo, s)
+
+
+def test_dedup_lang_shift_bruteforce(ray_session):
+    from schisma_ray.stages.dedup import dedup_lang_shift
+
+    docs = [
+        (1, "same text", "en"), (5, "same text", "de"),
+        (2, "same text", "en"),                      # min id 1 -> en wins
+        (3, "other", "de"), (4, "third", "en"),
+        (6, None, "en"), (7, "has null lang", None),  # excluded
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "lang": pa.array([d[2] for d in docs], pa.string()),
+    })).repartition(3)
+    out = dedup_lang_shift(ds).to_pandas().set_index("lang")
+    # before: en 3, de 2 (rows 6,7 excluded); after: survivors 1(en),3(de),4(en)
+    assert out.loc["en", "n_before"] == 3 and out.loc["de", "n_before"] == 2
+    assert out.loc["en", "n_after"] == 2 and out.loc["de", "n_after"] == 1
+    assert out.loc["en", "share_before_e6"] == _half_up(3_000_000, 5)
+    assert out.loc["en", "share_after_e6"] == _half_up(2_000_000, 3)
+    assert (out["shift_e6"] ==
+            out["share_after_e6"] - out["share_before_e6"]).all()
+
+
+def test_shipping_priority_bruteforce(ray_session):
+    import pandas as pd
+
+    from schisma_ray.pipelines.catalog import q_shipping_priority
+
+    sf = "/root/testdata/sf0.001"
+    out = q_shipping_priority(sf)
+    df = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    orders = pd.read_parquet(f"{sf}/orders.parquet")
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    cutoff = pd.Timestamp("1998-01-01")
+    li = li[li["l_shipdate"] > cutoff].copy()
+    li["rev"] = (
+        (li["l_extendedprice"] * 100).round().astype("int64")
+        * (100 - (li["l_discount"] * 100).round().astype("int64"))
+    )
+    rev = li.groupby("l_orderkey")["rev"].sum()
+    o = orders[(orders["o_orderdate"] < cutoff)
+               & orders["o_custkey"].isin(
+                   cust[cust["c_mktsegment"] == "BUILDING"]["c_custkey"])]
+    j = o.merge(rev.rename("revenue_c4"), left_on="o_orderkey",
+                right_index=True)
+    want = j.sort_values(["revenue_c4", "o_orderkey"],
+                         ascending=[False, True]).head(10)
+    assert df["o_orderkey"].tolist() == want["o_orderkey"].tolist()
+    assert df["revenue_c4"].tolist() == want["revenue_c4"].tolist()
+
+
+def test_promo_share_bruteforce(ray_session):
+    import pandas as pd
+
+    from schisma_ray.pipelines.catalog import q_promo_revenue_share
+
+    sf = "/root/testdata/sf0.001"
+    out = q_promo_revenue_share(sf).to_pandas().set_index("month")
+    li = pd.read_parquet(f"{sf}/lineitem.parquet")
+    part = pd.read_parquet(f"{sf}/part.parquet")
+    j = li.merge(part[["p_partkey", "p_type"]], left_on="l_partkey",
+                 right_on="p_partkey")
+    j["rev"] = (
+        (j["l_extendedprice"] * 100).round().astype("int64")
+        * (100 - (j["l_discount"] * 100).round().astype("int64"))
+    )
+    j["month"] = (j["l_shipdate"].dt.year * 100
+                  + j["l_shipdate"].dt.month).astype("int64")
+    per = j.groupby("month").agg(
+        total=("rev", "sum"),
+        promo=("rev", lambda s: s[j.loc[s.index, "p_type"]
+                                  == "PROMO"].sum()))
+    assert set(out.index) == set(per.index)
+    for m, r in per.iterrows():
+        assert out.loc[m, "total_c4"] == r["total"]
+        assert out.loc[m, "promo_c4"] == r["promo"]
+        assert out.loc[m, "promo_share_e6"] == _half_up(
+            1_000_000 * int(r["promo"]), int(r["total"]))
