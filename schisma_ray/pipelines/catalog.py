@@ -7172,6 +7172,41 @@ SELECT CASE WHEN sa.is_train = 1 THEN a ELSE b END AS train_id,
              JOIN split sb ON sb.doc_id = pairs.b
  WHERE sa.is_train <> sb.is_train
 """,
+    "event_type_lift": """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+m AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+nu AS (SELECT CAST(count(DISTINCT user_id) AS HUGEINT) AS n_users
+         FROM events),
+p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS HUGEINT) AS n_ab
+        FROM ut a JOIN ut b ON a.user_id = b.user_id
+                          AND a.event_type < b.event_type
+       GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+       CAST((2000000 * n_ab + ma.n) // (2 * ma.n) AS BIGINT)
+         AS conf_a_to_b_e6,
+       CAST((2000000 * n_ab + mb.n) // (2 * mb.n) AS BIGINT)
+         AS conf_b_to_a_e6,
+       CAST((2000000 * n_ab * nu.n_users + CAST(ma.n AS HUGEINT) * mb.n)
+            // (2 * CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_e6
+  FROM p JOIN m ma ON ma.event_type = p.type_a
+         JOIN m mb ON mb.event_type = p.type_b
+  CROSS JOIN nu
+""",
+    "embedding_pair_sample": """
+WITH u AS (
+  SELECT vec_id, embedding,
+         CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS h
+    FROM embeddings),
+s AS (SELECT vec_id, embedding FROM u ORDER BY h, vec_id LIMIT 64)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS sim
+  FROM s a JOIN s b ON a.vec_id < b.vec_id
+""",
     "session_bounce": """
 WITH o AS (
   SELECT user_id, ts,
@@ -8603,6 +8638,28 @@ def q_dedup_lang_shift(sf_dir: str):
     return dedup_lang_shift(ds)
 
 
+def q_event_type_lift(sf_dir: str):
+    """Association-rule audit over event-type pairs: co-exhibiting user
+    counts, per-type marginals, both direction confidences and the
+    lift as exact half-up e6 ints — the market-basket read on event
+    streams (lift > 1e6 = genuinely associated behaviors)."""
+    from ..stages.window import event_type_lift
+
+    ds = _t(sf_dir, "events").select_columns(["user_id", "event_type"])
+    return event_type_lift(ds)
+
+
+def q_embedding_pair_sample(sf_dir: str):
+    """Embedding diversity audit: exact pairwise cosine over the 64
+    smallest-md5-hash vectors (a fixed-size hash-rank sample — the
+    same rows at any scale), ROUND 6 — the similarity distribution
+    that reveals a collapsing embedding space."""
+    from ..stages.similarity import embedding_pair_sample
+
+    ds = _t(sf_dir, "embeddings").select_columns(["vec_id", "embedding"])
+    return embedding_pair_sample(ds)
+
+
 _Q3_CUTOFF_US = 883_612_800_000_000  # 1998-01-01 in epoch microseconds
 
 
@@ -8978,6 +9035,8 @@ QUERIES = {
     "dedup_lang_shift": q_dedup_lang_shift,
     "shipping_priority": q_shipping_priority,
     "promo_revenue_share": q_promo_revenue_share,
+    "event_type_lift": q_event_type_lift,
+    "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,
     "events_cube": q_events_cube,
     "user_event_mode": q_user_event_mode,

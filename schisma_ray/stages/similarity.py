@@ -705,3 +705,66 @@ def embedding_dim_profile(ds, *, col: str = "embedding") -> pa.Table:
         "mean_v": pa.array(np.round(mean, 6), pa.float64()),
         "std_v": pa.array(np.round(np.sqrt(var), 6), pa.float64()),
     })
+
+
+def embedding_pair_sample(ds, *, col: str = "embedding",
+                          id_col: str = "vec_id", m: int = 64) -> pa.Table:
+    """Diversity audit: exact pairwise cosine over a FIXED-size
+    deterministic sample of ``m`` vectors — the m(m-1)/2 similarity
+    table whose distribution tells you whether an embedding corpus is
+    collapsing (mass near 1), healthy (mass near 0) or adversarially
+    anti-correlated. The sample is the ``m`` smallest md5_u32(id)
+    values (ties by id): a hash-rank sample, so it is the SAME m rows
+    at any scale and on any layout — bounded by construction, unlike a
+    rate sample which grows with the corpus.
+
+    Scale shape: per-block local bottom-m by (hash, id) + one bounded
+    fold (the de-skewed top-k pattern); the m x m cosine matrix is one
+    driver-side float64 matmul. Cosine = dot / (|a| |b|) with the norms
+    applied post-dot and ROUND 6 — the proven knn_cosine oracle
+    parity shape (DuckDB ``list_cosine_similarity`` agrees)."""
+    from ._digest import md5_u32
+    from ._fold import fold_table
+
+    def local_bottom(t: pa.Table) -> pa.Table:
+        ids = t[id_col].combine_chunks()
+        h = md5_u32(ids)
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False), h))[:m]
+        return pa.table({
+            id_col: ids.take(pa.array(order, pa.int64())),
+            "h": pa.array(h[order], pa.int64()),
+            col: t[col].combine_chunks().take(
+                pa.array(order, pa.int64())),
+        })
+
+    folded = fold_table(
+        ds.map_batches(local_bottom, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    empty = pa.table({
+        "a": pa.array([], pa.int64()),
+        "b": pa.array([], pa.int64()),
+        "sim": pa.array([], pa.float64()),
+    })
+    if folded is None or folded.num_rows == 0:
+        return empty
+    ids_all = np.asarray(folded[id_col].to_pylist(), dtype=np.int64)
+    h_all = np.asarray(folded["h"].to_pylist(), dtype=np.int64)
+    order = np.lexsort((ids_all, h_all))[:m]
+    ids = ids_all[order]
+    mat = np.asarray(
+        [folded[col][int(i)].as_py() for i in order], dtype=np.float64
+    )
+    if len(ids) < 2:
+        return empty
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = (mat @ mat.T) / (norms[:, None] * norms[None, :])
+    iu, ju = np.triu_indices(len(ids), k=1)
+    a = np.minimum(ids[iu], ids[ju])
+    b = np.maximum(ids[iu], ids[ju])
+    return pa.table({
+        "a": pa.array(a, pa.int64()),
+        "b": pa.array(b, pa.int64()),
+        "sim": pa.array(np.round(sims[iu, ju], 6), pa.float64()),
+    })

@@ -1286,3 +1286,107 @@ def session_bounce_by_day(
 
     return folded.map_batches(final, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def event_type_lift(
+    ds,
+    *,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    num_buckets: int = 64,
+    max_types_per_key: int | None = 64,
+):
+    """Association-rule audit over type pairs: for every unordered pair
+    (a, b), the co-exhibiting key count ``n_ab``, the per-type marginals
+    ``n_a``/``n_b``, both direction confidences and the LIFT — all
+    shares as half-up e6 integers computed in Python ints (the lift
+    numerator ``n_ab * n_keys`` overflows int64 well below web scale;
+    the oracle's HUGEINT equivalent). Lift > 1e6 marks genuinely
+    associated behaviors; lift near 0 marks types that split the user
+    base — the market-basket read on event streams.
+
+    Scale shape: pair counts reuse ``event_type_cooccurrence`` (bucket
+    triangle, capped); marginals and the key universe come from ONE
+    extra pass over the same deduped (key, type) buckets — a key lives
+    in one bucket, so per-bucket distinct counts sum exactly. Both
+    folds are |types|- or |types|^2-bounded by contract."""
+    import numpy as np
+    import pandas as pd
+
+    from ._fold import fold_table
+
+    pairs = fold_table(event_type_cooccurrence(
+        ds, key_col=key_col, type_col=type_col,
+        num_buckets=num_buckets, max_types_per_key=max_types_per_key,
+    ))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({key_col: t[key_col], type_col: t[type_col]})
+        distinct = g.group_by([key_col, type_col]).aggregate([])
+        key = distinct[key_col].combine_chunks()
+        return distinct.append_column(
+            "bucket", _key_bucket(key, num_buckets)
+        )
+
+    deduped = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates([key_col, type_col])
+        m = (g.groupby(type_col, sort=False).size()
+             .rename("n").reset_index())
+        m[type_col] = m[type_col].astype(str)
+        m["n"] = m["n"].astype("int64")
+        keys = pd.DataFrame({
+            type_col: ["__keys__"],
+            "n": np.array([g[key_col].nunique()], np.int64),
+        })
+        return pd.concat([m, keys], ignore_index=True)
+
+    marg = fold_table(
+        deduped.groupby("bucket").map_groups(per_bucket,
+                                             batch_format="pandas")
+    )
+    n_of: dict[str, int] = {}
+    n_keys = 0
+    if marg is not None:
+        for ty, n in zip(marg[type_col].to_pylist(),
+                         marg["n"].to_pylist()):
+            if ty == "__keys__":
+                n_keys += int(n)
+            else:
+                n_of[ty] = n_of.get(ty, 0) + int(n)
+
+    rows = {k: [] for k in ("type_a", "type_b", "n_ab", "n_a", "n_b",
+                            "conf_a_to_b_e6", "conf_b_to_a_e6",
+                            "lift_e6")}
+    if pairs is not None:
+        recs = sorted(zip(pairs["type_a"].to_pylist(),
+                          pairs["type_b"].to_pylist(),
+                          pairs["n_users"].to_pylist()))
+        for a, b, n_ab in recs:
+            if a == OVERFLOW_TYPE or b == OVERFLOW_TYPE:
+                continue
+            na, nb = n_of[a], n_of[b]
+            n_ab = int(n_ab)
+            rows["type_a"].append(a)
+            rows["type_b"].append(b)
+            rows["n_ab"].append(n_ab)
+            rows["n_a"].append(na)
+            rows["n_b"].append(nb)
+            rows["conf_a_to_b_e6"].append(
+                (2_000_000 * n_ab + na) // (2 * na))
+            rows["conf_b_to_a_e6"].append(
+                (2_000_000 * n_ab + nb) // (2 * nb))
+            rows["lift_e6"].append(
+                (2_000_000 * n_ab * n_keys + na * nb) // (2 * na * nb))
+    return pa.table({
+        "type_a": pa.array(rows["type_a"], pa.string()),
+        "type_b": pa.array(rows["type_b"], pa.string()),
+        "n_ab": pa.array(rows["n_ab"], pa.int64()),
+        "n_a": pa.array(rows["n_a"], pa.int64()),
+        "n_b": pa.array(rows["n_b"], pa.int64()),
+        "conf_a_to_b_e6": pa.array(rows["conf_a_to_b_e6"], pa.int64()),
+        "conf_b_to_a_e6": pa.array(rows["conf_b_to_a_e6"], pa.int64()),
+        "lift_e6": pa.array(rows["lift_e6"], pa.int64()),
+    })

@@ -314,3 +314,76 @@ def test_promo_share_bruteforce(ray_session):
         assert out.loc[m, "promo_c4"] == r["promo"]
         assert out.loc[m, "promo_share_e6"] == _half_up(
             1_000_000 * int(r["promo"]), int(r["total"]))
+
+
+def test_event_type_lift_bruteforce(ray_session):
+    from schisma_ray.stages.window import event_type_lift
+
+    rng = np.random.default_rng(7)
+    n = 300
+    users = rng.integers(0, 40, n)
+    types = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    ds = rd.from_arrow(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+    })).repartition(4)
+    out = event_type_lift(ds).to_pandas()
+    # brute force
+    per_user = {}
+    for u, t in zip(users, types):
+        per_user.setdefault(int(u), set()).add(t)
+    n_keys = len(per_user)
+    marg = {}
+    pair = {}
+    for ts in per_user.values():
+        for t in ts:
+            marg[t] = marg.get(t, 0) + 1
+        s = sorted(ts)
+        for i in range(len(s)):
+            for j in range(i + 1, len(s)):
+                pair[(s[i], s[j])] = pair.get((s[i], s[j]), 0) + 1
+    got = {(r.type_a, r.type_b): r for r in out.itertuples()}
+    assert set(got) == set(pair)
+    for (a, b), n_ab in pair.items():
+        r = got[(a, b)]
+        na, nb = marg[a], marg[b]
+        assert (r.n_ab, r.n_a, r.n_b) == (n_ab, na, nb)
+        assert r.conf_a_to_b_e6 == _half_up(1_000_000 * n_ab, na)
+        assert r.conf_b_to_a_e6 == _half_up(1_000_000 * n_ab, nb)
+        assert r.lift_e6 == _half_up(1_000_000 * n_ab * n_keys, na * nb)
+
+
+def test_embedding_pair_sample_fixed_and_layout_invariant(ray_session):
+    from schisma_ray.stages.similarity import embedding_pair_sample
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    outs = []
+    for rep in (1, 6):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        df = embedding_pair_sample(ds, m=8).to_pandas().sort_values(
+            ["a", "b"]).reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    assert len(df) == 8 * 7 // 2
+    # brute force the hash-rank sample + cosine
+    h = np.array([int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                  for i in range(40)], dtype=np.int64)
+    pick = np.lexsort((np.arange(40), h))[:8]
+    ids = np.arange(40)[pick]
+    m = vecs[pick].astype(np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    want = {}
+    for i in range(8):
+        for j in range(i + 1, 8):
+            a, b = sorted((int(ids[i]), int(ids[j])))
+            want[(a, b)] = round(
+                float(m[i] @ m[j] / (norms[i] * norms[j])), 6)
+    got = {(r.a, r.b): r.sim for r in df.itertuples()}
+    assert got == want
