@@ -186,6 +186,28 @@ def main(argv=None) -> int:
                          "(columns^2 driver memory — keep the column "
                          "list small)")
 
+    au = sub.add_parser("audit")
+    au.add_argument("--docs", required=True,
+                    help="documents table (parquet/csv/jsonl path or glob)")
+    au.add_argument("--id-col", default="doc_id")
+    au.add_argument("--text-col", default="text")
+    au.add_argument("--lang-col", default="lang")
+    au.add_argument("--max-split-diff-e6", type=int, default=20_000,
+                    help="split-fairness gate: max per-stratum deviation "
+                         "from the global md5 train share (-1 = INFO only)")
+    au.add_argument("--max-mixture-shift-e6", type=int, default=20_000,
+                    help="dedup mixture gate: max per-language share "
+                         "shift after exact dedup (-1 = INFO only)")
+    au.add_argument("--max-dup-rate-e6", type=int, default=-1,
+                    help="exact-dup-rate gate (-1 = INFO only)")
+    au.add_argument("--max-template-share-e6", type=int, default=-1,
+                    help="zero-novelty doc-share gate (-1 = INFO only)")
+    au.add_argument("--max-leak-keys", type=int, default=-1,
+                    help="cross-split exact-leak gate: max fingerprints "
+                         "on both split sides (-1 = INFO only)")
+    au.add_argument("--out", default=None,
+                    help="write the verdict JSON here (default: stdout)")
+
     r = sub.add_parser("report")
     r.add_argument("--out", required=True)
     r.add_argument("--max-violation-rate", type=float, default=None,
@@ -502,6 +524,32 @@ def main(argv=None) -> int:
                     df = result.head(args.limit)
                 for rec in df.to_dict("records"):
                     print(json.dumps(rec, default=str))
+        elif args.cmd == "audit":
+            from schisma_ray.pipelines.audit import corpus_audit
+            from schisma_ray.sources.reader import read_table
+
+            def _gate(v: int) -> int | None:
+                return None if v is None or v < 0 else v
+
+            verdict = corpus_audit(
+                read_table(args.docs),
+                id_col=args.id_col,
+                text_col=args.text_col,
+                lang_col=args.lang_col,
+                max_split_diff_e6=_gate(args.max_split_diff_e6),
+                max_mixture_shift_e6=_gate(args.max_mixture_shift_e6),
+                max_dup_rate_e6=_gate(args.max_dup_rate_e6),
+                max_template_share_e6=_gate(args.max_template_share_e6),
+                max_leak_keys=_gate(args.max_leak_keys),
+            )
+            payload = json.dumps(verdict, indent=2, sort_keys=True)
+            if args.out:
+                from pathlib import Path as _Path
+
+                _Path(args.out).write_text(payload)
+            print(payload)
+            return 0 if verdict["verdict"] == "PASS" else 1
+
         elif args.cmd == "profile":
             import pyarrow as pa
             from ray.data.aggregate import Count, Max, Mean, Min, Std

@@ -353,3 +353,24 @@ def test_cli_prepare_resumable(tmp_path):
                "--resumable", "--line-dedup")
     assert bad.returncode == 2
     assert "--line-dedup" in bad.stderr
+
+
+def test_cli_audit(tmp_path):
+    out = tmp_path / "verdict.json"
+    res = _run(
+        "audit", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--max-split-diff-e6", "-1", "--out", str(out),
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    verdict = json.loads(out.read_text())
+    assert verdict["verdict"] == "PASS"
+    assert [c["check"] for c in verdict["checks"]] == [
+        "split_balance", "dedup_mixture_shift", "exact_dup_rate",
+        "vocab_stats", "template_share", "split_leakage"]
+    # a gated check that fails must flip the verdict and the exit code
+    res2 = _run(
+        "audit", "--docs", "/root/testdata/sf0.001/documents.parquet",
+        "--max-split-diff-e6", "-1", "--max-template-share-e6", "0",
+    )
+    assert res2.returncode == 1
+    assert json.loads(res2.stdout)["verdict"] == "FAIL"
