@@ -7296,6 +7296,59 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "big_volume_orders": """
+WITH q AS (
+  SELECT l_orderkey,
+         SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS qty_c
+    FROM lineitem GROUP BY 1 HAVING qty_c > 20000)
+SELECT o.o_orderkey, c.c_name, CAST(q.qty_c AS BIGINT) AS total_qty_c
+  FROM q
+  JOIN orders o ON o.o_orderkey = q.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+    "regional_revenue": """
+WITH j AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS rev
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+   WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+     AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT n.n_name, CAST(SUM(j.rev) AS BIGINT) AS revenue_c4
+  FROM j JOIN nation n ON n.n_nationkey = j.nk
+ GROUP BY 1
+""",
+    "returned_revenue_customers": """
+WITH r AS (
+  SELECT o.o_custkey,
+         SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS rev
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+   WHERE l.l_returnflag = 'R'
+   GROUP BY 1)
+SELECT r.o_custkey AS c_custkey, c.c_name,
+       CAST(r.rev AS BIGINT) AS revenue_c4
+  FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+ ORDER BY revenue_c4 DESC, c_custkey
+ LIMIT 20
+""",
+    "doc_hash_sample": """
+WITH d AS (
+  SELECT lang, doc_id,
+         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS u
+    FROM documents WHERE lang IS NOT NULL)
+SELECT lang, doc_id,
+       CAST(row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+            AS BIGINT) AS sample_rank
+  FROM d
+QUALIFY sample_rank <= 10
+""",
     "split_balance": r"""
 WITH d AS (
   SELECT lang,
@@ -8829,6 +8882,275 @@ def q_promo_revenue_share(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_big_volume_orders(sf_dir: str):
+    """TPC-H Q18 shape (large-volume orders): orders whose total
+    lineitem quantity exceeds 200, joined back to their customer name.
+    The new plan shape vs Q3 is HAVING-then-join-back: the fact table
+    collapses to per-order quantity partials FIRST (combiner inside
+    map_batches, one groupby), the having-filter shrinks it to the
+    heavy-hitter set, and only that bounded set joins orders and
+    customer — the fact rows never ride a join shuffle. Quantities in
+    exact integer hundredths."""
+    from ..stages.join import shuffle_hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_quantity"],
+    )
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        qc = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                     pa.int64())
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "qty_c": qc,
+        }).group_by("l_orderkey").aggregate([("qty_c", "sum")])
+        return g.rename_columns(["l_orderkey", "qty_c"])
+
+    def having(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["sum(qty_c)"], 20000))
+
+    heavy = (
+        li.map_batches(qty_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("l_orderkey").sum("qty_c")
+        .map_batches(having, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+
+    joined = shuffle_hash_join(
+        shuffle_hash_join(heavy, orders,
+                          on="l_orderkey", right_on="o_orderkey"),
+        cust, on="o_custkey", right_on="c_custkey",
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "c_name": pc.cast(t["c_name"], pa.string()),
+            "total_qty_c": pc.cast(t["sum(qty_c)"], pa.int64()),
+        })
+
+    return joined.map_batches(final, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+_Q5_LO_US = 820_454_400_000_000   # 1996-01-01 in epoch microseconds
+_Q5_HI_US = 852_076_800_000_000   # 1997-01-01
+
+
+def q_regional_revenue(sf_dir: str):
+    """TPC-H Q5 shape (local-supplier revenue): 1996 revenue per
+    nation counting only lineitems whose SUPPLIER sits in the ordering
+    customer's own nation. Plan: two fact-side hash-shuffle joins
+    (lineitem->1996 orders, ->customer) on narrow projections; the
+    supplier->nation side is a BROADCAST dict (suppkey->nationkey,
+    nationkey->name — supplier is orders-of-magnitude smaller than the
+    fact table and nation is ~25 rows at any scale), applied inside
+    the same batch pass that computes the exact-cents revenue partials;
+    one |nations|-row groupby finishes. The co-nation equality filter
+    never shuffles anything."""
+    import ray
+    import pyarrow.parquet as pq
+
+    from ..stages._fold import fold_table
+    from ..stages.join import shuffle_hash_join
+
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    sup_ref = ray.put({
+        int(k): int(v)
+        for k, v in zip(sup["s_suppkey"].to_pylist(),
+                        sup["s_nationkey"].to_pylist())
+    })
+    names = {int(k): str(v) for k, v in zip(nat["n_nationkey"].to_pylist(),
+                                            nat["n_name"].to_pylist())}
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        od = pc.cast(t["o_orderdate"].combine_chunks(), pa.int64())
+        keep = pc.and_(pc.greater_equal(od, _Q5_LO_US),
+                       pc.less(od, _Q5_HI_US))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_suppkey": t["l_suppkey"],
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), disc)),
+        })
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+
+    joined = shuffle_hash_join(
+        shuffle_hash_join(
+            li.map_batches(li_rev, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            orders.map_batches(orders_f, batch_format="pyarrow",
+                               zero_copy_batch=True),
+            on="l_orderkey", right_on="o_orderkey"),
+        cust, on="o_custkey", right_on="c_custkey",
+    )
+
+    class ConationPartial:
+        def __init__(self, sup_ref):
+            import ray as _ray
+
+            self.sup = _ray.get(sup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            s_nat = np.array([self.sup.get(int(k), -1) for k in sk],
+                             np.int64)
+            c_nat = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            keep = s_nat == c_nat
+            g = pa.table({
+                "n_nationkey": pa.array(c_nat[keep], pa.int64()),
+                "revenue_c4": pa.array(
+                    t["rev"].to_numpy(zero_copy_only=False)[keep],
+                    pa.int64()),
+            }).group_by("n_nationkey").aggregate([("revenue_c4", "sum")])
+            return g.rename_columns(["n_nationkey", "revenue_c4"])
+
+    folded = fold_table(
+        joined.map_batches(
+            ConationPartial, fn_constructor_args=(sup_ref,),
+            concurrency=(1, 4), batch_format="pyarrow")
+    )
+    if folded is None or folded.num_rows == 0:
+        return pa.table({
+            "n_name": pa.array([], pa.string()),
+            "revenue_c4": pa.array([], pa.int64()),
+        })
+    agg = folded.group_by("n_nationkey").aggregate([("revenue_c4", "sum")])
+    keys = agg["n_nationkey"].to_pylist()
+    return pa.table({
+        "n_name": pa.array([names.get(int(k), "?") for k in keys],
+                           pa.string()),
+        "revenue_c4": pc.cast(agg["revenue_c4_sum"], pa.int64()),
+    })
+
+
+def q_returned_revenue_customers(sf_dir: str):
+    """TPC-H Q10 shape: the 20 customers losing the most revenue to
+    returned items (l_returnflag = 'R'). Two-level pre-aggregation —
+    per-order revenue partials collapse the fact table BEFORE the
+    orders join, then per-customer partials collapse again before the
+    customer join — so each shuffle carries strictly shrinking keyed
+    partials, never fact rows. Top-20 via per-block local top-k and a
+    bounded driver merge (no global sort)."""
+    from ..stages._fold import fold_table
+    from ..stages.join import shuffle_hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"].combine_chunks(), "R"))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        g = pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "rev": pc.multiply(cents, pc.subtract(
+                pa.scalar(100, pa.int64()), disc)),
+        }).group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    order_rev = (
+        li.map_batches(rev_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("l_orderkey").sum("rev")
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    with_cust = shuffle_hash_join(order_rev, orders,
+                                  on="l_orderkey", right_on="o_orderkey")
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "o_custkey": t["o_custkey"],
+            "rev": t["sum(rev)"],
+        }).group_by("o_custkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["o_custkey", "rev"])
+
+    cust_rev = (
+        with_cust.map_batches(cust_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        .groupby("o_custkey").sum("rev")
+    )
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    joined = shuffle_hash_join(cust_rev, cust,
+                               on="o_custkey", right_on="c_custkey")
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        g = t.to_pandas().sort_values(
+            ["sum(rev)", "o_custkey"], ascending=[False, True],
+            kind="mergesort").head(20)
+        return pa.table({
+            "c_custkey": pa.array(g["o_custkey"].to_numpy(np.int64),
+                                  pa.int64()),
+            "c_name": pa.array(g["c_name"], pa.string()),
+            "revenue_c4": pa.array(g["sum(rev)"].to_numpy(np.int64),
+                                   pa.int64()),
+        })
+
+    folded = fold_table(
+        joined.map_batches(local_topk, batch_format="pyarrow")
+    )
+    if folded is None or folded.num_rows == 0:
+        return pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "revenue_c4": pa.array([], pa.int64()),
+        })
+    df = folded.to_pandas().sort_values(
+        ["revenue_c4", "c_custkey"], ascending=[False, True],
+        kind="mergesort").head(20)
+    return pa.Table.from_pandas(df.reset_index(drop=True))
+
+
+def q_doc_hash_sample(sf_dir: str):
+    """Deterministic per-language eval sample: the 10 lowest
+    md5-rank doc_ids per lang (stages.corpus.stratified_hash_sample) —
+    constant-size, layout-invariant, reproducible."""
+    from ..stages.corpus import stratified_hash_sample
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "lang"])
+    return stratified_hash_sample(ds, group_col="lang",
+                                  id_col="doc_id", n=10)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9035,6 +9357,10 @@ QUERIES = {
     "dedup_lang_shift": q_dedup_lang_shift,
     "shipping_priority": q_shipping_priority,
     "promo_revenue_share": q_promo_revenue_share,
+    "big_volume_orders": q_big_volume_orders,
+    "regional_revenue": q_regional_revenue,
+    "returned_revenue_customers": q_returned_revenue_customers,
+    "doc_hash_sample": q_doc_hash_sample,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

@@ -915,3 +915,59 @@ def split_balance(ds, *, group_col: str, id_col: str,
         "diff_e6": pa.array(diff, pa.int64()),
         "flagged": pa.array(diff > threshold_e6),
     })
+
+
+def stratified_hash_sample(ds, *, group_col: str = "lang",
+                           id_col: str = "doc_id", n: int = 10) -> pa.Table:
+    """Deterministic fixed-size per-stratum sample: within each stratum
+    the ``n`` lowest ``(md5_u32(id), id)`` ranks — the eval-carving
+    sample that is the SAME ``n`` rows per group at any corpus size,
+    block layout or worker count (a rate sample's output grows with the
+    data; a hash-RANK sample is constant and reproducible, so a
+    regenerated corpus yields the same held-out docs).
+
+    Scale shape: per-batch per-group local bottom-n (vectorized
+    lexsort + groupby head), so the fold is bounded by
+    ``|groups| x n x blocks`` rows and the final driver-side bottom-n
+    touches only that. Nothing corpus-sized ever leaves the batches.
+    Null strata are excluded (oracle parity)."""
+    from ._digest import md5_u32
+    from ._fold import fold_table
+
+    def bottom(df):
+        return (df.sort_values([group_col, "u", id_col], kind="mergesort")
+                  .groupby(group_col, sort=False).head(n))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[group_col]))
+        empty = pa.schema([(group_col, pa.string()),
+                           (id_col, pa.int64()),
+                           ("u", pa.int64())]).empty_table()
+        if t.num_rows == 0:
+            return empty
+        u = md5_u32(t[id_col].combine_chunks())
+        df = pa.table({
+            group_col: t[group_col],
+            id_col: t[id_col],
+            "u": pa.array(u, pa.int64()),
+        }).to_pandas()
+        return pa.Table.from_pandas(bottom(df), preserve_index=False)
+
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    if folded is None or folded.num_rows == 0:
+        return pa.table({
+            group_col: pa.array([], pa.string()),
+            id_col: pa.array([], pa.int64()),
+            "sample_rank": pa.array([], pa.int64()),
+        })
+    df = bottom(folded.to_pandas())
+    df["sample_rank"] = df.groupby(group_col, sort=False).cumcount() + 1
+    return pa.table({
+        group_col: pa.array(df[group_col], pa.string()),
+        id_col: pa.array(df[id_col].to_numpy(np.int64), pa.int64()),
+        "sample_rank": pa.array(df["sample_rank"].to_numpy(np.int64),
+                                pa.int64()),
+    })

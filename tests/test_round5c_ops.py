@@ -1,0 +1,137 @@
+"""Round-5 third batch: TPC-H Q18/Q5/Q10 join shapes and the
+per-stratum hash-rank sample — brute-force parity + layout invariance."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def test_stratified_hash_sample_bruteforce_and_layout(ray_session):
+    from schisma_ray.stages.corpus import stratified_hash_sample
+
+    ids = list(range(1, 61))
+    langs = [["en", "de", "fr", None][i % 4] for i in range(60)]
+    tbl = pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(langs, pa.string()),
+    })
+    outs = []
+    for rep in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        t = stratified_hash_sample(ds, group_col="lang",
+                                   id_col="doc_id", n=4)
+        outs.append(t.to_pandas().sort_values(
+            ["lang", "sample_rank"]).reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    # brute force: per lang, 4 lowest (md5_u32(id), id)
+    want = {}
+    for lang in ("en", "de", "fr"):
+        group = [(int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16), i)
+                 for i, l in zip(ids, langs) if l == lang]
+        group.sort()
+        want[lang] = [i for _, i in group[:4]]
+    got = {lang: list(sub.sort_values("sample_rank")["doc_id"])
+           for lang, sub in df.groupby("lang")}
+    assert got == want
+    assert set(df["lang"]) == {"en", "de", "fr"}   # null lang excluded
+    assert sorted(df["sample_rank"].unique()) == [1, 2, 3, 4]
+
+
+def test_stratified_hash_sample_small_groups(ray_session):
+    from schisma_ray.stages.corpus import stratified_hash_sample
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "zh"], pa.string()),
+    })
+    t = stratified_hash_sample(rd.from_arrow(tbl).repartition(2),
+                               group_col="lang", id_col="doc_id", n=10)
+    df = t.to_pandas()
+    # groups smaller than n return everything, ranks dense from 1
+    assert sorted(df[df.lang == "en"]["sample_rank"]) == [1, 2]
+    assert sorted(df[df.lang == "zh"]["sample_rank"]) == [1]
+
+
+def test_big_volume_orders_bruteforce(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from schisma_ray.pipelines.catalog import q_big_volume_orders
+
+    rng = np.random.default_rng(7)
+    n_li = 400
+    okeys = rng.integers(1, 60, n_li)
+    qty = rng.integers(1, 120, n_li).astype(float)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(okeys, pa.int64()),
+        "l_quantity": pa.array(qty, pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(1, 61), pa.int64()),
+        "o_custkey": pa.array((np.arange(1, 61) % 7) + 1, pa.int64()),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(1, 8), pa.int64()),
+        "c_name": pa.array([f"C{i}" for i in range(1, 8)], pa.string()),
+    }), tmp_path / "customer.parquet")
+
+    out = q_big_volume_orders(str(tmp_path)).to_pandas()
+    totals = {}
+    for k, q in zip(okeys, qty):
+        totals[int(k)] = totals.get(int(k), 0) + int(round(q * 100))
+    want = {k: v for k, v in totals.items() if v > 20000}
+    got = dict(zip(out["o_orderkey"], out["total_qty_c"]))
+    assert got == want
+    for r in out.itertuples():
+        assert r.c_name == f"C{((r.o_orderkey % 7) + 1)}"
+
+
+def test_returned_revenue_topk_order(ray_session):
+    from schisma_ray.pipelines.catalog import q_returned_revenue_customers
+
+    out = q_returned_revenue_customers("/root/testdata/sf0.001")
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert len(df) <= 20
+    rev = list(df["revenue_c4"])
+    assert rev == sorted(rev, reverse=True)
+
+
+def test_regional_revenue_conation_filter(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from schisma_ray.pipelines.catalog import q_regional_revenue
+
+    # one lineitem matches (supplier nation == customer nation),
+    # one does not, one falls outside the 1996 window
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([10, 11, 10], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 100.0, 100.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.0], pa.float64()),
+    }), tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([5, 5], pa.int64()),
+        "o_orderdate": pa.array(
+            [np.datetime64("1996-06-01", "us"),
+             np.datetime64("1999-06-01", "us")],
+            pa.timestamp("us")),
+    }), tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([5], pa.int64()),
+        "c_nationkey": pa.array([3], pa.int32()),
+    }), tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([10, 11], pa.int64()),
+        "s_nationkey": pa.array([3, 4], pa.int32()),
+    }), tmp_path / "supplier.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([3, 4], pa.int32()),
+        "n_name": pa.array(["N3", "N4"], pa.string()),
+    }), tmp_path / "nation.parquet")
+
+    out = q_regional_revenue(str(tmp_path))
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    # only (order 1, supplier 10) qualifies: 10000 cents * 90
+    assert list(df["n_name"]) == ["N3"]
+    assert list(df["revenue_c4"]) == [10000 * 90]
