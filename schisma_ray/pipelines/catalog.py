@@ -7296,6 +7296,14 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "customer_name_fuzzy": """
+SELECT a.c_custkey AS a, b.c_custkey AS b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+  FROM customer a
+  JOIN customer b ON a.c_custkey < b.c_custkey
+ WHERE length(a.c_name) <= 64 AND length(b.c_name) <= 64
+   AND levenshtein(a.c_name, b.c_name) <= 1
+""",
     "big_volume_orders": """
 WITH q AS (
   SELECT l_orderkey,
@@ -9151,6 +9159,17 @@ def q_doc_hash_sample(sf_dir: str):
                                   id_col="doc_id", n=10)
 
 
+def q_customer_name_fuzzy(sf_dir: str):
+    """Customer-name pairs within Levenshtein distance 1 —
+    stages.dedup.edit_distance_pairs (FastSS single-deletion blocking
+    + banded-DP verify inside candidate-sized bucket shuffles)."""
+    from ..stages.dedup import edit_distance_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name"])
+    return edit_distance_pairs(ds, "c_name", "c_custkey", max_dist=1)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9361,6 +9380,7 @@ QUERIES = {
     "regional_revenue": q_regional_revenue,
     "returned_revenue_customers": q_returned_revenue_customers,
     "doc_hash_sample": q_doc_hash_sample,
+    "customer_name_fuzzy": q_customer_name_fuzzy,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

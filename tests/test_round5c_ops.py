@@ -135,3 +135,75 @@ def test_regional_revenue_conation_filter(ray_session, tmp_path):
     # only (order 1, supplier 10) qualifies: 10000 cents * 90
     assert list(df["n_name"]) == ["N3"]
     assert list(df["revenue_c4"]) == [10000 * 90]
+
+
+def _brute_lev(a, b):
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def test_edit_distance_capped_matches_bruteforce():
+    from schisma_ray.stages.dedup import _edit_distance_capped
+
+    words = ["", "a", "ab", "ba", "abc", "abd", "abcd", "acbd",
+             "hello", "hallo", "helllo", "helo", "xyz", "aa", "aaa"]
+    for a in words:
+        for b in words:
+            want = _brute_lev(a, b)
+            got = _edit_distance_capped(a, b, 1)
+            assert got == (want if want <= 1 else 2), (a, b, want, got)
+
+
+def test_edit_distance_pairs_bruteforce_and_layout(ray_session):
+    from schisma_ray.stages.dedup import edit_distance_pairs
+
+    names = ["alpha", "alphb", "alpha", "alpine", "beta", "betas",
+             "bet", "gamma", "gamm", "gamme", "aa11", "aa21",
+             None, "x" * 70, "x" * 70 + "y"]
+    ids = list(range(1, len(names) + 1))
+    tbl = pa.table({
+        "key": pa.array(ids, pa.int64()),
+        "name": pa.array(names, pa.string()),
+    })
+    want = set()
+    for i, a in zip(ids, names):
+        for j, b in zip(ids, names):
+            if i < j and a is not None and b is not None \
+                    and len(a) <= 64 and len(b) <= 64 \
+                    and _brute_lev(a, b) <= 1:
+                want.add((i, j, _brute_lev(a, b)))
+    outs = []
+    for rep in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        t = edit_distance_pairs(ds, "name", "key", max_dist=1)
+        outs.append(set(zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                            t["dist"].to_pylist())))
+    assert outs[0] == outs[1] == want
+    # the >max_len strings are excluded even though they are 1 apart
+    assert not any(a >= 14 for a, _, _ in outs[0])
+
+
+def test_edit_distance_pairs_dataset_twin(ray_session):
+    from schisma_ray.stages.dedup import edit_distance_pairs
+
+    names = [f"node{i:03d}" for i in range(40)] + ["node00x", "node01x"]
+    tbl = pa.table({
+        "key": pa.array(range(len(names)), pa.int64()),
+        "name": pa.array(names, pa.string()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    drv = edit_distance_pairs(ds, "name", "key", max_dist=1)
+    chain = edit_distance_pairs(ds, "name", "key", max_dist=1,
+                                as_dataset=True)
+    got_drv = set(zip(drv["a"].to_pylist(), drv["b"].to_pylist(),
+                      drv["dist"].to_pylist()))
+    ct = chain.to_pandas()
+    got_chain = set(zip(ct["a"], ct["b"], ct["dist"]))
+    assert got_drv == got_chain and len(got_drv) > 0
