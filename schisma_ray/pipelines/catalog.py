@@ -7296,6 +7296,32 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "neyman_allocation": """
+WITH m AS (
+  SELECT lang, count(*) AS n,
+         SUM(CAST(n_chars AS BIGINT)) AS sx,
+         SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+    FROM documents
+   WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+   GROUP BY 1),
+w AS (
+  SELECT lang, n,
+         CAST(FLOOR(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * 1000000
+                    + 0.5) AS BIGINT) AS weight_e6
+    FROM m),
+tot AS (SELECT SUM(weight_e6) AS tw FROM w),
+base AS (
+  SELECT lang, n, weight_e6,
+         (10000 * weight_e6) // tw AS base_alloc,
+         (10000 * weight_e6) % tw AS rem
+    FROM w CROSS JOIN tot),
+lft AS (SELECT 10000 - SUM(base_alloc) AS k FROM base)
+SELECT lang, CAST(n AS BIGINT) AS n_docs, weight_e6,
+       CAST(base_alloc
+            + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang)
+                        <= k THEN 1 ELSE 0 END AS BIGINT) AS alloc
+  FROM base CROSS JOIN lft
+""",
     "customer_name_fuzzy": """
 SELECT a.c_custkey AS a, b.c_custkey AS b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
@@ -9170,6 +9196,19 @@ def q_customer_name_fuzzy(sf_dir: str):
     return edit_distance_pairs(ds, "c_name", "c_custkey", max_dist=1)
 
 
+def q_neyman_allocation(sf_dir: str):
+    """Neyman-optimal per-language sample allocation for a
+    10,000-doc eval budget over documents.n_chars —
+    stages.stats.neyman_allocation (integer moments + e6-quantized
+    sqrt + exact largest-remainder apportionment)."""
+    from ..stages.stats import neyman_allocation
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    return neyman_allocation(ds, group_col="lang",
+                             value_col="n_chars", budget=10_000)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9381,6 +9420,7 @@ QUERIES = {
     "returned_revenue_customers": q_returned_revenue_customers,
     "doc_hash_sample": q_doc_hash_sample,
     "customer_name_fuzzy": q_customer_name_fuzzy,
+    "neyman_allocation": q_neyman_allocation,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

@@ -1414,3 +1414,85 @@ def grouped_trend_slope(ds, group_col: str, ts_col: str = "ts"):
 
     return totals.groupby(group_col).map_groups(slope,
                                                 batch_format="pandas")
+
+
+def neyman_allocation(ds, *, group_col: str = "lang",
+                      value_col: str = "n_chars",
+                      budget: int = 10_000) -> pa.Table:
+    """Neyman-optimal stratified sample allocation: split a sampling
+    ``budget`` across strata proportionally to ``N_h * S_h`` (stratum
+    size x population std of ``value_col``) — the variance-minimizing
+    design for estimating the corpus mean, and the principled way to
+    size per-language eval slices (a big low-variance stratum needs
+    FEWER samples than a small noisy one).
+
+    Exactness contract: per-stratum integer moments (n, Σx, Σx²) ride
+    the shuffle, so ``N_h * S_h = sqrt(n·Σx² − (Σx)²)`` is ONE IEEE
+    sqrt of an exact integer — quantized to e6 via the shared
+    ``floor(x·1e6 + 0.5)`` expression on both sides — and the
+    apportionment itself is pure integer largest-remainder math
+    (``budget·w // W`` + leftovers by remainder desc, stratum asc), so
+    the oracle matches bit-for-bit. Zero-variance strata get weight 0.
+
+    Scale shape: per-batch per-stratum int partials -> |strata|-row
+    fold -> driver apportionment over |strata| rows. Null group or
+    value rows are excluded on both sides."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[value_col], pa.int64())
+        keep = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(x))
+        g = pa.table({
+            group_col: t[group_col],
+            "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "sx": x,
+            "sxx": pc.multiply(x, x),
+        }).filter(keep).group_by(group_col).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
+        )
+        return g.rename_columns([group_col, "n", "sx", "sxx"])
+
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    empty = pa.table({
+        group_col: pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "weight_e6": pa.array([], pa.int64()),
+        "alloc": pa.array([], pa.int64()),
+    })
+    if folded is None or folded.num_rows == 0:
+        return empty
+    m = folded.group_by(group_col).aggregate(
+        [("n", "sum"), ("sx", "sum"), ("sxx", "sum")]
+    ).rename_columns([group_col, "n", "sx", "sxx"])
+    keys = [str(k) for k in m[group_col].to_pylist()]
+    n = m["n"].to_numpy(zero_copy_only=False).astype(object)
+    sx = m["sx"].to_numpy(zero_copy_only=False).astype(object)
+    sxx = m["sxx"].to_numpy(zero_copy_only=False).astype(object)
+    # Python ints: n*sxx - sx*sx is exact at any magnitude
+    disc = [int(a) * int(b) - int(c) * int(c)
+            for a, b, c in zip(n, sxx, sx)]
+    w_e6 = [int(np.floor(np.sqrt(float(d)) * 1_000_000 + 0.5))
+            for d in disc]
+    total_w = sum(w_e6)
+    if total_w == 0:
+        alloc = [0] * len(keys)
+    else:
+        base = [budget * w // total_w for w in w_e6]
+        rem = [budget * w % total_w for w in w_e6]
+        leftover = budget - sum(base)
+        order = sorted(range(len(keys)),
+                       key=lambda i: (-rem[i], keys[i]))
+        alloc = list(base)
+        for i in order[:leftover]:
+            alloc[i] += 1
+    return pa.table({
+        group_col: pa.array(keys, pa.string()),
+        "n_docs": pa.array([int(v) for v in n], pa.int64()),
+        "weight_e6": pa.array(w_e6, pa.int64()),
+        "alloc": pa.array(alloc, pa.int64()),
+    })

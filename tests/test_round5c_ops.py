@@ -207,3 +207,63 @@ def test_edit_distance_pairs_dataset_twin(ray_session):
     ct = chain.to_pandas()
     got_chain = set(zip(ct["a"], ct["b"], ct["dist"]))
     assert got_drv == got_chain and len(got_drv) > 0
+
+
+def test_neyman_allocation_bruteforce_and_layout(ray_session):
+    from schisma_ray.stages.stats import neyman_allocation
+
+    vals = {
+        "en": [100, 200, 300, 400, 1000],      # noisy
+        "de": [250, 250, 250, 250],            # zero variance
+        "fr": [10, 20],                        # tiny
+    }
+    rows_lang, rows_val = [], []
+    for lang, vs in vals.items():
+        for v in vs:
+            rows_lang.append(lang)
+            rows_val.append(v)
+    rows_lang += ["en", None]
+    rows_val += [None, 5]                      # null value / null lang
+    tbl = pa.table({
+        "lang": pa.array(rows_lang, pa.string()),
+        "n_chars": pa.array(rows_val, pa.int64()),
+    })
+    outs = []
+    for rep in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        t = neyman_allocation(ds, group_col="lang",
+                              value_col="n_chars", budget=100)
+        outs.append(t.to_pandas().sort_values("lang")
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    df = outs[0].set_index("lang")
+    # brute-force weights: w = floor(sqrt(n*sxx - sx^2)*1e6 + 0.5)
+    import math
+    want_w = {}
+    for lang, vs in vals.items():
+        n, sx, sxx = len(vs), sum(vs), sum(v * v for v in vs)
+        want_w[lang] = int(math.floor(
+            math.sqrt(float(n * sxx - sx * sx)) * 1_000_000 + 0.5))
+    assert {k: int(v) for k, v in df["weight_e6"].items()} == want_w
+    assert int(df.loc["de", "weight_e6"]) == 0          # zero variance
+    assert int(df["alloc"].sum()) == 100                 # budget exact
+    # largest-remainder brute force
+    W = sum(want_w.values())
+    base = {k: 100 * w // W for k, w in want_w.items()}
+    rem = {k: 100 * w % W for k, w in want_w.items()}
+    leftover = 100 - sum(base.values())
+    for k in sorted(want_w, key=lambda k: (-rem[k], k))[:leftover]:
+        base[k] += 1
+    assert {k: int(v) for k, v in df["alloc"].items()} == base
+
+
+def test_neyman_allocation_all_zero_variance(ray_session):
+    from schisma_ray.stages.stats import neyman_allocation
+
+    tbl = pa.table({
+        "lang": pa.array(["en", "en", "de"], pa.string()),
+        "n_chars": pa.array([7, 7, 9], pa.int64()),
+    })
+    t = neyman_allocation(rd.from_arrow(tbl), budget=10)
+    df = t.to_pandas()
+    assert list(df["alloc"]) == [0, 0]
