@@ -7296,6 +7296,20 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "price_quantiles_select": """
+WITH v AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
+    FROM lineitem WHERE l_extendedprice IS NOT NULL),
+n AS (SELECT count(*) AS c FROM v),
+r AS (SELECT x, row_number() OVER (ORDER BY x) - 1 AS rn FROM v),
+qs(q_e6) AS (VALUES (250000), (500000), (900000), (990000)),
+t AS (SELECT q_e6,
+             ((SELECT c FROM n) - 1) * CAST(q_e6 AS BIGINT) // 1000000
+               AS target
+        FROM qs)
+SELECT CAST(t.q_e6 AS BIGINT) AS q_e6, CAST(r.x AS BIGINT) AS value
+  FROM t JOIN r ON r.rn = t.target
+""",
     "neyman_allocation": """
 WITH m AS (
   SELECT lang, count(*) AS n,
@@ -9209,6 +9223,28 @@ def q_neyman_allocation(sf_dir: str):
                              value_col="n_chars", budget=10_000)
 
 
+def q_price_quantiles_select(sf_dir: str):
+    """Exact p25/p50/p90/p99 of lineitem extendedprice (integer cents)
+    via stages.rank.exact_quantiles_select — streaming histogram
+    selection, ZERO shuffle (the sort-based exact_quantiles moves every
+    row over the network; this runs ~2 cheap combiner scans)."""
+    from ..stages.rank import exact_quantiles_select
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cents": pc.cast(pc.round(
+                pc.multiply(t["l_extendedprice"], 100.0)), pa.int64()),
+        })
+
+    proj = ds.map_batches(cents, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return exact_quantiles_select(
+        proj, "cents", [250_000, 500_000, 900_000, 990_000])
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9421,6 +9457,7 @@ QUERIES = {
     "doc_hash_sample": q_doc_hash_sample,
     "customer_name_fuzzy": q_customer_name_fuzzy,
     "neyman_allocation": q_neyman_allocation,
+    "price_quantiles_select": q_price_quantiles_select,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

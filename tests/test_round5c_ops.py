@@ -267,3 +267,56 @@ def test_neyman_allocation_all_zero_variance(ray_session):
     t = neyman_allocation(rd.from_arrow(tbl), budget=10)
     df = t.to_pandas()
     assert list(df["alloc"]) == [0, 0]
+
+
+def test_exact_quantiles_select_bruteforce_and_layout(ray_session):
+    from schisma_ray.stages.rank import exact_quantiles_select
+
+    rng = np.random.default_rng(11)
+    # huge range forces multiple bisection passes; duplicates + nulls
+    vals = np.concatenate([
+        rng.integers(-2**40, 2**40, 5000),
+        np.full(500, 123456789),
+    ])
+    tbl = pa.table({"x": pa.array(
+        list(vals) + [None, None], pa.int64())})
+    qs = [0, 250_000, 500_000, 900_000, 1_000_000]
+    outs = []
+    for rep in (1, 6):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        t = exact_quantiles_select(ds, "x", qs)
+        outs.append(list(zip(t["q_e6"].to_pylist(),
+                             t["value"].to_pylist())))
+    assert outs[0] == outs[1]
+    s = np.sort(vals)
+    n = len(s)
+    want = [(q, int(s[(n - 1) * q // 1_000_000])) for q in qs]
+    assert outs[0] == want
+    # min and max come out exactly
+    assert outs[0][0][1] == int(s[0])
+    assert outs[0][-1][1] == int(s[-1])
+
+
+def test_exact_quantiles_select_matches_sort_path(ray_session):
+    from schisma_ray.stages.rank import exact_quantiles, exact_quantiles_select
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 10_000, 3000)
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    sel = exact_quantiles_select(ds.repartition(4), "x",
+                                 [100_000, 500_000, 990_000])
+    srt = exact_quantiles(ds.repartition(4), "x", [0.1, 0.5, 0.99])
+    assert [int(v) for v in sel["value"].to_pylist()] == \
+        [int(v) for v in srt["value"].to_pylist()]
+
+
+def test_exact_quantiles_select_constant_and_empty(ray_session):
+    from schisma_ray.stages.rank import exact_quantiles_select
+
+    const = rd.from_arrow(pa.table({"x": pa.array([7] * 50, pa.int64())}))
+    t = exact_quantiles_select(const, "x", [0, 500_000, 1_000_000])
+    assert t["value"].to_pylist() == [7, 7, 7]
+    empty = rd.from_arrow(pa.table({"x": pa.array([None, None],
+                                                  pa.int64())}))
+    t2 = exact_quantiles_select(empty, "x", [500_000])
+    assert t2.num_rows == 0
