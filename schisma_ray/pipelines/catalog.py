@@ -9013,11 +9013,15 @@ def q_regional_revenue(sf_dir: str):
                         columns=["s_suppkey", "s_nationkey"])
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"])
-    sup_ref = ray.put({
-        int(k): int(v)
-        for k, v in zip(sup["s_suppkey"].to_pylist(),
-                        sup["s_nationkey"].to_pylist())
-    })
+    sup_keys = sup["s_suppkey"].to_numpy(zero_copy_only=False).astype(
+        np.int64)
+    sup_vals = pc.cast(sup["s_nationkey"], pa.int64()).to_numpy(
+        zero_copy_only=False)
+    order = np.argsort(sup_keys, kind="mergesort")
+    # sorted (key, nationkey) arrays: the broadcast is two dense numpy
+    # vectors and the per-batch lookup one vectorized searchsorted —
+    # no Python dict probe per row
+    sup_ref = ray.put((sup_keys[order], sup_vals[order]))
     names = {int(k): str(v) for k, v in zip(nat["n_nationkey"].to_pylist(),
                                             nat["n_name"].to_pylist())}
 
@@ -9066,12 +9070,18 @@ def q_regional_revenue(sf_dir: str):
         def __init__(self, sup_ref):
             import ray as _ray
 
-            self.sup = _ray.get(sup_ref)
+            self.keys, self.vals = _ray.get(sup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
-            s_nat = np.array([self.sup.get(int(k), -1) for k in sk],
-                             np.int64)
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            if len(self.keys) == 0:
+                s_nat = np.full(len(sk), -1, np.int64)
+            else:
+                pos = np.searchsorted(self.keys, sk)
+                pos_c = np.minimum(pos, len(self.keys) - 1)
+                hit = self.keys[pos_c] == sk
+                s_nat = np.where(hit, self.vals[pos_c], -1)
             c_nat = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(
                 zero_copy_only=False)
             keep = s_nat == c_nat
