@@ -7296,6 +7296,43 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "hard_negatives": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  CAST(label AS BIGINT) AS ql
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS sim
+        FROM q CROSS JOIN embeddings e
+       WHERE e.label IS NOT NULL AND CAST(e.label AS BIGINT) != q.ql)
+SELECT query_id, neighbor_id, ROUND(sim, 6) AS sim
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+          FROM s)
+ WHERE rn <= 5
+""",
+    "knn_label_noise": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                  CAST(label AS BIGINT) AS ql
+             FROM embeddings ORDER BY vec_id LIMIT 8),
+s AS (SELECT q.query_id, q.ql, e.vec_id AS nid,
+             CAST(e.label AS BIGINT) AS nl,
+             list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])) AS sim
+        FROM q CROSS JOIN embeddings e
+       WHERE e.vec_id != q.query_id AND e.label IS NOT NULL),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, nid) AS rn
+        FROM s)
+SELECT query_id, ql AS label,
+       CAST(count(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(CASE WHEN nl != ql THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_disagree,
+       CAST((2000000 * SUM(CASE WHEN nl != ql THEN 1 ELSE 0 END)
+             + count(*)) // (2 * count(*)) AS BIGINT) AS disagree_e6
+  FROM r WHERE rn <= 10
+ GROUP BY 1, 2
+""",
     "price_quantiles_select": """
 WITH v AS (
   SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS x
@@ -9255,6 +9292,40 @@ def q_price_quantiles_select(sf_dir: str):
         proj, "cents", [250_000, 500_000, 900_000, 990_000])
 
 
+def q_knn_label_noise(sf_dir: str):
+    """k-NN label-disagreement audit over the first 8 embedding ids:
+    the confident-learning mislabeling proxy —
+    stages.similarity.knn_label_disagreement (self excluded, neighbor
+    labels ride the local top-k, integer-only output)."""
+    from ..stages.similarity import knn_label_disagreement
+
+    tbl = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .sort("vec_id").limit(8).to_pandas()
+    )
+    mat = np.stack([np.asarray(v, np.float64) for v in tbl["embedding"]])
+    ds = _t(sf_dir, "embeddings")
+    return knn_label_disagreement(
+        ds, mat, tbl["vec_id"].tolist(), tbl["label"].tolist(), k=10)
+
+
+def q_hard_negatives(sf_dir: str):
+    """Hard-negative mining: per query (first 8 embedding ids), the 5
+    most-similar vectors with a DIFFERENT label —
+    stages.similarity.hard_negative_mining (per-query label mask rides
+    the matmul; broadcast queries, local top-k, bounded merge)."""
+    from ..stages.similarity import hard_negative_mining
+
+    tbl = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .sort("vec_id").limit(8).to_pandas()
+    )
+    mat = np.stack([np.asarray(v, np.float64) for v in tbl["embedding"]])
+    ds = _t(sf_dir, "embeddings")
+    return hard_negative_mining(
+        ds, mat, tbl["vec_id"].tolist(), tbl["label"].tolist(), k=5)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9468,6 +9539,8 @@ QUERIES = {
     "customer_name_fuzzy": q_customer_name_fuzzy,
     "neyman_allocation": q_neyman_allocation,
     "price_quantiles_select": q_price_quantiles_select,
+    "knn_label_noise": q_knn_label_noise,
+    "hard_negatives": q_hard_negatives,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

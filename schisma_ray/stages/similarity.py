@@ -768,3 +768,176 @@ def embedding_pair_sample(ds, *, col: str = "embedding",
         "b": pa.array(b, pa.int64()),
         "sim": pa.array(np.round(sims[iu, ju], 6), pa.float64()),
     })
+
+
+def knn_label_disagreement(ds, queries: np.ndarray, query_ids: list,
+                           query_labels: list, *, col: str = "embedding",
+                           id_col: str = "vec_id",
+                           label_col: str = "label", k: int = 10) -> pa.Table:
+    """Label-noise audit (confident-learning proxy): for each query
+    vector, the share of its ``k`` nearest neighbors (cosine, self
+    excluded) carrying a DIFFERENT label — a high disagreement share
+    marks a likely mislabeled or boundary example worth re-review
+    before training.
+
+    Scale shape: the query matrix is ``ray.put`` once; each batch does
+    one matmul and emits its local top-k per query WITH the neighbor
+    labels riding along (no join back to the corpus); the driver folds
+    only m x k x blocks rows and the output is pure integer counts /
+    half-up e6 shares — no float column, so the oracle matches exactly
+    as long as the (sim desc, id asc) ranking agrees, the same
+    arithmetic contract knn_brute_force pins (norms applied after the
+    dot product). Null-label corpus rows are excluded on both sides."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    qmat = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(qmat)
+    qids = list(query_ids)
+    qlabels = [int(v) for v in query_labels]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col].combine_chunks()
+        keep = pc.is_valid(lab)
+        batch = batch.filter(keep)
+        empty = pa.schema([
+            ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+            ("neighbor_label", pa.int64()), ("sim", pa.float64()),
+        ]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        q = ray.get(q_ref)
+        mat = _batch_matrix(batch, col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        labs = pc.cast(batch[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        qn = np.linalg.norm(q, axis=1)
+        mn = np.linalg.norm(mat, axis=1)
+        qn[qn == 0] = 1.0
+        mn[mn == 0] = 1.0
+        sims = (q @ mat.T) / (qn[:, None] * mn[None, :])
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi].copy()
+            row[ids == qids[qi]] = -np.inf        # self excluded
+            kk = min(k, int(np.isfinite(row).sum()))
+            if kk == 0:
+                continue
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_n.extend(ids[idx].tolist())
+            out_l.extend(labs[idx].tolist())
+            out_s.extend(row[idx].tolist())
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "neighbor_label": pa.array(out_l, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    folded = fold_table(
+        ds.map_batches(local_topk, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    empty_out = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "label": pa.array([], pa.int64()),
+        "n_neighbors": pa.array([], pa.int64()),
+        "n_disagree": pa.array([], pa.int64()),
+        "disagree_e6": pa.array([], pa.int64()),
+    })
+    if folded is None or folded.num_rows == 0:
+        return empty_out
+    df = folded.to_pandas()
+    rows = []
+    for qid, ql in zip(qids, qlabels):
+        g = df[df["query_id"] == qid].sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        n = len(g)
+        if n == 0:
+            continue
+        d = int((g["neighbor_label"].to_numpy(np.int64) != ql).sum())
+        rows.append((qid, ql, n, d, (2_000_000 * d + n) // (2 * n)))
+    if not rows:
+        return empty_out
+    cols = list(zip(*rows))
+    return pa.table({
+        "query_id": pa.array(cols[0], pa.int64()),
+        "label": pa.array(cols[1], pa.int64()),
+        "n_neighbors": pa.array(cols[2], pa.int64()),
+        "n_disagree": pa.array(cols[3], pa.int64()),
+        "disagree_e6": pa.array(cols[4], pa.int64()),
+    })
+
+
+def hard_negative_mining(ds, queries: np.ndarray, query_ids: list,
+                         query_labels: list, *, col: str = "embedding",
+                         id_col: str = "vec_id", label_col: str = "label",
+                         k: int = 5):
+    """Contrastive-training curation: for each query vector, the top-k
+    most similar vectors with a DIFFERENT label — the hard negatives a
+    contrastive or metric-learning pipeline mines. Differs from
+    ``knn_cosine_filtered`` (one global predicate pushed before the
+    scan) in that the predicate is PER QUERY (label != that query's
+    label), so it rides the matmul mask inside the same batch pass
+    instead of a pre-filter. Broadcast queries, per-block local top-k,
+    per-query bounded merge — the knn_brute_force shape."""
+    import pyarrow.compute as pc
+
+    qmat = np.asarray(queries, dtype=np.float64)
+    q_ref = ray.put(qmat)
+    qids = list(query_ids)
+    qlabels = [int(v) for v in query_labels]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        lab = batch[label_col].combine_chunks()
+        batch = batch.filter(pc.is_valid(lab))
+        empty = pa.schema([
+            ("query_id", pa.int64()), ("neighbor_id", pa.int64()),
+            ("sim", pa.float64()),
+        ]).empty_table()
+        if batch.num_rows == 0:
+            return empty
+        q = ray.get(q_ref)
+        mat = _batch_matrix(batch, col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        labs = pc.cast(batch[label_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        qn = np.linalg.norm(q, axis=1)
+        mn = np.linalg.norm(mat, axis=1)
+        qn[qn == 0] = 1.0
+        mn[mn == 0] = 1.0
+        sims = (q @ mat.T) / (qn[:, None] * mn[None, :])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            row = sims[qi].copy()
+            row[labs == qlabels[qi]] = -np.inf
+            kk = min(k, int(np.isfinite(row).sum()))
+            if kk == 0:
+                continue
+            idx = np.argpartition(-row, kk - 1)[:kk]
+            out_q.extend([qids[qi]] * kk)
+            out_n.extend(ids[idx].tolist())
+            out_s.extend(row[idx].tolist())
+        if not out_q:
+            return empty
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "neighbor_id": pa.array(out_n, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    locals_ = ds.map_batches(local_topk, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["sim", "neighbor_id"],
+                              ascending=[False, True]).head(k).copy()
+        g["sim"] = g["sim"].round(6)
+        return g
+
+    return locals_.groupby("query_id").map_groups(global_topk,
+                                                  batch_format="pandas")

@@ -320,3 +320,73 @@ def test_exact_quantiles_select_constant_and_empty(ray_session):
                                                   pa.int64())}))
     t2 = exact_quantiles_select(empty, "x", [500_000])
     assert t2.num_rows == 0
+
+
+def test_knn_label_disagreement_bruteforce_and_layout(ray_session):
+    from schisma_ray.stages.similarity import knn_label_disagreement
+
+    rng = np.random.default_rng(21)
+    n, d = 60, 6
+    vecs = rng.standard_normal((n, d))
+    labels = rng.integers(0, 3, n)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    qn = 4
+    qmat = np.array([np.asarray(
+        pa.array([list(map(float, vecs[i]))],
+                 pa.list_(pa.float32()))[0].as_py()) for i in range(qn)])
+    outs = []
+    for rep in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        t = knn_label_disagreement(ds, qmat, list(range(qn)),
+                                   list(labels[:qn]), k=7)
+        outs.append(t.to_pandas().sort_values("query_id")
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    df = outs[0].set_index("query_id")
+    # brute force with float32-truncated corpus vectors (same as stored)
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    for qi in range(qn):
+        sims = (v32[qi] @ v32.T) / (np.linalg.norm(v32[qi])
+                                    * np.linalg.norm(v32, axis=1))
+        order = sorted((i for i in range(n) if i != qi),
+                       key=lambda i: (-sims[i], i))[:7]
+        dis = sum(1 for i in order if labels[i] != labels[qi])
+        assert int(df.loc[qi, "n_disagree"]) == dis
+        assert int(df.loc[qi, "n_neighbors"]) == 7
+        assert int(df.loc[qi, "disagree_e6"]) == \
+            (2_000_000 * dis + 7) // 14
+
+
+def test_hard_negative_mining_bruteforce(ray_session):
+    from schisma_ray.stages.similarity import hard_negative_mining
+
+    rng = np.random.default_rng(23)
+    n, d = 50, 5
+    vecs = rng.standard_normal((n, d))
+    labels = rng.integers(0, 2, n)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    v32 = vecs.astype(np.float32).astype(np.float64)
+    qn = 3
+    ds = rd.from_arrow(tbl).repartition(4)
+    t = hard_negative_mining(ds, v32[:qn], list(range(qn)),
+                             list(labels[:qn]), k=4).to_pandas()
+    for qi in range(qn):
+        sims = (v32[qi] @ v32.T) / (np.linalg.norm(v32[qi])
+                                    * np.linalg.norm(v32, axis=1))
+        order = sorted((i for i in range(n) if labels[i] != labels[qi]),
+                       key=lambda i: (-sims[i], i))[:4]
+        got = t[t["query_id"] == qi].sort_values(
+            ["sim", "neighbor_id"], ascending=[False, True])
+        assert list(got["neighbor_id"]) == order
+        # every mined negative really has the other label
+        assert all(labels[i] != labels[qi] for i in got["neighbor_id"])
