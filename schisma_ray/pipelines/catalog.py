@@ -7296,6 +7296,28 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "customer_linkage": """
+WITH c AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(c_nationkey AS VARCHAR) AS nk,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer WHERE length(c_name) <= 64),
+p AS (
+  SELECT a.c_custkey AS a, b.c_custkey AS b,
+         CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist,
+         CAST(CASE WHEN a.c_mktsegment = b.c_mktsegment
+                   THEN 1 ELSE 0 END
+              + CASE WHEN a.nk = b.nk THEN 1 ELSE 0 END AS BIGINT)
+           AS n_exact_agree,
+         CAST(CASE WHEN abs(a.cents - b.cents) <= 10000
+                   THEN 1 ELSE 0 END AS BIGINT) AS value_close
+    FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+   WHERE levenshtein(a.c_name, b.c_name) <= 1)
+SELECT a, b, name_dist, n_exact_agree, value_close,
+       CAST(2 - name_dist + n_exact_agree + value_close AS BIGINT)
+         AS score
+  FROM p
+""",
     "hard_negatives": """
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
                   CAST(label AS BIGINT) AS ql
@@ -9326,6 +9348,44 @@ def q_hard_negatives(sf_dir: str):
         ds, mat, tbl["vec_id"].tolist(), tbl["label"].tolist(), k=5)
 
 
+def q_customer_linkage(sf_dir: str):
+    """Entity-resolution scores over fuzzy-blocked customer pairs:
+    stages.dedup.record_linkage_scores (name distance-1 blocking;
+    agreement vector over mktsegment + nationkey; balance within
+    $100). Integer score = (2 - name_dist) + agreements + closeness."""
+    from ..stages.dedup import record_linkage_scores
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment", "c_nationkey",
+                 "c_acctbal"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bal_cents",
+            pc.cast(pc.round(pc.multiply(t["c_acctbal"], 100.0)),
+                    pa.int64()))
+
+    proj = ds.map_batches(cents, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return record_linkage_scores(
+        proj, id_col="c_custkey", name_col="c_name",
+        exact_cols=["c_mktsegment", "c_nationkey"],
+        value_col="bal_cents", value_tol=10_000)
+
+
+def q_compression_flags(sf_dir: str):
+    """Docs whose zlib compression ratio is at/below 400000 e6 (highly
+    repetitive/templated content) — stages.text.compression_ratio.
+    Rows-only check by necessity: DuckDB has no DEFLATE; the op is
+    property-pinned instead (tests/test_round5c_ops.py)."""
+    from ..stages.text import compression_ratio
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return compression_ratio(ds, max_ratio_e6=400_000)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9541,6 +9601,8 @@ QUERIES = {
     "price_quantiles_select": q_price_quantiles_select,
     "knn_label_noise": q_knn_label_noise,
     "hard_negatives": q_hard_negatives,
+    "customer_linkage": q_customer_linkage,
+    "compression_flags": q_compression_flags,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

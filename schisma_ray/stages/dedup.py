@@ -2113,3 +2113,91 @@ def edit_distance_pairs(ds, col: str, id_col: str, *, max_dist: int = 1,
         "b": hit["b"],
         "dist": pc.cast(hit["metric"], pa.int64()),
     })
+
+
+_LINK_SEP = "\x1f"
+
+
+def record_linkage_scores(ds, *, id_col: str, name_col: str,
+                          exact_cols: list, value_col: str,
+                          value_tol: int, max_len: int = 64,
+                          max_bucket: int = 1000):
+    """Entity resolution (Fellegi–Sunter-style deterministic scoring):
+    candidate record pairs from the FastSS name blocking
+    (``edit_distance_pairs`` machinery), each scored by an integer
+    agreement vector — exact name (+2) / distance-1 name (+1), one
+    point per agreeing ``exact_cols`` field, one point when the two
+    ``value_col`` integers sit within ``value_tol`` — so near-duplicate
+    CUSTOMERS (not just near-duplicate strings) rank to the top. The
+    multi-field payload rides the candidate-sized bucket shuffles as
+    one ``\\x1f``-joined string (fields must not contain the
+    separator); nothing record-shaped touches the driver.
+
+    Returns (a, b, name_dist, n_exact_agree, value_close, score)."""
+    import pyarrow.compute as pc
+
+    def pack(t: pa.Table) -> pa.Table:
+        cents = pc.cast(t[value_col], pa.int64())
+        cols = [pc.fill_null(pc.cast(t[c], pa.string()), "")
+                for c in exact_cols]
+        payload = pc.binary_join_element_wise(
+            pc.fill_null(t[name_col], ""),
+            *cols,
+            pc.cast(pc.fill_null(cents, 0), pa.string()),
+            _LINK_SEP,
+        )
+        return pa.table({id_col: t[id_col], "__payload": payload})
+
+    packed = ds.map_batches(pack, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    narrow = ds.map_batches(
+        lambda t: t.select([id_col, name_col]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    variants = narrow.map_batches(
+        _deletion_variant_rows(name_col, id_col, max_len),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cand = _bucket_pairs(variants, ["variant"], id_col, max_bucket)
+    empty = pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "name_dist": pa.array([], pa.int64()),
+        "n_exact_agree": pa.array([], pa.int64()),
+        "value_close": pa.array([], pa.int64()),
+        "score": pa.array([], pa.int64()),
+    })
+    if cand.num_rows == 0:
+        return empty
+    cand = cand.group_by(["a", "b"]).aggregate([])
+
+    n_fields = len(exact_cols)
+
+    def score(pa_, pb_) -> float:
+        fa = pa_.split(_LINK_SEP)
+        fb = pb_.split(_LINK_SEP)
+        d = _edit_distance_capped(fa[0], fb[0], 1)
+        if d > 1:
+            return -1.0  # variant collision at distance >= 2: not a link
+        s = 2 - d
+        agree = sum(1 for x, y in zip(fa[1:1 + n_fields],
+                                      fb[1:1 + n_fields]) if x == y)
+        close = int(abs(int(fa[-1]) - int(fb[-1])) <= value_tol)
+        # pack the vector into one float: dist, agree, close recoverable
+        return float(((2 - d) * 100 + agree * 10 + close) * 1000
+                     + (s + agree + close))
+
+    verified = _verify_pairs_bucketed(packed, cand, "__payload", id_col,
+                                      verify_fn=score)
+    hit = verified.filter(pc.greater_equal(verified["metric"], 0.0))
+    m = hit["metric"].to_numpy(zero_copy_only=False).astype(np.int64)
+    code = m // 1000
+    name_dist = 2 - (code // 100)
+    agree = (code % 100) // 10
+    close = code % 10
+    return pa.table({
+        "a": hit["a"],
+        "b": hit["b"],
+        "name_dist": pa.array(name_dist, pa.int64()),
+        "n_exact_agree": pa.array(agree, pa.int64()),
+        "value_close": pa.array(close, pa.int64()),
+        "score": pa.array(m % 1000, pa.int64()),
+    })

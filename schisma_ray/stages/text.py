@@ -2125,3 +2125,58 @@ def word_pagerank(ds, *, col: str = "text", id_col: str = "doc_id",
         "word": pa.array(vocab, pa.string()),
         "pr_e6": pa.array(pr, pa.int64()),
     })
+
+
+def compression_ratio(ds, *, col: str = "text", id_col: str = "doc_id",
+                      max_ratio_e6: int | None = None,
+                      level: int = 6):
+    """Per-document zlib compression ratio (compressed bytes /
+    utf-8 bytes, half-up e6 int) — the RefinedWeb-style repetition
+    signal: highly templated or repeated content compresses far below
+    natural prose, and the ratio needs no tokenizer or model. With
+    ``max_ratio_e6`` set, returns only docs AT/BELOW the threshold
+    (the suspicious ones); otherwise every non-empty doc.
+
+    No SQL analogue exists (DuckDB has no DEFLATE), so this op is
+    property-pinned (monotonicity on repeated content, layout
+    invariance, byte-exact recompute) rather than oracled — the one
+    stage in the battery whose semantics ARE the codec. Per-doc
+    ``zlib.compress`` is a Python call per row by necessity (no Arrow
+    kernel); it is the decoder-actor shape: CPU-bound, stateless,
+    embarrassingly parallel, and the emitted row is three ints."""
+    import zlib
+
+    import pyarrow.compute as pc
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = t[col].combine_chunks()
+        keep = pc.and_(pc.is_valid(s), pc.greater(pc.binary_length(s),
+                                                  0))
+        t2 = t.filter(keep)
+        empty = pa.schema([
+            (id_col, pa.int64()), ("n_bytes", pa.int64()),
+            ("z_bytes", pa.int64()), ("ratio_e6", pa.int64()),
+        ]).empty_table()
+        if t2.num_rows == 0:
+            return empty
+        texts = t2[col].to_pylist()
+        nb = np.empty(len(texts), np.int64)
+        zb = np.empty(len(texts), np.int64)
+        for i, txt in enumerate(texts):
+            raw = txt.encode("utf-8")
+            nb[i] = len(raw)
+            zb[i] = len(zlib.compress(raw, level))
+        ratio = (2_000_000 * zb + nb) // (2 * nb)
+        out = pa.table({
+            id_col: t2[id_col],
+            "n_bytes": pa.array(nb, pa.int64()),
+            "z_bytes": pa.array(zb, pa.int64()),
+            "ratio_e6": pa.array(ratio, pa.int64()),
+        })
+        if max_ratio_e6 is not None:
+            out = out.filter(pc.less_equal(out["ratio_e6"],
+                                           max_ratio_e6))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -390,3 +390,74 @@ def test_hard_negative_mining_bruteforce(ray_session):
         assert list(got["neighbor_id"]) == order
         # every mined negative really has the other label
         assert all(labels[i] != labels[qi] for i in got["neighbor_id"])
+
+
+def test_record_linkage_scores_bruteforce(ray_session):
+    from schisma_ray.stages.dedup import record_linkage_scores
+
+    tbl = pa.table({
+        "key": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "name": pa.array(["acme co", "acme cx", "acme co",
+                          "zeta inc", "zeta inz"], pa.string()),
+        "seg": pa.array(["A", "A", "B", "C", "C"], pa.string()),
+        "cents": pa.array([1000, 1500, 50_000, 70_000, 70_500],
+                          pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    t = record_linkage_scores(
+        ds, id_col="key", name_col="name", exact_cols=["seg"],
+        value_col="cents", value_tol=1000)
+    got = {(r["a"], r["b"]):
+           (r["name_dist"], r["n_exact_agree"], r["value_close"],
+            r["score"])
+           for r in t.to_pylist()}
+    # (1,2): dist1, seg agree, |500|<=1000 -> score 1+1+1=3
+    # (1,3): dist0, seg differ, far -> 2+0+0=2
+    # (2,3): dist1, differ, far -> 1
+    # (4,5): dist1, seg agree, close -> 3
+    assert got == {
+        (1, 2): (1, 1, 1, 3),
+        (1, 3): (0, 0, 0, 2),
+        (2, 3): (1, 0, 0, 1),
+        (4, 5): (1, 1, 1, 3),
+    }
+
+
+def test_compression_ratio_properties(ray_session):
+    import zlib
+    from schisma_ray.stages.text import compression_ratio
+
+    docs = {
+        1: "the quick brown fox jumps over the lazy dog " * 3,
+        2: "ab" * 400,                   # highly repetitive
+        3: "x",
+        5: "natural language has entropy unlike repeated tokens",
+    }
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([docs[1], docs[2], docs[3], None, docs[5]],
+                         pa.string()),
+    })
+    outs = []
+    for rep in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        df = compression_ratio(ds).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0].set_index("doc_id")
+    assert list(df.index) == [1, 2, 3, 5]      # null dropped
+    for did, txt in docs.items():
+        raw = txt.encode()
+        z = len(zlib.compress(raw, 6))
+        assert int(df.loc[did, "n_bytes"]) == len(raw)
+        assert int(df.loc[did, "z_bytes"]) == z
+        assert int(df.loc[did, "ratio_e6"]) == \
+            (2_000_000 * z + len(raw)) // (2 * len(raw))
+    # repetition compresses hardest
+    assert df.loc[2, "ratio_e6"] < df.loc[5, "ratio_e6"]
+    # threshold filter keeps only the repetitive doc
+    flagged = compression_ratio(
+        rd.from_arrow(tbl), max_ratio_e6=int(df.loc[2, "ratio_e6"])
+    ).to_pandas()
+    assert list(flagged["doc_id"]) == [2]
