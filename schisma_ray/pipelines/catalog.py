@@ -7296,6 +7296,50 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "cusum_drift": """
+WITH RECURSIVE d AS (
+  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
+         CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE ts IS NOT NULL GROUP BY 1),
+o AS (SELECT day_idx, n,
+             CAST(row_number() OVER (ORDER BY day_idx) AS BIGINT) AS rn
+        FROM d),
+p AS (SELECT (2 * SUM(n) + count(*)) // (2 * count(*)) AS mu FROM o),
+p2 AS (SELECT mu, (2 * mu * 5 + 100) // 200 AS slack,
+              (2 * mu * 20 + 100) // 200 AS h
+         FROM p),
+c(rn, day_idx, n, s_hi, s_lo) AS (
+  SELECT o.rn, o.day_idx, o.n,
+         greatest(0, o.n - p2.mu - p2.slack),
+         greatest(0, p2.mu - o.n - p2.slack)
+    FROM o, p2 WHERE o.rn = 1
+  UNION ALL
+  SELECT o.rn, o.day_idx, o.n,
+         greatest(0, c.s_hi + o.n - p2.mu - p2.slack),
+         greatest(0, c.s_lo + p2.mu - o.n - p2.slack)
+    FROM c JOIN o ON o.rn = c.rn + 1, p2)
+SELECT c.day_idx, c.n,
+       CAST(c.s_hi AS BIGINT) AS cusum_hi,
+       CAST(c.s_lo AS BIGINT) AS cusum_lo,
+       (c.s_hi > p2.h OR c.s_lo > p2.h) AS alarm
+  FROM c, p2
+""",
+    "join_cardinality": """
+WITH lc AS (SELECT l_orderkey AS k, count(*) AS n FROM lineitem
+             WHERE l_orderkey IS NOT NULL GROUP BY 1),
+rc AS (SELECT o_orderkey AS k, count(*) AS n FROM orders
+        WHERE o_orderkey IS NOT NULL GROUP BY 1),
+j AS (SELECT lc.k, lc.n * rc.n AS prod FROM lc JOIN rc USING (k)),
+hot AS (SELECT k, prod FROM j ORDER BY prod DESC, k LIMIT 1)
+SELECT CAST((SELECT SUM(n) FROM lc) AS BIGINT) AS left_rows,
+       CAST((SELECT SUM(n) FROM rc) AS BIGINT) AS right_rows,
+       CAST((SELECT count(*) FROM lc) AS BIGINT) AS left_keys,
+       CAST((SELECT count(*) FROM rc) AS BIGINT) AS right_keys,
+       CAST((SELECT count(*) FROM j) AS BIGINT) AS matched_keys,
+       CAST((SELECT SUM(prod) FROM j) AS BIGINT) AS est_rows,
+       CAST((SELECT prod FROM hot) AS BIGINT) AS max_key_rows,
+       CAST((SELECT k FROM hot) AS BIGINT) AS hot_key
+""",
     "customer_linkage": """
 WITH c AS (
   SELECT c_custkey, c_name, c_mktsegment,
@@ -9386,6 +9430,30 @@ def q_compression_flags(sf_dir: str):
     return compression_ratio(ds, max_ratio_e6=400_000)
 
 
+def q_join_cardinality(sf_dir: str):
+    """Exact lineitem-orders join size + skew WITHOUT the join —
+    stages.profile.join_cardinality over distinct-key count tables."""
+    from ..stages.profile import join_cardinality
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey"])
+    return join_cardinality(li, od, left_key="l_orderkey",
+                            right_key="o_orderkey")
+
+
+def q_cusum_drift(sf_dir: str):
+    """One-sided CUSUM drift alarms on daily event volume (5% slack,
+    20% decision interval, exact integer recursion) —
+    stages.stats.cusum_drift, the sustained-shift complement of the
+    EWMA per-day alarm."""
+    from ..stages.stats import cusum_drift
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return cusum_drift(ds, "ts")
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9603,6 +9671,8 @@ QUERIES = {
     "hard_negatives": q_hard_negatives,
     "customer_linkage": q_customer_linkage,
     "compression_flags": q_compression_flags,
+    "join_cardinality": q_join_cardinality,
+    "cusum_drift": q_cusum_drift,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

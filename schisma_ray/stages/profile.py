@@ -378,3 +378,111 @@ def string_length_profile(ds, columns: list[str]):
     return pa.table(
         {n: pa.array(out[n], schema.field(n).type) for n in schema.names}
     )
+
+
+def join_cardinality(left, right, *, left_key: str, right_key: str):
+    """Shuffle-planner audit: the EXACT output size and skew profile of
+    an equi-join WITHOUT executing it — ``|A ⋈ B| = Σ_k n_A(k)·n_B(k)``
+    over per-key counts. At 100 TB this is what you run BEFORE a join
+    to decide partition counts, salting, and whether the output even
+    fits: the count tables are distinct-key-sized, orders of magnitude
+    smaller than the join they describe, and the hot key falls out for
+    free.
+
+    Combiner-first per-batch counts on each side, one distinct-key
+    groupby each, one count-table join, then integer partials fold to
+    a single row: (left_rows, right_rows, left_keys, right_keys,
+    matched_keys, est_rows, max_key_rows, hot_key)."""
+    import numpy as np
+
+    from ._fold import fold_table
+    from .join import shuffle_hash_join
+
+    def counts(ds, key):
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t[key]))
+            g = pa.table({
+                "k": pc.cast(t[key], pa.int64()),
+                "n": pa.array(np.ones(t.num_rows, np.int64),
+                              pa.int64()),
+            }).group_by("k").aggregate([("n", "sum")])
+            return g.rename_columns(["k", "n"])
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("k").sum("n")
+        )
+
+    lc = counts(left, left_key)
+    rc = counts(right, right_key)
+
+    def side_total(cds):
+        def p(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "rows": pa.array([int(pc.sum(t["sum(n)"]).as_py() or 0)],
+                                 pa.int64()),
+                "keys": pa.array([t.num_rows], pa.int64()),
+            })
+
+        f = fold_table(cds.map_batches(p, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+        if f is None:
+            return 0, 0
+        return (int(sum(f["rows"].to_pylist())),
+                int(sum(f["keys"].to_pylist())))
+
+    l_rows, l_keys = side_total(lc)
+    r_rows, r_keys = side_total(rc)
+
+    lc2 = lc.map_batches(
+        lambda t: t.rename_columns(["k", "nl"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rc2 = rc.map_batches(
+        lambda t: t.rename_columns(["k", "nr"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    joined = shuffle_hash_join(lc2, rc2, on="k")
+
+    def prod_partial(t: pa.Table) -> pa.Table:
+        nl = t["nl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nr = t["nr"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ks = t["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prod = nl * nr
+        if len(prod) == 0:
+            return pa.schema([
+                ("matched", pa.int64()), ("est", pa.int64()),
+                ("mx", pa.int64()), ("hot", pa.int64()),
+            ]).empty_table()
+        # deterministic hot key: max product, ties to the SMALLEST key
+        order = np.lexsort((ks, -prod))
+        i = order[0]
+        return pa.table({
+            "matched": pa.array([len(prod)], pa.int64()),
+            "est": pa.array([int(prod.sum())], pa.int64()),
+            "mx": pa.array([int(prod[i])], pa.int64()),
+            "hot": pa.array([int(ks[i])], pa.int64()),
+        })
+
+    f = fold_table(joined.map_batches(prod_partial,
+                                      batch_format="pyarrow"))
+    if f is None or f.num_rows == 0:
+        matched = est = mx = 0
+        hot = -1
+    else:
+        matched = int(sum(f["matched"].to_pylist()))
+        est = int(sum(f["est"].to_pylist()))
+        mxs = f["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hots = f["hot"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((hots, -mxs))
+        mx = int(mxs[order[0]])
+        hot = int(hots[order[0]])
+    return pa.table({
+        "left_rows": pa.array([l_rows], pa.int64()),
+        "right_rows": pa.array([r_rows], pa.int64()),
+        "left_keys": pa.array([l_keys], pa.int64()),
+        "right_keys": pa.array([r_keys], pa.int64()),
+        "matched_keys": pa.array([matched], pa.int64()),
+        "est_rows": pa.array([est], pa.int64()),
+        "max_key_rows": pa.array([mx], pa.int64()),
+        "hot_key": pa.array([hot], pa.int64()),
+    })

@@ -1496,3 +1496,77 @@ def neyman_allocation(ds, *, group_col: str = "lang",
         "weight_e6": pa.array(w_e6, pa.int64()),
         "alloc": pa.array(alloc, pa.int64()),
     })
+
+
+def cusum_drift(ds, ts_col: str, *, slack_pct: int = 5,
+                h_pct: int = 20, day_us: int = 86_400_000_000) -> pa.Table:
+    """One-sided CUSUM drift alarms on daily row volume — the
+    change-point detector that catches a SUSTAINED small shift the
+    EWMA's per-day threshold misses (ten days each 6% high never trip
+    a 10% alarm; their accumulated sum does). Upper and lower CUSUMs
+    against the global half-up mean daily count ``mu``:
+
+        s_hi_t = max(0, s_hi_{t-1} + n_t - mu - slack)
+        s_lo_t = max(0, s_lo_{t-1} + mu - n_t - slack)
+
+    with ``slack = halfup(mu * slack_pct / 100)`` and alarm when either
+    sum exceeds ``h = halfup(mu * h_pct / 100)``. All state is exact
+    integer arithmetic; the oracle unrolls the same recursion as a
+    recursive CTE over the day table (max() recursion is genuinely
+    sequential in both engines — the third member of the oracled
+    ITERATIVE family after EWMA and PageRank).
+
+    Distributed shape: identical to ``ewma_anomalies`` — per-batch
+    (day, count) partials bounded by distinct days; the recursion runs
+    over the day table only."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col].combine_chunks(), pa.int64()).drop_null()
+        day = pc.divide(us, day_us)
+        tt = pa.table({"day_idx": day})
+        agg = tt.group_by("day_idx").aggregate([([], "count_all")])
+        return agg.rename_columns(["day_idx", "n"])
+
+    schema = pa.schema([
+        ("day_idx", pa.int64()), ("n", pa.int64()),
+        ("cusum_hi", pa.int64()), ("cusum_lo", pa.int64()),
+        ("alarm", pa.bool_()),
+    ])
+    folded = fold_table(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    if folded is None:
+        return schema.empty_table()
+    merged = (
+        folded.group_by("day_idx").aggregate([("n", "sum")])
+        .rename_columns(["day_idx", "n"])
+    )
+    days = merged["day_idx"].to_numpy(zero_copy_only=False)
+    ns = merged["n"].to_numpy(zero_copy_only=False)
+    order = np.argsort(days, kind="stable")
+    days, ns = days[order], ns[order]
+    total = int(ns.sum())
+    nd = len(ns)
+    mu = (2 * total + nd) // (2 * nd)
+    slack = (2 * mu * slack_pct + 100) // 200
+    h = (2 * mu * h_pct + 100) // 200
+    hi, lo, alarms = [], [], []
+    s_hi = s_lo = 0
+    for n in ns:
+        n = int(n)
+        s_hi = max(0, s_hi + n - mu - slack)
+        s_lo = max(0, s_lo + mu - n - slack)
+        hi.append(s_hi)
+        lo.append(s_lo)
+        alarms.append(s_hi > h or s_lo > h)
+    return pa.table({
+        "day_idx": pa.array(days.astype(np.int64), pa.int64()),
+        "n": pa.array(ns.astype(np.int64), pa.int64()),
+        "cusum_hi": pa.array(hi, pa.int64()),
+        "cusum_lo": pa.array(lo, pa.int64()),
+        "alarm": pa.array(alarms, pa.bool_()),
+    })

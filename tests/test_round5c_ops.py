@@ -461,3 +461,90 @@ def test_compression_ratio_properties(ray_session):
         rd.from_arrow(tbl), max_ratio_e6=int(df.loc[2, "ratio_e6"])
     ).to_pandas()
     assert list(flagged["doc_id"]) == [2]
+
+
+def test_join_cardinality_bruteforce_and_layout(ray_session):
+    from schisma_ray.stages.profile import join_cardinality
+
+    rng = np.random.default_rng(31)
+    lk = rng.integers(1, 20, 300)
+    rk = rng.integers(1, 25, 80)
+    left = pa.table({"lkey": pa.array(
+        list(lk) + [None], pa.int64())})
+    right = pa.table({"rkey": pa.array(
+        list(rk) + [None], pa.int64())})
+    outs = []
+    for rep in (1, 5):
+        t = join_cardinality(
+            rd.from_arrow(left).repartition(rep),
+            rd.from_arrow(right).repartition(rep),
+            left_key="lkey", right_key="rkey")
+        outs.append(t.to_pylist()[0])
+    assert outs[0] == outs[1]
+    got = outs[0]
+    from collections import Counter
+    cl, cr = Counter(lk.tolist()), Counter(rk.tolist())
+    prods = {k: cl[k] * cr[k] for k in cl if k in cr}
+    assert got["left_rows"] == 300 and got["right_rows"] == 80
+    assert got["left_keys"] == len(cl) and got["right_keys"] == len(cr)
+    assert got["matched_keys"] == len(prods)
+    assert got["est_rows"] == sum(prods.values())
+    mx = max(prods.values())
+    assert got["max_key_rows"] == mx
+    assert got["hot_key"] == min(k for k, v in prods.items() if v == mx)
+    # the estimate IS the true join size
+    import pandas as pd
+    true = pd.DataFrame({"k": lk}).merge(pd.DataFrame({"k": rk}), on="k")
+    assert got["est_rows"] == len(true)
+
+
+def test_join_cardinality_disjoint(ray_session):
+    from schisma_ray.stages.profile import join_cardinality
+
+    t = join_cardinality(
+        rd.from_arrow(pa.table({"a": pa.array([1, 2], pa.int64())})),
+        rd.from_arrow(pa.table({"b": pa.array([3, 4], pa.int64())})),
+        left_key="a", right_key="b")
+    row = t.to_pylist()[0]
+    assert row["est_rows"] == 0 and row["matched_keys"] == 0
+    assert row["hot_key"] == -1
+
+
+def test_cusum_drift_bruteforce_with_planted_shift(ray_session):
+    from schisma_ray.stages.stats import cusum_drift
+
+    # 20 baseline days of ~100 events, then 10 days shifted to 115 —
+    # each day individually under the ~21-count alarm band around the
+    # global mean (105), but the CUSUM accumulates +5/day past the
+    # decision interval
+    day_us = 86_400_000_000
+    counts = [100] * 20 + [115] * 10
+    ts, rows = [], []
+    for d, c in enumerate(counts):
+        rows.extend([d * day_us + i for i in range(c)])
+    tbl = pa.table({"ts": pa.array(
+        np.array(rows, np.int64), pa.timestamp("us"))})
+    outs = []
+    for rep in (1, 6):
+        t = cusum_drift(rd.from_arrow(tbl).repartition(rep), "ts")
+        outs.append(t.to_pandas().sort_values("day_idx")
+                    .reset_index(drop=True))
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    # brute-force recursion
+    total, nd = sum(counts), len(counts)
+    mu = (2 * total + nd) // (2 * nd)
+    slack = (2 * mu * 5 + 100) // 200
+    h = (2 * mu * 20 + 100) // 200
+    s_hi = s_lo = 0
+    want = []
+    for c in counts:
+        s_hi = max(0, s_hi + c - mu - slack)
+        s_lo = max(0, s_lo + mu - c - slack)
+        want.append((s_hi, s_lo, s_hi > h or s_lo > h))
+    got = list(zip(df["cusum_hi"], df["cusum_lo"], df["alarm"]))
+    assert [(int(a), int(b), bool(c)) for a, b, c in got] == want
+    # the sustained small shift eventually alarms
+    assert bool(df["alarm"].iloc[-1])
+    # and no single baseline day alarms
+    assert not df["alarm"].iloc[:20].any()
