@@ -9454,6 +9454,53 @@ def q_cusum_drift(sf_dir: str):
     return cusum_drift(ds, "ts")
 
 
+def q_orders_enriched_bucketed(sf_dir: str):
+    """orders-customer enrichment over PRE-BUCKETED tables: both sides
+    hash-partitioned ONCE by custkey (stages.bucketed.bucket_write),
+    then joined bucket-by-bucket with zero join-time shuffle
+    (stages.bucketed.bucketed_join) — the amortized-partitioning
+    doctrine as a runnable query. Result is mathematically identical
+    to orders_enriched (shared oracle)."""
+    import hashlib as _h
+    import shutil
+
+    from ..stages.bucketed import bucket_write, bucketed_join
+
+    tag = _h.md5(sf_dir.encode()).hexdigest()[:10]
+    cache = Path(f"/tmp/schisma_ray_cache/bucketed_{tag}")
+    od, cd = cache / "orders", cache / "customer"
+    if not od.exists() or not cd.exists():
+        shutil.rmtree(cache, ignore_errors=True)
+        tmp = cache.with_suffix(".tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        bucket_write(
+            rd.read_parquet(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey",
+                                     "o_totalprice"]),
+            "o_custkey", str(tmp / "orders"))
+        bucket_write(
+            rd.read_parquet(f"{sf_dir}/customer.parquet",
+                            columns=["c_custkey", "c_name",
+                                     "c_mktsegment"]),
+            "c_custkey", str(tmp / "customer"))
+        tmp.rename(cache)
+    joined = bucketed_join(str(od), str(cd), on="o_custkey",
+                           right_on="c_custkey")
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "c_name": t["c_name"],
+            "c_mktsegment": t["c_mktsegment"],
+            "total_cents": pc.cast(pc.round(
+                pc.multiply(t["o_totalprice"], 100.0)), pa.int64()),
+        })
+
+    return joined.map_batches(final, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9673,6 +9720,7 @@ QUERIES = {
     "compression_flags": q_compression_flags,
     "join_cardinality": q_join_cardinality,
     "cusum_drift": q_cusum_drift,
+    "orders_enriched_bucketed": q_orders_enriched_bucketed,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,
@@ -9773,4 +9821,7 @@ def oracle_sql() -> dict[str, str]:
     out["cross_corpus_dups_shuffle"] = out["cross_corpus_dups"]
     out["minhash_dedup_groups_ds"] = out["minhash_dedup_groups"]
     out["word_pagerank"] = _word_pagerank_sql()
+    # the bucketed co-located join computes the identical enrichment —
+    # shared oracle by construction
+    out["orders_enriched_bucketed"] = out["orders_enriched"]
     return out

@@ -548,3 +548,49 @@ def test_cusum_drift_bruteforce_with_planted_shift(ray_session):
     assert bool(df["alarm"].iloc[-1])
     # and no single baseline day alarms
     assert not df["alarm"].iloc[:20].any()
+
+
+def test_bucketed_join_matches_plain_join(ray_session, tmp_path):
+    from schisma_ray.stages.bucketed import bucket_write, bucketed_join
+
+    rng = np.random.default_rng(41)
+    lk = rng.integers(1, 40, 200)
+    left = pa.table({
+        "k": pa.array(lk, pa.int64()),
+        "v": pa.array(rng.integers(0, 100, 200), pa.int64()),
+    })
+    right = pa.table({
+        "rk": pa.array(np.arange(1, 31), pa.int64()),
+        "name": pa.array([f"n{i}" for i in range(1, 31)], pa.string()),
+    })
+    bucket_write(rd.from_arrow(left).repartition(3), "k",
+                 str(tmp_path / "l"), num_buckets=8)
+    bucket_write(rd.from_arrow(right), "rk",
+                 str(tmp_path / "r"), num_buckets=8)
+    got = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                        on="k", right_on="rk",
+                        num_buckets=8).to_pandas()
+    import pandas as pd
+    want = pd.DataFrame({"k": lk,
+                         "v": left["v"].to_numpy()}).merge(
+        pd.DataFrame({"k": np.arange(1, 31),
+                      "name": [f"n{i}" for i in range(1, 31)]}),
+        on="k")
+    key = lambda df: sorted(map(tuple, df[["k", "v", "name"]].values))
+    assert key(got) == key(want)
+    # bucket partition column does not leak into the result
+    assert "bucket" not in got.columns
+
+
+def test_bucketed_join_disjoint_sides(ray_session, tmp_path):
+    from schisma_ray.stages.bucketed import bucket_write, bucketed_join
+
+    bucket_write(rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64())})), "k", str(tmp_path / "l"),
+        num_buckets=4)
+    bucket_write(rd.from_arrow(pa.table({
+        "rk": pa.array([999], pa.int64())})), "rk", str(tmp_path / "r"),
+        num_buckets=4)
+    out = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"),
+                        on="k", right_on="rk", num_buckets=4)
+    assert out.count() == 0
