@@ -7296,6 +7296,22 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "late_events": """
+WITH w AS (
+  SELECT user_id,
+         CASE WHEN ts < MAX(ts) OVER (
+                PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS late
+    FROM events
+   WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(late) AS BIGINT) AS n_late,
+       CAST((2000000 * SUM(late) + count(*)) // (2 * count(*))
+            AS BIGINT) AS late_e6
+  FROM w GROUP BY 1
+""",
     "cusum_drift": """
 WITH RECURSIVE d AS (
   SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_idx,
@@ -9501,6 +9517,50 @@ def q_orders_enriched_bucketed(sf_dir: str):
                               zero_copy_batch=True)
 
 
+def q_ann_recall_report(sf_dir: str):
+    """Recall@10 certificate for the LSH index: per query, how many of
+    the TRUE cosine top-10 (knn_brute_force) the ann_lsh probe
+    recovered — the measure-don't-guess gate an approximate index
+    needs before it replaces the exact path. Both runs share queries
+    and seeds; rows-only by necessity (the LSH plane seeding has no
+    SQL analogue) with the recall math property-tested."""
+    mat, ids = _query_vectors(sf_dir)
+    ds = _t(sf_dir, "embeddings")
+    truth = knn_brute_force(ds, mat, ids, k=10).to_pandas()
+    approx = ann_lsh(ds, mat, ids, k=10, n_bits=ANN_N_BITS,
+                     seed=ANN_SEED).to_pandas()
+    t_sets = truth.groupby("query_id")["neighbor_id"].apply(set)
+    a_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    rows = []
+    for qid in ids:
+        t = t_sets.get(qid, set())
+        a = a_sets.get(qid, set())
+        hits = len(t & a)
+        n = len(t)
+        rows.append((qid, n, hits,
+                     (2_000_000 * hits + n) // (2 * n) if n else 0))
+    cols = list(zip(*rows))
+    return pa.table({
+        "query_id": pa.array(cols[0], pa.int64()),
+        "k_true": pa.array(cols[1], pa.int64()),
+        "hits": pa.array(cols[2], pa.int64()),
+        "recall_e6": pa.array(cols[3], pa.int64()),
+    })
+
+
+def q_late_events(sf_dir: str):
+    """Watermark/ordering audit: per user, events arriving (by
+    event_id order) with a timestamp BEHIND the running max of their
+    earlier events — the out-of-orderness a streaming ingestion's
+    watermark must absorb. stages.window.late_events."""
+    from ..stages.window import late_events
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "ts"])
+    return late_events(ds, user_col="user_id", order_col="event_id",
+                       ts_col="ts")
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9721,6 +9781,8 @@ QUERIES = {
     "join_cardinality": q_join_cardinality,
     "cusum_drift": q_cusum_drift,
     "orders_enriched_bucketed": q_orders_enriched_bucketed,
+    "ann_recall_report": q_ann_recall_report,
+    "late_events": q_late_events,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

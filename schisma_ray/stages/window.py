@@ -1390,3 +1390,57 @@ def event_type_lift(
         "conf_b_to_a_e6": pa.array(rows["conf_b_to_a_e6"], pa.int64()),
         "lift_e6": pa.array(rows["lift_e6"], pa.int64()),
     })
+
+
+def late_events(ds, *, user_col: str = "user_id",
+                order_col: str = "event_id", ts_col: str = "ts",
+                num_buckets: int = 64):
+    """Watermark/ordering audit: per user, how many events arrive (in
+    ``order_col`` order — the ingestion sequence) with a timestamp
+    BEHIND the running max of that user's earlier events, plus the
+    half-up e6 late share. This is the out-of-orderness a streaming
+    pipeline's watermark must absorb — ``monotonic_violations`` flags
+    lag-1 value dips row by row; this is the running-MAX summary that
+    sizes the watermark.
+
+    Scale shape: narrow projection -> one user-hash bucket shuffle ->
+    per-bucket vectorized sort + grouped cummax/shift (pandas C
+    kernels) -> per-user count rows emitted directly from the bucket
+    (a user is atomic to its bucket, so bucket-local aggregates ARE
+    global). Null user/ts rows are excluded on both sides."""
+    import numpy as np
+    import pandas as pd
+
+    def prep(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_valid(t[user_col]), pc.is_valid(t[ts_col]))
+        t = t.filter(mask)
+        key = t[user_col].combine_chunks()
+        return pa.table({
+            user_col: key,
+            order_col: t[order_col],
+            "ts_us": pc.cast(t[ts_col], pa.int64()),
+            "bucket": _key_bucket(key, num_buckets),
+        })
+
+    narrow = ds.map_batches(prep, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([user_col, order_col], kind="stable")
+        grp = g.groupby(user_col, sort=False)
+        cm = grp["ts_us"].cummax()
+        g = g.assign(__cm=cm)
+        prev_cm = g.groupby(user_col, sort=False)["__cm"].shift(1)
+        late = (g["ts_us"] < prev_cm).fillna(False)
+        agg = pd.DataFrame({
+            user_col: g[user_col],
+            "late": late.astype(np.int64),
+        }).groupby(user_col, sort=False, as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"))
+        n = agg["n_events"].to_numpy(np.int64)
+        d = agg["n_late"].to_numpy(np.int64)
+        agg["late_e6"] = (2_000_000 * d + n) // (2 * n)
+        return agg
+
+    return narrow.groupby("bucket").map_groups(per_bucket,
+                                               batch_format="pandas")

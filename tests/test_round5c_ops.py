@@ -594,3 +594,48 @@ def test_bucketed_join_disjoint_sides(ray_session, tmp_path):
     out = bucketed_join(str(tmp_path / "l"), str(tmp_path / "r"),
                         on="k", right_on="rk", num_buckets=4)
     assert out.count() == 0
+
+
+def test_late_events_bruteforce_and_layout(ray_session):
+    from schisma_ray.stages.window import late_events
+
+    day = 86_400_000_000
+    # user 1: arrival order 1..5, ts goes 3,1,4,2,5 days -> late at
+    # arrivals 2 and 4 (behind running max 3 resp. 4)
+    # user 2: perfectly ordered -> 0 late
+    rows = [
+        (1, 1, 3), (2, 1, 1), (3, 1, 4), (4, 1, 2), (5, 1, 5),
+        (6, 2, 1), (7, 2, 2), (8, 2, 3),
+        (9, None, 1), (10, 3, None),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [None if r[2] is None else r[2] * day for r in rows],
+            pa.timestamp("us")),
+    })
+    outs = []
+    for rep in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        df = late_events(ds).to_pandas().sort_values(
+            "user_id").reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0].set_index("user_id")
+    assert list(df.index) == [1, 2]           # null user/ts excluded
+    assert (int(df.loc[1, "n_events"]), int(df.loc[1, "n_late"])) == (5, 2)
+    assert int(df.loc[1, "late_e6"]) == (2_000_000 * 2 + 5) // 10
+    assert (int(df.loc[2, "n_events"]), int(df.loc[2, "n_late"])) == (3, 0)
+
+
+def test_ann_recall_report_math(ray_session):
+    from schisma_ray.pipelines.catalog import q_ann_recall_report
+
+    t = q_ann_recall_report("/root/testdata/sf0.001")
+    df = t.to_pandas() if hasattr(t, "to_pandas") else t
+    assert len(df) == 5
+    for r in df.itertuples():
+        assert 0 <= r.hits <= r.k_true <= 10
+        assert r.recall_e6 == (2_000_000 * r.hits + r.k_true) // (
+            2 * r.k_true)
