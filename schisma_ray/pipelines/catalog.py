@@ -7296,6 +7296,24 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "qty_quantiles_by_flag": """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_quantity * 100) AS BIGINT) AS x
+    FROM lineitem
+   WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+n AS (SELECT flag, count(*) AS c FROM v GROUP BY 1),
+r AS (SELECT flag, x,
+             row_number() OVER (PARTITION BY flag ORDER BY x) - 1 AS rn
+        FROM v),
+qs(q_e6) AS (VALUES (250000), (500000), (750000)),
+t AS (SELECT n.flag, qs.q_e6,
+             (n.c - 1) * CAST(qs.q_e6 AS BIGINT) // 1000000 AS target
+        FROM n CROSS JOIN qs)
+SELECT t.flag AS l_returnflag, CAST(t.q_e6 AS BIGINT) AS q_e6,
+       CAST(r.x AS BIGINT) AS value
+  FROM t JOIN r ON r.flag = t.flag AND r.rn = t.target
+""",
     "late_events": """
 WITH w AS (
   SELECT user_id,
@@ -9561,6 +9579,29 @@ def q_late_events(sf_dir: str):
                        ts_col="ts")
 
 
+def q_qty_quantiles_by_flag(sf_dir: str):
+    """Per-returnflag exact quantity quantiles (hundredths) via the
+    zero-shuffle grouped selection path —
+    stages.rank.grouped_quantiles_select (all groups bisect in the
+    same scans; nothing exchanged but bin counts)."""
+    from ..stages.rank import grouped_quantiles_select
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "qty_c": pc.cast(pc.round(
+                pc.multiply(t["l_quantity"], 100.0)), pa.int64()),
+        })
+
+    proj = ds.map_batches(cents, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return grouped_quantiles_select(
+        proj, "l_returnflag", "qty_c", [250_000, 500_000, 750_000])
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9783,6 +9824,7 @@ QUERIES = {
     "orders_enriched_bucketed": q_orders_enriched_bucketed,
     "ann_recall_report": q_ann_recall_report,
     "late_events": q_late_events,
+    "qty_quantiles_by_flag": q_qty_quantiles_by_flag,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

@@ -746,3 +746,127 @@ def exact_quantiles_select(ds, col: str, qs_e6: list[int], *,
         "value": pa.array([state[int(q)]["lo"] for q in qs_e6],
                           pa.int64()),
     })
+
+
+def grouped_quantiles_select(ds, group_col: str, col: str,
+                             qs_e6: list[int], *, bins: int = 4096,
+                             max_passes: int = 12) -> pa.Table:
+    """Per-group EXACT integer quantiles by streaming selection — the
+    zero-shuffle twin of ``grouped_exact_quantiles`` (which sorts the
+    whole table by (group, col)): every (group, quantile) pair runs the
+    histogram bisection of ``exact_quantiles_select`` SIMULTANEOUSLY in
+    the same read-only scans, so k passes answer all groups at once and
+    nothing is ever exchanged but per-batch bin counts. Group
+    cardinality must fit a dict (formats, languages — the same contract
+    as the sort-based path). Rank convention ``floor((n_g-1)*q_e6/1e6)``
+    matches the sort path and the SQL row_number oracle; null group or
+    value rows are excluded."""
+    import pyarrow.compute as pc
+
+    from ._fold import fold_table
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[col], pa.int64())
+        keep = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(x))
+        tt = pa.table({group_col: t[group_col], "x": x}).filter(keep)
+        if tt.num_rows == 0:
+            return pa.schema([
+                (group_col, pa.string()), ("n", pa.int64()),
+                ("lo", pa.int64()), ("hi", pa.int64()),
+            ]).empty_table()
+        agg = tt.group_by(group_col).aggregate(
+            [("x", "count"), ("x", "min"), ("x", "max")])
+        return agg.rename_columns([group_col, "n", "lo", "hi"])
+
+    folded = fold_table(
+        ds.map_batches(mm_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    empty = pa.table({
+        group_col: pa.array([], pa.string()),
+        "q_e6": pa.array([], pa.int64()),
+        "value": pa.array([], pa.int64()),
+    })
+    if folded is None or folded.num_rows == 0:
+        return empty
+    m = folded.group_by(group_col).aggregate(
+        [("n", "sum"), ("lo", "min"), ("hi", "max")])
+    state = {}
+    for g, n, lo, hi in zip(m[group_col].to_pylist(),
+                            m["n_sum"].to_pylist(),
+                            m["lo_min"].to_pylist(),
+                            m["hi_max"].to_pylist()):
+        for q in qs_e6:
+            rank = (int(n) - 1) * int(q) // 1_000_000
+            state[(str(g), int(q))] = {
+                "lo": int(lo), "hi": int(hi), "rank": rank}
+
+    for _ in range(max_passes):
+        active = {k: s for k, s in state.items() if s["lo"] < s["hi"]}
+        if not active:
+            break
+        plan = {
+            k: (s["lo"], s["hi"],
+                -(-(s["hi"] - s["lo"] + 1) // bins))
+            for k, s in active.items()
+        }
+
+        def hist_partial(t: pa.Table, plan=plan) -> pa.Table:
+            x = pc.cast(t[col], pa.int64())
+            keep = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(x))
+            tt = pa.table({group_col: t[group_col], "x": x}).filter(keep)
+            empty_h = pa.schema([
+                ("g", pa.string()), ("q", pa.int64()),
+                ("bin", pa.int64()), ("cnt", pa.int64()),
+            ]).empty_table()
+            if tt.num_rows == 0:
+                return empty_h
+            garr = tt[group_col].to_numpy(zero_copy_only=False)
+            arr = tt["x"].to_numpy(zero_copy_only=False)
+            gs, qs_o, bins_o, cnts = [], [], [], []
+            for (g, q), (lo, hi, width) in plan.items():
+                sub = arr[(garr == g) & (arr >= lo) & (arr <= hi)]
+                if len(sub) == 0:
+                    continue
+                counts = np.bincount((sub - lo) // width)
+                nz = np.nonzero(counts)[0]
+                gs.extend([g] * len(nz))
+                qs_o.append(np.full(len(nz), q, np.int64))
+                bins_o.append(nz.astype(np.int64))
+                cnts.append(counts[nz].astype(np.int64))
+            if not gs:
+                return empty_h
+            return pa.table({
+                "g": pa.array(gs, pa.string()),
+                "q": pa.array(np.concatenate(qs_o), pa.int64()),
+                "bin": pa.array(np.concatenate(bins_o), pa.int64()),
+                "cnt": pa.array(np.concatenate(cnts), pa.int64()),
+            })
+
+        hfold = fold_table(
+            ds.map_batches(hist_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+        )
+        if hfold is None or hfold.num_rows == 0:
+            break
+        merged = hfold.group_by(["g", "q", "bin"]).aggregate(
+            [("cnt", "sum")]).to_pandas()
+        for (g, q), s in active.items():
+            lo, hi, width = plan[(g, q)]
+            sub = merged[(merged["g"] == g)
+                         & (merged["q"] == q)].sort_values("bin")
+            cum = 0
+            for b, c in zip(sub["bin"], sub["cnt_sum"]):
+                if cum + int(c) > s["rank"]:
+                    s["lo"] = lo + int(b) * width
+                    s["hi"] = min(hi, s["lo"] + width - 1)
+                    s["rank"] -= cum
+                    break
+                cum += int(c)
+
+    keys = sorted(state)
+    return pa.table({
+        group_col: pa.array([g for g, _ in keys], pa.string()),
+        "q_e6": pa.array([q for _, q in keys], pa.int64()),
+        "value": pa.array([state[k]["lo"] for k in keys], pa.int64()),
+    })

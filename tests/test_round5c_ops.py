@@ -639,3 +639,30 @@ def test_ann_recall_report_math(ray_session):
         assert 0 <= r.hits <= r.k_true <= 10
         assert r.recall_e6 == (2_000_000 * r.hits + r.k_true) // (
             2 * r.k_true)
+
+
+def test_grouped_quantiles_select_matches_bruteforce(ray_session):
+    from schisma_ray.stages.rank import grouped_quantiles_select
+
+    rng = np.random.default_rng(51)
+    groups = np.array(["a", "b", "c"])[rng.integers(0, 3, 4000)]
+    vals = rng.integers(-2**35, 2**35, 4000)
+    tbl = pa.table({
+        "g": pa.array(list(groups) + [None, "a"], pa.string()),
+        "x": pa.array(list(vals) + [5, None], pa.int64()),
+    })
+    qs = [250_000, 500_000, 900_000]
+    outs = []
+    for rep in (1, 5):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        t = grouped_quantiles_select(ds, "g", "x", qs)
+        outs.append(sorted(zip(t["g"].to_pylist(),
+                               t["q_e6"].to_pylist(),
+                               t["value"].to_pylist())))
+    assert outs[0] == outs[1]
+    want = []
+    for g in ("a", "b", "c"):
+        s = np.sort(vals[groups == g])
+        for q in qs:
+            want.append((g, q, int(s[(len(s) - 1) * q // 1_000_000])))
+    assert outs[0] == sorted(want)
