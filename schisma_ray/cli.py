@@ -186,6 +186,20 @@ def main(argv=None) -> int:
                          "(columns^2 driver memory — keep the column "
                          "list small)")
 
+    pl = sub.add_parser("plan")
+    pl.add_argument("--left", required=True,
+                    help="left table (parquet/csv/jsonl path or glob)")
+    pl.add_argument("--right", required=True)
+    pl.add_argument("--left-key", required=True)
+    pl.add_argument("--right-key", default=None,
+                    help="defaults to --left-key")
+    pl.add_argument("--target-rows-per-partition", type=int,
+                    default=2_000_000,
+                    help="desired joined rows per output partition")
+    pl.add_argument("--salt-threshold", type=int, default=8,
+                    help="recommend salting when the hot key exceeds "
+                         "this multiple of the per-partition target")
+
     au = sub.add_parser("audit")
     au.add_argument("--docs", required=True,
                     help="documents table (parquet/csv/jsonl path or glob)")
@@ -524,6 +538,30 @@ def main(argv=None) -> int:
                     df = result.head(args.limit)
                 for rec in df.to_dict("records"):
                     print(json.dumps(rec, default=str))
+        elif args.cmd == "plan":
+            from schisma_ray.sources.reader import read_table
+            from schisma_ray.stages.profile import join_cardinality
+
+            card = join_cardinality(
+                read_table(args.left), read_table(args.right),
+                left_key=args.left_key,
+                right_key=args.right_key or args.left_key,
+            ).to_pylist()[0]
+            tgt = max(1, args.target_rows_per_partition)
+            parts = max(1, -(-card["est_rows"] // tgt))
+            hot_share = (card["max_key_rows"] / card["est_rows"]
+                         if card["est_rows"] else 0.0)
+            salt = card["max_key_rows"] > args.salt_threshold * tgt
+            card["recommendation"] = {
+                "num_partitions": parts,
+                "salt_hot_keys": bool(salt),
+                "hot_key_share": round(hot_share, 6),
+                "note": ("hot key alone exceeds "
+                         f"{args.salt_threshold}x a partition target; "
+                         "salt it before the join" if salt else
+                         "hash partitioning is sufficient"),
+            }
+            print(json.dumps(card, indent=2, sort_keys=True))
         elif args.cmd == "audit":
             from schisma_ray.pipelines.audit import corpus_audit
             from schisma_ray.sources.reader import read_table

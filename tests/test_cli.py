@@ -374,3 +374,18 @@ def test_cli_audit(tmp_path):
     )
     assert res2.returncode == 1
     assert json.loads(res2.stdout)["verdict"] == "FAIL"
+
+
+def test_cli_plan():
+    res = _run(
+        "plan", "--left", "/root/testdata/sf0.001/lineitem.parquet",
+        "--right", "/root/testdata/sf0.001/orders.parquet",
+        "--left-key", "l_orderkey", "--right-key", "o_orderkey",
+        "--target-rows-per-partition", "1000",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    plan = json.loads(res.stdout)
+    assert plan["est_rows"] == plan["left_rows"]  # FK join: 1:N
+    rec = plan["recommendation"]
+    assert rec["num_partitions"] == -(-plan["est_rows"] // 1000)
+    assert rec["salt_hot_keys"] is False
