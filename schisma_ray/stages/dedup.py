@@ -2121,7 +2121,8 @@ _LINK_SEP = "\x1f"
 def record_linkage_scores(ds, *, id_col: str, name_col: str,
                           exact_cols: list, value_col: str,
                           value_tol: int, max_len: int = 64,
-                          max_bucket: int = 1000):
+                          max_bucket: int = 1000,
+                          as_dataset: bool = False):
     """Entity resolution (Fellegi–Sunter-style deterministic scoring):
     candidate record pairs from the FastSS name blocking
     (``edit_distance_pairs`` machinery), each scored by an integer
@@ -2157,7 +2158,8 @@ def record_linkage_scores(ds, *, id_col: str, name_col: str,
     variants = narrow.map_batches(
         _deletion_variant_rows(name_col, id_col, max_len),
         batch_format="pyarrow", zero_copy_batch=True)
-    cand = _bucket_pairs(variants, ["variant"], id_col, max_bucket)
+    cand = _bucket_pairs(variants, ["variant"], id_col, max_bucket,
+                         as_dataset=as_dataset)
     empty = pa.table({
         "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
         "name_dist": pa.array([], pa.int64()),
@@ -2165,9 +2167,10 @@ def record_linkage_scores(ds, *, id_col: str, name_col: str,
         "value_close": pa.array([], pa.int64()),
         "score": pa.array([], pa.int64()),
     })
-    if cand.num_rows == 0:
-        return empty
-    cand = cand.group_by(["a", "b"]).aggregate([])
+    if not as_dataset:
+        if cand.num_rows == 0:
+            return empty
+        cand = cand.group_by(["a", "b"]).aggregate([])
 
     n_fields = len(exact_cols)
 
@@ -2184,6 +2187,32 @@ def record_linkage_scores(ds, *, id_col: str, name_col: str,
         # pack the vector into one float: dist, agree, close recoverable
         return float(((2 - d) * 100 + agree * 10 + close) * 1000
                      + (s + agree + close))
+
+    if as_dataset:
+        # corpus-sized path: pair rows never touch the driver — distinct
+        # candidates, bucketed verify and the unpack all stay Datasets
+        distinct = _distinct_pairs_ds(cand)
+        verified = _verify_pairs_bucketed(packed, distinct, "__payload",
+                                          id_col, verify_fn=score,
+                                          as_dataset=True)
+
+        def unpack(t: pa.Table) -> pa.Table:
+            hit = t.filter(pc.greater_equal(t["metric"], 0.0))
+            m = hit["metric"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            code = m // 1000
+            return pa.table({
+                "a": hit["a"],
+                "b": hit["b"],
+                "name_dist": pa.array(2 - (code // 100), pa.int64()),
+                "n_exact_agree": pa.array((code % 100) // 10,
+                                          pa.int64()),
+                "value_close": pa.array(code % 10, pa.int64()),
+                "score": pa.array(m % 1000, pa.int64()),
+            })
+
+        return verified.map_batches(unpack, batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
     verified = _verify_pairs_bucketed(packed, cand, "__payload", id_col,
                                       verify_fn=score)

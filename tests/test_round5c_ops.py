@@ -666,3 +666,24 @@ def test_grouped_quantiles_select_matches_bruteforce(ray_session):
         for q in qs:
             want.append((g, q, int(s[(len(s) - 1) * q // 1_000_000])))
     assert outs[0] == sorted(want)
+
+
+def test_record_linkage_dataset_twin(ray_session):
+    from schisma_ray.stages.dedup import record_linkage_scores
+
+    tbl = pa.table({
+        "key": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "name": pa.array(["acme co", "acme cx", "acme co",
+                          "zeta inc", "zeta inz"], pa.string()),
+        "seg": pa.array(["A", "A", "B", "C", "C"], pa.string()),
+        "cents": pa.array([1000, 1500, 50_000, 70_000, 70_500],
+                          pa.int64()),
+    })
+    ds = rd.from_arrow(tbl).repartition(3)
+    kw = dict(id_col="key", name_col="name", exact_cols=["seg"],
+              value_col="cents", value_tol=1000)
+    drv = record_linkage_scores(ds, **kw)
+    chain = record_linkage_scores(ds, as_dataset=True, **kw).to_pandas()
+    key = lambda rows: sorted(map(tuple, rows))
+    assert key(drv.to_pandas().values) == key(chain.values)
+    assert len(chain) == 4
