@@ -7296,6 +7296,14 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "part_name_fuzzy2": """
+SELECT a.p_partkey AS a, b.p_partkey AS b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+  FROM part a
+  JOIN part b ON a.p_partkey < b.p_partkey
+ WHERE length(a.p_name) <= 40 AND length(b.p_name) <= 40
+   AND levenshtein(a.p_name, b.p_name) <= 2
+""",
     "qty_quantiles_by_flag": """
 WITH v AS (
   SELECT l_returnflag AS flag,
@@ -9602,6 +9610,18 @@ def q_qty_quantiles_by_flag(sf_dir: str):
         proj, "l_returnflag", "qty_c", [250_000, 500_000, 750_000])
 
 
+def q_part_name_fuzzy2(sf_dir: str):
+    """Part-name pairs within Levenshtein distance 2 — the k-deletion
+    generalization of the FastSS blocking (up-to-2-deletion variants;
+    completeness via the common-subsequence argument in
+    stages.dedup._deletion_variant_rows)."""
+    from ..stages.dedup import edit_distance_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    return edit_distance_pairs(ds, "p_name", "p_partkey", max_dist=2)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9825,6 +9845,7 @@ QUERIES = {
     "ann_recall_report": q_ann_recall_report,
     "late_events": q_late_events,
     "qty_quantiles_by_flag": q_qty_quantiles_by_flag,
+    "part_name_fuzzy2": q_part_name_fuzzy2,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

@@ -1996,16 +1996,22 @@ def _edit_distance_capped(a: str, b: str, cap: int = 1) -> int:
     return prev[lb] if prev[lb] <= cap else cap + 1
 
 
-def _deletion_variant_rows(col: str, id_col: str, max_len: int):
+def _deletion_variant_rows(col: str, id_col: str, max_len: int,
+                           k: int = 1):
     """Per-batch FastSS blocking rows: each string emits itself plus
-    every single-character-deletion variant as ``(variant, id)`` —
-    two strings within Levenshtein distance 1 provably share at least
-    one variant (identical -> the string itself; substitution at i ->
-    both i-deletions match; insert/delete -> the longer one's deletion
-    IS the shorter). Vectorized over POSITIONS (<= max_len Arrow
-    slice/join passes per batch), never over rows. Strings longer than
-    ``max_len`` are dropped (emission is O(len) rows per string — the
-    caller documents the cap)."""
+    every variant reachable by deleting up to ``k`` characters, as
+    ``(variant, id)`` — two strings within Levenshtein distance d <= k
+    provably share a variant (an optimal alignment has >= len-d matched
+    positions; deleting each side's unmatched positions — at most d per
+    side — yields the SAME common subsequence, so both k-deletion
+    neighborhoods contain it; the k=1 cases: identical -> the string
+    itself, substitution at i -> both i-deletions, insert/delete -> the
+    longer one's deletion IS the shorter). Vectorized over POSITIONS
+    (k=1: <= max_len slice/join passes per batch; k=2: additionally
+    C(max_len, 2) position-pair passes — emission is O(len^k) rows per
+    string, which is why k=2 enforces a tighter length cap at the
+    caller), never over rows. Strings longer than ``max_len`` are
+    dropped."""
 
     def fn(t: pa.Table) -> pa.Table:
         s = t[col].combine_chunks()
@@ -2022,7 +2028,8 @@ def _deletion_variant_rows(col: str, id_col: str, max_len: int):
         var_chunks = [s]
         id_chunks = [ids]
         big = 2_147_483_647
-        for i in range(int(n.max()) if len(n) else 0):
+        maxn = int(n.max()) if len(n) else 0
+        for i in range(maxn):
             mask = pa.array(n > i)
             sub = s.filter(mask)
             sub_ids = ids.filter(mask)
@@ -2030,6 +2037,20 @@ def _deletion_variant_rows(col: str, id_col: str, max_len: int):
             suf = pc.utf8_slice_codeunits(sub, i + 1, big)
             var_chunks.append(pc.binary_join_element_wise(pref, suf, ""))
             id_chunks.append(sub_ids)
+        if k >= 2:
+            for i in range(maxn):
+                for j in range(i + 1, maxn):
+                    mask = pa.array(n > j)
+                    sub = s.filter(mask)
+                    if len(sub) == 0:
+                        continue
+                    sub_ids = ids.filter(mask)
+                    a = pc.utf8_slice_codeunits(sub, 0, i)
+                    b = pc.utf8_slice_codeunits(sub, i + 1, j)
+                    c = pc.utf8_slice_codeunits(sub, j + 1, big)
+                    var_chunks.append(
+                        pc.binary_join_element_wise(a, b, c, ""))
+                    id_chunks.append(sub_ids)
         out = pa.table({
             "variant": pa.concat_arrays(
                 [c.cast(pa.string()) for c in var_chunks]),
@@ -2067,14 +2088,17 @@ def edit_distance_pairs(ds, col: str, id_col: str, *, max_dist: int = 1,
     cross-field checks (stages/crossfield.py) flag rows; this flags
     near-duplicate row PAIRS, completing the dedup family
     (/root/reference/src/schisma.mjs has no distributed analogue)."""
-    if max_dist != 1:
-        raise ValueError("edit_distance_pairs: only max_dist=1 is "
-                         "complete under single-deletion blocking")
+    if max_dist not in (1, 2):
+        raise ValueError("edit_distance_pairs: k-deletion blocking is "
+                         "implemented for max_dist in (1, 2)")
+    if max_dist == 2 and max_len > 40:
+        # O(len^2) variant emission per string: keep the cap tight
+        max_len = 40
     narrow = ds.map_batches(
         lambda t: t.select([id_col, col]),
         batch_format="pyarrow", zero_copy_batch=True)
     variants = narrow.map_batches(
-        _deletion_variant_rows(col, id_col, max_len),
+        _deletion_variant_rows(col, id_col, max_len, k=max_dist),
         batch_format="pyarrow", zero_copy_batch=True)
     cand = _bucket_pairs(variants, ["variant"], id_col, max_bucket,
                          as_dataset=as_dataset)

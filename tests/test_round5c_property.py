@@ -101,3 +101,32 @@ def test_late_events_property(ray_session):
         assert got == want
 
     check()
+
+
+def test_edit_distance_pairs_d2_property(ray_session):
+    from schisma_ray.stages.dedup import edit_distance_pairs
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.text(alphabet="ab", min_size=0, max_size=5),
+                    min_size=2, max_size=18),
+           st.integers(2, 4))
+    def check(names, parts):
+        ids = list(range(1, len(names) + 1))
+        tbl = pa.table({
+            "key": pa.array(ids, pa.int64()),
+            "name": pa.array(names, pa.string()),
+        })
+        t = edit_distance_pairs(
+            rd.from_arrow(tbl).repartition(parts), "name", "key",
+            max_dist=2)
+        got = set(zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                      t["dist"].to_pylist()))
+        want = {
+            (i, j, _brute_lev(a, b))
+            for i, a in zip(ids, names)
+            for j, b in zip(ids, names)
+            if i < j and _brute_lev(a, b) <= 2
+        }
+        assert got == want
+
+    check()
