@@ -7296,6 +7296,41 @@ SELECT month, CAST(total_c4 AS BIGINT) AS total_c4,
          AS promo_share_e6
   FROM m
 """,
+    "source_overlap": """
+WITH toks AS (
+  SELECT source, list_filter(string_split_regex(
+             coalesce(text, ''), '\\s+'), x -> x <> '') AS w
+    FROM documents WHERE source IS NOT NULL),
+g AS (
+  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS gram
+    FROM toks, unnest(range(1, greatest(len(w) - 2, 0) + 1)) AS t(i)
+   WHERE len(w) >= 3),
+cnt AS (SELECT source, count(*) AS n FROM g GROUP BY 1),
+srcs AS (SELECT DISTINCT source FROM documents
+          WHERE source IS NOT NULL),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+            FROM srcs a JOIN srcs b ON a.source < b.source),
+ix AS (SELECT ga.source AS sa, gb.source AS sb, count(*) AS i
+         FROM g ga JOIN g gb ON ga.gram = gb.gram
+                            AND ga.source < gb.source
+        GROUP BY 1, 2)
+SELECT p.sa AS src_a, p.sb AS src_b,
+       CAST(coalesce(ix.i, 0) AS BIGINT) AS inter,
+       CAST(coalesce(ca.n, 0) AS BIGINT) AS n_a,
+       CAST(coalesce(cb.n, 0) AS BIGINT) AS n_b,
+       CAST(CASE WHEN coalesce(ca.n, 0) + coalesce(cb.n, 0)
+                      - coalesce(ix.i, 0) > 0
+                 THEN (2000000 * coalesce(ix.i, 0)
+                       + coalesce(ca.n, 0) + coalesce(cb.n, 0)
+                       - coalesce(ix.i, 0))
+                      // (2 * (coalesce(ca.n, 0) + coalesce(cb.n, 0)
+                               - coalesce(ix.i, 0)))
+                 ELSE 0 END AS BIGINT) AS jaccard_e6
+  FROM pairs p
+  LEFT JOIN ix ON ix.sa = p.sa AND ix.sb = p.sb
+  LEFT JOIN cnt ca ON ca.source = p.sa
+  LEFT JOIN cnt cb ON cb.source = p.sb
+""",
     "part_name_fuzzy2": """
 SELECT a.p_partkey AS a, b.p_partkey AS b,
        CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
@@ -9622,6 +9657,19 @@ def q_part_name_fuzzy2(sf_dir: str):
     return edit_distance_pairs(ds, "p_name", "p_partkey", max_dist=2)
 
 
+def q_source_overlap(sf_dir: str):
+    """Exact pairwise word-3-gram overlap matrix between document
+    sources (intersection, per-source distinct counts, e6 Jaccard) —
+    stages.corpus.source_overlap (per-gram source BITMASKS: one
+    vocabulary-sized groupby, integer popcount partials, |sources|^2
+    result)."""
+    from ..stages.corpus import source_overlap
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "text"])
+    return source_overlap(ds, group_col="source", col="text", n=3)
+
+
 def _word_pagerank_sql(vocab_k: int = 30, iters: int = 5,
                        damping_pct: int = 85) -> str:
     """Unrolled fixed-iteration PageRank oracle: pr0..pr{iters} CTEs,
@@ -9846,6 +9894,7 @@ QUERIES = {
     "late_events": q_late_events,
     "qty_quantiles_by_flag": q_qty_quantiles_by_flag,
     "part_name_fuzzy2": q_part_name_fuzzy2,
+    "source_overlap": q_source_overlap,
     "event_type_lift": q_event_type_lift,
     "embedding_pair_sample": q_embedding_pair_sample,
     "lineitem_corr": q_lineitem_corr,

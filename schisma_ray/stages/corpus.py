@@ -971,3 +971,149 @@ def stratified_hash_sample(ds, *, group_col: str = "lang",
         "sample_rank": pa.array(df["sample_rank"].to_numpy(np.int64),
                                 pa.int64()),
     })
+
+
+def source_overlap(ds, *, group_col: str = "source", col: str = "text",
+                   n: int = 3) -> pa.Table:
+    """Exact pairwise n-gram overlap matrix between corpus sources —
+    the contamination/mixture-design view ABOVE document grain: which
+    sources are near-copies of each other (a crawl re-packaged under a
+    new name inflates its mixture weight silently). For every source
+    pair: distinct-gram intersection, per-source distinct counts and
+    the half-up e6 Jaccard.
+
+    Scale shape: sources are discovered in one bounded pass and mapped
+    to BITS (<= 63 sources per mask by contract — beyond that the mask
+    chunks); per-batch distinct (gram, source) rows collapse before
+    ONE gram-keyed groupby (the vocabulary-sized shuffle this op
+    shares with vocab_stats); after it each (gram, source) is globally
+    unique, so summing the per-gram bit values IS the OR, and the
+    C(|sources|, 2) pair counts fold as integers from per-batch
+    popcount partials. The |sources|^2 result never exceeds a driver
+    dict by contract."""
+    from ._fold import fold_table
+
+    def src_partial(t: pa.Table) -> pa.Table:
+        s = t[group_col].combine_chunks()
+        s = s.filter(pc.is_valid(s))
+        return pa.table({group_col: s.unique()})
+
+    folded = fold_table(
+        ds.map_batches(src_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+    )
+    empty = pa.table({
+        "src_a": pa.array([], pa.string()),
+        "src_b": pa.array([], pa.string()),
+        "inter": pa.array([], pa.int64()),
+        "n_a": pa.array([], pa.int64()),
+        "n_b": pa.array([], pa.int64()),
+        "jaccard_e6": pa.array([], pa.int64()),
+    })
+    if folded is None or folded.num_rows == 0:
+        return empty
+    sources = sorted(set(folded[group_col].to_pylist()))
+    if len(sources) > 63:
+        raise ValueError("source_overlap: more than 63 sources needs "
+                         "chunked masks")
+    bit = {s: i for i, s in enumerate(sources)}
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        empty_g = pa.schema([("g", pa.string()),
+                             (group_col, pa.string())]).empty_table()
+        t = t.filter(pc.is_valid(t[group_col]))
+        if t.num_rows == 0:
+            return empty_g
+        words = pc.split_pattern_regex(
+            pc.fill_null(t[col].combine_chunks(), ""), r"\s+")
+        flat = pc.list_flatten(words)
+        parent = pc.list_parent_indices(words)
+        keep = pc.not_equal(flat, "")
+        w = flat.filter(keep).to_numpy(zero_copy_only=False)
+        p = parent.filter(keep).to_numpy(zero_copy_only=False)
+        m = len(w) - n + 1
+        if m <= 0:
+            return empty_g
+        ok = np.ones(m, bool)
+        g = w[:m].astype(object)
+        for j in range(1, n):
+            ok &= p[:m] == p[j:m + j]
+            g = g + " " + w[j:m + j]
+        srcs = t[group_col].combine_chunks().to_numpy(
+            zero_copy_only=False)
+        tri = pa.table({
+            "g": pa.array(g[ok], pa.string()),
+            group_col: pa.array(srcs[p[:m][ok]], pa.string()),
+        })
+        return tri.group_by(["g", group_col]).aggregate([])
+
+    def mask_partial(t: pa.Table) -> pa.Table:
+        srcs = t[group_col].to_numpy(zero_copy_only=False)
+        masks = np.array([1 << bit[s] for s in srcs], np.int64)
+        g = pa.table({
+            "g": t["g"],
+            "mask": pa.array(masks, pa.int64()),
+        }).group_by("g").aggregate([("mask", "sum")])
+        return g.rename_columns(["g", "mask"])
+
+    # distinct (gram, source) -> one gram groupby; rows now globally
+    # unique, so sum(bit) == OR of bits
+    masks = (
+        ds.map_batches(gram_partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby(["g", group_col]).count()
+        .map_batches(mask_partial, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .groupby("g").sum("mask")
+    )
+
+    k = len(sources)
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        m = t["sum(mask)"].to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        singles = np.array([((m >> i) & 1).sum() for i in range(k)],
+                           np.int64)
+        rows_a, rows_b, inter = [], [], []
+        for i in range(k):
+            bi = (m >> i) & 1
+            for j in range(i + 1, k):
+                rows_a.append(i)
+                rows_b.append(j)
+                inter.append(int((bi & ((m >> j) & 1)).sum()))
+        return pa.table({
+            "ai": pa.array(rows_a, pa.int64()),
+            "bi": pa.array(rows_b, pa.int64()),
+            "inter": pa.array(inter, pa.int64()),
+            "sa": pa.array(
+                [int(singles[i]) for i in rows_a], pa.int64()),
+            "sb": pa.array(
+                [int(singles[j]) for j in rows_b], pa.int64()),
+        })
+
+    pf = fold_table(
+        masks.map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    )
+    if pf is None or pf.num_rows == 0:
+        return empty
+    agg = pf.group_by(["ai", "bi"]).aggregate(
+        [("inter", "sum"), ("sa", "sum"), ("sb", "sum")])
+    ai = agg["ai"].to_pylist()
+    bi = agg["bi"].to_pylist()
+    inter = np.array(agg["inter_sum"].to_pylist(), np.int64)
+    na = np.array(agg["sa_sum"].to_pylist(), np.int64)
+    nb = np.array(agg["sb_sum"].to_pylist(), np.int64)
+    union = na + nb - inter
+    jac = np.where(union > 0,
+                   (2_000_000 * inter + union) // (2 * np.maximum(
+                       union, 1)), 0)
+    order = np.lexsort((bi, ai))
+    return pa.table({
+        "src_a": pa.array([sources[ai[i]] for i in order], pa.string()),
+        "src_b": pa.array([sources[bi[i]] for i in order], pa.string()),
+        "inter": pa.array(inter[order], pa.int64()),
+        "n_a": pa.array(na[order], pa.int64()),
+        "n_b": pa.array(nb[order], pa.int64()),
+        "jaccard_e6": pa.array(jac[order], pa.int64()),
+    })

@@ -687,3 +687,53 @@ def test_record_linkage_dataset_twin(ray_session):
     key = lambda rows: sorted(map(tuple, rows))
     assert key(drv.to_pandas().values) == key(chain.values)
     assert len(chain) == 4
+
+
+def test_source_overlap_bruteforce_and_layout(ray_session):
+    from schisma_ray.stages.corpus import source_overlap
+
+    docs = [
+        ("s1", "the cat sat on the mat"),
+        ("s1", "a dog ran in the park"),
+        ("s2", "the cat sat on the mat"),     # full copy of s1 doc
+        ("s2", "different words entirely here"),
+        ("s3", "too short"),                   # no 3-grams
+        (None, "the cat sat on the mat"),      # null source excluded
+        ("s4", None),                          # null text: 0 grams
+    ]
+    tbl = pa.table({
+        "source": pa.array([d[0] for d in docs], pa.string()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+
+    def grams(txt):
+        w = txt.split()
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    per = {}
+    for s, txt in docs:
+        if s is None:
+            continue
+        per.setdefault(s, set()).update(grams(txt) if txt else set())
+    srcs = sorted(per)
+    want = {}
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            inter = len(per[a] & per[b])
+            na, nb = len(per[a]), len(per[b])
+            union = na + nb - inter
+            want[(a, b)] = (inter, na, nb,
+                            (2_000_000 * inter + union) // (2 * union)
+                            if union else 0)
+    outs = []
+    for rep in (1, 4):
+        ds = rd.from_arrow(tbl).repartition(rep)
+        t = source_overlap(ds)
+        outs.append({(r["src_a"], r["src_b"]):
+                     (r["inter"], r["n_a"], r["n_b"], r["jaccard_e6"])
+                     for r in t.to_pylist()})
+    assert outs[0] == outs[1] == want
+    # the copied doc makes (s1, s2) the most-overlapping pair
+    assert outs[0][("s1", "s2")][0] == 4
+    # zero-gram sources still appear with zero rows
+    assert outs[0][("s3", "s4")] == (0, 0, 0, 0)
